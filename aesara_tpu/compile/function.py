@@ -1,0 +1,449 @@
+"""``aesara_tpu.function``: compile symbolic graphs into callables.
+
+Re-design of the reference's driver stack (SURVEY §3.1):
+``function`` (``compile/function/__init__.py:86``) → ``pfunc``
+(``pfunc.py:267``, expands shared vars/updates/givens via
+``rebuild_collect_shared``) → ``orig_function``/``FunctionMaker``
+(``types.py:1741/1271``, rewrites + linker) → ``Function``
+(``types.py:275``).  The default linker compiles the WHOLE rewritten
+graph into one jitted XLA program; shared variables ride along as leading
+arguments whose buffers are donated when updated.
+"""
+
+from __future__ import annotations
+
+import time
+import warnings
+from typing import Any, Callable, Dict, List, Optional, Sequence, Union
+
+import numpy as np
+
+from aesara_tpu.config import config
+from aesara_tpu.compile.io import In, Out, SymbolicInput, SymbolicOutput
+from aesara_tpu.compile.mode import Mode, get_mode
+from aesara_tpu.compile.sharedvalue import SharedVariable
+from aesara_tpu.graph.features import ReplaceValidate
+from aesara_tpu.graph.fg import FunctionGraph
+from aesara_tpu.graph.ir import (
+    Constant,
+    Variable,
+    ancestors,
+    clone_get_equiv,
+    graph_inputs,
+)
+
+
+__all__ = ["function", "pfunc", "orig_function", "Function", "function_dump",
+           "UnusedInputError", "rebuild_collect_shared"]
+
+
+class UnusedInputError(Exception):
+    pass
+
+
+def function(
+    inputs: Sequence,
+    outputs=None,
+    mode=None,
+    updates=None,
+    givens=None,
+    no_default_updates: bool = False,
+    accept_inplace: bool = False,
+    name: Optional[str] = None,
+    rebuild_strict: bool = True,
+    allow_input_downcast: Optional[bool] = None,
+    profile=None,
+    on_unused_input: Optional[str] = None,
+) -> "Function":
+    """Compile a callable from symbolic inputs/outputs
+    (reference ``compile/function/__init__.py:86``)."""
+    if isinstance(inputs, (Variable, In)):
+        raise TypeError("inputs must be a list/tuple")
+    return pfunc(
+        params=list(inputs),
+        outputs=outputs,
+        mode=mode,
+        updates=updates,
+        givens=givens,
+        no_default_updates=no_default_updates,
+        accept_inplace=accept_inplace,
+        name=name,
+        allow_input_downcast=allow_input_downcast,
+        profile=profile,
+        on_unused_input=on_unused_input,
+    )
+
+
+def rebuild_collect_shared(
+    outputs,
+    inputs=(),
+    replace=None,
+    updates=None,
+    rebuild_strict=True,
+    copy_inputs_over=True,
+    no_default_updates=False,
+):
+    """Clone the graph, apply ``replace`` (givens), lift SharedVariables
+    into explicit inputs, and collect update pairs
+    (reference ``pfunc.py:18``)."""
+    from aesara_tpu.graph.ir import clone_replace
+
+    single = isinstance(outputs, Variable)
+    if outputs is None:
+        output_list = []
+    elif single:
+        output_list = [outputs]
+    else:
+        output_list = list(outputs)
+    out_vars = [o.variable if isinstance(o, Out) else o for o in output_list]
+
+    updates = dict(updates or {})
+    update_pairs = []
+    for k, v in updates.items():
+        if not isinstance(k, SharedVariable):
+            raise TypeError(f"update target {k} is not a SharedVariable")
+        v = k.type.filter_variable(v, allow_convert=True)
+        update_pairs.append((k, v))
+
+    replace_pairs = []
+    for k, v in dict(replace or {}).items():
+        if not isinstance(v, Variable):
+            v = k.type.filter_variable(v, allow_convert=True)
+        else:
+            v = k.type.filter_variable(v, allow_convert=True)
+        replace_pairs.append((k, v))
+
+    # substitute givens
+    if replace_pairs:
+        memo = {k: v for k, v in replace_pairs}
+        all_roots = out_vars + [v for _, v in update_pairs]
+        replaced = clone_replace(all_roots, replace=memo)
+        out_vars = replaced[: len(out_vars)]
+        update_exprs = replaced[len(out_vars):]
+        update_pairs = [(k, e) for (k, _), e in zip(update_pairs, update_exprs)]
+
+    # collect shared variables reachable from outputs and update exprs
+    roots = out_vars + [v for _, v in update_pairs]
+    shared_vars: List[SharedVariable] = []
+    seen = set()
+    for v in graph_inputs(roots) if roots else []:
+        if isinstance(v, SharedVariable) and id(v) not in seen:
+            seen.add(id(v))
+            shared_vars.append(v)
+
+    # default updates (RandomStream state rotation etc.)
+    explicit_targets = {id(k) for k, _ in update_pairs}
+    if not no_default_updates:
+        changed = True
+        while changed:
+            changed = False
+            for sv in list(shared_vars):
+                du = getattr(sv, "default_update", None)
+                if du is None or id(sv) in explicit_targets:
+                    continue
+                if isinstance(no_default_updates, list) and sv in no_default_updates:
+                    continue
+                update_pairs.append((sv, sv.type.filter_variable(du, allow_convert=True)))
+                explicit_targets.add(id(sv))
+                # the update expr may pull in more shared vars
+                for v in graph_inputs([update_pairs[-1][1]]):
+                    if isinstance(v, SharedVariable) and id(v) not in seen:
+                        seen.add(id(v))
+                        shared_vars.append(v)
+                        changed = True
+
+    return out_vars, shared_vars, update_pairs, single
+
+
+def pfunc(
+    params,
+    outputs=None,
+    mode=None,
+    updates=None,
+    givens=None,
+    no_default_updates=False,
+    accept_inplace=False,
+    name=None,
+    rebuild_strict=True,
+    allow_input_downcast=None,
+    profile=None,
+    on_unused_input=None,
+) -> "Function":
+    """Expand shared/updates/givens then compile (reference ``pfunc.py:267``)."""
+    # normalize inputs to In specs
+    in_specs: List[In] = []
+    for p in params:
+        if isinstance(p, In):
+            in_specs.append(p)
+        elif isinstance(p, Variable):
+            if isinstance(p, SharedVariable):
+                raise TypeError(
+                    "shared variables do not belong in `inputs`: they are "
+                    "implicit; pass updates={shared: expr} instead"
+                )
+            if isinstance(p, Constant):
+                raise TypeError("constants cannot be function inputs")
+            in_specs.append(In(p, allow_downcast=allow_input_downcast))
+        else:
+            raise TypeError(f"invalid function input {p!r}")
+
+    # updates supplied as list of pairs or dict
+    if updates is not None and not isinstance(updates, dict):
+        updates = dict(updates)
+
+    out_vars, shared_vars, update_pairs, single = rebuild_collect_shared(
+        outputs, inputs=[s.variable for s in in_specs], replace=givens,
+        updates=updates, no_default_updates=no_default_updates,
+    )
+
+    # keep Out specs (borrow flags) aligned
+    out_specs = None
+    if outputs is not None:
+        raw = [outputs] if isinstance(outputs, (Variable, Out)) else list(outputs)
+        out_specs = [o if isinstance(o, Out) else Out(o) for o in raw]
+
+    return orig_function(
+        in_specs, out_vars, shared_vars, update_pairs, single,
+        mode=mode, name=name, profile=profile, on_unused_input=on_unused_input,
+        accept_inplace=accept_inplace,
+    )
+
+
+def orig_function(
+    in_specs: List[In],
+    out_vars: List[Variable],
+    shared_vars: List[SharedVariable],
+    update_pairs,
+    single_output: bool,
+    mode=None,
+    name=None,
+    profile=None,
+    on_unused_input=None,
+    accept_inplace=False,
+) -> "Function":
+    """FunctionMaker equivalent (reference ``types.py:1741/1271``)."""
+    t0 = time.perf_counter()
+    mode = get_mode(mode)
+
+    explicit_inputs = [s.variable for s in in_specs]
+    n_explicit = len(explicit_inputs)
+    all_inputs = explicit_inputs + list(shared_vars)
+    update_exprs = [e for _, e in update_pairs]
+    all_outputs = list(out_vars) + update_exprs
+
+    # unused-input check
+    policy = on_unused_input or config.on_unused_input
+    if policy != "ignore" and all_outputs:
+        used = set(ancestors(all_outputs))
+        for spec, var in zip(in_specs, explicit_inputs):
+            if var not in used:
+                msg = (
+                    f"function input {var} is unused; pass "
+                    f"on_unused_input='ignore' or 'warn' to silence"
+                )
+                if policy == "raise":
+                    raise UnusedInputError(msg)
+                warnings.warn(msg)
+
+    # clone into an isolated FunctionGraph
+    memo = clone_get_equiv(all_inputs, all_outputs, copy_inputs=True, copy_orphans=True)
+    fg_inputs = [memo[v] for v in all_inputs]
+    fg_outputs = [memo[v] for v in all_outputs]
+
+    # update mapping: output index -> input index (for donation)
+    update_mapping = {}
+    for ui, (shared, _) in enumerate(update_pairs):
+        out_idx = len(out_vars) + ui
+        in_idx = all_inputs.index(shared)
+        update_mapping[out_idx] = in_idx
+
+    fgraph = FunctionGraph(
+        fg_inputs, fg_outputs, clone=False, update_mapping=update_mapping
+    )
+    fgraph.attach_feature(ReplaceValidate())
+
+    # run the rewrite pipeline
+    rewriter = mode.optimizer
+    rewrite_time = None
+    if rewriter is not None:
+        rt0 = time.perf_counter()
+        with config.change_flags(compute_test_value="off"):
+            rewriter.rewrite(fgraph)
+        rewrite_time = time.perf_counter() - rt0
+
+    # aliasing protection for the py path: outputs that are literally graph
+    # inputs/constants must be copied (insert_deepcopy, types.py:1172)
+    from aesara_tpu.compile.ops import deep_copy_op
+    from aesara_tpu.link.basic import PerformLinker
+
+    for i, out in enumerate(fgraph.outputs):
+        if i in update_mapping:
+            continue
+        if out in fgraph.inputs or isinstance(out, Constant):
+            fgraph.change_node_input(
+                "output", i, deep_copy_op(out), reason="insert_deepcopy",
+                check=False,
+            )
+
+    linker = mode.linker.clone()
+    linker.accept(fgraph)
+
+    # wire shared containers straight into the input storage
+    input_storage = []
+    for spec in in_specs:
+        cell = [None]
+        if spec.value is not None and not isinstance(spec.value, Variable):
+            cell[0] = spec.variable.type.filter(spec.value)
+        input_storage.append(cell)
+    for sv in shared_vars:
+        input_storage.append(sv.container.storage)
+
+    thunk, input_containers, output_containers = linker.make_thunk(
+        input_storage=input_storage
+    )
+
+    fn = Function(
+        thunk=thunk,
+        input_storage=input_storage,
+        output_storage=[c.storage for c in output_containers],
+        in_specs=in_specs,
+        shared_vars=list(shared_vars),
+        update_pairs=list(update_pairs),
+        n_user_outputs=len(out_vars),
+        single_output=single_output,
+        fgraph=fgraph,
+        mode=mode,
+        name=name,
+        maker_time=time.perf_counter() - t0,
+        rewrite_time=rewrite_time,
+    )
+    return fn
+
+
+class Function:
+    """A compiled callable (reference ``compile/function/types.py:275``)."""
+
+    def __init__(
+        self, thunk, input_storage, output_storage, in_specs, shared_vars,
+        update_pairs, n_user_outputs, single_output, fgraph, mode, name,
+        maker_time=None, rewrite_time=None,
+    ):
+        self.fn = thunk
+        self.input_storage = input_storage
+        self.output_storage = output_storage
+        self.in_specs = in_specs
+        self.shared_vars = shared_vars
+        self.update_pairs = update_pairs
+        self.n_user_outputs = n_user_outputs
+        self.single_output = single_output
+        self.fgraph = fgraph
+        self.maker = self  # minimal parity for fn.maker.fgraph
+        self.mode = mode
+        self.name = name
+        self.trust_input = False
+        self.maker_time = maker_time
+        self.rewrite_time = rewrite_time
+        self.call_time = 0.0
+        self.n_calls = 0
+        self._name_to_pos = {}
+        for i, spec in enumerate(in_specs):
+            if spec.name:
+                self._name_to_pos[spec.name] = i
+
+    def __call__(self, *args, **kwargs):
+        t0 = time.perf_counter()
+        n_explicit = len(self.in_specs)
+        if len(args) > n_explicit:
+            raise TypeError(
+                f"{self} takes {n_explicit} positional inputs, got {len(args)}"
+            )
+        # place positional args
+        filled = [False] * n_explicit
+        for i, a in enumerate(args):
+            self._set_input(i, a)
+            filled[i] = True
+        for k, v in kwargs.items():
+            if k not in self._name_to_pos:
+                raise TypeError(f"unknown input name {k!r}")
+            pos = self._name_to_pos[k]
+            if filled[pos]:
+                raise TypeError(f"input {k!r} given twice")
+            self._set_input(pos, v)
+            filled[pos] = True
+        for i, done in enumerate(filled):
+            if not done:
+                spec = self.in_specs[i]
+                if spec.value is not None:
+                    self._set_input(i, spec.value)
+                else:
+                    raise TypeError(f"missing input {spec.variable}")
+
+        self.fn()
+
+        # write updates back into shared containers
+        for ui, (shared, _) in enumerate(self.update_pairs):
+            new_val = self.output_storage[self.n_user_outputs + ui][0]
+            shared.container.storage[0] = new_val
+
+        outs = [cell[0] for cell in self.output_storage[: self.n_user_outputs]]
+        outs = [self._to_host(o) for o in outs]
+        self.call_time += time.perf_counter() - t0
+        self.n_calls += 1
+        if self.n_user_outputs == 0:
+            return [] if not self.single_output else None
+        if self.single_output:
+            return outs[0]
+        return outs
+
+    @staticmethod
+    def _to_host(o):
+        # results come back as jax Arrays on the XLA path; expose ndarray
+        # semantics to the caller (the reference returns ndarrays)
+        if o is None or isinstance(o, (np.ndarray, np.generic)):
+            return o
+        try:
+            return np.asarray(o)
+        except Exception:
+            return o
+
+    def _set_input(self, pos, value):
+        spec = self.in_specs[pos]
+        cell = self.input_storage[pos]
+        if self.trust_input:
+            cell[0] = value
+            return
+        cell[0] = spec.variable.type.filter(
+            value, strict=spec.strict, allow_downcast=spec.allow_downcast
+        )
+
+    def copy(self, share_memory=False, swap=None, delete_updates=False, name=None):
+        """Recompile this function's graph (reference ``types.py`` copy)."""
+        raise NotImplementedError("Function.copy lands with the pickling work")
+
+    def dprint(self, **kwargs):
+        from aesara_tpu.printing import debugprint
+
+        return debugprint(self, **kwargs)
+
+    @property
+    def outputs(self):
+        return self.fgraph.outputs[: self.n_user_outputs]
+
+    @property
+    def inputs(self):
+        return self.fgraph.inputs
+
+    def get_shared(self):
+        return list(self.shared_vars)
+
+    def __str__(self):
+        return f"Function({self.name or 'unnamed'})"
+
+
+def function_dump(filename, *args, **kwargs):
+    """Serialize the arguments of a ``function`` call for bug reports
+    (reference ``compile/function/__init__.py:15``)."""
+    import pickle
+
+    with open(filename, "wb") as f:
+        pickle.dump({"args": args, "kwargs": kwargs}, f)

@@ -1,0 +1,89 @@
+"""``In``/``Out`` specs for compiled-function arguments
+(reference ``aesara/compile/io.py:108,227``)."""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from aesara_tpu.graph.ir import Variable
+
+
+class SymbolicInput:
+    """One input slot of a compiled function (reference ``io.py:30``)."""
+
+    def __init__(
+        self,
+        variable: Variable,
+        name: Optional[str] = None,
+        update: Optional[Variable] = None,
+        mutable: Optional[bool] = None,
+        strict: bool = False,
+        allow_downcast=None,
+        autoname: bool = True,
+        implicit: bool = False,
+        value: Any = None,
+        shared: bool = False,
+    ):
+        self.variable = variable
+        self.name = name if name is not None else (variable.name if autoname else None)
+        self.update = update
+        if update is not None:
+            self.update = variable.type.filter_variable(update, allow_convert=True)
+        self.mutable = mutable if mutable is not None else (update is not None)
+        self.strict = strict
+        self.allow_downcast = allow_downcast
+        self.implicit = implicit
+        self.value = value
+        self.shared = shared
+
+    def __str__(self):
+        if self.update is not None:
+            return f"In({self.variable} -> {self.update})"
+        return f"In({self.variable})"
+
+    __repr__ = __str__
+
+
+class In(SymbolicInput):
+    """User-facing input spec (reference ``io.py:108``)."""
+
+    def __init__(
+        self,
+        variable: Variable,
+        name: Optional[str] = None,
+        value: Any = None,
+        update: Optional[Variable] = None,
+        mutable: Optional[bool] = None,
+        strict: bool = False,
+        allow_downcast=None,
+        autoname: bool = True,
+        implicit: Optional[bool] = None,
+        borrow: Optional[bool] = None,
+        shared: bool = False,
+    ):
+        if borrow is None:
+            borrow = mutable if mutable is not None else False
+        if implicit is None:
+            implicit = value is not None and isinstance(value, Variable)
+        super().__init__(
+            variable, name=name, update=update, mutable=mutable, strict=strict,
+            allow_downcast=allow_downcast, autoname=autoname, implicit=implicit,
+            value=value, shared=shared,
+        )
+        self.borrow = borrow
+
+
+class SymbolicOutput:
+    """One output slot (reference ``io.py:227`` Out)."""
+
+    def __init__(self, variable: Variable, borrow: bool = False):
+        self.variable = variable
+        self.borrow = borrow
+
+    def __str__(self):
+        return f"Out({self.variable})"
+
+    __repr__ = __str__
+
+
+Out = SymbolicOutput

@@ -1,0 +1,51 @@
+"""Rewrite-related convenience helpers (reference
+``aesara/graph/rewriting/utils.py``: rewrite_graph:21, is_same_graph:126).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from aesara_tpu.graph.fg import FunctionGraph
+from aesara_tpu.graph.ir import Variable, equal_computations, graph_inputs
+
+
+def rewrite_graph(
+    graph: Union[Variable, Sequence[Variable], FunctionGraph],
+    include: Sequence[str] = ("canonicalize",),
+    custom_rewrite=None,
+    clone: bool = False,
+    **kwargs,
+):
+    """Apply the default rewrite pipeline (restricted to ``include`` tags)
+    to a standalone graph or FunctionGraph (ref ``utils.py:21``)."""
+    from aesara_tpu.compile.mode import optdb
+    from aesara_tpu.graph.rewriting.db import RewriteDatabaseQuery
+
+    return_fgraph = isinstance(graph, FunctionGraph)
+    if return_fgraph:
+        fgraph = graph
+    else:
+        outputs = [graph] if isinstance(graph, Variable) else list(graph)
+        fgraph = FunctionGraph(outputs=outputs, clone=clone)
+
+    query_rewrites = optdb.query(RewriteDatabaseQuery(include=include, **kwargs))
+    query_rewrites.rewrite(fgraph)
+    if custom_rewrite is not None:
+        custom_rewrite.rewrite(fgraph)
+
+    if return_fgraph:
+        return fgraph
+    if isinstance(graph, Variable):
+        return fgraph.outputs[0]
+    return fgraph.outputs
+
+
+def is_same_graph(var1: Variable, var2: Variable, givens: Optional[dict] = None) -> bool:
+    """Structural equality after substituting ``givens`` (ref ``:126``)."""
+    from aesara_tpu.graph.ir import clone_replace
+
+    if givens:
+        var1 = clone_replace(var1, replace=givens)
+        var2 = clone_replace(var2, replace=givens)
+    return equal_computations([var1], [var2])

@@ -1,0 +1,21 @@
+"""XLA backend package.
+
+dtype policy: the IR carries exact NumPy dtype semantics (int64 defaults,
+float64 tolerated), so on CPU backends we enable jax 64-bit mode — the
+py-vs-XLA differential tests are then dtype-exact.  On TPU backends x64
+stays OFF (the TPU has no native 64-bit path; forcing it makes every
+compile crawl through emulation), so 64-bit graph dtypes execute in
+32-bit — the standard jax TPU behavior.  ``config.floatX`` defaults to
+float32, so production graphs are unaffected.
+"""
+
+import jax as _jax
+
+try:
+    if _jax.default_backend() == "cpu":
+        _jax.config.update("jax_enable_x64", True)
+except Exception:  # backend init can fail in exotic setups; stay 32-bit
+    pass
+
+from aesara_tpu.link.jax.dispatch import jax_funcify, jax_typify  # noqa: E402,F401
+from aesara_tpu.link.jax.linker import JAXLinker, JAXNoJitLinker, fgraph_to_jax  # noqa: E402,F401

@@ -1,0 +1,825 @@
+"""Per-op XLA lowering rules: ``jax_funcify`` singledispatch registry.
+
+This is the TPU-native replacement for the reference's per-op ``c_code``
+snippets (``aesara/link/c/interface.py``) and the seed registry
+``aesara/link/jax/dispatch/*`` (70 registrations, SURVEY §2.10): every Op
+gets a callable implementing it in terms of jax/jnp/lax, and the linker
+composes them into one XLA program per FunctionGraph.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import singledispatch
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from aesara_tpu import scalar as aes
+from aesara_tpu.config import config
+from aesara_tpu.graph.op import Op
+from aesara_tpu.scalar import math as aesm
+from aesara_tpu.scalar.ops import ScalarOp, ScalarType
+import aesara_tpu.tensor.basic as tb
+import aesara_tpu.tensor.math as tm
+from aesara_tpu.tensor.shape import (
+    Reshape as _Reshape,
+    Shape as _Shape,
+    Shape_i as _Shape_i,
+    SpecifyShape as _SpecifyShape,
+    Unbroadcast as _Unbroadcast,
+)
+import aesara_tpu.tensor.subtensor as tst
+from aesara_tpu.tensor.elemwise import CAReduce, DimShuffle, Elemwise
+from aesara_tpu.gradient import (
+    DisconnectedGrad,
+    GradClip,
+    GradScale,
+    UndefinedGrad,
+    ZeroGrad,
+)
+
+
+__all__ = ["jax_funcify", "jax_typify", "scalar_jax_impl"]
+
+
+@singledispatch
+def jax_funcify(op: Op, node=None, **kwargs):
+    """Return a jax-traceable callable implementing ``op``."""
+    raise NotImplementedError(
+        f"no XLA lowering registered for {type(op).__name__} ({op}); "
+        f"register one with @jax_funcify.register"
+    )
+
+
+def jax_typify(data):
+    """Convert a host value into the jax-side representation."""
+    if data is None:
+        return None
+    return jnp.asarray(data)
+
+
+# ---------------------------------------------------------------------------
+# scalar op → jnp implementation table
+# ---------------------------------------------------------------------------
+
+def _variadic(fn):
+    def impl(*args):
+        return functools.reduce(fn, args)
+
+    return impl
+
+
+def _second(x, y):
+    shape = jnp.broadcast_shapes(jnp.shape(x), jnp.shape(y))
+    return jnp.broadcast_to(y, shape)
+
+
+def _round_half_away_from_zero(x):
+    return jnp.trunc(x + jnp.copysign(jnp.asarray(0.5, dtype=jnp.asarray(x).dtype), x))
+
+
+def _erfcinv(x):
+    return jax.scipy.special.erfinv(1.0 - x)
+
+
+def _gamma_reflect(x):
+    # Γ(x) for all real x: gammaln gives log|Γ|; sign(Γ(x<0)) = sign(sin(πx))
+    log_abs = jax.scipy.special.gammaln(x)
+    sign = jnp.where(x < 0, jnp.sign(jnp.sin(jnp.pi * x)), 1.0)
+    return sign.astype(log_abs.dtype) * jnp.exp(log_abs)
+
+
+def _softplus(x):
+    return jax.nn.softplus(x)
+
+
+def _log1mexp(x):
+    return jnp.where(
+        x < jnp.log(0.5), jnp.log1p(-jnp.exp(x)), jnp.log(-jnp.expm1(x))
+    )
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _tri_gamma(x):
+    return jax.scipy.special.polygamma(1, x)
+
+
+def _gamma_inc_der(k, x):
+    return jnp.exp((k - 1) * jnp.log(x) - x - jax.scipy.special.gammaln(k))
+
+
+def _gamma_inc_grad_k(k, x):
+    eps = 1e-5 * jnp.maximum(1.0, jnp.abs(k))
+    return (jax.scipy.special.gammainc(k + eps, x)
+            - jax.scipy.special.gammainc(k - eps, x)) / (2 * eps)
+
+
+def _betainc_grad(wrt_a):
+    def impl(a, b, x):
+        eps = 1e-6 * jnp.maximum(1.0, jnp.abs(a if wrt_a else b))
+        if wrt_a:
+            return (jax.scipy.special.betainc(a + eps, b, x)
+                    - jax.scipy.special.betainc(a - eps, b, x)) / (2 * eps)
+        return (jax.scipy.special.betainc(a, b + eps, x)
+                - jax.scipy.special.betainc(a, b - eps, x)) / (2 * eps)
+
+    return impl
+
+
+def _gammau(k, x):
+    return jax.scipy.special.gammaincc(k, x) * _gamma_reflect(k)
+
+
+def _gammal(k, x):
+    return jax.scipy.special.gammainc(k, x) * _gamma_reflect(k)
+
+
+def _j0(x):
+    return _bessel_j(0, x)
+
+
+def _j1(x):
+    return _bessel_j(1, x)
+
+
+def _bessel_j(v, x):
+    from jax.scipy.special import bessel_jn
+
+    res = bessel_jn(jnp.asarray(x, dtype=jnp.result_type(x, jnp.float32)), v=v, n_iter=50)
+    return res[v]
+
+
+def _i0(x):
+    return jax.scipy.special.i0(x)
+
+
+def _i1(x):
+    return jax.scipy.special.i1(x)
+
+
+def _hyp2f1(a, b, c, z):
+    from jax.scipy.special import hyp2f1
+
+    return hyp2f1(a, b, c, z)
+
+
+_SCALAR_IMPLS = {
+    aes.ops.Add: _variadic(jnp.add),
+    aes.ops.Mul: _variadic(jnp.multiply),
+    aes.ops.Sub: jnp.subtract,
+    aes.ops.TrueDiv: jnp.true_divide,
+    aes.ops.IntDiv: jnp.floor_divide,
+    aes.ops.Mod: jnp.mod,
+    aes.ops.Pow: jnp.power,
+    aes.ops.Neg: jnp.negative,
+    aes.ops.Abs: jnp.abs,
+    aes.ops.Sgn: jnp.sign,
+    aes.ops.Ceil: jnp.ceil,
+    aes.ops.Floor: jnp.floor,
+    aes.ops.Trunc: jnp.trunc,
+    aes.ops.RoundHalfToEven: jnp.round,
+    aes.ops.RoundHalfAwayFromZero: _round_half_away_from_zero,
+    aes.ops.Maximum: jnp.maximum,
+    aes.ops.Minimum: jnp.minimum,
+    aes.ops.LT: jnp.less,
+    aes.ops.GT: jnp.greater,
+    aes.ops.LE: jnp.less_equal,
+    aes.ops.GE: jnp.greater_equal,
+    aes.ops.EQ: jnp.equal,
+    aes.ops.NEQ: jnp.not_equal,
+    aes.ops.IsNan: jnp.isnan,
+    aes.ops.IsInf: jnp.isinf,
+    aes.ops.And: jnp.bitwise_and,
+    aes.ops.Or: jnp.bitwise_or,
+    aes.ops.Xor: jnp.bitwise_xor,
+    aes.ops.Invert: jnp.invert,
+    aes.ops.ShiftLeft: jnp.left_shift,
+    aes.ops.ShiftRight: jnp.right_shift,
+    aes.ops.Switch: jnp.where,
+    aes.ops.Identity: lambda x: x,
+    aes.ops.Second: _second,
+    aes.ops.Exp: jnp.exp,
+    aes.ops.Exp2: jnp.exp2,
+    aes.ops.Expm1: jnp.expm1,
+    aes.ops.Log: jnp.log,
+    aes.ops.Log2: jnp.log2,
+    aes.ops.Log10: jnp.log10,
+    aes.ops.Log1p: jnp.log1p,
+    aes.ops.Sqrt: jnp.sqrt,
+    aes.ops.Sqr: jnp.square,
+    aes.ops.Deg2Rad: jnp.deg2rad,
+    aes.ops.Rad2Deg: jnp.rad2deg,
+    aes.ops.Cos: jnp.cos,
+    aes.ops.Sin: jnp.sin,
+    aes.ops.Tan: jnp.tan,
+    aes.ops.ArcCos: jnp.arccos,
+    aes.ops.ArcSin: jnp.arcsin,
+    aes.ops.ArcTan: jnp.arctan,
+    aes.ops.ArcTan2: jnp.arctan2,
+    aes.ops.Cosh: jnp.cosh,
+    aes.ops.Sinh: jnp.sinh,
+    aes.ops.Tanh: jnp.tanh,
+    aes.ops.ArcCosh: jnp.arccosh,
+    aes.ops.ArcSinh: jnp.arcsinh,
+    aes.ops.ArcTanh: jnp.arctanh,
+    aes.ops.Conj: jnp.conj,
+    aesm.Erf: jax.scipy.special.erf,
+    aesm.Erfc: jax.scipy.special.erfc,
+    aesm.Erfinv: jax.scipy.special.erfinv,
+    aesm.Erfcinv: _erfcinv,
+    aesm.Gamma: _gamma_reflect,
+    aesm.GammaLn: jax.scipy.special.gammaln,
+    aesm.Psi: jax.scipy.special.digamma,
+    aesm.TriGamma: _tri_gamma,
+    aesm.GammaInc: jax.scipy.special.gammainc,
+    aesm.GammaIncC: jax.scipy.special.gammaincc,
+    aesm.GammaIncDer: _gamma_inc_der,
+    aesm.GammaIncGradK: _gamma_inc_grad_k,
+    aesm.GammaU: _gammau,
+    aesm.GammaL: _gammal,
+    aesm.J0: _j0,
+    aesm.J1: _j1,
+    aesm.I0: _i0,
+    aesm.I1: _i1,
+    aesm.BetaInc: jax.scipy.special.betainc,
+    aesm.BetaIncGradA: _betainc_grad(True),
+    aesm.BetaIncGradB: _betainc_grad(False),
+    aesm.Hyp2F1: _hyp2f1,
+    aesm.Sigmoid: _sigmoid,
+    aesm.Softplus: _softplus,
+    aesm.Log1mexp: _log1mexp,
+}
+
+
+def scalar_jax_impl(scalar_op: ScalarOp):
+    """The jnp callable for a scalar op instance."""
+    impl = _SCALAR_IMPLS.get(type(scalar_op))
+    if impl is not None:
+        return impl
+    if isinstance(scalar_op, aes.ops.Cast):
+        target = _jax_dtype(scalar_op.o_type.dtype)
+
+        def cast_impl(x):
+            return jnp.asarray(x).astype(target)
+
+        return cast_impl
+    try:
+        from aesara_tpu.scalar.composite import Composite
+    except ImportError:
+        Composite = None
+    if Composite is not None and isinstance(scalar_op, Composite):
+        return composite_jax_impl(scalar_op)
+    raise NotImplementedError(f"no XLA rule for scalar op {scalar_op}")
+
+
+def composite_jax_impl(composite):
+    """Inline a fused scalar Composite as a jax closure."""
+    fgraph = composite.fgraph
+    order = fgraph.toposort()
+    node_impls = [scalar_jax_impl(n.op) for n in order]
+
+    def impl(*args):
+        env = {}
+        for var, val in zip(fgraph.inputs, args):
+            env[var] = val
+        for node, f in zip(order, node_impls):
+            vals = f(*[env[i] if i in env else jnp.asarray(i.data) for i in node.inputs])
+            if not isinstance(vals, (tuple, list)):
+                vals = (vals,)
+            for o, v in zip(node.outputs, vals):
+                env[o] = v
+        res = tuple(
+            env[o] if o in env else jnp.asarray(o.data) for o in fgraph.outputs
+        )
+        return res if len(res) > 1 else res[0]
+
+    return impl
+
+
+def _jax_dtype(name: str):
+    if name == "bfloat16":
+        return jnp.bfloat16
+    return np.dtype(name)
+
+
+# ---------------------------------------------------------------------------
+# scalar ops applied to plain scalars (ScalarType graphs)
+# ---------------------------------------------------------------------------
+
+@jax_funcify.register(ScalarOp)
+def _jax_scalar_op(op, node=None, **kwargs):
+    return scalar_jax_impl(op)
+
+
+# ---------------------------------------------------------------------------
+# elemwise family
+# ---------------------------------------------------------------------------
+
+@jax_funcify.register(Elemwise)
+def _jax_elemwise(op, node=None, **kwargs):
+    return scalar_jax_impl(op.scalar_op)
+
+
+@jax_funcify.register(DimShuffle)
+def _jax_dimshuffle(op, node=None, **kwargs):
+    transposition = tuple(op.transposition)
+    augment = tuple(sorted(op.augment))
+    n_shuffle = len(op.shuffle)
+
+    def dimshuffle(x):
+        res = jnp.transpose(x, transposition)
+        shape = list(res.shape[:n_shuffle])
+        for aug in augment:
+            shape.insert(aug, 1)
+        return jnp.reshape(res, shape)
+
+    return dimshuffle
+
+
+@jax_funcify.register(CAReduce)
+def _jax_careduce(op, node=None, **kwargs):
+    axis = op.axis
+    name = getattr(op.scalar_op, "name", str(op.scalar_op))
+    out_dtype = _jax_dtype(node.outputs[0].type.dtype) if node else None
+    acc_dtype = _jax_dtype(op.acc_dtype) if op.acc_dtype else out_dtype
+
+    if name in ("add", "mul", "maximum", "minimum"):
+        base = {"add": jnp.sum, "mul": jnp.prod, "maximum": jnp.max, "minimum": jnp.min}[name]
+
+        def reduce_fn(x):
+            xx = x.astype(acc_dtype) if acc_dtype is not None and name in ("add", "mul") else x
+            res = base(xx, axis=axis)
+            return res.astype(out_dtype) if out_dtype is not None else res
+
+        return reduce_fn
+    if name == "and_":
+        def all_fn(x):
+            if x.dtype == jnp.bool_:
+                return jnp.all(x, axis=axis)
+            return lax.reduce(x, jnp.array(-1, x.dtype), lax.bitwise_and,
+                              axis if axis is not None else tuple(range(x.ndim)))
+
+        return all_fn
+    if name == "or_":
+        def any_fn(x):
+            if x.dtype == jnp.bool_:
+                return jnp.any(x, axis=axis)
+            return lax.reduce(x, jnp.array(0, x.dtype), lax.bitwise_or,
+                              axis if axis is not None else tuple(range(x.ndim)))
+
+        return any_fn
+    if name == "xor":
+        def xor_fn(x):
+            return lax.reduce(x, jnp.array(0, x.dtype), lax.bitwise_xor,
+                              axis if axis is not None else tuple(range(x.ndim)))
+
+        return xor_fn
+    raise NotImplementedError(f"CAReduce lowering for {op.scalar_op}")
+
+
+# ---------------------------------------------------------------------------
+# tensor.basic
+# ---------------------------------------------------------------------------
+
+@jax_funcify.register(tb.TensorFromScalar)
+def _jax_tensor_from_scalar(op, node=None, **kwargs):
+    return lambda x: jnp.asarray(x)
+
+
+@jax_funcify.register(tb.ScalarFromTensor)
+def _jax_scalar_from_tensor(op, node=None, **kwargs):
+    return lambda x: jnp.asarray(x).reshape(())
+
+
+@jax_funcify.register(tb.Alloc)
+def _jax_alloc(op, node=None, **kwargs):
+    def alloc(value, *shape):
+        return jnp.broadcast_to(value, tuple(int(s) for s in shape))
+
+    return alloc
+
+
+@jax_funcify.register(tb.AllocEmpty)
+def _jax_alloc_empty(op, node=None, **kwargs):
+    dtype = _jax_dtype(op.dtype)
+
+    def alloc_empty(*shape):
+        return jnp.zeros(tuple(int(s) for s in shape), dtype=dtype)
+
+    return alloc_empty
+
+
+@jax_funcify.register(tb.MakeVector)
+def _jax_make_vector(op, node=None, **kwargs):
+    dtype = _jax_dtype(op.dtype)
+
+    def make_vector(*args):
+        return jnp.stack([jnp.asarray(a, dtype=dtype) for a in args]) if args else jnp.zeros((0,), dtype)
+
+    return make_vector
+
+
+@jax_funcify.register(tb.Join)
+def _jax_join(op, node=None, **kwargs):
+    def join(axis, *tensors):
+        return jnp.concatenate(tensors, axis=int(axis))
+
+    return join
+
+
+@jax_funcify.register(tb.Split)
+def _jax_split(op, node=None, **kwargs):
+    n = op.len_splits
+
+    def split(x, axis, splits):
+        splits = [int(s) for s in np.asarray(splits)]
+        offsets = np.cumsum(splits[:-1]).tolist()
+        return tuple(jnp.split(x, offsets, axis=int(axis)))
+
+    return split
+
+
+@jax_funcify.register(tb.Eye)
+def _jax_eye(op, node=None, **kwargs):
+    dtype = _jax_dtype(op.dtype)
+
+    def eye(n, m, k):
+        return jnp.eye(int(n), int(m), int(k), dtype=dtype)
+
+    return eye
+
+
+@jax_funcify.register(tb.Tri)
+def _jax_tri(op, node=None, **kwargs):
+    dtype = _jax_dtype(op.dtype)
+
+    def tri(n, m, k):
+        return jnp.tri(int(n), int(m), int(k), dtype=dtype)
+
+    return tri
+
+
+@jax_funcify.register(tb.ARange)
+def _jax_arange(op, node=None, **kwargs):
+    dtype = _jax_dtype(op.dtype)
+
+    def arange(start, stop, step):
+        # XLA needs static output shapes: bounds must be concrete
+        return jnp.arange(int(start), int(stop), int(step), dtype=dtype)
+
+    return arange
+
+
+@jax_funcify.register(tb.ExtractDiag)
+def _jax_extract_diag(op, node=None, **kwargs):
+    def extract(x):
+        return jnp.diagonal(x, op.offset, op.axis1, op.axis2)
+
+    return extract
+
+
+@jax_funcify.register(tb.AllocDiag)
+def _jax_alloc_diag(op, node=None, **kwargs):
+    offset = op.offset
+
+    def alloc_diag(x):
+        if x.ndim == 1:
+            return jnp.diag(x, offset)
+        n = x.shape[-1] + abs(offset)
+        res = jnp.zeros(x.shape[:-1] + (n, n), dtype=x.dtype)
+        idx = jnp.arange(x.shape[-1])
+        if offset >= 0:
+            return res.at[..., idx, idx + offset].set(x)
+        return res.at[..., idx - offset, idx].set(x)
+
+    return alloc_diag
+
+
+@jax_funcify.register(tb.PermuteRowElements)
+def _jax_permute_rows(op, node=None, **kwargs):
+    inverse = op.inverse
+
+    def permute(x, y):
+        shape = jnp.broadcast_shapes(x.shape, y.shape)
+        xb = jnp.broadcast_to(x, shape).reshape(-1, shape[-1])
+        yb = jnp.broadcast_to(y, shape).reshape(-1, shape[-1])
+        if inverse:
+            res = jax.vmap(lambda xr, yr: jnp.zeros_like(xr).at[yr].set(xr))(xb, yb)
+        else:
+            res = jax.vmap(lambda xr, yr: xr[yr])(xb, yb)
+        return res.reshape(shape)
+
+    return permute
+
+
+@jax_funcify.register(tb.Choose)
+def _jax_choose(op, node=None, **kwargs):
+    mode = op.mode
+
+    def choose(a, choices):
+        return jnp.choose(a, list(choices), mode="clip" if mode == "raise" else mode)
+
+    return choose
+
+
+@jax_funcify.register(tb.Nonzero)
+def _jax_nonzero(op, node=None, **kwargs):
+    def nonzero(a):
+        raise NotImplementedError(
+            "Nonzero has a data-dependent output shape and cannot lower to "
+            "XLA; run in py mode or use mask-based formulations "
+            "(e.g. at.switch)."
+        )
+
+    return nonzero
+
+
+# ---------------------------------------------------------------------------
+# shape ops
+# ---------------------------------------------------------------------------
+
+@jax_funcify.register(_Shape)
+def _jax_shape(op, node=None, **kwargs):
+    # shapes are static under XLA: return HOST values so that downstream
+    # shape arithmetic stays concrete (trace-time folded by the linker)
+    return lambda x: np.asarray(np.shape(x), dtype=np.int64)
+
+
+@jax_funcify.register(_Shape_i)
+def _jax_shape_i(op, node=None, **kwargs):
+    i = op.i
+    return lambda x: np.asarray(np.shape(x)[i], dtype=np.int64)
+
+
+@jax_funcify.register(_SpecifyShape)
+def _jax_specify_shape(op, node=None, **kwargs):
+    def specify_shape(x, *shape):
+        # static check only (shapes are concrete under jit tracing)
+        for d, s in enumerate(shape):
+            s = int(s) if not isinstance(s, jax.core.Tracer) else -1
+            if s != -1 and x.shape[d] != s:
+                raise AssertionError(
+                    f"SpecifyShape: dim {d} is {x.shape[d]}, expected {s}"
+                )
+        return x
+
+    return specify_shape
+
+
+@jax_funcify.register(_Reshape)
+def _jax_reshape(op, node=None, **kwargs):
+    def reshape(x, shp):
+        return jnp.reshape(x, tuple(int(s) for s in np.asarray(shp)))
+
+    return reshape
+
+
+@jax_funcify.register(_Unbroadcast)
+def _jax_unbroadcast(op, node=None, **kwargs):
+    return lambda x: x
+
+
+# ---------------------------------------------------------------------------
+# subtensor family
+# ---------------------------------------------------------------------------
+
+@jax_funcify.register(tst.Subtensor)
+def _jax_subtensor(op, node=None, **kwargs):
+    idx_list = op.idx_list
+
+    def subtensor(x, *index_inputs):
+        idx = tst.indices_from_subtensor(
+            [_maybe_int(i) for i in index_inputs], idx_list
+        )
+        return x[idx]
+
+    return subtensor
+
+
+def _maybe_int(v):
+    """Concrete index values become python ints; traced values pass
+    through (bare integer indexing supports tracers via gather; traced
+    slice bounds raise jax's standard error, same limitation as the
+    reference's JAX backend)."""
+    try:
+        return int(v)
+    except (jax.errors.TracerIntegerConversionError, jax.errors.ConcretizationTypeError):
+        return v
+
+
+@jax_funcify.register(tst.IncSubtensor)
+def _jax_inc_subtensor(op, node=None, **kwargs):
+    idx_list = op.idx_list
+    set_instead = op.set_instead_of_inc
+
+    def inc_subtensor(x, y, *index_inputs):
+        idx = tst.indices_from_subtensor(
+            [_maybe_int(i) for i in index_inputs], idx_list
+        )
+        if set_instead:
+            return x.at[idx].set(y)
+        return x.at[idx].add(y)
+
+    return inc_subtensor
+
+
+@jax_funcify.register(tst.AdvancedSubtensor1)
+def _jax_adv_subtensor1(op, node=None, **kwargs):
+    return lambda x, i: jnp.take(x, i, axis=0)
+
+
+@jax_funcify.register(tst.AdvancedIncSubtensor1)
+def _jax_adv_inc_subtensor1(op, node=None, **kwargs):
+    if op.set_instead_of_inc:
+        return lambda x, y, i: x.at[i].set(y)
+    return lambda x, y, i: x.at[i].add(y)
+
+
+@jax_funcify.register(tst.AdvancedSubtensor)
+def _jax_adv_subtensor(op, node=None, **kwargs):
+    idx_list = op.idx_list
+
+    def adv_subtensor(x, *idx_inputs):
+        idx = _decode_fancy_jax(idx_list, idx_inputs)
+        return x[idx]
+
+    return adv_subtensor
+
+
+@jax_funcify.register(tst.AdvancedIncSubtensor)
+def _jax_adv_inc_subtensor(op, node=None, **kwargs):
+    idx_list = op.idx_list
+    set_instead = op.set_instead_of_inc
+
+    def adv_inc_subtensor(x, y, *idx_inputs):
+        idx = _decode_fancy_jax(idx_list, idx_inputs)
+        if set_instead:
+            return x.at[idx].set(y)
+        return x.at[idx].add(y)
+
+    return adv_inc_subtensor
+
+
+def _decode_fancy_jax(idx_list, idx_inputs):
+    it = iter(idx_inputs)
+
+    def get_scalar(e):
+        if e is tst.SYM:
+            return _maybe_int(next(it))
+        return e
+
+    out = []
+    for e in idx_list:
+        if e == tst.ARRAY:
+            out.append(next(it))
+        elif isinstance(e, slice):
+            out.append(
+                slice(get_scalar(e.start), get_scalar(e.stop), get_scalar(e.step))
+            )
+        else:
+            out.append(get_scalar(e))
+    return tuple(out)
+
+
+# ---------------------------------------------------------------------------
+# math: dot family / argmax
+# ---------------------------------------------------------------------------
+
+@jax_funcify.register(tm.Dot)
+def _jax_dot(op, node=None, **kwargs):
+    precision = config.jax_default_matmul_precision
+    out_dtype = _jax_dtype(node.outputs[0].type.dtype) if node else None
+
+    def dot(x, y):
+        res = jnp.matmul(x, y, precision=precision) if x.ndim and y.ndim else x * y
+        if x.ndim == 1 and y.ndim == 1:
+            res = jnp.dot(x, y, precision=precision)
+        return res.astype(out_dtype) if out_dtype is not None else res
+
+    return dot
+
+
+@jax_funcify.register(tm.BatchedDot)
+def _jax_batched_dot(op, node=None, **kwargs):
+    precision = config.jax_default_matmul_precision
+    out_dtype = _jax_dtype(node.outputs[0].type.dtype) if node else None
+
+    def batched_dot(x, y):
+        if x.ndim == 3 and y.ndim == 3:
+            res = jnp.matmul(x, y, precision=precision)
+        elif x.ndim == 3 and y.ndim == 2:
+            res = jnp.einsum("bij,bj->bi", x, y, precision=precision)
+        elif x.ndim == 2 and y.ndim == 3:
+            res = jnp.einsum("bi,bij->bj", x, y, precision=precision)
+        else:
+            res = jnp.einsum("bi,bi->b", x, y, precision=precision)
+        return res.astype(out_dtype) if out_dtype is not None else res
+
+    return batched_dot
+
+
+@jax_funcify.register(tm.Argmax)
+def _jax_argmax(op, node=None, **kwargs):
+    axis = op.axis
+
+    def argmax(x):
+        axes = op._axes(x.ndim)
+        if len(axes) == x.ndim:
+            return jnp.argmax(x.ravel()).astype(jnp.int64)
+        if len(axes) == 1:
+            return jnp.argmax(x, axis=axes[0]).astype(jnp.int64)
+        keep = [d for d in range(x.ndim) if d not in axes]
+        trans = jnp.transpose(x, keep + list(axes))
+        new_shape = trans.shape[: len(keep)] + (-1,)
+        return jnp.argmax(trans.reshape(new_shape), axis=-1).astype(jnp.int64)
+
+    return argmax
+
+
+# ---------------------------------------------------------------------------
+# grad-manipulation ops
+# ---------------------------------------------------------------------------
+
+@jax_funcify.register(ZeroGrad)
+def _jax_zero_grad(op, node=None, **kwargs):
+    return lax.stop_gradient
+
+
+@jax_funcify.register(DisconnectedGrad)
+def _jax_disconnected_grad(op, node=None, **kwargs):
+    return lax.stop_gradient
+
+
+@jax_funcify.register(UndefinedGrad)
+def _jax_undefined_grad(op, node=None, **kwargs):
+    return lambda x: x
+
+
+@jax_funcify.register(GradClip)
+def _jax_grad_clip(op, node=None, **kwargs):
+    return lambda x: x
+
+
+@jax_funcify.register(GradScale)
+def _jax_grad_scale(op, node=None, **kwargs):
+    return lambda x: x
+
+
+# ---------------------------------------------------------------------------
+# compile-support ops
+# ---------------------------------------------------------------------------
+
+from aesara_tpu.compile.ops import DeepCopyOp, FromFunctionOp, ViewOp  # noqa: E402
+
+
+@jax_funcify.register(DeepCopyOp)
+def _jax_deep_copy(op, node=None, **kwargs):
+    # jitted programs always materialize fresh buffers
+    return lambda x: jnp.asarray(x)
+
+
+@jax_funcify.register(ViewOp)
+def _jax_view(op, node=None, **kwargs):
+    return lambda x: x
+
+
+@jax_funcify.register(FromFunctionOp)
+def _jax_from_function(op, node=None, **kwargs):
+    import jax as _jax
+
+    out_shapes = None
+    if node is not None:
+        out_shapes = [
+            _jax.ShapeDtypeStruct(
+                tuple(s if s is not None else -1 for s in o.type.shape),
+                _jax_dtype(o.type.dtype),
+            )
+            for o in node.outputs
+        ]
+        if any(-1 in s.shape for s in out_shapes):
+            out_shapes = None
+
+    def from_function(*args):
+        if out_shapes is None:
+            raise NotImplementedError(
+                f"{op} (host python op) needs fully-static output shapes to "
+                f"run under XLA via pure_callback; add an infer_shape or "
+                f"run in py mode"
+            )
+        fn = lambda *a: tuple(
+            np.asarray(r)
+            for r in (
+                op._fn(*a) if isinstance(op._fn(*a), (tuple, list)) else (op._fn(*a),)
+            )
+        )
+        res = _jax.pure_callback(fn, tuple(out_shapes), *args)
+        return res if len(res) > 1 else res[0]
+
+    return from_function

@@ -1,0 +1,77 @@
+"""Headline benchmark: gemm-dominated graph throughput on the MXU.
+
+Mirrors the reference's only published benchmark, ``misc/check_blas.py``
+(10 gemm iterations through a compiled function with shared operands and
+an in-place update — ``check_blas.py:58-120``).  The reference's best
+published number for this exact f32 M=N=K=5000 workload is 0.28 s on a
+Titan X (Pascal) (``check_blas.py:235-258`` / BASELINE.md); vs_baseline is
+measured as (their time / our time) on that workload.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+
+    M = N = K = 5000
+    iters = 10
+    dtype = "float32"
+
+    rng = np.random.default_rng(0)
+    a = atp.shared(rng.normal(size=(M, K)).astype(dtype), name="a")
+    b = atp.shared(rng.normal(size=(K, N)).astype(dtype), name="b")
+    c = atp.shared(np.zeros((M, N), dtype=dtype), name="c")
+
+    # the check_blas graph: c <- 0.4*c + 0.8*dot(a, b)  (gemm form)
+    f = atp.function(
+        [], [], updates={c: 0.4 * c + 0.8 * at.dot(a, b)}, mode="FAST_RUN"
+    )
+
+    # warmup (compile + first run + sync-path compile)
+    f()
+    _sync(c)
+    _sync(c)
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        f()
+    _sync(c)
+    elapsed = time.perf_counter() - t0
+
+    flops = 2.0 * M * N * K * iters
+    tflops = flops / elapsed / 1e12
+    baseline_time = 0.28  # Titan X (Pascal), same workload, check_blas table
+    result = {
+        "metric": "gemm_f32_5000_tflops",
+        "value": round(tflops, 3),
+        "unit": "TFLOP/s",
+        "vs_baseline": round(baseline_time / elapsed, 3),
+    }
+    print(json.dumps(result))
+
+
+def _sync(shared_var):
+    """Force completion of all queued device work on this buffer.
+
+    block_until_ready is not reliable on every platform plugin (the axon
+    tunnel returns immediately); materializing a scalar reduction is.
+    """
+    val = shared_var.container.storage[0]
+    try:
+        import jax.numpy as jnp
+
+        float(jnp.sum(val))
+    except Exception:
+        np.asarray(val)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,174 @@
+"""Autodiff engine tests: grad/Lop/Rop semantics, disconnected handling,
+grad-manipulation ops (mirrors ``tests/test_gradient.py`` strategy)."""
+
+import numpy as np
+import pytest
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.compile.function import function
+from aesara_tpu.gradient import (
+    DisconnectedType,
+    Lop,
+    NullTypeGradError,
+    Rop,
+    disconnected_grad,
+    grad,
+    grad_clip,
+    grad_scale,
+    verify_grad,
+    zero_grad,
+)
+
+rng = np.random.default_rng(11)
+
+
+def test_grad_simple():
+    x = at.vector("x", dtype="float64")
+    g = grad((x ** 2).sum(), x)
+    f = function([x], g)
+    v = rng.normal(size=5)
+    np.testing.assert_allclose(f(v), 2 * v)
+
+
+def test_grad_requires_scalar_cost():
+    x = at.vector("x")
+    with pytest.raises(TypeError):
+        grad(x, x)
+
+
+def test_grad_disconnected_raise_and_zero():
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
+    cost = x.sum()
+    with pytest.raises(ValueError):
+        grad(cost, y)
+    gz = grad(cost, y, disconnected_inputs="ignore")
+    f = function([x, y], gz, on_unused_input="ignore")
+    np.testing.assert_allclose(f(np.ones(3), np.ones(3)), 0.0)
+
+
+def test_known_grads():
+    x = at.vector("x", dtype="float64")
+    y = x * 2.0
+    g = grad(None, x, known_grads={y: at.ones_like(y)})
+    f = function([x], g)
+    np.testing.assert_allclose(f(np.zeros(4)), 2.0)
+
+
+def test_consider_constant():
+    x = at.vector("x", dtype="float64")
+    y = x * 3.0
+    g = grad((y * x).sum(), x, consider_constant=[y])
+    f = function([x], g)
+    v = rng.normal(size=4)
+    np.testing.assert_allclose(f(v), 3.0 * v)  # y treated as constant
+
+
+def test_chain_through_multiple_paths():
+    x = at.scalar("x", dtype="float64")
+    cost = x * x + at.exp(x) * x
+    g = grad(cost, x)
+    f = function([x], g)
+    v = 0.7
+    expected = 2 * v + np.exp(v) * (1 + v)
+    assert np.isclose(f(v), expected)
+
+
+def test_Lop():
+    x = at.vector("x", dtype="float64")
+    y = x ** 3
+    v = at.vector("v", dtype="float64")
+    lop = Lop(y, x, v)
+    f = function([x, v], lop)
+    xv, vv = rng.normal(size=4), rng.normal(size=4)
+    np.testing.assert_allclose(f(xv, vv), 3 * xv ** 2 * vv)
+
+
+def test_Rop():
+    x = at.vector("x", dtype="float64")
+    y = x ** 3
+    v = at.vector("v", dtype="float64")
+    rop = Rop(y, x, v)
+    f = function([x, v], rop)
+    xv, vv = rng.normal(size=4), rng.normal(size=4)
+    np.testing.assert_allclose(f(xv, vv), 3 * xv ** 2 * vv)
+
+
+def test_Rop_dot():
+    W = at.matrix("W", dtype="float64")
+    x = at.vector("x", dtype="float64")
+    v = at.vector("v", dtype="float64")
+    y = at.dot(W, x)
+    rop = Rop(y, x, v)
+    f = function([W, x, v], rop)
+    Wv = rng.normal(size=(3, 4))
+    xv, vv = rng.normal(size=4), rng.normal(size=4)
+    np.testing.assert_allclose(f(Wv, xv, vv), Wv @ vv)
+
+
+def test_zero_grad():
+    x = at.scalar("x", dtype="float64")
+    cost = (zero_grad(x) * x)
+    g = grad(cost, x)
+    f = function([x], g)
+    # d/dx [stop(x) * x] = stop(x)
+    assert np.isclose(f(3.0), 3.0)
+
+
+def test_disconnected_grad():
+    x = at.scalar("x", dtype="float64")
+    cost = disconnected_grad(x) * x
+    g = grad(cost, x, disconnected_inputs="ignore")
+    f = function([x], g)
+    assert np.isclose(f(3.0), 3.0)
+
+
+def test_grad_clip_and_scale():
+    x = at.scalar("x", dtype="float64")
+    g1 = grad(grad_clip(x ** 2, -0.1, 0.1), x)
+    g2 = grad(grad_scale(x ** 2, 0.5), x)
+    f = function([x], [g1, g2])
+    r1, r2 = f(2.0)
+    assert np.isclose(r1, 0.4)  # clip(1, ±0.1) * 2x = 0.1 * 4
+    assert np.isclose(r2, 2.0)  # 0.5 * 4
+
+
+def test_undefined_grad_raises():
+    x = at.vector("x", dtype="float64")
+    # argmax has no gradient
+    with pytest.raises((NullTypeGradError, TypeError, ValueError)):
+        grad(at.math.argmax(x).astype("float64") ** 1.0, x)
+
+
+def test_verify_grad_catches_wrong_grad():
+    from aesara_tpu.gradient import GradientError
+    from aesara_tpu.graph.op import Op
+    from aesara_tpu.graph.ir import Apply
+
+    class BadGradOp(Op):
+        __props__ = ()
+
+        def make_node(self, x):
+            x = at.as_tensor_variable(x)
+            return Apply(self, [x], [x.type()])
+
+        def perform(self, node, inputs, out):
+            out[0][0] = inputs[0] * 2
+
+        def grad(self, inputs, gz):
+            return [gz[0] * 3.0]  # wrong: should be 2
+
+    with pytest.raises(GradientError):
+        verify_grad(lambda x: BadGradOp()(x).sum(), [rng.normal(size=3)], mode="PY")
+
+
+def test_jacobian():
+    pytest.importorskip("aesara_tpu.scan.basic", reason="scan not built yet")
+    from aesara_tpu.gradient import jacobian
+
+    x = at.vector("x", dtype="float64")
+    J = jacobian(x ** 2, x)
+    f = function([x], J)
+    v = rng.normal(size=4)
+    np.testing.assert_allclose(f(v), np.diag(2 * v))
