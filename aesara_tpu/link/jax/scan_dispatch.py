@@ -1,0 +1,89 @@
+"""XLA lowering of the Scan op onto ``lax.scan``.
+
+The reference runs scan's inner loop on the host through a Cython driver
+(``scan/scan_perform.pyx``); here the entire loop is ONE device-side
+``lax.scan``: tap buffers are rolling windows in the carry, sequences are
+the scanned xs, nit-sot outputs are the ys, shared states ride in the
+carry (SURVEY §2.11 item 2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from aesara_tpu.link.jax.dispatch import jax_funcify
+from aesara_tpu.scan.op import Scan
+
+
+@jax_funcify.register(Scan)
+def _jax_scan(op, node=None, **kwargs):
+    from aesara_tpu.link.jax.linker import fgraph_to_jax
+
+    info = op.info
+    if info.as_while:
+        raise NotImplementedError(
+            "while-Scan lowering (lax.while_loop with bounded buffers) lands "
+            "in a later stage; run while-loops in py mode"
+        )
+    body = fgraph_to_jax(op.fgraph)
+    tap_depths = [-min(taps) for taps in info.mit_sot_taps]
+
+    def scan_fn(n_steps, *operands):
+        try:
+            length = int(n_steps)
+        except Exception as e:
+            raise NotImplementedError(
+                "Scan with a traced (data-dependent) n_steps cannot lower to "
+                "XLA; make n_steps static or derive it from sequence shapes"
+            ) from e
+        pos = 0
+        seqs = [jnp.asarray(s)[:length] for s in operands[pos: pos + info.n_seqs]]
+        pos += info.n_seqs
+        mit_inits = [jnp.asarray(v) for v in operands[pos: pos + info.n_mit_sot]]
+        pos += info.n_mit_sot
+        sit_inits = [jnp.asarray(v) for v in operands[pos: pos + info.n_sit_sot]]
+        pos += info.n_sit_sot
+        shared_inits = list(operands[pos: pos + info.n_shared])
+        pos += info.n_shared
+        non_seqs = list(operands[pos:])
+
+        init_carry = (tuple(mit_inits), tuple(sit_inits), tuple(shared_inits))
+
+        def step(carry, xs):
+            mit_windows, sit_states, shared_states = carry
+            args = list(xs) if xs is not None else []
+            for w, taps, depth in zip(mit_windows, info.mit_sot_taps, tap_depths):
+                for tap in taps:
+                    args.append(w[depth + tap])
+            args.extend(sit_states)
+            args.extend(shared_states)
+            args.extend(non_seqs)
+            res = body(*args)
+            idx = 0
+            new_windows = []
+            mit_vals = []
+            for w in mit_windows:
+                v = res[idx]
+                new_windows.append(
+                    jnp.concatenate([w[1:], jnp.asarray(v)[None]], axis=0)
+                )
+                mit_vals.append(v)
+                idx += 1
+            sit_vals = list(res[idx: idx + info.n_sit_sot])
+            idx += info.n_sit_sot
+            nit_vals = list(res[idx: idx + info.n_nit_sot])
+            idx += info.n_nit_sot
+            new_shared = list(res[idx: idx + info.n_shared])
+            new_carry = (tuple(new_windows), tuple(sit_vals), tuple(new_shared))
+            return new_carry, tuple(mit_vals + sit_vals + nit_vals)
+
+        (final_windows, final_sit, final_shared), ys = lax.scan(
+            step, init_carry, tuple(seqs) if seqs else None, length=length
+        )
+        return tuple(ys) + tuple(final_shared)
+
+    return scan_fn

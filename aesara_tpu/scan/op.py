@@ -1,0 +1,521 @@
+"""The ``Scan`` op: a general symbolic loop.
+
+TPU-native re-design of the reference's ``aesara/scan/op.py`` (ScanInfo
+:206, Scan:637, make_node:899, perform:1673, L_op:2379).  The reference
+drives the inner loop from a Cython host loop (``scan_perform.pyx``);
+here the WHOLE loop lowers to one ``lax.scan`` (device-side, fusable,
+no host round-trips — SURVEY §2.11 item 2), tap buffers become rolling
+windows in the scan carry, and the gradient is built as a reverse Scan
+(true BPTT).
+
+Taxonomy (reference terms):
+- sequences      — per-step inputs, indexed t
+- mit-sot        — recurrent output with taps {-k..-1} (multiple input taps,
+                   single output tap)
+- sit-sot        — special case taps = [-1]
+- nit-sot        — output without feedback (pure map output)
+- shared/carried — SharedVariable threaded state (updates inside the body)
+- non-sequences  — loop-invariant inputs
+
+Canonical input order of the op:
+  [n_steps] + seqs + mit_sot_inits + sit_sot_inits + shared_inits + non_seqs
+Canonical output order:
+  mit_sot_outs + sit_sot_outs + nit_sot_outs + shared_finals
+where *_outs are (n_steps, ...) stacks of computed steps (initial taps
+NOT included) and shared_finals are final states.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from aesara_tpu.config import config
+from aesara_tpu.graph.fg import FunctionGraph
+from aesara_tpu.graph.ir import Apply, Constant, Variable, clone_replace, graph_inputs
+from aesara_tpu.graph.op import HasInnerGraph, Op
+from aesara_tpu.scalar.ops import discrete_dtypes
+from aesara_tpu.tensor.basic import as_tensor_variable, cast
+from aesara_tpu.tensor.type import TensorType
+
+
+@dataclass(frozen=True)
+class ScanInfo:
+    """Static structure of a Scan (reference ``scan/op.py:206``)."""
+
+    n_seqs: int
+    mit_sot_taps: Tuple[Tuple[int, ...], ...]  # per mit-sot output
+    n_sit_sot: int
+    n_nit_sot: int
+    n_shared: int
+    n_non_seqs: int
+    as_while: bool = False
+
+    @property
+    def n_mit_sot(self) -> int:
+        return len(self.mit_sot_taps)
+
+    @property
+    def n_recurrent(self) -> int:
+        return self.n_mit_sot + self.n_sit_sot
+
+    @property
+    def n_outs(self) -> int:
+        return self.n_mit_sot + self.n_sit_sot + self.n_nit_sot + self.n_shared
+
+
+class Scan(Op, HasInnerGraph):
+    """The loop op.
+
+    ``fgraph`` is the inner graph.  Inner input order:
+      seq slices + mit-sot taps (flattened, oldest tap first per output)
+      + sit-sot taps + shared states + non-seqs
+    Inner output order:
+      mit-sot next values + sit-sot next values + nit-sot values
+      + shared next states [+ while-condition if as_while]
+    """
+
+    def __init__(self, fgraph: FunctionGraph, info: ScanInfo, name=None,
+                 truncate_gradient: int = -1, mode=None):
+        self.fgraph = fgraph
+        self.info = info
+        self.name = name or "scan"
+        self.truncate_gradient = truncate_gradient
+        self.mode = mode
+        self._perform_fn = None
+        n_inner_outs = info.n_outs + (1 if info.as_while else 0)
+        if len(fgraph.outputs) != n_inner_outs:
+            raise ValueError(
+                f"inner graph has {len(fgraph.outputs)} outputs, "
+                f"expected {n_inner_outs}"
+            )
+
+    # --- identity ----------------------------------------------------------
+    def __eq__(self, other):
+        if self is other:
+            return True
+        if type(other) is not Scan or self.info != other.info:
+            return False
+        from aesara_tpu.graph.ir import equal_computations
+
+        return equal_computations(
+            self.fgraph.outputs, other.fgraph.outputs,
+            self.fgraph.inputs, other.fgraph.inputs,
+        )
+
+    def __hash__(self):
+        return hash((Scan, self.info, len(self.fgraph.apply_nodes)))
+
+    def __str__(self):
+        tag = "scan_while" if self.info.as_while else "scan"
+        return f"{self.name}{{{tag}}}" if self.name != "scan" else f"Scan{{{tag}}}"
+
+    # --- inner graph protocol -----------------------------------------------
+    @property
+    def fn(self):
+        return self._make_perform_fn()
+
+    @property
+    def inner_inputs(self):
+        return self.fgraph.inputs
+
+    @property
+    def inner_outputs(self):
+        return self.fgraph.outputs
+
+    def clone(self):
+        new_fg = self.fgraph.clone(check_integrity=False)
+        return Scan(new_fg, self.info, self.name, self.truncate_gradient, self.mode)
+
+    # --- node construction ----------------------------------------------------
+    def make_node(self, n_steps, *operands) -> Apply:
+        info = self.info
+        n_steps = cast(as_tensor_variable(n_steps), "int64")
+        seqs = [as_tensor_variable(s) for s in operands[: info.n_seqs]]
+        pos = info.n_seqs
+        mit_inits = [as_tensor_variable(v) for v in operands[pos: pos + info.n_mit_sot]]
+        pos += info.n_mit_sot
+        sit_inits = [as_tensor_variable(v) for v in operands[pos: pos + info.n_sit_sot]]
+        pos += info.n_sit_sot
+        shared_inits = list(operands[pos: pos + info.n_shared])
+        pos += info.n_shared
+        non_seqs = list(operands[pos:])
+        if len(non_seqs) != info.n_non_seqs:
+            raise ValueError(
+                f"expected {info.n_non_seqs} non-sequences, got {len(non_seqs)}"
+            )
+
+        try:
+            from aesara_tpu.tensor.basic import get_scalar_constant_value
+
+            static_len = int(get_scalar_constant_value(n_steps))
+        except Exception:
+            static_len = None
+            for s in seqs:
+                if s.type.shape[0] is not None:
+                    static_len = s.type.shape[0]
+                    break
+        if info.as_while:
+            static_len = None  # actual trip count is data-dependent
+
+        outputs: List[Variable] = []
+        inner = self.fgraph.outputs
+        idx = 0
+        for taps in info.mit_sot_taps:
+            outputs.append(
+                TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
+            )
+            idx += 1
+        for _ in range(info.n_sit_sot):
+            outputs.append(
+                TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
+            )
+            idx += 1
+        for _ in range(info.n_nit_sot):
+            outputs.append(
+                TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
+            )
+            idx += 1
+        for _ in range(info.n_shared):
+            outputs.append(inner[idx].type())
+            idx += 1
+
+        return Apply(
+            self,
+            [n_steps] + seqs + mit_inits + sit_inits + shared_inits + non_seqs,
+            outputs,
+        )
+
+    # --- NumPy oracle ------------------------------------------------------------
+    def _make_perform_fn(self):
+        if self._perform_fn is None:
+            from aesara_tpu.link.basic import PerformLinker
+
+            linker = PerformLinker(allow_gc=False)
+            linker.accept(self.fgraph.clone(check_integrity=False))
+            fn, in_containers, out_containers = linker.make_thunk()
+
+            def run(*vals):
+                for c, v in zip(in_containers, vals):
+                    c.storage[0] = v
+                fn()
+                return [c.storage[0] for c in out_containers]
+
+            self._perform_fn = run
+        return self._perform_fn
+
+    def perform(self, node, inputs, output_storage):
+        info = self.info
+        step_fn = self._make_perform_fn()
+        n_steps = int(inputs[0])
+        pos = 1
+        seqs = inputs[pos: pos + info.n_seqs]
+        pos += info.n_seqs
+        mit_inits = inputs[pos: pos + info.n_mit_sot]
+        pos += info.n_mit_sot
+        sit_inits = inputs[pos: pos + info.n_sit_sot]
+        pos += info.n_sit_sot
+        shared_states = list(inputs[pos: pos + info.n_shared])
+        pos += info.n_shared
+        non_seqs = inputs[pos:]
+
+        # rolling tap windows (oldest first)
+        mit_windows = [np.asarray(m).copy() for m in mit_inits]
+        sit_states = [np.asarray(s).copy() for s in sit_inits]
+
+        mit_out = [[] for _ in range(info.n_mit_sot)]
+        sit_out = [[] for _ in range(info.n_sit_sot)]
+        nit_out = [[] for _ in range(info.n_nit_sot)]
+
+        for t in range(n_steps):
+            args = []
+            args.extend(s[t] for s in seqs)
+            for w, taps in zip(mit_windows, info.mit_sot_taps):
+                depth = -min(taps)
+                for tap in taps:
+                    args.append(w[depth + tap])
+            args.extend(sit_states)
+            args.extend(shared_states)
+            args.extend(non_seqs)
+            res = step_fn(*args)
+            idx = 0
+            for i in range(info.n_mit_sot):
+                mit_out[i].append(res[idx])
+                mit_windows[i] = np.concatenate(
+                    [mit_windows[i][1:], np.asarray(res[idx])[None]], axis=0
+                )
+                idx += 1
+            for i in range(info.n_sit_sot):
+                sit_out[i].append(res[idx])
+                sit_states[i] = res[idx]
+                idx += 1
+            for i in range(info.n_nit_sot):
+                nit_out[i].append(res[idx])
+                idx += 1
+            for i in range(info.n_shared):
+                shared_states[i] = res[idx]
+                idx += 1
+            if info.as_while:
+                # until(cond): stop AFTER the step that made cond true
+                if bool(np.asarray(res[idx])):
+                    break
+
+        out_pos = 0
+        for i in range(info.n_mit_sot):
+            output_storage[out_pos][0] = np.asarray(mit_out[i])
+            out_pos += 1
+        for i in range(info.n_sit_sot):
+            output_storage[out_pos][0] = np.asarray(sit_out[i])
+            out_pos += 1
+        for i in range(info.n_nit_sot):
+            output_storage[out_pos][0] = np.asarray(nit_out[i])
+            out_pos += 1
+        for i in range(info.n_shared):
+            output_storage[out_pos][0] = shared_states[i]
+            out_pos += 1
+
+    # --- shape -------------------------------------------------------------------
+    def infer_shape(self, fgraph, node, input_shapes):
+        info = self.info
+        n_steps = node.inputs[0]
+        out = []
+        for i, o in enumerate(node.outputs):
+            if i < info.n_mit_sot + info.n_sit_sot + info.n_nit_sot:
+                from aesara_tpu.tensor.shape import shape as tshape
+
+                rest = tuple(
+                    tshape(o)[d + 1] for d in range(o.type.ndim - 1)
+                )
+                out.append((n_steps,) + rest)
+            else:
+                # shared finals: same shape as the matching init
+                init_idx = 1 + info.n_seqs + info.n_mit_sot + info.n_sit_sot + (
+                    i - info.n_mit_sot - info.n_sit_sot - info.n_nit_sot
+                )
+                out.append(input_shapes[init_idx])
+        return out
+
+    # --- gradient: reverse Scan (BPTT) ----------------------------------------
+    def L_op(self, inputs, outputs, output_grads):
+        from aesara_tpu.gradient import (
+            DisconnectedType,
+            NullType,
+            disconnected_type,
+            grad as sym_grad,
+            grad_not_implemented,
+        )
+        import aesara_tpu.tensor.basic as tb
+        import aesara_tpu.tensor.math as tm
+        from aesara_tpu.tensor.shape import shape_padleft
+
+        info = self.info
+        if info.n_mit_sot or info.as_while:
+            return [
+                grad_not_implemented(self, i, inp,
+                                     "Scan gradient for mit-sot/while loops "
+                                     "lands in a later stage")
+                for i, inp in enumerate(inputs)
+            ]
+        if self.truncate_gradient != -1:
+            trunc = self.truncate_gradient
+        else:
+            trunc = None
+
+        n_steps = inputs[1 - 1]  # inputs[0]
+        seqs = inputs[1: 1 + info.n_seqs]
+        pos = 1 + info.n_seqs
+        sit_inits = inputs[pos: pos + info.n_sit_sot]
+        pos += info.n_sit_sot
+        shared_inits = inputs[pos: pos + info.n_shared]
+        pos += info.n_shared
+        non_seqs = inputs[pos:]
+
+        sit_outs = outputs[: info.n_sit_sot]
+        nit_outs = outputs[info.n_sit_sot: info.n_sit_sot + info.n_nit_sot]
+
+        # --- inner gradient graph -------------------------------------------
+        inner_in = self.fgraph.inputs
+        inner_out = self.fgraph.outputs
+        i_seqs = inner_in[: info.n_seqs]
+        i_sit = inner_in[info.n_seqs: info.n_seqs + info.n_sit_sot]
+        i_shared = inner_in[info.n_seqs + info.n_sit_sot:
+                            info.n_seqs + info.n_sit_sot + info.n_shared]
+        i_nonseqs = inner_in[info.n_seqs + info.n_sit_sot + info.n_shared:]
+        o_sit = inner_out[: info.n_sit_sot]
+        o_nit = inner_out[info.n_sit_sot: info.n_sit_sot + info.n_nit_sot]
+
+        # cotangent placeholders for the inner outputs
+        g_o_sit = [o.type() for o in o_sit]
+        g_o_nit = [o.type() for o in o_nit]
+        known = {}
+        for o, g in zip(o_sit, g_o_sit):
+            known[o] = g
+        for o, g in zip(o_nit, g_o_nit):
+            known[o] = g
+        wrt = list(i_seqs) + list(i_sit) + list(i_nonseqs)
+        inner_grads = sym_grad(
+            None, wrt, known_grads=known,
+            disconnected_inputs="ignore", return_disconnected="zero",
+        )
+        if not isinstance(inner_grads, list):
+            inner_grads = [inner_grads]
+        g_i_seqs = inner_grads[: info.n_seqs]
+        g_i_sit = inner_grads[info.n_seqs: info.n_seqs + info.n_sit_sot]
+        g_i_nonseqs = inner_grads[info.n_seqs + info.n_sit_sot:]
+
+        # --- build the reverse scan -------------------------------------------
+        # reverse sequences: original seqs (reversed), previous hidden states
+        # h_{t-1} (reversed), and the per-step output grads (reversed)
+        from aesara_tpu.scan.basic import scan as scan_fn
+
+        T = n_steps
+
+        def rev(x):
+            return x[::-1]
+
+        # h_prev sequence per sit-sot: [h_{T-1} ... h_0] = reverse of
+        # concat(init, outs[:-1])
+        h_prev_seqs = []
+        for init, full in zip(sit_inits, sit_outs):
+            init_b = shape_padleft(init, 1) if init.type.ndim == full.type.ndim - 1 else init
+            h_hist = tb.join(0, init_b, full[:-1])
+            h_prev_seqs.append(rev(h_hist))
+
+        g_sit_out = []
+        g_nit_out = []
+        for i, og in enumerate(output_grads[: info.n_sit_sot]):
+            if isinstance(og.type, (DisconnectedType, NullType)):
+                og = tb.zeros_like(sit_outs[i])
+            g_sit_out.append(rev(og))
+        for i, og in enumerate(
+            output_grads[info.n_sit_sot: info.n_sit_sot + info.n_nit_sot]
+        ):
+            if isinstance(og.type, (DisconnectedType, NullType)):
+                og = tb.zeros_like(nit_outs[i])
+            g_nit_out.append(rev(og))
+
+        rev_seqs = [rev(s[:T] if s.type.shape[0] is None else s) for s in seqs] \
+            + h_prev_seqs + g_sit_out + g_nit_out
+
+        # carries: gh per sit-sot (init zero like init), gw accumulators per
+        # non-seq (init zeros_like)
+        gh_inits = [tb.zeros_like(init) for init in sit_inits]
+        gw_inits = []
+        for ns in non_seqs:
+            if hasattr(ns.type, "dtype") and ns.type.dtype not in discrete_dtypes:
+                gw_inits.append(tb.zeros_like(as_tensor_variable(ns)))
+            else:
+                gw_inits.append(None)
+
+        n_wi = sum(1 for g in gw_inits if g is not None)
+
+        def backward_step(*args):
+            # args: seq slices..., h_prev..., g_sit..., g_nit...,
+            #       gh carries..., gw carries..., non_seqs...
+            p = 0
+            b_seqs = args[p: p + info.n_seqs]; p += info.n_seqs
+            b_hprev = args[p: p + info.n_sit_sot]; p += info.n_sit_sot
+            b_gsit = args[p: p + info.n_sit_sot]; p += info.n_sit_sot
+            b_gnit = args[p: p + info.n_nit_sot]; p += info.n_nit_sot
+            b_gh = args[p: p + info.n_sit_sot]; p += info.n_sit_sot
+            b_gw = args[p: p + n_wi]; p += n_wi
+            b_nonseqs = args[p:]
+
+            # total cotangent on this step's outputs
+            total_g_sit = [tm.add(a, b) for a, b in zip(b_gsit, b_gh)]
+
+            replace = {}
+            for iv, v in zip(i_seqs, b_seqs):
+                replace[iv] = v
+            for iv, v in zip(i_sit, b_hprev):
+                replace[iv] = v
+            for iv, v in zip(i_shared, shared_inits):
+                replace[iv] = v  # shared grads unsupported; value needed
+            for iv, v in zip(i_nonseqs, b_nonseqs):
+                replace[iv] = v
+            for gv, v in zip(g_o_sit, total_g_sit):
+                replace[gv] = v
+            for gv, v in zip(g_o_nit, b_gnit):
+                replace[gv] = v
+
+            rep = clone_replace(
+                list(g_i_seqs) + list(g_i_sit) + list(g_i_nonseqs), replace=replace
+            )
+            r_gseqs = rep[: info.n_seqs]
+            r_gh = rep[info.n_seqs: info.n_seqs + info.n_sit_sot]
+            r_gw = rep[info.n_seqs + info.n_sit_sot:]
+
+            new_gw = []
+            wi = 0
+            for k, gwi in enumerate(gw_inits):
+                if gwi is None:
+                    continue
+                new_gw.append(tm.add(b_gw[wi], r_gw[k]))
+                wi += 1
+            return list(r_gseqs) + list(r_gh) + new_gw
+
+        results, _ = scan_fn(
+            backward_step,
+            sequences=rev_seqs,
+            outputs_info=(
+                [None] * info.n_seqs
+                + [{"initial": g, "taps": [-1]} for g in gh_inits]
+                + [{"initial": g, "taps": [-1]} for g in gw_inits if g is not None]
+            ),
+            non_sequences=list(non_seqs),
+            n_steps=T,
+        )
+        if not isinstance(results, list):
+            results = [results]
+        r_gseq_stacks = results[: info.n_seqs]
+        r_gh_stacks = results[info.n_seqs: info.n_seqs + info.n_sit_sot]
+        r_gw_stacks = results[info.n_seqs + info.n_sit_sot:]
+
+        rval: List = []
+        rval.append(disconnected_type())  # n_steps
+        for i in range(info.n_seqs):
+            g = rev(r_gseq_stacks[i])
+            inp = seqs[i]
+            if hasattr(inp.type, "dtype") and inp.type.dtype in discrete_dtypes:
+                from aesara_tpu.gradient import grad_undefined
+
+                rval.append(grad_undefined(self, 1 + i, inp))
+            else:
+                if inp.type.shape[0] is None:
+                    rval.append(g)
+                else:
+                    rval.append(g)
+        for i in range(info.n_sit_sot):
+            # gradient wrt the initial state = final gh carry
+            rval.append(r_gh_stacks[i][-1])
+        for i in range(info.n_shared):
+            from aesara_tpu.gradient import grad_not_implemented
+
+            rval.append(grad_not_implemented(
+                self, 1 + info.n_seqs + info.n_sit_sot + i, shared_inits[i],
+                "gradient through Scan shared states not supported",
+            ))
+        wi = 0
+        for k, gwi in enumerate(gw_inits):
+            if gwi is None:
+                from aesara_tpu.gradient import grad_undefined
+
+                rval.append(grad_undefined(
+                    self, 1 + info.n_seqs + info.n_sit_sot + info.n_shared + k,
+                    non_seqs[k],
+                ))
+            else:
+                rval.append(r_gw_stacks[wi][-1])
+                wi += 1
+        return rval
+
+    def connection_pattern(self, node):
+        info = self.info
+        n_in = len(node.inputs)
+        n_out = len(node.outputs)
+        # conservative: everything connected except n_steps
+        pattern = [[True] * n_out for _ in range(n_in)]
+        pattern[0] = [False] * n_out
+        return pattern

@@ -96,7 +96,7 @@ def constant(x, name=None, ndim=None, dtype=None) -> TensorConstant:
         ):
             return x
         x = x.data
-    if dtype is None:
+    if dtype is None and not isinstance(x, (np.ndarray, np.generic)):
         if isinstance(x, bool):
             dtype = "bool"
         elif isinstance(x, int):
