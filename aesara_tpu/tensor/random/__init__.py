@@ -1,0 +1,10 @@
+from aesara_tpu.tensor.random import basic
+from aesara_tpu.tensor.random.basic import *  # noqa: F401,F403
+from aesara_tpu.tensor.random.op import (
+    RandomGeneratorType,
+    RandomStateType,
+    RandomVariable,
+    default_rng,
+    random_generator_type,
+)
+from aesara_tpu.tensor.random.utils import RandomStream, RandomStreams

@@ -1,0 +1,110 @@
+"""RandomVariable / RandomStream tests (reference ``tests/tensor/random``)."""
+
+import numpy as np
+import pytest
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.compile.function import function
+from aesara_tpu.tensor.random.utils import RandomStream
+
+
+def test_draws_change_and_reseed():
+    srng = RandomStream(seed=7)
+    u = srng.uniform(size=(4,))
+    f = function([], u, mode="JAX")
+    a, b = f(), f()
+    assert not np.allclose(a, b)
+    srng.seed(7)
+    c = f()
+    np.testing.assert_allclose(a, c)
+
+
+def test_py_and_jax_draws_identical():
+    for dist, args in [
+        ("uniform", dict(low=0.0, high=2.0, size=(5,))),
+        ("normal", dict(loc=1.0, scale=3.0, size=(5,))),
+        ("bernoulli", dict(p=0.4, size=(8,))),
+        ("gamma", dict(shape=2.0, scale=1.5, size=(5,))),
+        ("poisson", dict(lam=4.0, size=(6,))),
+    ]:
+        s1 = RandomStream(seed=11)
+        s2 = RandomStream(seed=11)
+        v1 = getattr(s1, dist)(**args)
+        v2 = getattr(s2, dist)(**args)
+        fj = function([], v1, mode="JAX")
+        fp = function([], v2, mode="PY")
+        np.testing.assert_allclose(np.asarray(fj()), np.asarray(fp()), rtol=1e-6)
+
+
+def test_statistics():
+    srng = RandomStream(seed=0)
+    n = srng.normal(loc=3.0, scale=2.0, size=(20000,))
+    f = function([], [n.mean(), n.std()], mode="JAX")
+    m, s = f()
+    assert abs(float(m) - 3.0) < 0.1
+    assert abs(float(s) - 2.0) < 0.1
+
+
+def test_broadcast_params():
+    srng = RandomStream(seed=1)
+    locs = np.array([0.0, 100.0], dtype="float32")
+    n = srng.normal(loc=locs, scale=0.1)
+    f = function([], n, mode="JAX")
+    v = np.asarray(f())
+    assert v.shape == (2,)
+    assert abs(v[0]) < 5 and abs(v[1] - 100) < 5
+
+
+def test_int_dists():
+    srng = RandomStream(seed=2)
+    r = srng.randint(0, 5, size=(100,))
+    f = function([], r, mode="JAX")
+    v = np.asarray(f())
+    assert v.min() >= 0 and v.max() < 5
+    assert str(v.dtype).startswith("int")
+
+
+def test_dirichlet_and_mvn():
+    srng = RandomStream(seed=3)
+    d = srng.dirichlet(np.array([2.0, 3.0, 4.0], dtype="float64"))
+    f = function([], d, mode="JAX")
+    v = np.asarray(f())
+    assert v.shape == (3,)
+    np.testing.assert_allclose(v.sum(), 1.0, rtol=1e-5)
+
+    mvn = srng.multivariate_normal(np.zeros(2, "float64"), np.eye(2), size=(5,))
+    fm = function([], mvn, mode="JAX")
+    assert np.asarray(fm()).shape == (5, 2)
+
+
+def test_permutation_choice():
+    srng = RandomStream(seed=4)
+    p = srng.permutation(at.constant(np.arange(6)))
+    f = function([], p, mode="JAX")
+    v = np.asarray(f())
+    assert sorted(v.tolist()) == list(range(6))
+
+    c = srng.choice(at.constant(np.arange(10).astype("float64")), size=(4,))
+    fc = function([], c, mode="JAX")
+    assert np.asarray(fc()).shape == (4,)
+
+
+def test_updates_thread_through_user_function():
+    # the rng shared state must rotate via default updates even when the
+    # user also has their own updates
+    srng = RandomStream(seed=5)
+    w = atp.shared(np.zeros(3, dtype="float64"), name="w")
+    noise = srng.normal(size=(3,))
+    f = function([], noise, updates={w: w + noise})
+    a = f()
+    b = f()
+    assert not np.allclose(a, b)
+    np.testing.assert_allclose(w.get_value(), np.asarray(a) + np.asarray(b))
+
+
+def test_no_default_updates_freezes_draws():
+    srng = RandomStream(seed=6)
+    u = srng.uniform(size=(3,))
+    f = function([], u, no_default_updates=True, mode="JAX")
+    np.testing.assert_allclose(f(), f())
