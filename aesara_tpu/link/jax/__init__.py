@@ -21,3 +21,4 @@ from aesara_tpu.link.jax.dispatch import jax_funcify, jax_typify  # noqa: E402,F
 from aesara_tpu.link.jax.linker import JAXLinker, JAXNoJitLinker, fgraph_to_jax  # noqa: E402,F401
 from aesara_tpu.link.jax import scan_dispatch  # noqa: E402,F401  (registers Scan)
 from aesara_tpu.link.jax import random_dispatch  # noqa: E402,F401  (registers RandomVariable)
+from aesara_tpu.link.jax import linalg_dispatch  # noqa: E402,F401  (registers linalg/extra/sort/special/fft)

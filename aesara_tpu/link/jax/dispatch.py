@@ -623,6 +623,7 @@ def _jax_inc_subtensor(op, node=None, **kwargs):
         idx = tst.indices_from_subtensor(
             [_maybe_int(i) for i in index_inputs], idx_list
         )
+        x = jnp.asarray(x)
         if set_instead:
             return x.at[idx].set(y)
         return x.at[idx].add(y)
@@ -638,8 +639,8 @@ def _jax_adv_subtensor1(op, node=None, **kwargs):
 @jax_funcify.register(tst.AdvancedIncSubtensor1)
 def _jax_adv_inc_subtensor1(op, node=None, **kwargs):
     if op.set_instead_of_inc:
-        return lambda x, y, i: x.at[i].set(y)
-    return lambda x, y, i: x.at[i].add(y)
+        return lambda x, y, i: jnp.asarray(x).at[i].set(y)
+    return lambda x, y, i: jnp.asarray(x).at[i].add(y)
 
 
 @jax_funcify.register(tst.AdvancedSubtensor)
@@ -660,6 +661,7 @@ def _jax_adv_inc_subtensor(op, node=None, **kwargs):
 
     def adv_inc_subtensor(x, y, *idx_inputs):
         idx = _decode_fancy_jax(idx_list, idx_inputs)
+        x = jnp.asarray(x)
         if set_instead:
             return x.at[idx].set(y)
         return x.at[idx].add(y)
