@@ -1,0 +1,195 @@
+"""``OpFromGraph``: encapsulate a subgraph as a reusable Op
+(reference ``aesara/compile/builders.py:188``, construct_nominal_fgraph
+:85, inline rewrite :1047)."""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Union
+
+import numpy as np
+
+from aesara_tpu.graph.fg import FunctionGraph
+from aesara_tpu.graph.ir import Apply, Constant, Variable, clone_replace, graph_inputs
+from aesara_tpu.graph.op import HasInnerGraph, Op
+
+
+__all__ = ["OpFromGraph", "construct_nominal_fgraph"]
+
+
+def construct_nominal_fgraph(inputs, outputs):
+    """Clone (inputs, outputs) into an isolated inner graph, lifting any
+    extra leaves (shared vars, closure captures) into hidden inputs
+    (reference ``builders.py:85``)."""
+    extra = [
+        v for v in graph_inputs(outputs)
+        if v not in inputs and not isinstance(v, Constant)
+    ]
+    all_inputs = list(inputs) + extra
+    replace = {v: v.type() for v in all_inputs}
+    for old, new in replace.items():
+        new.name = getattr(old, "name", None)
+    new_outputs = clone_replace(outputs, replace=replace)
+    new_inputs = [replace[v] for v in all_inputs]
+    fgraph = FunctionGraph(new_inputs, new_outputs, clone=False)
+    return fgraph, len(extra), extra
+
+
+class OpFromGraph(Op, HasInnerGraph):
+    """A subgraph packaged as an op, with optional custom grad/R_op."""
+
+    def __init__(
+        self,
+        inputs: Sequence[Variable],
+        outputs: Sequence[Variable],
+        inline: bool = False,
+        lop_overrides="default",
+        grad_overrides="default",
+        rop_overrides="default",
+        connection_pattern=None,
+        name: Optional[str] = None,
+        **kwargs,
+    ):
+        if not isinstance(inputs, (list, tuple)) or not isinstance(outputs, (list, tuple)):
+            raise TypeError("inputs and outputs must be lists")
+        for i in inputs:
+            if isinstance(i, Constant):
+                raise TypeError("OpFromGraph inputs cannot be constants")
+        self.fgraph, self.n_extra, self.extra_outer = construct_nominal_fgraph(
+            list(inputs), list(outputs)
+        )
+        self.is_inline = bool(inline)
+        self.lop_overrides = lop_overrides if lop_overrides != "default" else (
+            grad_overrides if grad_overrides != "default" else "default"
+        )
+        self.rop_overrides = rop_overrides
+        self._connection_pattern = connection_pattern
+        self.name = name or "OpFromGraph"
+        self.n_explicit = len(inputs)
+        self._perform_fn = None
+
+    def __eq__(self, other):
+        return self is other
+
+    def __hash__(self):
+        return id(self)
+
+    @property
+    def fn(self):
+        return self._make_perform_fn()
+
+    @property
+    def inner_inputs(self):
+        return self.fgraph.inputs
+
+    @property
+    def inner_outputs(self):
+        return self.fgraph.outputs
+
+    def clone(self):
+        import copy
+
+        new = copy.copy(self)
+        new.fgraph = self.fgraph.clone(check_integrity=False)
+        new._perform_fn = None
+        return new
+
+    def make_node(self, *inputs) -> Apply:
+        if len(inputs) == self.n_explicit:
+            inputs = list(inputs) + list(self.extra_outer)
+        if len(inputs) != len(self.fgraph.inputs):
+            raise ValueError(
+                f"{self.name} expected {self.n_explicit} inputs, got {len(inputs)}"
+            )
+        coerced = [
+            iv.type.filter_variable(v, allow_convert=True)
+            for iv, v in zip(self.fgraph.inputs, inputs)
+        ]
+        return Apply(self, coerced, [o.type() for o in self.fgraph.outputs])
+
+    def _make_perform_fn(self):
+        if self._perform_fn is None:
+            from aesara_tpu.link.basic import PerformLinker
+
+            linker = PerformLinker(allow_gc=False)
+            linker.accept(self.fgraph.clone(check_integrity=False))
+            fn, in_c, out_c = linker.make_thunk()
+
+            def run(*vals):
+                for c, v in zip(in_c, vals):
+                    c.storage[0] = v
+                fn()
+                return [c.storage[0] for c in out_c]
+
+            self._perform_fn = run
+        return self._perform_fn
+
+    def perform(self, node, inputs, output_storage):
+        res = self._make_perform_fn()(*inputs)
+        for storage, r in zip(output_storage, res):
+            storage[0] = r
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        # propagate through the inner graph symbolically: substitute outer
+        # inputs and read the inner outputs' shapes
+        from aesara_tpu.tensor.shape import shape as tshape
+
+        out = []
+        for o in node.outputs:
+            out.append(tuple(tshape(o)[d] for d in range(o.type.ndim)))
+        return out
+
+    def connection_pattern(self, node):
+        if self._connection_pattern is not None:
+            return self._connection_pattern
+        from aesara_tpu.graph.ir import io_connection_pattern
+
+        return io_connection_pattern(self.fgraph.inputs, self.fgraph.outputs)
+
+    def L_op(self, inputs, outputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType, NullType, grad as sym_grad
+
+        if callable(self.lop_overrides):
+            return self.lop_overrides(inputs, output_grads)
+        if isinstance(self.lop_overrides, (list, tuple)):
+            raise NotImplementedError("per-input lop overrides land later")
+
+        inner_in = self.fgraph.inputs
+        inner_out = self.fgraph.outputs
+        known = {}
+        g_placeholders = []
+        for o, g in zip(inner_out, output_grads):
+            if isinstance(g.type, (DisconnectedType, NullType)):
+                g_placeholders.append(None)
+                continue
+            ph = o.type()
+            known[o] = ph
+            g_placeholders.append(ph)
+        inner_grads = sym_grad(
+            None, list(inner_in), known_grads=known,
+            disconnected_inputs="ignore", return_disconnected="zero",
+        )
+        if not isinstance(inner_grads, list):
+            inner_grads = [inner_grads]
+        replace = dict(zip(inner_in, inputs))
+        for ph, g in zip(g_placeholders, output_grads):
+            if ph is not None:
+                replace[ph] = g
+        safe = [
+            g for g in inner_grads
+            if not isinstance(getattr(g, "type", None), (DisconnectedType, NullType))
+        ]
+        cloned = clone_replace(safe, replace=replace)
+        it = iter(cloned)
+        return [
+            g if isinstance(getattr(g, "type", None), (DisconnectedType, NullType))
+            else next(it)
+            for g in inner_grads
+        ]
+
+    def R_op(self, inputs, eval_points):
+        if callable(self.rop_overrides):
+            return self.rop_overrides(inputs, eval_points)
+        raise NotImplementedError("use gradient.Rop (double-backward)")
+
+    def __str__(self):
+        return self.name

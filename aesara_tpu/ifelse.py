@@ -1,0 +1,132 @@
+"""``ifelse``: the branching conditional (reference ``aesara/ifelse.py``:
+IfElse:34, ifelse:382, rewrites:429).
+
+The reference's IfElse is lazy only under its VM linkers; like the
+reference, the op receives both branches' values as inputs, so under XLA
+both branches are computed and ``lax.select_n`` picks — ``switch`` is the
+elementwise variant.  (A later rewrite stage can outline branches into
+inner graphs for a true ``lax.cond``.)
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Union
+
+import numpy as np
+
+from aesara_tpu.graph.ir import Apply, Variable
+from aesara_tpu.graph.op import Op
+from aesara_tpu.tensor.basic import as_tensor_variable
+from aesara_tpu.tensor.type import TensorType
+
+
+__all__ = ["IfElse", "ifelse"]
+
+
+class IfElse(Op):
+    """n_outs outputs; inputs = [cond] + true_branch + false_branch."""
+
+    __props__ = ("n_outs", "as_view")
+
+    def __init__(self, n_outs: int, as_view: bool = False, name=None):
+        self.n_outs = int(n_outs)
+        self.as_view = bool(as_view)
+        self.name = name
+
+    def make_node(self, condition, *args):
+        if len(args) != 2 * self.n_outs:
+            raise ValueError(
+                f"IfElse({self.n_outs}) needs {2 * self.n_outs} branch args"
+            )
+        condition = as_tensor_variable(condition)
+        if condition.type.ndim != 0:
+            raise TypeError("ifelse condition must be a scalar")
+        trues = [as_tensor_variable(a) for a in args[: self.n_outs]]
+        falses = [as_tensor_variable(a) for a in args[self.n_outs:]]
+        outs = []
+        coerced = []
+        for t, f in zip(trues, falses):
+            if t.type.dtype != f.type.dtype:
+                raise TypeError(
+                    f"ifelse branches must have equal dtypes: "
+                    f"{t.type.dtype} vs {f.type.dtype}"
+                )
+            if t.type.ndim != f.type.ndim:
+                raise TypeError("ifelse branches must have equal ndim")
+            shape = tuple(
+                ts if ts is not None and ts == fs else None
+                for ts, fs in zip(t.type.shape, f.type.shape)
+            )
+            outs.append(TensorType(t.type.dtype, shape)())
+            coerced.extend([])
+        return Apply(self, [condition] + trues + falses, outs)
+
+    def perform(self, node, inputs, output_storage):
+        cond, *rest = inputs
+        branch = rest[: self.n_outs] if bool(cond) else rest[self.n_outs:]
+        for storage, val in zip(output_storage, branch):
+            storage[0] = val
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        from aesara_tpu.tensor.basic import switch
+
+        cond = node.inputs[0]
+        true_shapes = input_shapes[1: 1 + self.n_outs]
+        false_shapes = input_shapes[1 + self.n_outs:]
+        out = []
+        for ts, fs in zip(true_shapes, false_shapes):
+            out.append(tuple(switch(cond, t, f) for t, f in zip(ts, fs)))
+        return out
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType
+
+        cond, *rest = inputs
+        trues = rest[: self.n_outs]
+        falses = rest[self.n_outs:]
+        # grads gated by the condition: zero on the untaken branch
+        zeros_t = [t.zeros_like() for t in trues]
+        zeros_f = [f.zeros_like() for f in falses]
+        g_trues = ifelse(cond, list(output_grads), zeros_t, n_outs=self.n_outs)
+        g_falses = ifelse(cond, zeros_f, list(output_grads), n_outs=self.n_outs)
+        if not isinstance(g_trues, list):
+            g_trues = [g_trues]
+        if not isinstance(g_falses, list):
+            g_falses = [g_falses]
+        return [DisconnectedType()()] + g_trues + g_falses
+
+    def connection_pattern(self, node):
+        return [[False] * self.n_outs] + [
+            [True] * self.n_outs for _ in range(2 * self.n_outs)
+        ]
+
+    def __str__(self):
+        return f"if{{{self.n_outs}}}" if not self.as_view else f"if{{view,{self.n_outs}}}"
+
+
+def ifelse(condition, then_branch, else_branch, n_outs=None, name=None):
+    """Branching conditional (reference ``ifelse.py:382``)."""
+    single = not isinstance(then_branch, (list, tuple))
+    trues = [then_branch] if single else list(then_branch)
+    falses = [else_branch] if single else list(else_branch)
+    if len(trues) != len(falses):
+        raise ValueError("branches must have the same number of outputs")
+    if n_outs is None:
+        n_outs = len(trues)
+    # unify branch dtypes by upcast
+    from aesara_tpu.scalar.ops import upcast
+    from aesara_tpu.tensor.basic import cast
+
+    coerced_t, coerced_f = [], []
+    for t, f in zip(trues, falses):
+        t = as_tensor_variable(t)
+        f = as_tensor_variable(f)
+        if t.type.dtype != f.type.dtype:
+            dt = upcast(t.type.dtype, f.type.dtype)
+            t, f = cast(t, dt), cast(f, dt)
+        coerced_t.append(t)
+        coerced_f.append(f)
+    res = IfElse(n_outs, name=name)(condition, *coerced_t, *coerced_f)
+    if single:
+        return res if isinstance(res, Variable) else res[0]
+    return res if isinstance(res, list) else [res]

@@ -22,3 +22,4 @@ from aesara_tpu.link.jax.linker import JAXLinker, JAXNoJitLinker, fgraph_to_jax 
 from aesara_tpu.link.jax import scan_dispatch  # noqa: E402,F401  (registers Scan)
 from aesara_tpu.link.jax import random_dispatch  # noqa: E402,F401  (registers RandomVariable)
 from aesara_tpu.link.jax import linalg_dispatch  # noqa: E402,F401  (registers linalg/extra/sort/special/fft)
+from aesara_tpu.link.jax import control_dispatch  # noqa: E402,F401  (registers IfElse/OFG/Assert/Print)

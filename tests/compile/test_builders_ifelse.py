@@ -1,0 +1,128 @@
+"""OpFromGraph / ifelse / assert tests."""
+
+import numpy as np
+import pytest
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.compile.builders import OpFromGraph
+from aesara_tpu.compile.function import function
+from aesara_tpu.gradient import grad, verify_grad
+from aesara_tpu.ifelse import ifelse
+from aesara_tpu.raise_op import Assert, assert_op
+from tests.utils import compare_jax_and_py
+
+rng = np.random.default_rng(31)
+
+
+class TestOpFromGraph:
+    def test_forward(self):
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
+        e = x * 2 + y
+        op = OpFromGraph([x, y], [e])
+        a = at.vector("a", dtype="float64")
+        b = at.vector("b", dtype="float64")
+        out = op(a, b)
+        av, bv = rng.normal(size=4), rng.normal(size=4)
+        res = compare_jax_and_py([a, b], out, [av, bv])
+        np.testing.assert_allclose(np.asarray(res[0]), av * 2 + bv)
+
+    def test_grad(self):
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
+        op = OpFromGraph([x, y], [at.tanh(x * y).sum()])
+
+        def build(a, b):
+            return op(a, b)
+
+        verify_grad(build, [rng.normal(size=3), rng.normal(size=3)])
+
+    def test_grad_override(self):
+        x = at.scalar("x", dtype="float64")
+
+        def custom_lop(inputs, output_grads):
+            return [output_grads[0] * 7.0]
+
+        op = OpFromGraph([x], [x * 2.0], lop_overrides=custom_lop)
+        a = at.scalar("a", dtype="float64")
+        g = grad(op(a), a)
+        f = function([a], g)
+        assert np.isclose(f(1.0), 7.0)
+
+    def test_shared_capture(self):
+        s = atp.shared(np.float64(3.0), name="s")
+        x = at.scalar("x", dtype="float64")
+        op = OpFromGraph([x], [x * s])
+        a = at.scalar("a", dtype="float64")
+        f = function([a], op(a))
+        assert np.isclose(f(2.0), 6.0)
+
+    def test_multiple_outputs(self):
+        x = at.vector("x", dtype="float64")
+        op = OpFromGraph([x], [x.sum(), x * 2])
+        a = at.vector("a", dtype="float64")
+        s, d = op(a)
+        av = rng.normal(size=3)
+        compare_jax_and_py([a], [s, d], [av])
+
+
+class TestIfElse:
+    def test_forward_both_modes(self):
+        c = at.scalar("c", dtype="bool")
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
+        out = ifelse(c, x * 2, y + 1)
+        xv, yv = rng.normal(size=3), rng.normal(size=3)
+        for mode in ("PY", "JAX"):
+            f = function([c, x, y], out, mode=mode)
+            np.testing.assert_allclose(f(True, xv, yv), xv * 2)
+            np.testing.assert_allclose(f(False, xv, yv), yv + 1)
+
+    def test_multiple_outputs(self):
+        c = at.scalar("c", dtype="bool")
+        x = at.vector("x", dtype="float64")
+        outs = ifelse(c, [x * 2, x + 1], [x - 1, x * 3])
+        f = function([c, x], outs, mode="JAX")
+        xv = rng.normal(size=3)
+        r = f(True, xv)
+        np.testing.assert_allclose(r[0], xv * 2)
+        np.testing.assert_allclose(r[1], xv + 1)
+
+    def test_grad(self):
+        c_val = np.bool_(True)
+
+        def build(x, y):
+            return ifelse(at.constant(c_val), (x ** 2).sum(), (y ** 3).sum())
+
+        verify_grad(build, [rng.normal(size=3), rng.normal(size=3)])
+
+    def test_dtype_upcast(self):
+        c = at.scalar("c", dtype="bool")
+        x = at.vector("x", dtype="float32")
+        y = at.vector("y", dtype="float64")
+        out = ifelse(c, x, y)
+        assert out.type.dtype == "float64"
+
+
+class TestAssert:
+    def test_passes(self):
+        x = at.vector("x", dtype="float64")
+        out = assert_op(x.sum(), at.math.gt(x.shape[0], 0))
+        f = function([x], out, mode="PY")
+        assert np.isclose(f(np.ones(3)), 3.0)
+
+    def test_raises_py(self):
+        x = at.vector("x", dtype="float64")
+        from aesara_tpu.raise_op import Assert
+
+        out = Assert("must be positive")(x.sum(), at.math.all(x > 0))
+        f = function([x], out, mode="PY")
+        with pytest.raises(AssertionError):
+            f(np.array([1.0, -1.0]))
+
+    def test_grad_passthrough(self):
+        def build(x):
+            return assert_op((x ** 2).sum(), at.constant(True))
+
+        verify_grad(build, [rng.normal(size=3)], mode="PY")
