@@ -3,27 +3,63 @@
 Users build symbolic expression graphs with a NumPy-like API
 (``aesara_tpu.tensor``), take symbolic gradients (``grad``/``Lop``/``Rop``),
 and compile graphs to executables with ``aesara_tpu.function``.  Where the
-reference (aesara-devs/aesara) transpiles per-op C run by a host VM, this
-framework lowers whole function graphs to XLA (Pallas kernels for fused
-chains, MXU ``dot_general`` for the BLAS pipeline, ``lax.scan`` for loops)
-and adds a mesh/sharding + collectives layer (``aesara_tpu.parallel``).
+reference (aesara-devs/aesara) transpiles per-op C code run by a host VM,
+this framework lowers whole function graphs to XLA (Pallas kernels for
+fused chains, MXU ``dot_general`` for the BLAS pipeline, ``lax.scan`` for
+loops) and adds a mesh/sharding + collectives layer
+(``aesara_tpu.parallel``).
 """
 
 __version__ = "0.1.0"
 
-from aesara_tpu.config import config, change_flags
+from aesara_tpu.config import change_flags, config
 from aesara_tpu.graph.ir import clone_replace
 
-# Subsystems below import lazily-buildable modules; they are appended to the
-# public namespace as the build progresses (round 1 scaffolding).
-try:
-    from aesara_tpu.compile.function import function
-    from aesara_tpu.compile.sharedvalue import shared
-    from aesara_tpu.compile.io import In, Out
-    from aesara_tpu.compile.mode import Mode
-    from aesara_tpu.gradient import Lop, Rop, grad, hessian, jacobian, verify_grad
-    from aesara_tpu import tensor
-    from aesara_tpu import scalar
-    from aesara_tpu.printing import debugprint as dprint, debugprint
-except ImportError:  # pragma: no cover - during staged bring-up only
-    pass
+from aesara_tpu.compile.function import Function, function, function_dump, pfunc
+from aesara_tpu.compile.sharedvalue import SharedVariable, shared, shared_constructor
+from aesara_tpu.compile.io import In, Out
+from aesara_tpu.compile.mode import FAST_COMPILE, FAST_RUN, JAX, Mode, PY, get_mode
+from aesara_tpu.compile.ops import as_op
+from aesara_tpu.compile.builders import OpFromGraph
+from aesara_tpu.gradient import (
+    Lop,
+    Rop,
+    grad,
+    hessian,
+    jacobian,
+    subgraph_grad,
+    verify_grad,
+)
+from aesara_tpu.printing import Print, debugprint, pp, pprint
+from aesara_tpu.updates import OrderedUpdates
+
+from aesara_tpu import scalar  # noqa: F401
+from aesara_tpu import tensor  # noqa: F401
+from aesara_tpu import tensor as at  # conventional alias
+from aesara_tpu.tensor import rewriting as _tensor_rewriting  # registers packs
+
+from aesara_tpu.scan.basic import scan
+from aesara_tpu.scan.views import foldl, foldr
+from aesara_tpu.scan.views import map as scan_map
+from aesara_tpu.scan.views import reduce as scan_reduce
+from aesara_tpu.scan.checkpoints import scan_checkpoints
+from aesara_tpu.ifelse import ifelse
+from aesara_tpu.raise_op import Assert, assert_op
+
+dprint = debugprint
+
+
+def get_scalar_constant_value(v):
+    """Parity helper: extract the constant value of a scalar graph."""
+    from aesara_tpu.tensor.basic import get_scalar_constant_value as _g
+
+    return _g(v)
+
+
+def __getattr__(name):
+    import importlib
+
+    lazy = {"sparse", "parallel", "typed_list", "d3viz", "misc"}
+    if name in lazy:
+        return importlib.import_module(f"aesara_tpu.{name}")
+    raise AttributeError(f"module 'aesara_tpu' has no attribute {name!r}")

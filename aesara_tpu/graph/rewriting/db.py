@@ -64,13 +64,16 @@ class RewriteDatabase:
             selected &= self.__db__.get(tag, set())
         for tag in q.exclude:
             selected -= self.__db__.get(tag, set())
-        # apply per-rewriter sub-queries
+        # apply per-rewriter sub-queries; the compiled result inherits the
+        # sub-db's registered name so SequenceDB position lookup still works
         remove, add = set(), set()
         for rw in selected:
             if isinstance(rw, RewriteDatabase):
                 remove.add(rw)
                 sub = rw.query(q)
                 if sub is not None:
+                    if getattr(sub, "name", None) is None:
+                        sub.name = rw.name
                     add.add(sub)
         return (selected - remove) | add
 
