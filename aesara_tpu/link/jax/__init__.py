@@ -23,3 +23,4 @@ from aesara_tpu.link.jax import scan_dispatch  # noqa: E402,F401  (registers Sca
 from aesara_tpu.link.jax import random_dispatch  # noqa: E402,F401  (registers RandomVariable)
 from aesara_tpu.link.jax import linalg_dispatch  # noqa: E402,F401  (registers linalg/extra/sort/special/fft)
 from aesara_tpu.link.jax import control_dispatch  # noqa: E402,F401  (registers IfElse/OFG/Assert/Print)
+from aesara_tpu.link.jax import parallel_dispatch  # noqa: E402,F401  (registers collectives)

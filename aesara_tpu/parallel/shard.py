@@ -1,0 +1,260 @@
+"""Sharded compilation: the GSPMD (pjit) and shard_map drivers.
+
+This is the layer the reference never had (SURVEY §2.12): the graph is
+built once, then compiled over a ``Mesh`` with either automatic sharding
+propagation (XLA inserts ICI collectives) or explicit per-shard SPMD
+with the collective ops of ``aesara_tpu.parallel.ops``.
+"""
+
+from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
+from typing import Optional, Sequence
+
+import numpy as np
+
+from aesara_tpu.compile.io import In
+from aesara_tpu.compile.sharedvalue import SharedVariable
+from aesara_tpu.config import config
+from aesara_tpu.graph.fg import FunctionGraph
+from aesara_tpu.graph.features import ReplaceValidate
+from aesara_tpu.graph.ir import Constant, Variable, clone_get_equiv
+
+
+_state = threading.local()
+
+
+def set_mesh(mesh) -> None:
+    _state.mesh = mesh
+
+
+def get_mesh():
+    return getattr(_state, "mesh", None)
+
+
+current_mesh = get_mesh
+
+
+@contextmanager
+def use_mesh(mesh):
+    prev = get_mesh()
+    set_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_mesh(prev)
+
+
+def make_mesh(axis_shapes: dict, devices=None):
+    """Build a Mesh from {'axis': size}; sizes must multiply to the device
+    count (use -1 once for 'the rest')."""
+    import jax
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    names = list(axis_shapes.keys())
+    sizes = list(axis_shapes.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = n // known
+    if int(np.prod(sizes)) != n:
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {n} devices")
+    arr = np.asarray(devices[: int(np.prod(sizes))]).reshape(sizes)
+    return Mesh(arr, axis_names=tuple(names))
+
+
+def _prep_graph(inputs, outputs, updates):
+    """Shared plumbing: expand shareds/updates, clone, rewrite."""
+    from aesara_tpu.compile.function import rebuild_collect_shared
+    from aesara_tpu.compile.mode import FAST_RUN
+
+    out_list = outputs if isinstance(outputs, (list, tuple)) else [outputs]
+    single = not isinstance(outputs, (list, tuple))
+    out_vars, shared_vars, update_pairs, _ = rebuild_collect_shared(
+        list(out_list), updates=updates
+    )
+    explicit = [i.variable if isinstance(i, In) else i for i in inputs]
+    all_inputs = explicit + list(shared_vars)
+    all_outputs = list(out_vars) + [e for _, e in update_pairs]
+    memo = clone_get_equiv(all_inputs, all_outputs)
+    fgraph = FunctionGraph(
+        [memo[v] for v in all_inputs], [memo[v] for v in all_outputs], clone=False
+    )
+    fgraph.attach_feature(ReplaceValidate())
+    FAST_RUN.optimizer.rewrite(fgraph)
+    return fgraph, explicit, shared_vars, update_pairs, out_vars, single
+
+
+class ShardedFunction:
+    """Callable wrapping a sharded jitted program with shared-state
+    update semantics matching ``aesara_tpu.function``."""
+
+    def __init__(self, jitted, mesh, explicit, shared_vars, update_pairs,
+                 n_user_outputs, single, in_shardings):
+        self._jitted = jitted
+        self.mesh = mesh
+        self.explicit = explicit
+        self.shared_vars = shared_vars
+        self.update_pairs = update_pairs
+        self.n_user_outputs = n_user_outputs
+        self.single = single
+        self.in_shardings = in_shardings
+
+    def __call__(self, *args):
+        import jax
+
+        if len(args) != len(self.explicit):
+            raise TypeError(
+                f"expected {len(self.explicit)} inputs, got {len(args)}"
+            )
+        vals = []
+        for spec_var, a in zip(self.explicit, args):
+            vals.append(a)
+        for sv in self.shared_vars:
+            vals.append(sv.container.storage[0])
+        placed = []
+        for v, s in zip(vals, self.in_shardings):
+            if s is not None and not hasattr(v, "sharding"):
+                v = jax.device_put(np.asarray(v), s)
+            placed.append(v)
+        with self.mesh:
+            results = self._jitted(*placed)
+        for ui, (sv, _) in enumerate(self.update_pairs):
+            sv.container.storage[0] = results[self.n_user_outputs + ui]
+        outs = list(results[: self.n_user_outputs])
+        if self.single:
+            return outs[0] if outs else None
+        return outs
+
+
+def pjit_function(
+    inputs: Sequence,
+    outputs,
+    mesh,
+    in_specs: Optional[Sequence] = None,
+    out_specs=None,
+    updates=None,
+    donate_updated: bool = True,
+):
+    """Compile a graph over ``mesh`` with GSPMD sharding propagation.
+
+    ``in_specs``: one PartitionSpec (or None=replicated) per explicit
+    input; shared variables take their spec from
+    ``var.type.sharding`` (set via ``shared(..., sharding=...)``) or
+    replicate.  XLA inserts all collectives (the scaling-book recipe).
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from aesara_tpu.link.jax.linker import fgraph_to_jax
+
+    fgraph, explicit, shared_vars, update_pairs, out_vars, single = _prep_graph(
+        inputs, outputs, updates
+    )
+    fn = fgraph_to_jax(fgraph)
+
+    def to_sharding(spec):
+        if spec is None:
+            return NamedSharding(mesh, PartitionSpec())
+        if isinstance(spec, NamedSharding):
+            return spec
+        if not isinstance(spec, PartitionSpec):
+            spec = PartitionSpec(*spec) if isinstance(spec, (tuple, list)) else PartitionSpec(spec)
+        return NamedSharding(mesh, spec)
+
+    if in_specs is None:
+        in_specs = [getattr(v.type, "sharding", None) for v in explicit]
+    shardings = [to_sharding(s) for s in in_specs]
+    for sv in shared_vars:
+        shardings.append(to_sharding(getattr(sv.type, "sharding", None)))
+
+    donate = ()
+    if donate_updated and update_pairs:
+        n_explicit = len(explicit)
+        donate = tuple(
+            n_explicit + [id(s) for s in shared_vars].index(id(sv))
+            for sv, _ in update_pairs
+        )
+    with mesh:
+        jitted = jax.jit(
+            fn, in_shardings=tuple(shardings), donate_argnums=donate
+        )
+    return ShardedFunction(
+        jitted, mesh, explicit, shared_vars, update_pairs,
+        len(out_vars), single, shardings,
+    )
+
+
+def shard_map_function(
+    inputs: Sequence,
+    outputs,
+    mesh,
+    in_specs: Sequence,
+    out_specs,
+    updates=None,
+    check_vma: bool = False,
+):
+    """Compile a graph as explicit per-shard SPMD via ``jax.shard_map``:
+    the graph body runs once per device with collective ops
+    (``parallel.psum``/...) lowering to lax collectives over the mesh
+    axes."""
+    import jax
+    from jax.sharding import PartitionSpec
+
+    from aesara_tpu.link.jax.linker import fgraph_to_jax
+
+    fgraph, explicit, shared_vars, update_pairs, out_vars, single = _prep_graph(
+        inputs, outputs, updates
+    )
+    fn = fgraph_to_jax(fgraph)
+
+    def norm(spec):
+        if spec is None:
+            return PartitionSpec()
+        if isinstance(spec, PartitionSpec):
+            return spec
+        return PartitionSpec(*spec) if isinstance(spec, (tuple, list)) else PartitionSpec(spec)
+
+    full_in_specs = tuple(norm(s) for s in in_specs) + tuple(
+        norm(getattr(sv.type, "sharding", None)) for sv in shared_vars
+    )
+    if not isinstance(out_specs, (list, tuple)):
+        out_specs = [out_specs]
+    n_outs = len(fgraph.outputs)
+    full_out_specs = tuple(norm(s) for s in out_specs)
+    if len(full_out_specs) < n_outs:
+        # updates default to their shared var's spec
+        full_out_specs = full_out_specs + tuple(
+            norm(getattr(sv.type, "sharding", None)) for sv, _ in update_pairs
+        )
+
+    try:
+        from jax import shard_map as _shard_map
+
+        def make(fn):
+            return _shard_map(
+                fn, mesh=mesh, in_specs=full_in_specs, out_specs=full_out_specs,
+                check_vma=check_vma,
+            )
+    except ImportError:
+        from jax.experimental.shard_map import shard_map as _shard_map
+
+        def make(fn):
+            return _shard_map(
+                fn, mesh=mesh, in_specs=full_in_specs, out_specs=full_out_specs,
+                check_rep=check_vma,
+            )
+
+    sharded = make(fn)
+    with mesh:
+        jitted = jax.jit(sharded)
+    from jax.sharding import NamedSharding
+
+    in_shardings = [NamedSharding(mesh, s) for s in full_in_specs]
+    return ShardedFunction(
+        jitted, mesh, [i.variable if isinstance(i, In) else i for i in inputs],
+        shared_vars, update_pairs, len(out_vars), single, in_shardings,
+    )
