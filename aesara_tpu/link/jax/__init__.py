@@ -24,3 +24,4 @@ from aesara_tpu.link.jax import random_dispatch  # noqa: E402,F401  (registers R
 from aesara_tpu.link.jax import linalg_dispatch  # noqa: E402,F401  (registers linalg/extra/sort/special/fft)
 from aesara_tpu.link.jax import control_dispatch  # noqa: E402,F401  (registers IfElse/OFG/Assert/Print)
 from aesara_tpu.link.jax import parallel_dispatch  # noqa: E402,F401  (registers collectives)
+from aesara_tpu.link.jax import sparse_dispatch  # noqa: E402,F401  (registers sparse/BCOO)

@@ -1,0 +1,746 @@
+"""Sparse ops (reference ``aesara/sparse/basic.py``, 56 op classes; the
+load-bearing subset: CSM/CSMProperties construct/deconstruct, dense↔sparse
+casts, StructuredDot, true Dot, SamplingDot, Usmm, Add/Mul families,
+Transpose, Neg, structured reductions — with SciPy perform oracles and
+structured gradients).
+
+TPU path: ``structured_dot`` lowers to BCOO ``bcoo_dot_general``
+(jax.experimental.sparse) — the segment-sum formulation SURVEY §2.6 calls
+for; sparse VALUES cross the boundary as (data, indices, indptr) dense
+parts (CSM), since XLA has no native CSR buffers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+
+from aesara_tpu.graph.ir import Apply, Constant, Variable
+from aesara_tpu.graph.op import Op
+from aesara_tpu.sparse.type import SparseTensorType
+from aesara_tpu.tensor.basic import as_tensor_variable, cast
+from aesara_tpu.tensor.type import TensorType
+from aesara_tpu.tensor.var import TensorVariable
+from aesara_tpu.scalar.ops import upcast
+
+
+__all__ = [
+    "SparseVariable", "SparseConstant", "as_sparse_variable", "as_sparse_or_tensor_variable",
+    "matrix", "csr_matrix", "csc_matrix", "constant",
+    "CSM", "CSMProperties", "csm_properties", "csm_data", "csm_indices", "csm_indptr",
+    "CSR", "CSC", "SparseFromDense", "DenseFromSparse", "csr_from_dense",
+    "csc_from_dense", "dense_from_sparse",
+    "StructuredDot", "structured_dot", "Dot", "dot", "true_dot",
+    "SamplingDot", "sampling_dot", "Usmm", "usmm",
+    "AddSS", "AddSD", "add", "sub", "MulSS", "MulSD", "mul",
+    "Neg", "neg", "Transpose", "transpose", "SpSum", "sp_sum",
+    "sp_ones_like", "sp_zeros_like", "sparse_shared",
+]
+
+
+class SparseVariable(TensorVariable):
+    def toarray(self):
+        return dense_from_sparse(self)
+
+    @property
+    def format(self):
+        return self.type.format
+
+
+class SparseConstant(SparseVariable, Constant):
+    def signature(self):
+        d = self.data
+        return (self.type, d.shape, d.nnz, d.data.tobytes() if d.nnz < 10000 else d.nnz)
+
+
+SparseTensorType.variable_type = SparseVariable
+SparseTensorType.constant_type = SparseConstant
+
+
+def matrix(format, name=None, dtype=None):
+    from aesara_tpu.config import config
+
+    return SparseTensorType(format, dtype or config.floatX)(name)
+
+
+def csr_matrix(name=None, dtype=None):
+    return matrix("csr", name, dtype)
+
+
+def csc_matrix(name=None, dtype=None):
+    return matrix("csc", name, dtype)
+
+
+def constant(x, name=None):
+    if not sp.issparse(x):
+        raise TypeError("sparse.constant needs a scipy sparse matrix")
+    fmt = x.format if x.format in ("csr", "csc") else "csr"
+    x = x.asformat(fmt)
+    return SparseConstant(
+        SparseTensorType(fmt, x.dtype.name, x.shape), x, name=name
+    )
+
+
+def as_sparse_variable(x, name=None):
+    if isinstance(x, Variable):
+        if not isinstance(x.type, SparseTensorType):
+            raise TypeError(f"{x} is not sparse")
+        return x
+    return constant(x, name)
+
+
+as_sparse = as_sparse_variable
+
+
+def as_sparse_or_tensor_variable(x, name=None):
+    try:
+        return as_sparse_variable(x, name)
+    except TypeError:
+        return as_tensor_variable(x, name)
+
+
+def sparse_shared(value, name=None, format=None, **kwargs):
+    """Shared variable holding a scipy sparse matrix."""
+    from aesara_tpu.compile.sharedvalue import SharedVariable
+
+    fmt = format or value.format
+    stype = SparseTensorType(fmt, value.dtype.name)
+    return SharedVariable(stype, value.asformat(fmt), name=name)
+
+
+# ---------------------------------------------------------------------------
+# construct / deconstruct (reference CSM / CSMProperties)
+# ---------------------------------------------------------------------------
+
+class CSM(Op):
+    """(data, indices, indptr, shape) → sparse matrix."""
+
+    __props__ = ("format",)
+
+    def __init__(self, format: str):
+        self.format = format
+
+    def make_node(self, data, indices, indptr, shape):
+        data = as_tensor_variable(data)
+        indices = cast(as_tensor_variable(indices), "int32")
+        indptr = cast(as_tensor_variable(indptr), "int32")
+        shape = cast(as_tensor_variable(shape), "int32")
+        return Apply(
+            self, [data, indices, indptr, shape],
+            [SparseTensorType(self.format, data.type.dtype)()],
+        )
+
+    def perform(self, node, inputs, output_storage):
+        data, indices, indptr, shape = inputs
+        cls = sp.csr_matrix if self.format == "csr" else sp.csc_matrix
+        output_storage[0][0] = cls(
+            (data, indices.astype(np.int64), indptr.astype(np.int64)),
+            shape=tuple(int(s) for s in shape),
+        )
+
+    def connection_pattern(self, node):
+        return [[True], [False], [False], [False]]
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType
+
+        (gz,) = output_grads
+        return [csm_data(gz), DisconnectedType()(), DisconnectedType()(),
+                DisconnectedType()()]
+
+
+class CSMProperties(Op):
+    """sparse → (data, indices, indptr, shape)."""
+
+    __props__ = ()
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(
+            self, [x],
+            [
+                TensorType(x.type.dtype, (None,))(),
+                TensorType("int32", (None,))(),
+                TensorType("int32", (None,))(),
+                TensorType("int32", (2,))(),
+            ],
+        )
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        output_storage[0][0] = np.asarray(x.data)
+        output_storage[1][0] = np.asarray(x.indices, dtype=np.int32)
+        output_storage[2][0] = np.asarray(x.indptr, dtype=np.int32)
+        output_storage[3][0] = np.asarray(x.shape, dtype=np.int32)
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType
+
+        (x,) = inputs
+        g_data = output_grads[0]
+        # structured gradient: scatter g_data back into x's pattern
+        gx = CSM(x.type.format)(
+            g_data, csm_indices(x), csm_indptr(x), csm_shape_var(x)
+        )
+        return [gx]
+
+
+csm_properties_op = CSMProperties()
+
+
+def csm_properties(x):
+    return csm_properties_op(x)
+
+
+def csm_data(x):
+    return csm_properties(x)[0]
+
+
+def csm_indices(x):
+    return csm_properties(x)[1]
+
+
+def csm_indptr(x):
+    return csm_properties(x)[2]
+
+
+def csm_shape_var(x):
+    return csm_properties(x)[3]
+
+
+CSR = CSM("csr")
+CSC = CSM("csc")
+
+
+# ---------------------------------------------------------------------------
+# dense <-> sparse
+# ---------------------------------------------------------------------------
+
+class SparseFromDense(Op):
+    __props__ = ("format",)
+
+    def __init__(self, format: str):
+        self.format = format
+
+    def make_node(self, x):
+        x = as_tensor_variable(x)
+        if x.type.ndim != 2:
+            raise TypeError("only matrices can become sparse")
+        return Apply(
+            self, [x],
+            [SparseTensorType(self.format, x.type.dtype, x.type.shape)()],
+        )
+
+    def perform(self, node, inputs, output_storage):
+        cls = sp.csr_matrix if self.format == "csr" else sp.csc_matrix
+        output_storage[0][0] = cls(inputs[0])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return input_shapes
+
+    def grad(self, inputs, output_grads):
+        (gz,) = output_grads
+        return [dense_from_sparse(gz)]
+
+
+csr_from_dense = SparseFromDense("csr")
+csc_from_dense = SparseFromDense("csc")
+
+
+class DenseFromSparse(Op):
+    __props__ = ("structured",)
+
+    def __init__(self, structured: bool = True):
+        self.structured = bool(structured)
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(self, [x], [TensorType(x.type.dtype, x.type.shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.asarray(inputs[0].todense(), dtype=inputs[0].dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return input_shapes
+
+    def grad(self, inputs, output_grads):
+        (x,) = inputs
+        (gz,) = output_grads
+        if self.structured:
+            # keep x's sparsity pattern
+            return [sp_structured_like(gz, x)]
+        return [SparseFromDense(x.type.format)(gz)]
+
+
+def dense_from_sparse(x):
+    return DenseFromSparse()(x)
+
+
+class StructuredLike(Op):
+    """Project a dense grad onto a sparse template's pattern."""
+
+    __props__ = ()
+
+    def make_node(self, dense, template):
+        dense = as_tensor_variable(dense)
+        template = as_sparse_variable(template)
+        return Apply(self, [dense, template], [template.type()])
+
+    def perform(self, node, inputs, output_storage):
+        d, t = inputs
+        res = t.copy()
+        if t.format == "csr":
+            rows = np.repeat(np.arange(t.shape[0]), np.diff(t.indptr))
+            cols = t.indices
+        else:
+            cols = np.repeat(np.arange(t.shape[1]), np.diff(t.indptr))
+            rows = t.indices
+        res.data = np.asarray(d[rows, cols]).ravel().astype(t.dtype)
+        output_storage[0][0] = res
+
+    def connection_pattern(self, node):
+        return [[True], [False]]
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType
+
+        (gz,) = output_grads
+        return [dense_from_sparse(gz), DisconnectedType()()]
+
+
+def sp_structured_like(dense, template):
+    return StructuredLike()(dense, template)
+
+
+# ---------------------------------------------------------------------------
+# products
+# ---------------------------------------------------------------------------
+
+class StructuredDot(Op):
+    """sparse @ dense with STRUCTURED gradient wrt the sparse operand
+    (gradient restricted to the existing sparsity pattern — reference
+    ``sparse/basic.py`` StructuredDot)."""
+
+    __props__ = ()
+
+    def make_node(self, a, b):
+        a = as_sparse_variable(a)
+        b = as_tensor_variable(b)
+        if b.type.ndim not in (1, 2):
+            raise TypeError("structured_dot rhs must be vector/matrix")
+        dtype = upcast(a.type.dtype, b.type.dtype)
+        out_shape = (a.type.shape[0],) + (
+            (b.type.shape[1],) if b.type.ndim == 2 else ()
+        )
+        return Apply(self, [a, b], [TensorType(dtype, out_shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        res = a @ b
+        output_storage[0][0] = np.asarray(res, dtype=node.outputs[0].type.dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        a_s, b_s = input_shapes
+        if node.inputs[1].type.ndim == 2:
+            return [(a_s[0], b_s[1])]
+        return [(a_s[0],)]
+
+    def grad(self, inputs, output_grads):
+        a, b = inputs
+        (gz,) = output_grads
+        ga = StructuredDotGradA()(gz, b, a)
+        gb = structured_dot(transpose(a), gz)
+        return [ga, gb]
+
+
+class StructuredDotGradA(Op):
+    """gA (structured): (gz @ bᵀ) projected on a's pattern."""
+
+    __props__ = ()
+
+    def make_node(self, gz, b, a):
+        return Apply(self, [gz, b, a], [a.type()])
+
+    def perform(self, node, inputs, output_storage):
+        gz, b, a = inputs
+        gz2 = np.atleast_2d(np.asarray(gz))
+        b2 = np.atleast_2d(np.asarray(b))
+        if np.asarray(b).ndim == 1:
+            dense_ga = np.outer(np.asarray(gz), np.asarray(b))
+        else:
+            dense_ga = gz2 @ b2.T
+        res = a.copy().astype(node.outputs[0].type.dtype)
+        if a.format == "csr":
+            rows = np.repeat(np.arange(a.shape[0]), np.diff(a.indptr))
+            cols = a.indices
+        else:
+            cols = np.repeat(np.arange(a.shape[1]), np.diff(a.indptr))
+            rows = a.indices
+        res.data = dense_ga[rows, cols].astype(res.dtype)
+        output_storage[0][0] = res
+
+    def connection_pattern(self, node):
+        return [[True], [True], [False]]
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import grad_not_implemented
+
+        return [grad_not_implemented(self, i, v) for i, v in enumerate(inputs)]
+
+
+_structured_dot = StructuredDot()
+
+
+def structured_dot(a, b):
+    if isinstance(getattr(a, "type", None), SparseTensorType):
+        return _structured_dot(a, b)
+    if isinstance(getattr(b, "type", None), SparseTensorType):
+        # dense @ sparse = (sparseᵀ @ denseᵀ)ᵀ
+        res = _structured_dot(transpose(b), as_tensor_variable(a).T)
+        return res.T
+    raise TypeError("structured_dot needs a sparse operand")
+
+
+class Dot(Op):
+    """true dot returning DENSE output with full (unstructured) grads."""
+
+    __props__ = ()
+
+    def make_node(self, a, b):
+        a = as_sparse_or_tensor_variable(a)
+        b = as_sparse_or_tensor_variable(b)
+        dtype = upcast(a.type.dtype, b.type.dtype)
+        b_ncols = b.type.shape[1] if b.type.ndim == 2 else None
+        out_shape = (a.type.shape[0], b_ncols) if b.type.ndim == 2 else (a.type.shape[0],)
+        return Apply(self, [a, b], [TensorType(dtype, out_shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        res = a @ b
+        if sp.issparse(res):
+            res = np.asarray(res.todense())
+        output_storage[0][0] = np.asarray(res, dtype=node.outputs[0].type.dtype)
+
+    def grad(self, inputs, output_grads):
+        a, b = inputs
+        (gz,) = output_grads
+        rval = []
+        for wrt, other, left in ((a, b, True), (b, a, False)):
+            if isinstance(wrt.type, SparseTensorType):
+                if left:
+                    rval.append(StructuredDotGradA()(gz, dense_from_sparse(other) if isinstance(other.type, SparseTensorType) else other, wrt))
+                else:
+                    from aesara_tpu.gradient import grad_not_implemented
+
+                    rval.append(grad_not_implemented(self, 1, wrt))
+            else:
+                import aesara_tpu.tensor.math as tm
+
+                if left:
+                    other_d = dense_from_sparse(other) if isinstance(other.type, SparseTensorType) else other
+                    rval.append(tm.dot(gz, other_d.T))
+                else:
+                    other_d = dense_from_sparse(other) if isinstance(other.type, SparseTensorType) else other
+                    rval.append(tm.dot(other_d.T, gz))
+        return rval
+
+
+_true_dot = Dot()
+
+
+def dot(a, b):
+    return _true_dot(a, b)
+
+
+true_dot = dot
+
+
+class SamplingDot(Op):
+    """(x @ yᵀ) sampled at p's sparsity pattern (reference SamplingDot)."""
+
+    __props__ = ()
+
+    def make_node(self, x, y, p):
+        x = as_tensor_variable(x)
+        y = as_tensor_variable(y)
+        p = as_sparse_variable(p)
+        return Apply(self, [x, y, p], [p.type()])
+
+    def perform(self, node, inputs, output_storage):
+        x, y, p = inputs
+        dense = x @ y.T
+        res = p.copy().astype(node.outputs[0].type.dtype)
+        if p.format == "csr":
+            rows = np.repeat(np.arange(p.shape[0]), np.diff(p.indptr))
+            cols = p.indices
+        else:
+            cols = np.repeat(np.arange(p.shape[1]), np.diff(p.indptr))
+            rows = p.indices
+        res.data = (dense[rows, cols] * p.data).astype(res.dtype)
+        output_storage[0][0] = res
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import grad_not_implemented
+
+        x, y, p = inputs
+        (gz,) = output_grads
+        gx = dot(gz, y)
+        gy = dot(transpose(gz), x)
+        return [gx, gy, grad_not_implemented(self, 2, p)]
+
+
+def sampling_dot(x, y, p):
+    return SamplingDot()(x, y, p)
+
+
+class Usmm(Op):
+    """alpha * x @ y + z (reference Usmm) — the sparse gemm."""
+
+    __props__ = ()
+
+    def make_node(self, alpha, x, y, z):
+        alpha = as_tensor_variable(alpha)
+        x = as_sparse_or_tensor_variable(x)
+        y = as_sparse_or_tensor_variable(y)
+        z = as_tensor_variable(z)
+        dtype = upcast(alpha.type.dtype, x.type.dtype, y.type.dtype, z.type.dtype)
+        return Apply(self, [alpha, x, y, z], [TensorType(dtype, z.type.shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        alpha, x, y, z = inputs
+        res = alpha * (x @ y) + z
+        if sp.issparse(res):
+            res = np.asarray(res.todense())
+        output_storage[0][0] = np.asarray(res, dtype=node.outputs[0].type.dtype)
+
+
+def usmm(alpha, x, y, z):
+    return Usmm()(alpha, x, y, z)
+
+
+# ---------------------------------------------------------------------------
+# elementwise-ish sparse algebra
+# ---------------------------------------------------------------------------
+
+class _BinarySS(Op):
+    """base: sparse op sparse → sparse"""
+
+    __props__ = ()
+    _fn = None
+
+    def make_node(self, a, b):
+        a = as_sparse_variable(a)
+        b = as_sparse_variable(b)
+        dtype = upcast(a.type.dtype, b.type.dtype)
+        return Apply(self, [a, b], [SparseTensorType(a.type.format, dtype)()])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+
+class AddSS(_BinarySS):
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        output_storage[0][0] = (a + b).asformat(node.outputs[0].type.format).astype(
+            node.outputs[0].type.dtype
+        )
+
+    def grad(self, inputs, output_grads):
+        (gz,) = output_grads
+        return [gz, gz]
+
+
+class MulSS(_BinarySS):
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        output_storage[0][0] = a.multiply(b).asformat(
+            node.outputs[0].type.format
+        ).astype(node.outputs[0].type.dtype)
+
+    def grad(self, inputs, output_grads):
+        a, b = inputs
+        (gz,) = output_grads
+        return [MulSS()(gz, b), MulSS()(gz, a)]
+
+
+class AddSD(Op):
+    """sparse + dense → dense"""
+
+    __props__ = ()
+
+    def make_node(self, a, b):
+        a = as_sparse_variable(a)
+        b = as_tensor_variable(b)
+        dtype = upcast(a.type.dtype, b.type.dtype)
+        return Apply(self, [a, b], [TensorType(dtype, b.type.shape)()])
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        output_storage[0][0] = np.asarray(a + b, dtype=node.outputs[0].type.dtype)
+
+    def grad(self, inputs, output_grads):
+        (a, b) = inputs
+        (gz,) = output_grads
+        return [sp_structured_like(gz, a), gz]
+
+
+class MulSD(Op):
+    """sparse * dense (elementwise) → sparse"""
+
+    __props__ = ()
+
+    def make_node(self, a, b):
+        a = as_sparse_variable(a)
+        b = as_tensor_variable(b)
+        dtype = upcast(a.type.dtype, b.type.dtype)
+        return Apply(self, [a, b], [SparseTensorType(a.type.format, dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        output_storage[0][0] = a.multiply(b).asformat(
+            node.outputs[0].type.format
+        ).astype(node.outputs[0].type.dtype)
+
+    def grad(self, inputs, output_grads):
+        a, b = inputs
+        (gz,) = output_grads
+        return [MulSD()(gz, b), dense_from_sparse(MulSS()(gz, a))]
+
+
+def add(a, b):
+    a_sparse = isinstance(getattr(a, "type", None), SparseTensorType)
+    b_sparse = isinstance(getattr(b, "type", None), SparseTensorType)
+    if a_sparse and b_sparse:
+        return AddSS()(a, b)
+    if a_sparse:
+        return AddSD()(a, b)
+    if b_sparse:
+        return AddSD()(b, a)
+    raise TypeError("sparse.add needs a sparse operand")
+
+
+def sub(a, b):
+    return add(a, neg(b) if isinstance(getattr(b, "type", None), SparseTensorType) else -b)
+
+
+def mul(a, b):
+    a_sparse = isinstance(getattr(a, "type", None), SparseTensorType)
+    b_sparse = isinstance(getattr(b, "type", None), SparseTensorType)
+    if a_sparse and b_sparse:
+        return MulSS()(a, b)
+    if a_sparse:
+        return MulSD()(a, b)
+    if b_sparse:
+        return MulSD()(b, a)
+    raise TypeError("sparse.mul needs a sparse operand")
+
+
+class Neg(Op):
+    __props__ = ()
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(self, [x], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = -inputs[0]
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return input_shapes
+
+    def grad(self, inputs, output_grads):
+        return [Neg()(output_grads[0])]
+
+
+def neg(x):
+    return Neg()(x)
+
+
+class Transpose(Op):
+    __props__ = ()
+
+    fmt_swap = {"csr": "csc", "csc": "csr"}
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(
+            self, [x],
+            [SparseTensorType(
+                self.fmt_swap[x.type.format], x.type.dtype,
+                (x.type.shape[1], x.type.shape[0]),
+            )()],
+        )
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = inputs[0].transpose()
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        (xs,) = input_shapes
+        return [(xs[1], xs[0])]
+
+    def grad(self, inputs, output_grads):
+        return [Transpose()(output_grads[0])]
+
+
+def transpose(x):
+    return Transpose()(x)
+
+
+class SpSum(Op):
+    __props__ = ("axis", "structured")
+
+    def __init__(self, axis=None, sparse_grad=True):
+        self.axis = axis
+        self.structured = bool(sparse_grad)
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        if self.axis is None:
+            out = TensorType(x.type.dtype, ())()
+        else:
+            n = x.type.shape[1 - (self.axis % 2)]
+            out = TensorType(x.type.dtype, (n,))()
+        return Apply(self, [x], [out])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        if self.axis is None:
+            output_storage[0][0] = np.asarray(x.sum(), dtype=x.dtype)
+        else:
+            output_storage[0][0] = np.asarray(x.sum(self.axis)).ravel().astype(x.dtype)
+
+    def grad(self, inputs, output_grads):
+        (x,) = inputs
+        (gz,) = output_grads
+        if self.axis is None:
+            from aesara_tpu.tensor.basic import fill as tfill
+
+            g_dense = gz  # scalar broadcasts
+            return [sp_structured_like(
+                tfill(dense_from_sparse(x), gz), x
+            )]
+        from aesara_tpu.tensor.shape import shape_padleft, shape_padright
+
+        if self.axis == 0:
+            g_dense = shape_padleft(gz, 1) + dense_from_sparse(x) * 0
+        else:
+            g_dense = shape_padright(gz, 1) + dense_from_sparse(x) * 0
+        return [sp_structured_like(g_dense, x)]
+
+
+def sp_sum(x, axis=None, sparse_grad=True):
+    return SpSum(axis, sparse_grad)(x)
+
+
+def sp_ones_like(x):
+    data, indices, indptr, shape = csm_properties(x)
+    from aesara_tpu.tensor.basic import ones_like as t_ones_like
+
+    return CSM(x.type.format)(t_ones_like(data), indices, indptr, shape)
+
+
+def sp_zeros_like(x):
+    data, indices, indptr, shape = csm_properties(x)
+    from aesara_tpu.tensor.basic import zeros_like as t_zeros_like
+
+    return CSM(x.type.format)(t_zeros_like(data), indices, indptr, shape)
