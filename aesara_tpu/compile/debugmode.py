@@ -1,0 +1,144 @@
+"""DebugMode: the self-checking meta-backend.
+
+Re-design of the reference's ``aesara/compile/debugmode.py:2148``
+(2,300 LoC): where the reference re-runs every node with both ``perform``
+and ``c_code`` and compares (``BadThunkOutput``), the TPU analogue runs
+every node with both the NumPy oracle (``perform``) and its XLA lowering
+(eagerly, unjitted) and compares with ``values_eq_approx`` —
+the per-node py-vs-device differential runner of SURVEY §5.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from aesara_tpu.compile.mode import Mode, OPT_FAST_COMPILE, OPT_NONE
+from aesara_tpu.config import config
+from aesara_tpu.link.basic import Container, LocalLinker, map_storage, raise_with_op
+
+
+__all__ = ["DebugMode", "DebugModeError", "BadThunkOutput", "InvalidValueError",
+           "DebugLinker"]
+
+
+class DebugModeError(Exception):
+    pass
+
+
+class BadThunkOutput(DebugModeError):
+    """py (`perform`) and XLA lowering disagree on a node's output
+    (reference ``debugmode.py`` BadThunkOutput)."""
+
+    def __init__(self, node, output_idx, py_val, jax_val):
+        self.node = node
+        self.output_idx = output_idx
+        self.py_val = py_val
+        self.jax_val = jax_val
+        super().__init__(
+            f"BadThunkOutput: node {node} output {output_idx}: NumPy oracle "
+            f"and XLA lowering disagree.\n  py : {_brief(py_val)}\n"
+            f"  xla: {_brief(jax_val)}"
+        )
+
+
+class InvalidValueError(DebugModeError):
+    """A node produced a value its output Type rejects."""
+
+
+def _brief(v):
+    a = np.asarray(v)
+    return f"shape={a.shape} dtype={a.dtype} values={np.array2string(a, threshold=8)}"
+
+
+class DebugLinker(LocalLinker):
+    """Runs each node through perform AND the jax lowering, validates
+    output types, compares results."""
+
+    def __init__(self, check_finite: bool = False):
+        super().__init__(allow_gc=False)
+        self.check_finite = check_finite
+
+    def make_all(self, input_storage=None, output_storage=None, storage_map=None):
+        from aesara_tpu.link.jax.dispatch import jax_funcify
+
+        fgraph = self.fgraph
+        order = fgraph.toposort()
+        input_storage, output_storage, storage_map = map_storage(
+            fgraph, order, input_storage, output_storage, storage_map
+        )
+        compute_map = {v: [False] for v in storage_map}
+
+        thunks = []
+        for node in order:
+            py_thunk = node.op.make_py_thunk(node, storage_map, compute_map, [])
+            try:
+                jax_fn = jax_funcify(node.op, node=node)
+            except NotImplementedError:
+                jax_fn = None
+            thunks.append((node, py_thunk, jax_fn))
+
+        input_containers = [
+            Container(v.type, s, name=v.name)
+            for v, s in zip(fgraph.inputs, input_storage)
+        ]
+        output_containers = [
+            Container(v.type, s, name=v.name)
+            for v, s in zip(fgraph.outputs, output_storage)
+        ]
+
+        check_finite = self.check_finite
+
+        def run():
+            for node, py_thunk, jax_fn in thunks:
+                ins = [storage_map[i][0] for i in node.inputs]
+                try:
+                    py_thunk()
+                except Exception:
+                    raise_with_op(fgraph, node, py_thunk)
+                for i, out in enumerate(node.outputs):
+                    val = storage_map[out][0]
+                    # type admission check
+                    try:
+                        out.type.filter(val, strict=False)
+                    except Exception as e:
+                        raise InvalidValueError(
+                            f"node {node} output {i} value rejected by "
+                            f"{out.type}: {e}"
+                        )
+                    if check_finite and np.issubdtype(
+                        np.asarray(val).dtype, np.floating
+                    ):
+                        if not np.all(np.isfinite(np.asarray(val))):
+                            raise InvalidValueError(
+                                f"node {node} output {i} has non-finite values"
+                            )
+                if jax_fn is not None:
+                    try:
+                        jax_vals = jax_fn(*ins)
+                    except NotImplementedError:
+                        continue
+                    except Exception:
+                        continue  # lowering-only failure paths (e.g. traced sizes)
+                    if not isinstance(jax_vals, (tuple, list)):
+                        jax_vals = (jax_vals,)
+                    for i, (out, jv) in enumerate(zip(node.outputs, jax_vals)):
+                        pv = storage_map[out][0]
+                        eq = getattr(out.type, "values_eq_approx", out.type.values_eq)
+                        try:
+                            jv_host = np.asarray(jv)
+                            ok = eq(np.asarray(pv), jv_host.astype(np.asarray(pv).dtype))
+                        except Exception:
+                            continue
+                        if not ok:
+                            raise BadThunkOutput(node, i, pv, jv)
+
+        return run, input_containers, output_containers, thunks, order
+
+
+class DebugMode(Mode):
+    """(reference ``debugmode.py:2148``)"""
+
+    def __init__(self, optimizer="fast_run", check_finite=False):
+        super().__init__(DebugLinker(check_finite=check_finite), optimizer)

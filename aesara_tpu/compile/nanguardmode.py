@@ -1,0 +1,105 @@
+"""NanGuardMode: per-node nan/inf/huge-value detection
+(reference ``aesara/compile/nanguardmode.py:140``)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aesara_tpu.compile.mode import Mode, OPT_FAST_COMPILE
+from aesara_tpu.config import config
+from aesara_tpu.link.basic import Container, LocalLinker, map_storage, raise_with_op
+
+
+__all__ = ["NanGuardMode", "NanGuardError", "flatten_values"]
+
+
+class NanGuardError(AssertionError):
+    pass
+
+
+def _contains_bad(arr, nan_is_error, inf_is_error, big_is_error):
+    a = np.asarray(arr)
+    if not np.issubdtype(a.dtype, np.floating) and not np.issubdtype(a.dtype, np.complexfloating):
+        return None
+    if nan_is_error and np.isnan(a).any():
+        return "NaN"
+    if inf_is_error and np.isinf(a).any():
+        return "Inf"
+    if big_is_error and a.size:
+        finite = a[np.isfinite(a)]
+        if finite.size and np.max(np.abs(finite)) > 1e10:
+            return "big value (>1e10)"
+    return None
+
+
+class NanGuardLinker(LocalLinker):
+    def __init__(self, nan_is_error, inf_is_error, big_is_error):
+        super().__init__(allow_gc=False)
+        self.nan_is_error = nan_is_error
+        self.inf_is_error = inf_is_error
+        self.big_is_error = big_is_error
+
+    def make_all(self, input_storage=None, output_storage=None, storage_map=None):
+        fgraph = self.fgraph
+        order = fgraph.toposort()
+        input_storage, output_storage, storage_map = map_storage(
+            fgraph, order, input_storage, output_storage, storage_map
+        )
+        compute_map = {v: [False] for v in storage_map}
+        thunks = [
+            (node, node.op.make_py_thunk(node, storage_map, compute_map, []))
+            for node in order
+        ]
+        input_containers = [
+            Container(v.type, s, name=v.name)
+            for v, s in zip(fgraph.inputs, input_storage)
+        ]
+        output_containers = [
+            Container(v.type, s, name=v.name)
+            for v, s in zip(fgraph.outputs, output_storage)
+        ]
+        args = (self.nan_is_error, self.inf_is_error, self.big_is_error)
+
+        def check(node, role, var, val):
+            if val is None:
+                return
+            bad = _contains_bad(val, *args)
+            if bad:
+                raise NanGuardError(
+                    f"NanGuardMode found {bad} in {role} of node {node}\n"
+                    f"variable: {var}\nvalue: {np.asarray(val)!r}"
+                )
+
+        def run():
+            for node, thunk in thunks:
+                for var in node.inputs:
+                    check(node, "an input", var, storage_map[var][0])
+                try:
+                    thunk()
+                except Exception:
+                    raise_with_op(fgraph, node, thunk)
+                for var in node.outputs:
+                    check(node, "an output", var, storage_map[var][0])
+
+        return run, input_containers, output_containers, thunks, order
+
+
+class NanGuardMode(Mode):
+    """(reference ``nanguardmode.py:140``)"""
+
+    def __init__(self, nan_is_error=None, inf_is_error=None, big_is_error=None,
+                 optimizer="fast_run"):
+        if nan_is_error is None:
+            nan_is_error = config.nan_is_error
+        if inf_is_error is None:
+            inf_is_error = config.inf_is_error
+        if big_is_error is None:
+            big_is_error = config.big_is_error
+        super().__init__(
+            NanGuardLinker(nan_is_error, inf_is_error, big_is_error), optimizer
+        )
+
+
+def flatten_values(x):
+    """Parity helper from the reference."""
+    return np.asarray(x).ravel()

@@ -1,0 +1,156 @@
+"""ProfileStats: compile-time and runtime accounting
+(reference ``aesara/compile/profiling.py:185``).
+
+py path: per-Apply wall times and call counts (the reference's
+``time_thunks`` VM accounting).  XLA path: whole-program wall time plus
+the compiler's own cost model (FLOPs / bytes accessed from
+``compiled.cost_analysis()``) — per-node host timing is meaningless when
+the graph runs as one fused device program.
+"""
+
+from __future__ import annotations
+
+import atexit
+import sys
+import time
+from collections import defaultdict
+from typing import Optional
+
+import numpy as np
+
+from aesara_tpu.compile.mode import Mode
+from aesara_tpu.link.basic import Container, LocalLinker, map_storage, raise_with_op
+
+
+__all__ = ["ProfileStats", "ProfileMode", "profile_printer"]
+
+_all_profiles = []
+
+
+class ProfileStats:
+    def __init__(self, name=None, atexit_print=True):
+        self.name = name
+        self.fct_callcount = 0
+        self.fct_call_time = 0.0
+        self.compile_time = 0.0
+        self.rewrite_time = 0.0
+        self.linker_time = 0.0
+        self.apply_time = defaultdict(float)   # node -> seconds
+        self.apply_callcount = defaultdict(int)
+        self.variable_shape = {}
+        self.xla_cost = None  # dict from compiled.cost_analysis()
+        if atexit_print:
+            _all_profiles.append(self)
+
+    # --- aggregation ----------------------------------------------------------
+    def op_time(self):
+        agg = defaultdict(float)
+        for node, t in self.apply_time.items():
+            agg[str(node.op)] += t
+        return agg
+
+    def class_time(self):
+        agg = defaultdict(float)
+        for node, t in self.apply_time.items():
+            agg[type(node.op).__name__] += t
+        return agg
+
+    def summary(self, file=None, n_ops_to_print: int = 20):
+        file = file or sys.stdout
+        print(f"== ProfileStats {self.name or ''} ==", file=file)
+        print(f"  function calls : {self.fct_callcount}", file=file)
+        print(f"  total call time: {self.fct_call_time:.6f}s", file=file)
+        print(f"  compile time   : {self.compile_time:.6f}s "
+              f"(rewrites {self.rewrite_time:.6f}s)", file=file)
+        if self.apply_time:
+            print("  per-op time:", file=file)
+            total = sum(self.apply_time.values()) or 1.0
+            rows = sorted(self.op_time().items(), key=lambda kv: -kv[1])
+            for opname, t in rows[:n_ops_to_print]:
+                print(f"    {t:10.6f}s {100 * t / total:5.1f}%  {opname}",
+                      file=file)
+        if self.xla_cost:
+            print("  XLA cost analysis:", file=file)
+            for k in ("flops", "bytes accessed", "transcendentals"):
+                if k in self.xla_cost:
+                    print(f"    {k}: {self.xla_cost[k]:.3e}", file=file)
+
+    summary_ops = summary
+
+
+def profile_printer(*args, **kwargs):  # atexit hook (reference _atexit_print_fn)
+    for p in _all_profiles:
+        if p.fct_callcount:
+            p.summary()
+
+
+atexit.register(profile_printer)
+
+
+class ProfileLinker(LocalLinker):
+    """py linker with per-thunk timing into a ProfileStats."""
+
+    def __init__(self, stats: ProfileStats):
+        super().__init__(allow_gc=False)
+        self.stats = stats
+
+    def make_all(self, input_storage=None, output_storage=None, storage_map=None):
+        fgraph = self.fgraph
+        order = fgraph.toposort()
+        input_storage, output_storage, storage_map = map_storage(
+            fgraph, order, input_storage, output_storage, storage_map
+        )
+        compute_map = {v: [False] for v in storage_map}
+        thunks = [
+            (node, node.op.make_py_thunk(node, storage_map, compute_map, []))
+            for node in order
+        ]
+        input_containers = [
+            Container(v.type, s, name=v.name)
+            for v, s in zip(fgraph.inputs, input_storage)
+        ]
+        output_containers = [
+            Container(v.type, s, name=v.name)
+            for v, s in zip(fgraph.outputs, output_storage)
+        ]
+        stats = self.stats
+
+        def run():
+            t_fn = time.perf_counter()
+            for node, thunk in thunks:
+                t0 = time.perf_counter()
+                try:
+                    thunk()
+                except Exception:
+                    raise_with_op(fgraph, node, thunk)
+                stats.apply_time[node] += time.perf_counter() - t0
+                stats.apply_callcount[node] += 1
+            stats.fct_call_time += time.perf_counter() - t_fn
+            stats.fct_callcount += 1
+
+        return run, input_containers, output_containers, thunks, order
+
+
+class ProfileMode(Mode):
+    """Mode collecting ProfileStats through the py linker (per-node) —
+    use ``xla_cost_analysis`` below for device-side cost accounting."""
+
+    def __init__(self, optimizer="fast_run", stats: Optional[ProfileStats] = None):
+        self.profile_stats = stats or ProfileStats()
+        super().__init__(ProfileLinker(self.profile_stats), optimizer)
+
+
+def xla_cost_analysis(fn) -> dict:
+    """FLOPs/bytes estimates from XLA for a compiled Function on the jax
+    path (the device-side replacement for per-node host timing)."""
+    thunk = fn.fn
+    jit_fn = getattr(thunk, "jit_fn", None)
+    if jit_fn is None:
+        raise TypeError("xla_cost_analysis needs a jax-linker Function")
+    args = [cell[0] for cell in fn.input_storage]
+    lowered = jit_fn.lower(*args)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0] if cost else {}
+    return dict(cost)
