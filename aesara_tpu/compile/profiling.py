@@ -79,6 +79,10 @@ class ProfileStats:
 
 
 def profile_printer(*args, **kwargs):  # atexit hook (reference _atexit_print_fn)
+    from aesara_tpu.config import config
+
+    if not config.profile:
+        return
     for p in _all_profiles:
         if p.fct_callcount:
             p.summary()

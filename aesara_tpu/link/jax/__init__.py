@@ -25,3 +25,4 @@ from aesara_tpu.link.jax import linalg_dispatch  # noqa: E402,F401  (registers l
 from aesara_tpu.link.jax import control_dispatch  # noqa: E402,F401  (registers IfElse/OFG/Assert/Print)
 from aesara_tpu.link.jax import parallel_dispatch  # noqa: E402,F401  (registers collectives)
 from aesara_tpu.link.jax import sparse_dispatch  # noqa: E402,F401  (registers sparse/BCOO)
+from aesara_tpu.link.jax import nnet_dispatch  # noqa: E402,F401  (registers conv/pool)

@@ -1,0 +1,26 @@
+"""Typed variable-length lists (reference ``aesara/typed_list/``:
+type.py:147, basic.py:69-645).  Host-side containers: list ops run on the
+py path (XLA has no ragged buffers; use static-shape stacking for device
+code)."""
+
+from aesara_tpu.typed_list.type import TypedListType
+from aesara_tpu.typed_list.basic import (
+    Append,
+    Count,
+    Extend,
+    GetItem,
+    Insert,
+    Length,
+    MakeList,
+    Remove,
+    Reverse,
+    append,
+    count,
+    extend,
+    getitem,
+    insert,
+    length,
+    make_list,
+    remove,
+    reverse,
+)

@@ -1,0 +1,204 @@
+"""Typed-list ops (reference ``aesara/typed_list/basic.py:69-645``)."""
+
+from __future__ import annotations
+
+import copy
+
+import numpy as np
+
+from aesara_tpu.graph.ir import Apply, Constant, Variable
+from aesara_tpu.graph.op import Op
+from aesara_tpu.tensor.type import TensorType
+from aesara_tpu.typed_list.type import TypedListType
+
+
+def _as_list_variable(x):
+    if isinstance(x, Variable):
+        if not isinstance(x.type, TypedListType):
+            raise TypeError(f"{x} is not a typed list")
+        return x
+    raise TypeError("expected a TypedList variable")
+
+
+class GetItem(Op):
+    __props__ = ()
+    view_map = {0: [0]}
+
+    def make_node(self, x, index):
+        x = _as_list_variable(x)
+        from aesara_tpu.tensor.basic import as_tensor_variable, cast
+
+        if isinstance(index, slice):
+            return Apply(self, [x], [x.type()])  # static full slice only
+        index = cast(as_tensor_variable(index), "int64")
+        return Apply(self, [x, index], [x.type.ttype()])
+
+    def perform(self, node, inputs, output_storage):
+        if len(inputs) == 1:
+            output_storage[0][0] = list(inputs[0])
+        else:
+            output_storage[0][0] = inputs[0][int(inputs[1])]
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import grad_not_implemented
+
+        return [grad_not_implemented(self, i, v) for i, v in enumerate(inputs)]
+
+
+def getitem(x, index):
+    return GetItem()(x, index)
+
+
+class Append(Op):
+    __props__ = ()
+
+    def make_node(self, x, elem):
+        x = _as_list_variable(x)
+        elem = x.type.ttype.filter_variable(elem, allow_convert=True)
+        return Apply(self, [x, elem], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        lst, e = inputs
+        output_storage[0][0] = list(lst) + [e]
+
+
+def append(x, elem):
+    return Append()(x, elem)
+
+
+class Extend(Op):
+    __props__ = ()
+
+    def make_node(self, x, other):
+        x = _as_list_variable(x)
+        other = _as_list_variable(other)
+        if x.type != other.type:
+            raise TypeError("extend needs lists of the same type")
+        return Apply(self, [x, other], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        output_storage[0][0] = list(a) + list(b)
+
+
+def extend(x, other):
+    return Extend()(x, other)
+
+
+class Insert(Op):
+    __props__ = ()
+
+    def make_node(self, x, index, elem):
+        x = _as_list_variable(x)
+        from aesara_tpu.tensor.basic import as_tensor_variable, cast
+
+        index = cast(as_tensor_variable(index), "int64")
+        elem = x.type.ttype.filter_variable(elem, allow_convert=True)
+        return Apply(self, [x, index, elem], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        lst, idx, e = inputs
+        res = list(lst)
+        res.insert(int(idx), e)
+        output_storage[0][0] = res
+
+
+def insert(x, index, elem):
+    return Insert()(x, index, elem)
+
+
+class Remove(Op):
+    __props__ = ()
+
+    def make_node(self, x, elem):
+        x = _as_list_variable(x)
+        elem = x.type.ttype.filter_variable(elem, allow_convert=True)
+        return Apply(self, [x, elem], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        lst, e = inputs
+        res = list(lst)
+        for i, v in enumerate(res):
+            if np.array_equal(np.asarray(v), np.asarray(e)):
+                del res[i]
+                break
+        else:
+            raise ValueError("value not in list")
+        output_storage[0][0] = res
+
+
+def remove(x, elem):
+    return Remove()(x, elem)
+
+
+class Reverse(Op):
+    __props__ = ()
+
+    def make_node(self, x):
+        x = _as_list_variable(x)
+        return Apply(self, [x], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = list(reversed(inputs[0]))
+
+
+def reverse(x):
+    return Reverse()(x)
+
+
+class Length(Op):
+    __props__ = ()
+
+    def make_node(self, x):
+        x = _as_list_variable(x)
+        return Apply(self, [x], [TensorType("int64", ())()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.int64(len(inputs[0]))
+
+
+def length(x):
+    return Length()(x)
+
+
+class Count(Op):
+    __props__ = ()
+
+    def make_node(self, x, elem):
+        x = _as_list_variable(x)
+        elem = x.type.ttype.filter_variable(elem, allow_convert=True)
+        return Apply(self, [x, elem], [TensorType("int64", ())()])
+
+    def perform(self, node, inputs, output_storage):
+        lst, e = inputs
+        output_storage[0][0] = np.int64(
+            sum(1 for v in lst if np.array_equal(np.asarray(v), np.asarray(e)))
+        )
+
+
+def count(x, elem):
+    return Count()(x, elem)
+
+
+class MakeList(Op):
+    __props__ = ()
+
+    def make_node(self, *elems):
+        if not elems:
+            raise ValueError("make_list needs at least one element")
+        from aesara_tpu.tensor.basic import as_tensor_variable
+
+        elems = [as_tensor_variable(e) if not isinstance(e, Variable) else e
+                 for e in elems]
+        t0 = elems[0].type
+        for e in elems[1:]:
+            if e.type != t0:
+                raise TypeError("make_list elements must share a type")
+        return Apply(self, list(elems), [TypedListType(t0)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = list(inputs)
+
+
+def make_list(elems):
+    return MakeList()(*elems)

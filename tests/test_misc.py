@@ -1,0 +1,59 @@
+"""misc: pkl_utils dump/load, may_share_memory, ordered_set, MRG shim,
+check_blas harness."""
+
+import io
+import numpy as np
+
+import aesara_tpu as atp
+
+
+def test_pkl_dump_load_roundtrip(tmp_path):
+    from aesara_tpu.misc.pkl_utils import dump, load
+
+    obj = {"w": np.arange(6.0).reshape(2, 3), "name": "model"}
+    p = tmp_path / "state.zip"
+    with open(p, "wb") as f:
+        dump(obj, f)
+    with open(p, "rb") as f:
+        back = load(f)
+    np.testing.assert_allclose(back["w"], obj["w"])
+    assert back["name"] == "model"
+
+
+def test_may_share_memory():
+    from aesara_tpu.misc.may_share_memory import may_share_memory
+
+    a = np.arange(10.0)
+    assert may_share_memory(a, a[2:5])
+    assert not may_share_memory(a, a.copy())
+
+
+def test_ordered_set():
+    from aesara_tpu.misc.ordered_set import OrderedSet
+
+    s = OrderedSet([3, 1, 2, 1])
+    assert list(s) == [3, 1, 2]
+    s.add(5)
+    s.discard(1)
+    assert list(s) == [3, 2, 5]
+    assert list(s.union([7])) == [3, 2, 5, 7]
+
+
+def test_mrg_shim():
+    from aesara_tpu.sandbox.rng_mrg import MRG_RandomStream
+    from aesara_tpu.compile.function import function
+
+    srng = MRG_RandomStream(seed=99)
+    u = srng.uniform(size=(4,))
+    f = function([], u)
+    a, b = f(), f()
+    assert not np.allclose(a, b)
+    subs = srng.get_substream_rngs(3)
+    assert len(subs) == 3 and not np.array_equal(subs[0], subs[1])
+
+
+def test_check_blas_small():
+    from aesara_tpu.misc.check_blas import execute
+
+    _, elapsed = execute(verbose=False, M=64, N=64, K=64, iters=2)
+    assert elapsed > 0
