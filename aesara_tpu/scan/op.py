@@ -299,62 +299,79 @@ class Scan(Op, HasInnerGraph):
 
     # --- gradient: reverse Scan (BPTT) ----------------------------------------
     def L_op(self, inputs, outputs, output_grads):
+        """Build the reverse scan (reference ``scan/op.py:2379``).
+
+        Unified treatment: every recurrent output is a mit-sot with taps
+        (sit-sot = taps (-1,)).  The reverse scan carries, per recurrent
+        output, a pending-gradient window P of depth = -min(taps): at
+        reverse step t, ghat_t = g_out[t] + P[0]; tap contributions
+        scatter into the shifted window; the final window (reversed rows)
+        is the gradient wrt the initial tap buffer.  ``truncate_gradient``
+        runs the reverse scan over only the last k steps (truncated BPTT,
+        ``scan/basic.py:168`` semantics).
+        """
         from aesara_tpu.gradient import (
             DisconnectedType,
             NullType,
             disconnected_type,
             grad as sym_grad,
             grad_not_implemented,
+            grad_undefined,
         )
         import aesara_tpu.tensor.basic as tb
         import aesara_tpu.tensor.math as tm
         from aesara_tpu.tensor.shape import shape_padleft
+        from aesara_tpu.tensor.subtensor import inc_subtensor, set_subtensor
 
         info = self.info
-        if info.n_mit_sot or info.as_while:
+        if info.as_while:
             return [
                 grad_not_implemented(self, i, inp,
-                                     "Scan gradient for mit-sot/while loops "
-                                     "lands in a later stage")
+                                     "gradient through while-Scan not supported")
                 for i, inp in enumerate(inputs)
             ]
-        if self.truncate_gradient != -1:
-            trunc = self.truncate_gradient
-        else:
-            trunc = None
 
-        n_steps = inputs[1 - 1]  # inputs[0]
+        n_steps = inputs[0]
         seqs = inputs[1: 1 + info.n_seqs]
         pos = 1 + info.n_seqs
+        mit_inits = inputs[pos: pos + info.n_mit_sot]
+        pos += info.n_mit_sot
         sit_inits = inputs[pos: pos + info.n_sit_sot]
         pos += info.n_sit_sot
         shared_inits = inputs[pos: pos + info.n_shared]
         pos += info.n_shared
         non_seqs = inputs[pos:]
 
-        sit_outs = outputs[: info.n_sit_sot]
-        nit_outs = outputs[info.n_sit_sot: info.n_sit_sot + info.n_nit_sot]
+        n_rec = info.n_mit_sot + info.n_sit_sot
+        rec_outs = outputs[:n_rec]
+        nit_outs = outputs[n_rec: n_rec + info.n_nit_sot]
 
-        # --- inner gradient graph -------------------------------------------
+        # unified tap structure: mit outputs then sit outputs
+        all_taps = [tuple(t) for t in info.mit_sot_taps] + [(-1,)] * info.n_sit_sot
+        depths = [-min(t) for t in all_taps]
+        # unified init buffers with a leading window axis
+        init_bufs = list(mit_inits) + [shape_padleft(v, 1) for v in sit_inits]
+
+        # --- inner gradient graph over the inner placeholder vars ------------
         inner_in = self.fgraph.inputs
         inner_out = self.fgraph.outputs
         i_seqs = inner_in[: info.n_seqs]
-        i_sit = inner_in[info.n_seqs: info.n_seqs + info.n_sit_sot]
-        i_shared = inner_in[info.n_seqs + info.n_sit_sot:
-                            info.n_seqs + info.n_sit_sot + info.n_shared]
-        i_nonseqs = inner_in[info.n_seqs + info.n_sit_sot + info.n_shared:]
-        o_sit = inner_out[: info.n_sit_sot]
-        o_nit = inner_out[info.n_sit_sot: info.n_sit_sot + info.n_nit_sot]
+        p = info.n_seqs
+        i_taps_per_out = []
+        for taps in all_taps:
+            i_taps_per_out.append(inner_in[p: p + len(taps)])
+            p += len(taps)
+        i_shared = inner_in[p: p + info.n_shared]
+        p += info.n_shared
+        i_nonseqs = inner_in[p:]
+        o_rec = inner_out[:n_rec]
+        o_nit = inner_out[n_rec: n_rec + info.n_nit_sot]
 
-        # cotangent placeholders for the inner outputs
-        g_o_sit = [o.type() for o in o_sit]
+        g_o_rec = [o.type() for o in o_rec]
         g_o_nit = [o.type() for o in o_nit]
-        known = {}
-        for o, g in zip(o_sit, g_o_sit):
-            known[o] = g
-        for o, g in zip(o_nit, g_o_nit):
-            known[o] = g
-        wrt = list(i_seqs) + list(i_sit) + list(i_nonseqs)
+        known = dict(zip(list(o_rec) + list(o_nit), g_o_rec + g_o_nit))
+        flat_taps = [tv for tvs in i_taps_per_out for tv in tvs]
+        wrt = list(i_seqs) + flat_taps + list(i_nonseqs)
         inner_grads = sym_grad(
             None, wrt, known_grads=known,
             disconnected_inputs="ignore", return_disconnected="zero",
@@ -362,154 +379,193 @@ class Scan(Op, HasInnerGraph):
         if not isinstance(inner_grads, list):
             inner_grads = [inner_grads]
         g_i_seqs = inner_grads[: info.n_seqs]
-        g_i_sit = inner_grads[info.n_seqs: info.n_seqs + info.n_sit_sot]
-        g_i_nonseqs = inner_grads[info.n_seqs + info.n_sit_sot:]
+        g_i_taps = inner_grads[info.n_seqs: info.n_seqs + len(flat_taps)]
+        g_i_nonseqs = inner_grads[info.n_seqs + len(flat_taps):]
 
-        # --- build the reverse scan -------------------------------------------
-        # reverse sequences: original seqs (reversed), previous hidden states
-        # h_{t-1} (reversed), and the per-step output grads (reversed)
+        # --- reverse-scan construction ------------------------------------------
         from aesara_tpu.scan.basic import scan as scan_fn
+        from aesara_tpu.graph.ir import clone_replace
 
         T = n_steps
+        trunc = self.truncate_gradient
+        if trunc is not None and trunc != -1:
+            n_back = tm.minimum(tb.cast(tb.as_tensor_variable(trunc), "int64"),
+                                tb.cast(T, "int64"))
+        else:
+            n_back = None
 
         def rev(x):
             return x[::-1]
 
-        # h_prev sequence per sit-sot: [h_{T-1} ... h_0] = reverse of
-        # concat(init, outs[:-1])
-        h_prev_seqs = []
-        for init, full in zip(sit_inits, sit_outs):
-            init_b = shape_padleft(init, 1) if init.type.ndim == full.type.ndim - 1 else init
-            h_hist = tb.join(0, init_b, full[:-1])
-            h_prev_seqs.append(rev(h_hist))
+        def rev_trunc(x):
+            # last n_back forward steps, reversed = first n_back of rev(x)
+            r = rev(x)
+            return r if n_back is None else r[: n_back]
 
-        g_sit_out = []
-        g_nit_out = []
-        for i, og in enumerate(output_grads[: info.n_sit_sot]):
+        # per recurrent output: full history buffer [h_{1-depth} .. h_T]
+        full_bufs = [
+            tb.join(0, init, out) for init, out in zip(init_bufs, rec_outs)
+        ]
+        # tap-value sequences per (output, tap): h_{t+tap} for t = T..1
+        tap_seqs = []
+        for full, taps, depth in zip(full_bufs, all_taps, depths):
+            for tap in taps:
+                # rows (tap+depth) .. (tap+depth+T-1) of full, reversed
+                start = tap + depth
+                sl = full[start: start + T] if n_back is None else full[start: start + T]
+                tap_seqs.append(rev_trunc(sl))
+
+        g_rec_out = []
+        for i, og in enumerate(output_grads[:n_rec]):
             if isinstance(og.type, (DisconnectedType, NullType)):
-                og = tb.zeros_like(sit_outs[i])
-            g_sit_out.append(rev(og))
-        for i, og in enumerate(
-            output_grads[info.n_sit_sot: info.n_sit_sot + info.n_nit_sot]
-        ):
+                og = tb.zeros_like(rec_outs[i])
+            g_rec_out.append(rev_trunc(og))
+        g_nit_out = []
+        for i, og in enumerate(output_grads[n_rec: n_rec + info.n_nit_sot]):
             if isinstance(og.type, (DisconnectedType, NullType)):
                 og = tb.zeros_like(nit_outs[i])
-            g_nit_out.append(rev(og))
+            g_nit_out.append(rev_trunc(og))
 
-        rev_seqs = [rev(s[:T] if s.type.shape[0] is None else s) for s in seqs] \
-            + h_prev_seqs + g_sit_out + g_nit_out
+        rev_seqs = [rev_trunc(s[:T] if s.type.shape[0] is None else s) for s in seqs] \
+            + tap_seqs + g_rec_out + g_nit_out
 
-        # carries: gh per sit-sot (init zero like init), gw accumulators per
-        # non-seq (init zeros_like)
-        gh_inits = [tb.zeros_like(init) for init in sit_inits]
+        # carries: pending-gradient window per recurrent output; gw per
+        # differentiable non-seq
+        pend_inits = [tb.zeros_like(buf) for buf in init_bufs]
         gw_inits = []
         for ns in non_seqs:
             if hasattr(ns.type, "dtype") and ns.type.dtype not in discrete_dtypes:
-                gw_inits.append(tb.zeros_like(as_tensor_variable(ns)))
+                gw_inits.append(tb.zeros_like(tb.as_tensor_variable(ns)))
             else:
                 gw_inits.append(None)
-
         n_wi = sum(1 for g in gw_inits if g is not None)
+        n_taps_total = len(flat_taps)
 
         def backward_step(*args):
-            # args: seq slices..., h_prev..., g_sit..., g_nit...,
-            #       gh carries..., gw carries..., non_seqs...
             p = 0
             b_seqs = args[p: p + info.n_seqs]; p += info.n_seqs
-            b_hprev = args[p: p + info.n_sit_sot]; p += info.n_sit_sot
-            b_gsit = args[p: p + info.n_sit_sot]; p += info.n_sit_sot
+            b_taps = args[p: p + n_taps_total]; p += n_taps_total
+            b_grec = args[p: p + n_rec]; p += n_rec
             b_gnit = args[p: p + info.n_nit_sot]; p += info.n_nit_sot
-            b_gh = args[p: p + info.n_sit_sot]; p += info.n_sit_sot
+            b_pend = args[p: p + n_rec]; p += n_rec
             b_gw = args[p: p + n_wi]; p += n_wi
             b_nonseqs = args[p:]
 
-            # total cotangent on this step's outputs
-            total_g_sit = [tm.add(a, b) for a, b in zip(b_gsit, b_gh)]
+            # total cotangent on this step's recurrent outputs
+            ghat = [tm.add(g, pend[-1]) for g, pend in zip(b_grec, b_pend)]
 
             replace = {}
             for iv, v in zip(i_seqs, b_seqs):
                 replace[iv] = v
-            for iv, v in zip(i_sit, b_hprev):
-                replace[iv] = v
+            k = 0
+            for tvs in i_taps_per_out:
+                for tv in tvs:
+                    replace[tv] = b_taps[k]
+                    k += 1
             for iv, v in zip(i_shared, shared_inits):
-                replace[iv] = v  # shared grads unsupported; value needed
+                replace[iv] = v  # shared state grads unsupported; value needed
             for iv, v in zip(i_nonseqs, b_nonseqs):
                 replace[iv] = v
-            for gv, v in zip(g_o_sit, total_g_sit):
+            for gv, v in zip(g_o_rec, ghat):
                 replace[gv] = v
             for gv, v in zip(g_o_nit, b_gnit):
                 replace[gv] = v
 
             rep = clone_replace(
-                list(g_i_seqs) + list(g_i_sit) + list(g_i_nonseqs), replace=replace
+                list(g_i_seqs) + list(g_i_taps) + list(g_i_nonseqs),
+                replace=replace,
             )
             r_gseqs = rep[: info.n_seqs]
-            r_gh = rep[info.n_seqs: info.n_seqs + info.n_sit_sot]
-            r_gw = rep[info.n_seqs + info.n_sit_sot:]
+            r_gtaps = rep[info.n_seqs: info.n_seqs + n_taps_total]
+            r_gw = rep[info.n_seqs + n_taps_total:]
+
+            # shift each pending window toward the past and scatter tap
+            # contributions: window rows ordered [oldest .. newest] where
+            # row (depth-1) is the pending grad for the NEXT reverse step
+            new_pend = []
+            k = 0
+            for pend, taps, depth in zip(b_pend, all_taps, depths):
+                shifted = tb.join(
+                    0,
+                    tb.zeros_like(shape_padleft(pend[0], 1)),
+                    pend[:-1],
+                )
+                for tap in taps:
+                    # contribution to h_{t+tap}: row depth-1-(|tap|-1)
+                    row = depth + tap
+                    shifted = inc_subtensor(shifted[row], r_gtaps[k])
+                    k += 1
+                new_pend.append(shifted)
 
             new_gw = []
             wi = 0
-            for k, gwi in enumerate(gw_inits):
+            for j, gwi in enumerate(gw_inits):
                 if gwi is None:
                     continue
-                new_gw.append(tm.add(b_gw[wi], r_gw[k]))
+                new_gw.append(tm.add(b_gw[wi], r_gw[j]))
                 wi += 1
-            return list(r_gseqs) + list(r_gh) + new_gw
+            return list(r_gseqs) + new_pend + new_gw
 
         results, _ = scan_fn(
             backward_step,
             sequences=rev_seqs,
             outputs_info=(
                 [None] * info.n_seqs
-                + [{"initial": g, "taps": [-1]} for g in gh_inits]
+                + [{"initial": g, "taps": [-1]} for g in pend_inits]
                 + [{"initial": g, "taps": [-1]} for g in gw_inits if g is not None]
             ),
             non_sequences=list(non_seqs),
-            n_steps=T,
+            n_steps=T if n_back is None else n_back,
         )
         if not isinstance(results, list):
             results = [results]
         r_gseq_stacks = results[: info.n_seqs]
-        r_gh_stacks = results[info.n_seqs: info.n_seqs + info.n_sit_sot]
-        r_gw_stacks = results[info.n_seqs + info.n_sit_sot:]
+        r_pend_stacks = results[info.n_seqs: info.n_seqs + n_rec]
+        r_gw_stacks = results[info.n_seqs + n_rec:]
 
-        rval: List = []
-        rval.append(disconnected_type())  # n_steps
+        rval = [disconnected_type()]  # n_steps
         for i in range(info.n_seqs):
-            g = rev(r_gseq_stacks[i])
             inp = seqs[i]
             if hasattr(inp.type, "dtype") and inp.type.dtype in discrete_dtypes:
-                from aesara_tpu.gradient import grad_undefined
-
                 rval.append(grad_undefined(self, 1 + i, inp))
+                continue
+            g = rev(r_gseq_stacks[i])
+            if n_back is not None:
+                # earlier (truncated-away) steps receive zero gradient
+                pad_len = tb.cast(T, "int64") - n_back
+                pad = tb.zeros_like(inp[: pad_len])
+                g = tb.join(0, pad, g)
+            rval.append(g)
+        # grads wrt initial tap buffers: final pending window; zero when
+        # truncation stopped the reverse sweep before reaching t=1
+        for i in range(n_rec):
+            final_pend = r_pend_stacks[i][-1]
+            if n_back is not None:
+                reached_start = tm.ge(n_back, tb.cast(T, "int64"))
+                final_pend = final_pend * tb.cast(
+                    reached_start, final_pend.type.dtype
+                )
+            if i < info.n_mit_sot:
+                rval.append(final_pend)
             else:
-                if inp.type.shape[0] is None:
-                    rval.append(g)
-                else:
-                    rval.append(g)
-        for i in range(info.n_sit_sot):
-            # gradient wrt the initial state = final gh carry
-            rval.append(r_gh_stacks[i][-1])
+                rval.append(final_pend[0])  # sit-sot init is a single step
         for i in range(info.n_shared):
-            from aesara_tpu.gradient import grad_not_implemented
-
             rval.append(grad_not_implemented(
-                self, 1 + info.n_seqs + info.n_sit_sot + i, shared_inits[i],
+                self, 1 + info.n_seqs + n_rec + i, shared_inits[i],
                 "gradient through Scan shared states not supported",
             ))
         wi = 0
         for k, gwi in enumerate(gw_inits):
             if gwi is None:
-                from aesara_tpu.gradient import grad_undefined
-
                 rval.append(grad_undefined(
-                    self, 1 + info.n_seqs + info.n_sit_sot + info.n_shared + k,
+                    self, 1 + info.n_seqs + n_rec + info.n_shared + k,
                     non_seqs[k],
                 ))
             else:
                 rval.append(r_gw_stacks[wi][-1])
                 wi += 1
         return rval
+
 
     def connection_pattern(self, node):
         info = self.info

@@ -202,3 +202,90 @@ class TestCheckpoints:
         np.testing.assert_allclose(
             np.asarray(f(v)), np.cumsum(v)[[3, 7, 11]], rtol=1e-8
         )
+
+
+class TestMitSotGrad:
+    def test_fibonacci_like_grad(self):
+        def build(init):
+            f, _ = scan(
+                lambda fm2, fm1: 0.5 * fm1 + 0.3 * fm2,
+                outputs_info=[{"initial": init, "taps": [-2, -1]}],
+                n_steps=6,
+            )
+            return f[-1]
+
+        verify_grad(build, [rng.normal(size=2)])
+
+    def test_mit_sot_nonlinear_grad(self):
+        def build(init, w):
+            f, _ = scan(
+                lambda fm2, fm1, w: at.tanh(w * fm1 + fm2 * 0.1),
+                outputs_info=[{"initial": init, "taps": [-2, -1]}],
+                non_sequences=[w],
+                n_steps=5,
+            )
+            return f.sum()
+
+        verify_grad(build, [rng.normal(size=2) * 0.3, np.float64(0.4)])
+
+    def test_mit_sot_with_sequence_grad(self):
+        def build(x, init):
+            f, _ = scan(
+                lambda xt, fm3, fm1: 0.4 * fm1 + 0.2 * fm3 + xt,
+                sequences=[x],
+                outputs_info=[{"initial": init, "taps": [-3, -1]}],
+            )
+            return (f ** 2).sum()
+
+        verify_grad(build, [rng.normal(size=6), rng.normal(size=3)])
+
+    def test_mixed_mit_sit_grad(self):
+        def build(x, init2, h0):
+            (f, h), _ = scan(
+                lambda xt, fm2, fm1, htm1: (
+                    0.5 * fm1 + 0.25 * fm2 + xt, at.tanh(htm1 + xt)
+                ),
+                sequences=[x],
+                outputs_info=[
+                    {"initial": init2, "taps": [-2, -1]},
+                    h0,
+                ],
+            )
+            return f.sum() + (h[-1] ** 2)
+
+        verify_grad(build, [rng.normal(size=5), rng.normal(size=2),
+                            np.float64(0.1)])
+
+
+class TestTruncateGradient:
+    def test_truncated_matches_full_when_large(self):
+        x = at.vector("x", dtype="float64")
+        w = at.scalar("w", dtype="float64")
+
+        def make(trunc):
+            h, _ = scan(
+                lambda xt, htm1, w: at.tanh(htm1 * w + xt),
+                sequences=[x], outputs_info=[c64(0.0)], non_sequences=[w],
+                truncate_gradient=trunc,
+            )
+            return grad(h[-1], [x, w])
+
+        f_full = function([x, w], make(-1), mode="PY")
+        f_big = function([x, w], make(100), mode="PY")
+        xv = rng.normal(size=5)
+        for a, b in zip(f_full(xv, 0.5), f_big(xv, 0.5)):
+            np.testing.assert_allclose(a, b, rtol=1e-10)
+
+    def test_truncated_zeroes_early_steps(self):
+        x = at.vector("x", dtype="float64")
+        h, _ = scan(
+            lambda xt, htm1: htm1 * 0.9 + xt,
+            sequences=[x], outputs_info=[c64(0.0)],
+            truncate_gradient=2,
+        )
+        gx = grad(h[-1], x)
+        f = function([x], gx, mode="PY")
+        res = f(rng.normal(size=6))
+        # only the last 2 steps contribute
+        np.testing.assert_allclose(res[:4], 0.0)
+        np.testing.assert_allclose(res[4:], [0.9, 1.0])
