@@ -317,6 +317,15 @@ def orig_function(
         maker_time=time.perf_counter() - t0,
         rewrite_time=rewrite_time,
     )
+    fn._recipe = {
+        "in_specs": in_specs,
+        "out_vars": list(out_vars),
+        "shared_vars": list(shared_vars),
+        "update_pairs": list(update_pairs),
+        "single_output": single_output,
+        "mode": mode,
+        "name": name,
+    }
     return fn
 
 
@@ -417,8 +426,67 @@ class Function:
         )
 
     def copy(self, share_memory=False, swap=None, delete_updates=False, name=None):
-        """Recompile this function's graph (reference ``types.py`` copy)."""
-        raise NotImplementedError("Function.copy lands with the pickling work")
+        """Recompile this function, optionally swapping shared variables
+        (reference ``types.py`` Function.copy)."""
+        from aesara_tpu.graph.ir import clone_replace
+
+        r = self._recipe
+        swap = dict(swap or {})
+        shared_vars = []
+        replace = {}
+        for sv in r["shared_vars"]:
+            if sv in swap:
+                new_sv = swap[sv]
+            elif share_memory:
+                new_sv = sv
+            else:
+                # deep-copy the value: sharing the buffer would let one
+                # function's donated update delete the other's state
+                val = sv.container.storage[0]
+                val = np.asarray(val).copy() if val is not None else None
+                new_sv = sv.clone()
+                new_sv.container = type(sv.container)(
+                    sv.container.type, [val], name=sv.name
+                )
+            shared_vars.append(new_sv)
+            if new_sv is not sv:
+                replace[sv] = new_sv
+        out_vars = r["out_vars"]
+        update_pairs = [] if delete_updates else list(r["update_pairs"])
+        if replace:
+            n_out = len(out_vars)
+            roots = list(out_vars) + [e for _, e in update_pairs]
+            cloned = clone_replace(roots, replace=replace) if roots else []
+            out_vars = cloned[:n_out]
+            update_pairs = [
+                (replace.get(k, k), e)
+                for (k, _), e in zip(update_pairs, cloned[n_out:])
+            ]
+        return orig_function(
+            r["in_specs"], out_vars, shared_vars, update_pairs,
+            r["single_output"], mode=r["mode"], name=name or r["name"],
+        )
+
+    def __reduce__(self):
+        """Pickle by recipe: the symbolic graph + shared values travel;
+        the jitted executable is rebuilt on load (reference
+        ``types.py:1111`` _pickle_Function; rewrites re-run on unpickle,
+        config.reoptimize_unpickled_function semantics)."""
+        from aesara_tpu.config import config
+
+        if not config.unpickle_function:
+            raise RuntimeError("Function pickling disabled by config")
+        r = self._recipe
+        return (
+            _rebuild_function,
+            (
+                r["in_specs"], r["out_vars"], r["shared_vars"],
+                r["update_pairs"], r["single_output"],
+                getattr(r["mode"], "provided_linker", "jax"),
+                getattr(r["mode"], "provided_optimizer", "fast_run"),
+                r["name"],
+            ),
+        )
 
     def dprint(self, **kwargs):
         from aesara_tpu.printing import debugprint
@@ -447,3 +515,12 @@ def function_dump(filename, *args, **kwargs):
 
     with open(filename, "wb") as f:
         pickle.dump({"args": args, "kwargs": kwargs}, f)
+
+
+def _rebuild_function(in_specs, out_vars, shared_vars, update_pairs,
+                      single_output, linker, optimizer, name):
+    mode = Mode(linker, optimizer)
+    return orig_function(
+        in_specs, out_vars, shared_vars, update_pairs, single_output,
+        mode=mode, name=name,
+    )

@@ -57,6 +57,20 @@ class Container:
     def __repr__(self):
         return str(self)
 
+    def __getstate__(self):
+        # device buffers serialize as host arrays (donation-safe)
+        d = self.__dict__.copy()
+        val = self.storage[0]
+        if val is not None and not isinstance(val, (int, float, list, dict, str)):
+            try:
+                import numpy as _np
+
+                val = _np.asarray(val).copy()
+            except Exception:
+                pass
+        d["storage"] = [val]
+        return d
+
 
 def raise_with_op(fgraph, node, thunk=None, exc_info=None):
     """Re-raise the current exception annotated with the failing node and
@@ -76,7 +90,10 @@ def raise_with_op(fgraph, node, thunk=None, exc_info=None):
         detail.append("Variable created at (use exception_verbosity=high for more):")
         for frames in trace[-1:]:
             for f in frames:
-                detail.append(f"  {f.filename}:{f.lineno} in {f.name}")
+                fname, lineno, name = (
+                    (f.filename, f.lineno, f.name) if hasattr(f, "filename") else f
+                )
+                detail.append(f"  {fname}:{lineno} in {name}")
     exc_value.args = exc_value.args + tuple(["\n".join(detail)])
     raise exc_value.with_traceback(exc_trace)
 

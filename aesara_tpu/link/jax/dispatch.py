@@ -324,7 +324,36 @@ def _jax_scalar_op(op, node=None, **kwargs):
 
 @jax_funcify.register(Elemwise)
 def _jax_elemwise(op, node=None, **kwargs):
-    return scalar_jax_impl(op.scalar_op)
+    base = scalar_jax_impl(op.scalar_op)
+    # fused Composite chains can lower to one Pallas VPU kernel
+    # (config.pallas_fusion; SURVEY §7 stage 9)
+    try:
+        from aesara_tpu.scalar.composite import Composite
+
+        is_composite = isinstance(op.scalar_op, Composite)
+    except ImportError:
+        is_composite = False
+    if not is_composite or op.scalar_op.nout != 1 or node is None:
+        return base
+    out_dtype = _jax_dtype(node.outputs[0].type.dtype)
+
+    def maybe_pallas(*args):
+        from aesara_tpu.link.jax.pallas_kernels import (
+            composite_pallas_fn,
+            use_pallas_for,
+        )
+
+        shape = jnp.broadcast_shapes(*[jnp.shape(a) for a in args])
+        same_dtype = all(
+            jnp.asarray(a).dtype == jax.dtypes.canonicalize_dtype(out_dtype)
+            for a in args
+        )
+        if same_dtype and use_pallas_for(shape, out_dtype):
+            bcast = [jnp.broadcast_to(jnp.asarray(a), shape) for a in args]
+            return composite_pallas_fn(op.scalar_op, jax.dtypes.canonicalize_dtype(out_dtype))(*bcast)
+        return base(*args)
+
+    return maybe_pallas
 
 
 @jax_funcify.register(DimShuffle)

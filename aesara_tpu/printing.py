@@ -208,3 +208,36 @@ class Print(Op):
 
     def __str__(self):
         return f"Print{{{self.message}}}"
+
+
+def pydotprint(
+    fct,
+    outfile: str = None,
+    compact: bool = True,
+    format: str = "dot",
+    with_ids: bool = False,
+    high_contrast: bool = True,
+    cond_highlight=None,
+    colorCodes=None,
+    max_label_size: int = 70,
+    scan_graphs: bool = False,
+    var_with_name_simple: bool = False,
+    print_output_file: bool = True,
+    return_image: bool = False,
+):
+    """Graph → DOT file (reference ``printing.py:1266``).  Emits
+    DOT text directly (graphviz-compatible) without needing the graphviz
+    binary; use ``aesara_tpu.d3viz.d3viz`` for a self-contained HTML
+    rendering."""
+    from aesara_tpu.d3viz.formatting import PyDotFormatter
+
+    dot = PyDotFormatter()(fct)
+    if return_image or outfile is None:
+        return dot
+    if not outfile.endswith(".dot"):
+        outfile = outfile + ".dot"
+    with open(outfile, "w") as f:
+        f.write(dot)
+    if print_output_file:
+        print(f"The output file is available at {outfile}")
+    return outfile

@@ -62,8 +62,13 @@ def add_tag_trace(thing: Any, user_line: int = 1) -> Any:
     reporting to point at the user line that created a variable.
     """
     tb = traceback.extract_stack()
-    # Drop frames from inside this package; keep the user frames.
-    filtered = [f for f in tb if "aesara_tpu" not in (f.filename or "")]
+    # Drop frames from inside this package; keep the user frames as plain
+    # picklable tuples.
+    filtered = [
+        (f.filename, f.lineno, f.name)
+        for f in tb
+        if "aesara_tpu" not in (f.filename or "")
+    ]
     thing.tag.trace = [filtered[-user_line:]] if filtered else []
     return thing
 

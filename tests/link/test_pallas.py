@@ -1,0 +1,57 @@
+"""Pallas kernel tests (interpret-compatible on CPU via explicit calls)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+
+rng = np.random.default_rng(88)
+
+
+def test_softmax_rows_kernel_cpu_interpret():
+    # pallas kernels run in interpret mode on CPU
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aesara_tpu.link.jax.pallas_kernels import log_softmax_rows, softmax_rows
+
+    x = rng.normal(size=(5, 37)).astype("float32")
+    with pltpu.force_tpu_interpret_mode():
+        res = np.asarray(softmax_rows(jax.numpy.asarray(x)))
+        lres = np.asarray(log_softmax_rows(jax.numpy.asarray(x)))
+    expected = np.exp(x - x.max(1, keepdims=True))
+    expected /= expected.sum(1, keepdims=True)
+    np.testing.assert_allclose(res, expected, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(lres, np.log(expected), rtol=1e-4, atol=1e-5)
+
+
+def test_composite_pallas_kernel_cpu_interpret():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.link.jax.pallas_kernels import composite_pallas_fn
+    from aesara_tpu.scalar.composite import Composite
+    from aesara_tpu.tensor.rewriting.elemwise import FusionOptimizer
+    from aesara_tpu.tensor.elemwise import Elemwise
+
+    x = at.vector("x")
+    y = at.vector("y")
+    out = at.exp(x) * at.math.sigmoid(y) + at.tanh(x)
+    fg = FunctionGraph(outputs=[out], clone=True)
+    FusionOptimizer().rewrite(fg)
+    comp_node = fg.toposort()[0]
+    assert isinstance(comp_node.op.scalar_op, Composite)
+
+    xv = rng.normal(size=300).astype("float32")
+    yv = rng.normal(size=300).astype("float32")
+    fn = composite_pallas_fn(comp_node.op.scalar_op, np.dtype("float32"))
+    with pltpu.force_tpu_interpret_mode():
+        # leaf order is the composite's input order
+        leaves = comp_node.inputs
+        vals = {"x": xv, "y": yv}
+        args = [vals[l.name] for l in leaves]
+        res = np.asarray(fn(*[jax.numpy.asarray(a) for a in args]))
+    expected = np.exp(xv) * (1 / (1 + np.exp(-yv))) + np.tanh(xv)
+    np.testing.assert_allclose(res, expected, rtol=1e-5, atol=1e-6)
