@@ -112,11 +112,35 @@ def register_useless(rewrite, *tags, name=None, **kwargs):
 # linkers / optimizers / modes
 # ---------------------------------------------------------------------------
 
+def _cvm_linker():
+    from aesara_tpu.link.c.vm_linker import CVMLinker
+
+    return CVMLinker()
+
+
 predefined_linkers = {
     "py": PerformLinker(),
     "jax": JAXLinker(),
     "jax_nojit": JAXNoJitLinker(),
 }
+# the C++ VM linker registers lazily (first use compiles the extension)
+
+
+class _LazyCVM:
+    _instance = None
+
+    def clone(self, allow_gc=None):
+        from aesara_tpu.link.c.vm_linker import CVMLinker
+
+        return CVMLinker(allow_gc)
+
+    def accept(self, *a, **kw):  # pragma: no cover - clone() is used first
+        from aesara_tpu.link.c.vm_linker import CVMLinker
+
+        return CVMLinker().accept(*a, **kw)
+
+
+predefined_linkers["cvm"] = _LazyCVM()
 
 
 def register_linker(name: str, linker_cls) -> None:

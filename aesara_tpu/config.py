@@ -163,7 +163,7 @@ config.add("intX", EnumStr("int64", ("int32",), doc="default int dtype"))
 config.add("device", StrParam("tpu", doc="informational; jax picks the backend"))
 config.add("mode", EnumStr("FAST_RUN", ("FAST_COMPILE", "JAX", "PY", "DebugMode", "NanGuardMode", "Mode"),
                            doc="default compilation mode"))
-config.add("linker", EnumStr("jax", ("py", "jax_nojit"), doc="default linker"))
+config.add("linker", EnumStr("jax", ("py", "jax_nojit", "cvm"), doc="default linker"))
 config.add("optimizer", EnumStr("o2", ("o1", "o3", "o4", "fast_run", "fast_compile", "unsafe", "None", "merge"),
                                 doc="default rewrite pipeline query"))
 config.add("optimizer_verbose", BoolParam(False, doc="print each applied rewrite"))

@@ -17,6 +17,20 @@ try:
 except Exception:  # backend init can fail in exotic setups; stay 32-bit
     pass
 
+# persistent compiled-program cache (the reference's ModuleCache role,
+# link/c/cmodule.py:618): XLA executables are cached on disk keyed by
+# canonical HLO, surviving process restarts
+try:
+    import os as _os
+
+    from aesara_tpu.config import config as _cfg
+
+    _os.makedirs(_cfg.compiledir, exist_ok=True)
+    _jax.config.update("jax_compilation_cache_dir", _cfg.compiledir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:  # cache is an optimization, never a hard dependency
+    pass
+
 from aesara_tpu.link.jax.dispatch import jax_funcify, jax_typify  # noqa: E402,F401
 from aesara_tpu.link.jax.linker import JAXLinker, JAXNoJitLinker, fgraph_to_jax  # noqa: E402,F401
 from aesara_tpu.link.jax import scan_dispatch  # noqa: E402,F401  (registers Scan)

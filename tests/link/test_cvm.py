@@ -1,0 +1,91 @@
+"""C++ VM tests (reference tests/link/c strategy: build, run, compare)."""
+
+import numpy as np
+import pytest
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.compile.function import function
+from aesara_tpu.compile.mode import Mode, OPT_FAST_RUN
+
+rng = np.random.default_rng(13)
+
+
+def cvm_mode():
+    from aesara_tpu.link.c.vm_linker import CVMLinker
+
+    return Mode(CVMLinker(), OPT_FAST_RUN)
+
+
+def test_cvm_builds_and_matches_py():
+    from aesara_tpu.link.c.build import get_cvm_module
+
+    mod = get_cvm_module()
+    assert mod is not None, "C++ toolchain available in this image"
+    x = at.matrix("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
+    out = at.tanh(at.dot(x, y)) + at.exp(y).sum()
+    f_c = function([x, y], out, mode=cvm_mode())
+    f_py = function([x, y], out, mode="PY")
+    xv, yv = rng.normal(size=(4, 3)), rng.normal(size=3)
+    np.testing.assert_allclose(f_c(xv, yv), f_py(xv, yv), rtol=1e-12)
+
+
+def test_cvm_updates_and_state():
+    w = atp.shared(np.zeros(3), name="w")
+    x = at.vector("x", dtype="float64")
+    f = function([x], (w * x).sum(), updates={w: w + x}, mode=cvm_mode())
+    f(np.ones(3))
+    f(np.ones(3))
+    np.testing.assert_allclose(w.get_value(), 2.0)
+
+
+def test_cvm_error_annotation():
+    x = at.vector("x", dtype="float64")
+    out = at.log(x)[0:1]
+    f = function([x], at.math.sum(out), mode=cvm_mode())
+    f(np.ones(3))  # fine
+
+    # force an error inside a thunk: wrong runtime shape for SpecifyShape
+    from aesara_tpu.tensor.shape import specify_shape
+
+    g = function([x], specify_shape(x, (5,)).sum(), mode=cvm_mode())
+    with pytest.raises(Exception) as exc_info:
+        g(np.ones(3))
+    assert "SpecifyShape" in str(exc_info.value) or "Apply node" in str(
+        exc_info.value
+    )
+
+
+def test_cvm_lazy_subset():
+    from aesara_tpu.link.c.build import get_cvm_module
+
+    mod = get_cvm_module()
+    calls = []
+
+    def make_thunk(i):
+        def t():
+            calls.append(i)
+
+        return t
+
+    # chain 0 -> 1 -> 2, plus independent 3
+    vm = mod.CVM(
+        tuple(make_thunk(i) for i in range(4)),
+        ((), (), (), ()),
+        ((), (0,), (1,), ()),
+        0, 1,
+    )
+    vm.run_subset([2])
+    assert calls == [0, 1, 2]  # thunk 3 never ran
+    assert vm.get_counts() == [1, 1, 1, 0]
+    assert len(vm.get_times()) == 4
+
+
+def test_module_cache_reuse(tmp_path):
+    from aesara_tpu.link.c.build import module_hash
+
+    h1 = module_hash("int main(){}")
+    h2 = module_hash("int main(){}")
+    h3 = module_hash("int main(){return 1;}")
+    assert h1 == h2 != h3
