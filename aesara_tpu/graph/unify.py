@@ -1,0 +1,152 @@
+"""Structural unification over expression graphs
+(reference ``aesara/graph/rewriting/unify.py``; the reference delegates to
+the external miniKanren stack — not available here, so this is a
+self-contained first-order unification engine with the same roles:
+logic variables, constrained variables, unify/reify over Apply graphs).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Optional
+
+from aesara_tpu.graph.ir import Apply, Constant, Variable
+
+import numpy as np
+
+
+_var_ids = itertools.count()
+
+
+class Var:
+    """A logic variable."""
+
+    __slots__ = ("token",)
+
+    def __init__(self, token=None):
+        self.token = token if token is not None else f"_{next(_var_ids)}"
+
+    def __repr__(self):
+        return f"~{self.token}"
+
+    def __eq__(self, other):
+        return type(other) is Var and self.token == other.token
+
+    def __hash__(self):
+        return hash((Var, self.token))
+
+
+def var(token=None):
+    return Var(token)
+
+
+class ConstrainedVar(Var):
+    """Logic variable with a predicate (reference ``unify.py:36``)."""
+
+    __slots__ = ("constraint",)
+
+    def __init__(self, constraint, token=None):
+        super().__init__(token)
+        self.constraint = constraint
+
+    def __repr__(self):
+        return f"~{self.token}:{getattr(self.constraint, '__name__', '?')}"
+
+
+def walk(x, s: dict):
+    while isinstance(x, Var) and x in s:
+        x = s[x]
+    return x
+
+
+def unify(u, v, s: Optional[dict] = None):
+    """Return an extended substitution or None (failure)."""
+    if s is None:
+        s = {}
+    u = walk(u, s)
+    v = walk(v, s)
+    if isinstance(u, Var) and isinstance(v, Var) and u == v:
+        return s
+    if isinstance(u, Var):
+        return _assign(u, v, s)
+    if isinstance(v, Var):
+        return _assign(v, u, s)
+    # graph structure: expression = (op, *inputs)
+    if isinstance(u, Variable) and isinstance(v, Variable):
+        if isinstance(u, Constant) or isinstance(v, Constant):
+            if isinstance(u, Constant) and isinstance(v, Constant):
+                try:
+                    if np.array_equal(np.asarray(u.data), np.asarray(v.data)):
+                        return s
+                except Exception:
+                    pass
+            return None
+        if u.owner is None or v.owner is None:
+            return s if u is v else None
+        return unify(etuplize(u), etuplize(v), s)
+    # a pattern tuple matches a Variable through its Apply structure
+    if isinstance(u, (tuple, list)) and isinstance(v, Variable):
+        if v.owner is None:
+            return None
+        v = etuplize(v)
+    if isinstance(v, (tuple, list)) and isinstance(u, Variable):
+        if u.owner is None:
+            return None
+        u = etuplize(u)
+    if isinstance(u, (tuple, list)) and isinstance(v, (tuple, list)):
+        if len(u) != len(v):
+            return None
+        for a, b in zip(u, v):
+            s = unify(a, b, s)
+            if s is None:
+                return None
+        return s
+    if u == v or (
+        not isinstance(u, (Variable, tuple, list))
+        and not isinstance(v, (Variable, tuple, list))
+        and _scalar_eq(u, v)
+    ):
+        return s
+    return None
+
+
+def _scalar_eq(u, v):
+    try:
+        return bool(u == v)
+    except Exception:
+        return False
+
+
+def _assign(lv: Var, val, s: dict):
+    if isinstance(lv, ConstrainedVar):
+        probe = walk(val, s)
+        if not isinstance(probe, Var) and not lv.constraint(probe):
+            return None
+    s2 = dict(s)
+    s2[lv] = val
+    return s2
+
+
+def etuplize(v: Variable):
+    """Variable → (op, input...) expression tuple (the reference's
+    car/cdr dispatch, ``unify.py:75-139``)."""
+    if v.owner is None:
+        return v
+    return (v.owner.op,) + tuple(v.owner.inputs)
+
+
+def reify(x, s: dict):
+    """Substitute logic variables; expression tuples rebuild graphs."""
+    x = walk(x, s)
+    if isinstance(x, Var):
+        return x
+    if isinstance(x, (tuple, list)):
+        parts = [reify(e, s) for e in x]
+        op = parts[0]
+        args = parts[1:]
+        if hasattr(op, "make_node") and not any(
+            isinstance(a, Var) for a in args
+        ):
+            return op(*args)
+        return tuple(parts)
+    return x
