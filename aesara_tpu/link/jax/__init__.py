@@ -40,3 +40,4 @@ from aesara_tpu.link.jax import control_dispatch  # noqa: E402,F401  (registers 
 from aesara_tpu.link.jax import parallel_dispatch  # noqa: E402,F401  (registers collectives)
 from aesara_tpu.link.jax import sparse_dispatch  # noqa: E402,F401  (registers sparse/BCOO)
 from aesara_tpu.link.jax import nnet_dispatch  # noqa: E402,F401  (registers conv/pool)
+from aesara_tpu.link.jax import nnet_extra_dispatch  # noqa: E402,F401  (conv3d/neibs/ctc)

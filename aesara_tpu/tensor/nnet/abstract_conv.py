@@ -254,3 +254,83 @@ def conv2d_transpose(
     fwd = AbstractConv2d(border_mode, input_dilation, filter_flip,
                          (1, 1), num_groups)
     return AbstractConv2dGradInputs(fwd)(filters, input, template)
+
+
+class AbstractConv3d(AbstractConv2d):
+    """NCDHW×OIDHW 3-d convolution (reference ``abstract_conv.py``
+    AbstractConv3d) — same MXU primitive with three spatial dims."""
+
+    def __init__(self, border_mode="valid", subsample=(1, 1, 1),
+                 filter_flip=True, filter_dilation=(1, 1, 1), num_groups=1,
+                 imshp=None, kshp=None):
+        super().__init__(border_mode, subsample, filter_flip,
+                         filter_dilation, num_groups)
+
+    def make_node(self, img, kern):
+        img = as_tensor_variable(img)
+        kern = as_tensor_variable(kern)
+        if img.type.ndim != 5 or kern.type.ndim != 5:
+            raise TypeError("conv3d needs 5-d image (NCDHW) and kernel (OIDHW)")
+        dtype = upcast(img.type.dtype, kern.type.dtype)
+        b = img.type.shape[0]
+        nf = kern.type.shape[0]
+        spatial = []
+        pad3 = self._norm_border3(kern.type.shape[2:])
+        for i in range(3):
+            isz = img.type.shape[2 + i]
+            ksz = kern.type.shape[2 + i]
+            if isz is None or ksz is None or pad3 is None:
+                spatial.append(None)
+                continue
+            keff = (ksz - 1) * self.filter_dilation[i] + 1
+            spatial.append(
+                (isz + pad3[i][0] + pad3[i][1] - keff) // self.subsample[i] + 1
+            )
+        return Apply(
+            self, [img, kern],
+            [TensorType(dtype, (b, nf) + tuple(spatial))()],
+        )
+
+    def _norm_border3(self, kshape):
+        bm = self.border_mode
+        if bm == "valid":
+            return ((0, 0),) * 3
+        if bm == "full":
+            if any(k is None for k in kshape):
+                return None
+            return tuple((k - 1, k - 1) for k in kshape)
+        if bm == "half":
+            if any(k is None for k in kshape):
+                return None
+            return tuple((k // 2, k // 2) for k in kshape)
+        if isinstance(bm, int):
+            return ((bm, bm),) * 3
+        if isinstance(bm, (tuple, list)):
+            return tuple(
+                (p, p) if isinstance(p, int) else tuple(p) for p in bm
+            )
+        raise ValueError(f"bad border_mode {bm!r}")
+
+    def _jax_forward(self, img, kern):
+        import jax.numpy as jnp
+        from jax import lax
+
+        pad = self._norm_border3(kern.shape[2:])
+        if self.filter_flip:
+            kern = kern[:, :, ::-1, ::-1, ::-1]
+        return lax.conv_general_dilated(
+            jnp.asarray(img), jnp.asarray(kern),
+            window_strides=self.subsample,
+            padding=pad,
+            rhs_dilation=self.filter_dilation,
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            feature_group_count=self.num_groups,
+        )
+
+
+def conv3d(input, filters, input_shape=None, filter_shape=None,
+           border_mode="valid", subsample=(1, 1, 1), filter_flip=True,
+           filter_dilation=(1, 1, 1), num_groups=1, **kwargs):
+    return AbstractConv3d(
+        border_mode, subsample, filter_flip, filter_dilation, num_groups
+    )(input, filters)

@@ -167,3 +167,77 @@ class TestBasic:
         b = at.vector("b", dtype="float64")
         res = compare_jax_and_py([x, b], nnet.softmax_with_bias(x, b), [dm(3, 4), dm(4)])
         np.testing.assert_allclose(np.asarray(res[0]).sum(axis=1), 1.0)
+
+
+class TestConv3d:
+    def test_forward_and_grad(self):
+        from aesara_tpu.tensor.nnet.abstract_conv import conv3d
+
+        x = at.tensor5("x", dtype="float64")
+        k = at.tensor5("k", dtype="float64")
+        out = conv3d(x, k)
+        res = compare_jax_and_py(
+            [x, k], out, [dm(1, 2, 5, 5, 5), dm(3, 2, 2, 2, 2)]
+        )
+        assert np.asarray(res[0]).shape == (1, 3, 4, 4, 4)
+        verify_grad(
+            lambda a, b: conv3d(a, b).sum(),
+            [dm(1, 1, 4, 4, 4), dm(2, 1, 2, 2, 2)],
+        )
+
+
+class TestNeighbours:
+    def test_images2neibs(self):
+        from aesara_tpu.tensor.nnet.neighbours import images2neibs
+
+        x = at.tensor4("x", dtype="float64")
+        out = images2neibs(x, at.constant(np.array([2, 2])))
+        xv = dm(1, 1, 4, 4)
+        res = compare_jax_and_py([x], out, [xv])
+        r = np.asarray(res[0])
+        assert r.shape == (4, 4)
+        np.testing.assert_allclose(r[0], xv[0, 0, :2, :2].ravel())
+
+
+class TestCTC:
+    def test_ctc_matches_bruteforce(self):
+        from aesara_tpu.tensor.nnet.ctc import ctc
+
+        T, B, C, L = 4, 2, 3, 2
+        acts = at.tensor3("acts", dtype="float64")
+        labels = at.lmatrix("labels")
+        ilen = at.lvector("ilen")
+        loss = ctc(acts, labels, ilen)
+        av = rng.normal(size=(T, B, C))
+        lv = np.array([[1, 2], [2, 1]])
+        iv = np.array([4, 4])
+        res = compare_jax_and_py([acts, labels, ilen], loss, [av, lv, iv])
+        # brute-force: enumerate all paths for sequence 0
+        logp = av - np.log(np.exp(av).sum(-1, keepdims=True))
+        import itertools
+
+        def collapse(path):
+            out = []
+            prev = None
+            for s in path:
+                if s != prev and s != 0:
+                    out.append(s)
+                prev = s
+            return out
+
+        total = 0.0
+        for path in itertools.product(range(C), repeat=T):
+            if collapse(path) == [1, 2]:
+                total += np.exp(sum(logp[t, 0, path[t]] for t in range(T)))
+        np.testing.assert_allclose(np.asarray(res[0])[0], -np.log(total), rtol=1e-6)
+
+    def test_ctc_grad(self):
+        from aesara_tpu.tensor.nnet.ctc import ctc
+
+        lv = np.array([[1, 2]])
+        iv = np.array([5])
+
+        def build(a):
+            return ctc(a, at.constant(lv), at.constant(iv)).sum()
+
+        verify_grad(build, [rng.normal(size=(5, 1, 3)) * 0.5])
