@@ -133,3 +133,18 @@ class HashableNDArray:
             and self.data.dtype == other.data.dtype
             and np.array_equal(self.data, other.data)
         )
+
+
+class NoDuplicateOptWarningFilter:
+    """logging filter dropping repeated rewrite warnings
+    (reference ``aesara/utils.py``)."""
+
+    prev_msgs: set = set()
+
+    def filter(self, record) -> bool:
+        msg = record.getMessage()
+        if msg.startswith("WARNING (aesara_tpu"):
+            if msg in self.prev_msgs:
+                return False
+            self.prev_msgs.add(msg)
+        return True

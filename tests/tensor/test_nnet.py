@@ -241,3 +241,40 @@ class TestCTC:
             return ctc(a, at.constant(lv), at.constant(iv)).sum()
 
         verify_grad(build, [rng.normal(size=(5, 1, 3)) * 0.5])
+
+
+class TestBlocksparseConv3d2d:
+    def test_sparse_block_dot(self):
+        from aesara_tpu.tensor.nnet.blocksparse import sparse_block_dot
+
+        W = at.tensor("W", dtype="float64", shape=(None,) * 4)
+        h = at.tensor3("h", dtype="float64")
+        bb = at.matrix("b", dtype="float64")
+        iIdx = at.lmatrix("iIdx")
+        oIdx = at.lmatrix("oIdx")
+        out = sparse_block_dot(W, h, iIdx, bb, oIdx)
+        Wv = dm(3, 4, 2, 5)
+        hv = dm(2, 2, 2)
+        iv = np.array([[0, 2], [1, 0]])
+        ov = np.array([[1, 3], [0, 2]])
+        bv = dm(4, 5)
+        res = compare_jax_and_py([W, h, iIdx, bb, oIdx], out, [Wv, hv, iv, bv, ov])
+        expected = np.zeros((2, 2, 5))
+        for bi in range(2):
+            for j in range(2):
+                acc = bv[ov[bi, j]].copy()
+                for i in range(2):
+                    acc += hv[bi, i] @ Wv[iv[bi, i], ov[bi, j]]
+                expected[bi, j] = acc
+        np.testing.assert_allclose(np.asarray(res[0]), expected, rtol=1e-8)
+
+    def test_conv3d2d_alias(self):
+        from aesara_tpu.tensor.nnet.conv3d2d import conv3d
+
+        s = at.tensor5("s", dtype="float64")
+        f5 = at.tensor5("f", dtype="float64")
+        out = conv3d(s, f5)
+        res = compare_jax_and_py(
+            [s, f5], out, [dm(1, 4, 2, 5, 5), dm(3, 2, 2, 2, 2)]
+        )
+        assert np.asarray(res[0]).shape == (1, 3, 3, 4, 4)
