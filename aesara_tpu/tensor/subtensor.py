@@ -209,37 +209,39 @@ class Subtensor(Op):
 
 
 def _symbolic_slice_len(dim, sl: slice):
-    """Symbolic length of slice ``sl`` over symbolic dim size ``dim``."""
+    """Symbolic length of slice ``sl`` over symbolic dim size ``dim``
+    (CPython ``slice.indices`` semantics)."""
     from aesara_tpu.tensor import math as tm
     from aesara_tpu.tensor.basic import switch
 
-    def norm(v, default):
-        if v is None:
-            return constant(default, dtype="int64")
+    def norm(v):
         if isinstance(v, int):
             return constant(v, dtype="int64")
         return cast(as_tensor_variable(v), "int64")
 
-    step = norm(sl.step, 1)
     zero = constant(0, dtype="int64")
     one = constant(1, dtype="int64")
+    dim = cast(as_tensor_variable(dim), "int64")
+    step = norm(sl.step) if sl.step is not None else one
     pos_step = tm.ge(step, zero)
-    big = constant(2**62, dtype="int64")
 
-    start = sl.start
-    stop = sl.stop
-    start_v = norm(start, 0) if start is not None else switch(pos_step, zero, big)
-    stop_v = norm(stop, 0) if stop is not None else switch(pos_step, big, -big)
+    lower = switch(pos_step, zero, -one)
+    upper = switch(pos_step, dim, dim - one)
 
-    def clamp(v):
-        # negative → add dim; clip to [ -1 for neg step handled by formula ]
-        v = switch(tm.lt(v, zero), v + dim, v)
-        return tm.minimum(tm.maximum(v, -one), dim)
+    def resolve(v, default_pos, default_neg):
+        if v is None:
+            return switch(pos_step, default_pos, default_neg)
+        v = norm(v)
+        return switch(
+            tm.lt(v, zero),
+            tm.maximum(v + dim, lower),
+            tm.minimum(v, upper),
+        )
 
-    start_c = clamp(start_v)
-    stop_c = clamp(stop_v)
-    diff = switch(pos_step, stop_c - start_c, start_c - stop_c)
+    start_c = resolve(sl.start, zero, dim - one)
+    stop_c = resolve(sl.stop, dim, -one)
     astep = tm.abs(step)
+    diff = switch(pos_step, stop_c - start_c, start_c - stop_c)
     length = tm.int_div(diff + astep - one, astep)
     return tm.maximum(length, zero)
 
