@@ -205,7 +205,7 @@ def pfunc(
     return orig_function(
         in_specs, out_vars, shared_vars, update_pairs, single,
         mode=mode, name=name, profile=profile, on_unused_input=on_unused_input,
-        accept_inplace=accept_inplace,
+        accept_inplace=accept_inplace, out_specs=out_specs,
     )
 
 
@@ -220,6 +220,7 @@ def orig_function(
     profile=None,
     on_unused_input=None,
     accept_inplace=False,
+    out_specs=None,
 ) -> "Function":
     """FunctionMaker equivalent (reference ``types.py:1741/1271``)."""
     t0 = time.perf_counter()
@@ -316,6 +317,7 @@ def orig_function(
         name=name,
         maker_time=time.perf_counter() - t0,
         rewrite_time=rewrite_time,
+        out_specs=out_specs,
     )
     fn._recipe = {
         "in_specs": in_specs,
@@ -335,8 +337,9 @@ class Function:
     def __init__(
         self, thunk, input_storage, output_storage, in_specs, shared_vars,
         update_pairs, n_user_outputs, single_output, fgraph, mode, name,
-        maker_time=None, rewrite_time=None,
+        maker_time=None, rewrite_time=None, out_specs=None,
     ):
+        self.out_specs = out_specs
         self.fn = thunk
         self.input_storage = input_storage
         self.output_storage = output_storage
@@ -359,7 +362,7 @@ class Function:
             if spec.name:
                 self._name_to_pos[spec.name] = i
 
-    def __call__(self, *args, **kwargs):
+    def __call__(self, *args, output_subset=None, **kwargs):
         t0 = time.perf_counter()
         n_explicit = len(self.in_specs)
         if len(args) > n_explicit:
@@ -395,9 +398,17 @@ class Function:
             shared.container.storage[0] = new_val
 
         outs = [cell[0] for cell in self.output_storage[: self.n_user_outputs]]
-        outs = [self._to_host(o) for o in outs]
+        specs = self.out_specs or [None] * len(outs)
+        outs = [
+            o if (sp is not None and getattr(sp, "borrow", False))
+            else self._to_host(o)
+            for o, sp in zip(outs, specs)
+        ]
         self.call_time += time.perf_counter() - t0
         self.n_calls += 1
+        if output_subset is not None:
+            # reference semantics: return only the requested outputs
+            return [outs[i] for i in output_subset]
         if self.n_user_outputs == 0:
             return [] if not self.single_output else None
         if self.single_output:
