@@ -351,9 +351,10 @@ def _make_prefixed():
                     return TensorType(_dt, (None, 1))(name)
                 return TensorType(_dt, (None,) * _nd)(name)
 
+            plural = f"{bname[:-1]}ces" if bname == "matrix" else f"{bname}s"
             g[f"{prefix}{bname}"] = ctor
-            g[f"{prefix}{bname}s"] = _multi(ctor)
-            __all__.extend([f"{prefix}{bname}", f"{prefix}{bname}s"])
+            g[f"{prefix}{plural}"] = _multi(ctor)
+            __all__.extend([f"{prefix}{bname}", f"{prefix}{plural}"])
     # plural forms of the plain constructors
     for bname in ("tensor3", "tensor4", "tensor5"):
         g[f"{bname}s"] = _multi(g[bname])
