@@ -84,6 +84,14 @@ def _jax_scan(op, node=None, **kwargs):
         (final_windows, final_sit, final_shared), ys = lax.scan(
             step, init_carry, tuple(seqs) if seqs else None, length=length
         )
-        return tuple(ys) + tuple(final_shared)
+        # final-only recurrent outputs come from the carry, not the stack
+        outs = list(ys)
+        for i in range(info.n_mit_sot):
+            if info.is_final_only(i):
+                outs[i] = final_windows[i][-1]
+        for k in range(info.n_sit_sot):
+            if info.is_final_only(info.n_mit_sot + k):
+                outs[info.n_mit_sot + k] = final_sit[k]
+        return tuple(outs) + tuple(final_shared)
 
     return scan_fn

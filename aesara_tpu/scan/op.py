@@ -52,6 +52,13 @@ class ScanInfo:
     n_shared: int
     n_non_seqs: int
     as_while: bool = False
+    #: per recurrent output (mit then sit): True → only the FINAL state is
+    #: returned (single step, no stacked buffer) — the scan_save_mem
+    #: rewrite's storage truncation (reference scan/rewriting.py:1176)
+    final_only: Tuple[bool, ...] = ()
+
+    def is_final_only(self, rec_idx: int) -> bool:
+        return bool(self.final_only) and self.final_only[rec_idx]
 
     @property
     def n_mit_sot(self) -> int:
@@ -163,15 +170,21 @@ class Scan(Op, HasInnerGraph):
         outputs: List[Variable] = []
         inner = self.fgraph.outputs
         idx = 0
-        for taps in info.mit_sot_taps:
-            outputs.append(
-                TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
-            )
+        for rec_i, taps in enumerate(info.mit_sot_taps):
+            if info.is_final_only(rec_i):
+                outputs.append(inner[idx].type())
+            else:
+                outputs.append(
+                    TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
+                )
             idx += 1
-        for _ in range(info.n_sit_sot):
-            outputs.append(
-                TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
-            )
+        for k in range(info.n_sit_sot):
+            if info.is_final_only(info.n_mit_sot + k):
+                outputs.append(inner[idx].type())
+            else:
+                outputs.append(
+                    TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
+                )
             idx += 1
         for _ in range(info.n_nit_sot):
             outputs.append(
@@ -264,10 +277,16 @@ class Scan(Op, HasInnerGraph):
 
         out_pos = 0
         for i in range(info.n_mit_sot):
-            output_storage[out_pos][0] = np.asarray(mit_out[i])
+            if info.is_final_only(i):
+                output_storage[out_pos][0] = np.asarray(mit_out[i][-1])
+            else:
+                output_storage[out_pos][0] = np.asarray(mit_out[i])
             out_pos += 1
         for i in range(info.n_sit_sot):
-            output_storage[out_pos][0] = np.asarray(sit_out[i])
+            if info.is_final_only(info.n_mit_sot + i):
+                output_storage[out_pos][0] = np.asarray(sit_out[i][-1])
+            else:
+                output_storage[out_pos][0] = np.asarray(sit_out[i])
             out_pos += 1
         for i in range(info.n_nit_sot):
             output_storage[out_pos][0] = np.asarray(nit_out[i])
@@ -278,13 +297,18 @@ class Scan(Op, HasInnerGraph):
 
     # --- shape -------------------------------------------------------------------
     def infer_shape(self, fgraph, node, input_shapes):
+        from aesara_tpu.tensor.shape import shape as tshape
+
         info = self.info
         n_steps = node.inputs[0]
         out = []
         for i, o in enumerate(node.outputs):
-            if i < info.n_mit_sot + info.n_sit_sot + info.n_nit_sot:
-                from aesara_tpu.tensor.shape import shape as tshape
-
+            if (
+                i < info.n_mit_sot + info.n_sit_sot
+                and info.is_final_only(i)
+            ):
+                out.append(tuple(tshape(o)[d] for d in range(o.type.ndim)))
+            elif i < info.n_mit_sot + info.n_sit_sot + info.n_nit_sot:
                 rest = tuple(
                     tshape(o)[d + 1] for d in range(o.type.ndim - 1)
                 )
@@ -324,10 +348,11 @@ class Scan(Op, HasInnerGraph):
         from aesara_tpu.tensor.subtensor import inc_subtensor, set_subtensor
 
         info = self.info
-        if info.as_while:
+        if info.as_while or any(info.final_only):
             return [
                 grad_not_implemented(self, i, inp,
-                                     "gradient through while-Scan not supported")
+                                     "gradient through while/final-only Scan "
+                                     "not supported")
                 for i, inp in enumerate(inputs)
             ]
 

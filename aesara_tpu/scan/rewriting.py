@@ -1,0 +1,96 @@
+"""Scan rewrites (reference ``aesara/scan/rewriting.py``, 2,484 LoC:
+scan_eqopt passes, save_mem_new_scan:1176, ScanMerge, inplace).
+
+On XLA most of the reference's scan passes are subsumed (the whole loop
+is one fused program; inplace is donation), so the pack here is the one
+with real device impact: **scan_save_mem** — when a scan's stacked
+recurrent output is consumed ONLY through its last element, rewrite the
+op to return just the final carried state, eliminating the
+(n_steps, ...) HBM buffer.  This fires on the gradient accumulators of
+every reverse (BPTT) scan."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aesara_tpu.compile.mode import optdb
+from aesara_tpu.graph.rewriting.basic import copy_stack_trace, in2out, node_rewriter
+from aesara_tpu.scan.op import Scan, ScanInfo
+from aesara_tpu.tensor.subtensor import SYM, Subtensor
+
+
+def _is_last_element_index(idx_list) -> bool:
+    """x[-1] — the pattern scan_save_mem truncates for."""
+    return len(idx_list) == 1 and idx_list[0] == -1
+
+
+@node_rewriter([Subtensor])
+def scan_save_mem(fgraph, node):
+    sub_op = node.op
+    if not _is_last_element_index(sub_op.idx_list):
+        return False
+    scanned = node.inputs[0]
+    snode = scanned.owner
+    if snode is None or not isinstance(snode.op, Scan):
+        return False
+    info = snode.op.info
+    rec_idx = scanned.index
+    if rec_idx >= info.n_mit_sot + info.n_sit_sot:
+        return False  # nit-sot finals stay stacked (not in the carry)
+    if info.is_final_only(rec_idx):
+        return False
+    # the stack must have NO other consumer than [-1]-style subtensors
+    clients = fgraph.clients.get(scanned, [])
+    for client, _ in clients:
+        if client == "output":
+            return False
+        if not (
+            isinstance(client.op, Subtensor)
+            and _is_last_element_index(client.op.idx_list)
+        ):
+            return False
+
+    new_final = list(info.final_only) if info.final_only else (
+        [False] * (info.n_mit_sot + info.n_sit_sot)
+    )
+    new_final[rec_idx] = True
+    new_info = ScanInfo(
+        n_seqs=info.n_seqs,
+        mit_sot_taps=info.mit_sot_taps,
+        n_sit_sot=info.n_sit_sot,
+        n_nit_sot=info.n_nit_sot,
+        n_shared=info.n_shared,
+        n_non_seqs=info.n_non_seqs,
+        as_while=info.as_while,
+        final_only=tuple(new_final),
+    )
+    new_op = Scan(
+        snode.op.fgraph, new_info, snode.op.name,
+        snode.op.truncate_gradient, snode.op.mode,
+    )
+    new_outs = new_op(*snode.inputs, return_list=True)
+    replacements = {}
+    for j, (old, new) in enumerate(zip(snode.outputs, new_outs)):
+        if j == rec_idx:
+            continue  # consumers of the stack are the [-1] subtensors
+        if fgraph.clients.get(old):
+            replacements[old] = new
+    # every [-1] consumer of the stacked output becomes the final state
+    for client, _ in clients:
+        replacements[client.outputs[0]] = new_outs[rec_idx]
+    if not replacements:
+        return False
+    for old, new in replacements.items():
+        copy_stack_trace(old, new)
+    return replacements
+
+
+# reference position 1.61; runs again late (post-fusion graphs)
+optdb.register(
+    "scan_save_mem", in2out(scan_save_mem, name="scan_save_mem"),
+    "fast_run", "scan", position=1.61,
+)
+optdb.register(
+    "scan_save_mem_late", in2out(scan_save_mem, name="scan_save_mem_late"),
+    "fast_run", "scan", position=50.5,
+)
