@@ -76,16 +76,29 @@ def scan(
         [outputs_info] if outputs_info is not None else None
     )
 
+    # expand sequence taps: a sequence with taps [t0..tk] becomes one
+    # shifted plain sequence per tap; the usable length shrinks by
+    # (max_tap - min_tap) (reference scan/basic.py sequence-dict handling)
     seq_vars = []
+    seq_len_cut = 0
     for s in sequences:
         if isinstance(s, dict):
-            taps = s.get("taps", [0])
-            if list(taps) != [0]:
-                raise NotImplementedError(
-                    "sequence taps other than [0] land in a later stage"
-                )
-            s = s["input"]
-        seq_vars.append(as_tensor_variable(s))
+            taps = [int(t) for t in s.get("taps", [0])]
+            inp = as_tensor_variable(s["input"])
+            lo, hi = min(taps), max(taps)
+            span = hi - lo
+            seq_len_cut = max(seq_len_cut, span)
+            for tap in taps:
+                off = tap - lo
+                if span == 0:
+                    seq_vars.append(inp)
+                else:
+                    end_cut = span - off
+                    seq_vars.append(
+                        inp[off:] if end_cut == 0 else inp[off:-end_cut]
+                    )
+        else:
+            seq_vars.append(as_tensor_variable(s))
     if go_backwards:
         seq_vars = [s[::-1] for s in seq_vars]
 

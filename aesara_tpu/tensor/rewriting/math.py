@@ -378,3 +378,62 @@ def local_dot_to_batched_dot(fgraph, node):
 
 
 register_specialize(local_dot_to_batched_dot, "BlasOpt")
+
+
+@node_rewriter([Elemwise])
+def local_flatten_add_mul(fgraph, node):
+    """Flatten nested add/mul chains into one variadic node and fold the
+    collected constants — the core of the reference's AlgebraicCanonizer
+    (``math.py:664``) normal form."""
+    sop = node.op.scalar_op
+    if not isinstance(sop, (aes.ops.Add, aes.ops.Mul)):
+        return False
+    is_add = isinstance(sop, aes.ops.Add)
+    flat = []
+    changed = False
+    for inp in node.inputs:
+        inner = inp.owner
+        if (
+            inner is not None
+            and isinstance(inner.op, Elemwise)
+            and type(inner.op.scalar_op) is type(sop)
+            and len(fgraph.clients.get(inp, [])) == 1
+        ):
+            flat.extend(inner.inputs)
+            changed = True
+        else:
+            flat.append(inp)
+    # collect constants
+    const_vals = []
+    rest = []
+    for v in flat:
+        cv = _const_val(v)
+        if cv is not None and np.asarray(cv).size == 1:
+            const_vals.append(np.asarray(cv))
+        else:
+            rest.append(v)
+    if len(const_vals) > 1:
+        changed = True
+    if not changed:
+        return False
+    if const_vals:
+        total = const_vals[0]
+        for c in const_vals[1:]:
+            total = total + c if is_add else total * c
+        neutral = 0 if is_add else 1
+        if not np.all(total == neutral):
+            rest = rest + [constant(total.reshape(())[()])]
+    if not rest:
+        return False
+    if len(rest) == 1:
+        res = rest[0]
+    else:
+        res = tm.add(*rest) if is_add else tm.mul(*rest)
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_flatten_add_mul)

@@ -289,3 +289,54 @@ class TestTruncateGradient:
         # only the last 2 steps contribute
         np.testing.assert_allclose(res[:4], 0.0)
         np.testing.assert_allclose(res[4:], [0.9, 1.0])
+
+
+class TestSequenceTaps:
+    def test_forward_window(self):
+        x = at.vector("x", dtype="float64")
+        y, _ = scan(lambda a, b, c: a + b + c,
+                    sequences=[dict(input=x, taps=[0, 1, 2])])
+        v = rng.normal(size=8)
+        res = compare_jax_and_py([x], y, [v])
+        np.testing.assert_allclose(np.asarray(res[0]), v[:-2] + v[1:-1] + v[2:])
+
+    def test_negative_taps(self):
+        x = at.vector("x", dtype="float64")
+        y, _ = scan(lambda prev, cur: prev * cur,
+                    sequences=[dict(input=x, taps=[-1, 0])])
+        v = rng.normal(size=6)
+        res = compare_jax_and_py([x], y, [v])
+        np.testing.assert_allclose(np.asarray(res[0]), v[:-1] * v[1:])
+
+    def test_seq_taps_grad(self):
+        def build(xv):
+            y, _ = scan(lambda a, b: at.tanh(a) * b,
+                        sequences=[dict(input=xv, taps=[0, 1])])
+            return y.sum()
+
+        verify_grad(build, [rng.normal(size=7)])
+
+
+class TestSaveMem:
+    def test_final_only_rewrite_applies(self):
+        from aesara_tpu.scan.op import Scan
+
+        x = at.vector("x", dtype="float64")
+        h, _ = scan(lambda xt, a: a * 0.9 + xt, sequences=[x],
+                    outputs_info=[c64(0.0)])
+        f = function([x], h[-1] * 2.0, mode="FAST_RUN")
+        scans = [n for n in f.fgraph.toposort() if isinstance(n.op, Scan)]
+        assert scans and scans[0].op.info.final_only == (True,)
+        v = rng.normal(size=6)
+        f_ref = function([x], h[-1] * 2.0, mode="PY")
+        np.testing.assert_allclose(float(f(v)), float(f_ref(v)), rtol=1e-12)
+
+    def test_not_applied_when_stack_needed(self):
+        from aesara_tpu.scan.op import Scan
+
+        x = at.vector("x", dtype="float64")
+        h, _ = scan(lambda xt, a: a * 0.9 + xt, sequences=[x],
+                    outputs_info=[c64(0.0)])
+        f = function([x], h[-1] + h.sum(), mode="FAST_RUN")
+        scans = [n for n in f.fgraph.toposort() if isinstance(n.op, Scan)]
+        assert all(not any(s.op.info.final_only) for s in scans)
