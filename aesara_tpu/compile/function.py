@@ -262,6 +262,21 @@ def orig_function(
         fg_inputs, fg_outputs, clone=False, update_mapping=update_mapping
     )
     fgraph.attach_feature(ReplaceValidate())
+    # protect non-mutable explicit inputs and non-updated shareds from
+    # destructive rewrites (reference Supervisor, types.py:136)
+    from aesara_tpu.graph.destroyhandler import Supervisor
+
+    updated_idx = set(update_mapping.values())
+    protected = [
+        fg_inputs[i]
+        for i, spec in enumerate(in_specs)
+        if not getattr(spec, "mutable", False)
+    ] + [
+        fg_inputs[n_explicit + j]
+        for j in range(len(shared_vars))
+        if (n_explicit + j) not in updated_idx
+    ]
+    fgraph.attach_feature(Supervisor(protected))
 
     # run the rewrite pipeline
     rewriter = mode.optimizer
@@ -319,6 +334,17 @@ def orig_function(
         rewrite_time=rewrite_time,
         out_specs=out_specs,
     )
+    if profile:
+        from aesara_tpu.compile.profiling import ProfileStats
+
+        stats = profile if isinstance(profile, ProfileStats) else ProfileStats(
+            name=name
+        )
+        stats.compile_time = fn.maker_time or 0.0
+        stats.rewrite_time = rewrite_time or 0.0
+        fn.profile = stats
+    else:
+        fn.profile = None
     fn._recipe = {
         "in_specs": in_specs,
         "out_vars": list(out_vars),
@@ -406,6 +432,9 @@ class Function:
         ]
         self.call_time += time.perf_counter() - t0
         self.n_calls += 1
+        if self.profile is not None:
+            self.profile.fct_callcount += 1
+            self.profile.fct_call_time = self.call_time
         if output_subset is not None:
             # reference semantics: return only the requested outputs
             return [outs[i] for i in output_subset]

@@ -113,11 +113,13 @@ class JAXLinker(Linker):
         self.use_jit = use_jit
         self.donate_updated = donate_updated
 
+    #: process-wide memo: canonical graph key → jitted callable
+    _compiled_cache: dict = {}
+
     def make_thunk(self, input_storage=None, output_storage=None, storage_map=None):
         import jax
 
         fgraph = self.fgraph
-        fn = fgraph_to_jax(fgraph)
 
         use_jit = self.use_jit if self.use_jit is not None else config.jax_jit
         donate = (
@@ -133,9 +135,26 @@ class JAXLinker(Linker):
             # giving in-place semantics for shared buffers on device
             donate_argnums = tuple(sorted(set(update_map.values())))
 
+        fn = None
+        cache_key = None
         if use_jit:
-            compiled = jax.jit(fn, donate_argnums=donate_argnums)
+            # reuse compiled programs across identical graphs (the
+            # cmodule_key role, link/c/basic.py:1208)
+            try:
+                from aesara_tpu.link.cache import fgraph_key
+
+                cache_key = (fgraph_key(fgraph), donate_argnums)
+            except Exception:
+                cache_key = None
+            if cache_key is not None and cache_key in self._compiled_cache:
+                compiled = self._compiled_cache[cache_key]
+            else:
+                fn = fgraph_to_jax(fgraph)
+                compiled = jax.jit(fn, donate_argnums=donate_argnums)
+                if cache_key is not None:
+                    self._compiled_cache[cache_key] = compiled
         else:
+            fn = fgraph_to_jax(fgraph)
             compiled = fn
 
         if input_storage is None:
