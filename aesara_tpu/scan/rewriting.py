@@ -94,3 +94,103 @@ optdb.register(
     "scan_save_mem_late", in2out(scan_save_mem, name="scan_save_mem_late"),
     "fast_run", "scan", position=50.5,
 )
+
+
+@node_rewriter([Scan])
+def scan_pushout_non_seqs(fgraph, node):
+    """Hoist inner computations that depend only on non-sequences (and
+    constants) out of the loop: they are computed once outside and fed in
+    as new non-sequences (reference push-out-non-seqs, the scan_eqopt1
+    workhorse)."""
+    from aesara_tpu.graph.ir import Constant, clone_replace, io_toposort
+
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+    inner_in = op.fgraph.inputs
+    n_loop_vars = (
+        info.n_seqs
+        + sum(len(t) for t in info.mit_sot_taps)
+        + info.n_sit_sot
+        + info.n_shared
+    )
+    loop_vars = set(inner_in[:n_loop_vars])
+    nonseq_vars = inner_in[n_loop_vars:]
+    nonseq_set = set(nonseq_vars)
+
+    # classify inner nodes: invariant = no loop-var ancestor
+    invariant_vars = set(nonseq_set)
+    hoistable = []
+    for inner_node in io_toposort(inner_in, op.fgraph.outputs):
+        if getattr(inner_node.op, "jax_never_fold", False):
+            continue  # collectives / RNG must stay put
+        if all(
+            (i in invariant_vars) or isinstance(i, Constant)
+            for i in inner_node.inputs
+        ):
+            hoistable.append(inner_node)
+            invariant_vars.update(inner_node.outputs)
+
+    if not hoistable:
+        return False
+    # hoist only values actually consumed by non-invariant nodes/outputs
+    hoist_outputs = []
+    for inner_node in hoistable:
+        for out in inner_node.outputs:
+            for client, _ in op.fgraph.clients.get(out, []):
+                if client == "output" or client not in hoistable:
+                    if out not in hoist_outputs:
+                        hoist_outputs.append(out)
+                    break
+    if not hoist_outputs:
+        return False
+    # avoid hoisting trivial views of existing non-seqs
+    hoist_outputs = [
+        v for v in hoist_outputs if v not in nonseq_set and v.owner is not None
+    ]
+    if not hoist_outputs:
+        return False
+
+    outer_nonseqs = node.inputs[1 + info.n_seqs + info.n_mit_sot
+                                + info.n_sit_sot + info.n_shared:]
+    # compute hoisted values OUTSIDE the loop over the outer non-seqs
+    outer_values = clone_replace(
+        hoist_outputs, replace=dict(zip(nonseq_vars, outer_nonseqs))
+    )
+    # new inner placeholders receive them
+    new_inner_vars = [v.type() for v in hoist_outputs]
+    new_inner_outputs = clone_replace(
+        list(op.fgraph.outputs),
+        replace=dict(zip(hoist_outputs, new_inner_vars)),
+    )
+    new_inner_inputs = list(inner_in) + new_inner_vars
+    from aesara_tpu.graph.fg import FunctionGraph
+
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_info = ScanInfo(
+        n_seqs=info.n_seqs,
+        mit_sot_taps=info.mit_sot_taps,
+        n_sit_sot=info.n_sit_sot,
+        n_nit_sot=info.n_nit_sot,
+        n_shared=info.n_shared,
+        n_non_seqs=info.n_non_seqs + len(new_inner_vars),
+        as_while=info.as_while,
+        final_only=info.final_only,
+    )
+    new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
+    new_outs = new_op(*(list(node.inputs) + list(outer_values)),
+                      return_list=True)
+    replacements = {}
+    for old, new in zip(node.outputs, new_outs):
+        if fgraph.clients.get(old):
+            replacements[old] = new
+            copy_stack_trace(old, new)
+    return replacements or False
+
+
+optdb.register(
+    "scan_pushout_non_seqs", in2out(scan_pushout_non_seqs,
+                                    name="scan_pushout_non_seqs"),
+    "fast_run", "scan", position=1.60,
+)

@@ -340,3 +340,40 @@ class TestSaveMem:
         f = function([x], h[-1] + h.sum(), mode="FAST_RUN")
         scans = [n for n in f.fgraph.toposort() if isinstance(n.op, Scan)]
         assert all(not any(s.op.info.final_only) for s in scans)
+
+
+class TestPushout:
+    def test_invariant_hoisted(self):
+        from aesara_tpu.scan.op import Scan
+        from aesara_tpu.tensor.elemwise import Elemwise
+
+        x = at.vector("x", dtype="float64")
+        w = at.matrix("w", dtype="float64")
+        # at.tanh(w) and dot(tanh(w), tanh(w)) are loop-invariant
+        h, _ = scan(
+            lambda xt, acc, w: acc + xt * at.math.sum(at.dot(at.tanh(w), at.tanh(w))),
+            sequences=[x], outputs_info=[c64(0.0)], non_sequences=[w],
+        )
+        f = function([x, w], h[-1], mode="FAST_RUN")
+        scans = [n for n in f.fgraph.toposort() if isinstance(n.op, Scan)]
+        assert scans
+        inner_ops = [str(nn.op) for nn in scans[0].op.fgraph.toposort()]
+        assert not any("dot" in s for s in inner_ops), inner_ops
+        # numerics
+        f_ref = function([x, w], h[-1], mode="PY")
+        xv = rng.normal(size=5)
+        wv = rng.normal(size=(3, 3))
+        np.testing.assert_allclose(float(f(xv, wv)), float(f_ref(xv, wv)),
+                                   rtol=1e-10)
+
+    def test_rng_not_hoisted(self):
+        from aesara_tpu.scan.op import Scan
+
+        srng_shared = atp.shared(np.float64(1.0), name="state")
+        x = at.vector("x", dtype="float64")
+        # shared-carried computation must stay inside
+        outs, upd = scan(lambda xt: {srng_shared: srng_shared * 2.0 + xt},
+                         sequences=[x])
+        f = function([x], [], updates=upd, mode="FAST_RUN")
+        f(np.ones(3))
+        assert np.isclose(srng_shared.get_value(), 1 * 8 + 4 + 2 + 1)

@@ -157,3 +157,33 @@ def test_full_pipeline_on_training_graph():
     xv = rng.normal(size=(6, 4))
     for a, b in zip(f(xv), f_ref(xv)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8)
+
+
+def test_softmax_recognition():
+    from aesara_tpu.tensor.special import LogSoftmax, Softmax
+
+    x = at.matrix("x", dtype="float64")
+    e = at.exp(x)
+    sm = e / e.sum(axis=1, keepdims=True)
+    res = rewrite_graph(sm, include=["canonicalize", "specialize"])
+    assert res.owner is not None and isinstance(res.owner.op, Softmax)
+    # numerics survive
+    f_opt = atp.function([x], sm, mode="FAST_RUN")
+    f_ref = atp.function([x], sm, mode="PY")
+    v = rng.normal(size=(3, 5)) * 30  # large values: stability matters
+    np.testing.assert_allclose(f_opt(v), f_ref(v), rtol=1e-6, atol=1e-12)
+
+
+def test_logsoftmax_stability_rewrite():
+    from aesara_tpu.tensor.special import LogSoftmax, softmax
+
+    x = at.matrix("x", dtype="float64")
+    expr = at.log(softmax(x, axis=1))
+    res = rewrite_graph(expr, include=["canonicalize", "stabilize"])
+    assert res.owner is not None and isinstance(res.owner.op, LogSoftmax)
+    # the naive form underflows for large logits; the rewritten one must not
+    f = atp.function([x], expr, mode="FAST_RUN")
+    v = np.zeros((1, 3))
+    v[0] = [0.0, -2000.0, 0.0]
+    out = np.asarray(f(v))
+    assert np.isfinite(out[0, 0]) and out[0, 1] < -1000
