@@ -39,6 +39,9 @@ from aesara_tpu import tensor as at  # conventional alias
 from aesara_tpu.tensor import rewriting as _tensor_rewriting  # registers packs
 from aesara_tpu.graph import destroyhandler as _destroyhandler  # registers 49.5 pass
 from aesara_tpu.scan import rewriting as _scan_rewriting  # registers scan_save_mem
+from aesara_tpu.compile.builders import _register_inline_ofg as _rio
+_rio()  # inline_ofg_expansion (circular-import-safe registration)
+del _rio
 
 from aesara_tpu.scan.basic import scan
 from aesara_tpu.scan.views import foldl, foldr

@@ -193,3 +193,33 @@ class OpFromGraph(Op, HasInnerGraph):
 
     def __str__(self):
         return self.name
+
+
+# ---------------------------------------------------------------------------
+# inline expansion (reference compile/builders.py:1047 inline_ofg_expansion)
+# ---------------------------------------------------------------------------
+
+def _inline_ofg_node(fgraph, node):
+    """Replace an ``OpFromGraph(inline=True)`` application with its inner
+    graph, substituting the outer inputs — lets XLA fuse across the
+    encapsulation boundary."""
+    op = node.op
+    if not isinstance(op, OpFromGraph) or not op.is_inline:
+        return False
+    from aesara_tpu.graph.ir import clone_replace
+
+    return clone_replace(
+        list(op.inner_outputs), replace=dict(zip(op.inner_inputs, node.inputs))
+    )
+
+
+def _register_inline_ofg():
+    # called from aesara_tpu/__init__ once the optdb exists (the direct
+    # import here would be circular: mode -> jax linker -> builders)
+    from aesara_tpu.compile.mode import register_specialize
+    from aesara_tpu.graph.rewriting.basic import node_rewriter
+
+    rw = node_rewriter([OpFromGraph])(_inline_ofg_node)
+    rw.__name__ = "inline_ofg_expansion"
+    rw.name = "inline_ofg_expansion"
+    register_specialize(rw, name="inline_ofg_expansion")

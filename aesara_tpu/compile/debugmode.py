@@ -142,3 +142,8 @@ class DebugMode(Mode):
 
     def __init__(self, optimizer="fast_run", check_finite=False):
         super().__init__(DebugLinker(check_finite=check_finite), optimizer)
+
+
+#: the reference's DualLinker (link/c/basic.py:1934) runs py & C in
+#: parallel and compares; here the pair is py & XLA — same checker
+DualLinker = DebugLinker

@@ -144,6 +144,12 @@ def _add_grads(a, b):
 
     if isinstance(a.type, ScalarType):
         return s_add(a, b)
+    from aesara_tpu.sparse.type import SparseTensorType
+
+    if isinstance(a.type, SparseTensorType) or isinstance(b.type, SparseTensorType):
+        from aesara_tpu.sparse.basic import add as sp_add
+
+        return sp_add(a, b)
     return t_add(a, b)
 
 

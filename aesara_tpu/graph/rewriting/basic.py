@@ -962,3 +962,71 @@ def pre_greedy_node_rewriter(fgraph, rewrites, out):
         return memo[out]
 
     return local_recursive(out, {})
+
+
+class MetaNodeRewriter(NodeRewriter):
+    """Try several candidate rewriters, time each result on test values,
+    keep the fastest (reference ``rewriting/basic.py:945``)."""
+
+    def __init__(self, verbose=False):
+        self.verbose = verbose
+        self.track_dict = defaultdict(list)
+        self.tag_dict = defaultdict(list)
+
+    def register(self, rewriter, tag_list=()):
+        for t in rewriter.tracks() or []:
+            self.track_dict[t].append(rewriter)
+        for tag in tag_list:
+            self.tag_dict[tag].append(rewriter)
+
+    def tracks(self):
+        return list(self.track_dict) or None
+
+    def transform(self, fgraph, node):
+        import time as _time
+
+        from aesara_tpu.graph.op import get_test_values
+
+        candidates = list(self.track_dict.get(node.op, []))
+        for cls, rws in self.track_dict.items():
+            if not isinstance(cls, type):
+                continue
+            if isinstance(node.op, cls):
+                candidates.extend(rws)
+        if not candidates:
+            return False
+        # time each candidate on the node's test values when available
+        inputs_vals = []
+        for i in node.inputs:
+            try:
+                from aesara_tpu.graph.op import get_test_value
+
+                inputs_vals.append(get_test_value(i))
+            except Exception:
+                inputs_vals = None
+                break
+        best, best_time = None, None
+        for rw in candidates:
+            res = rw.transform(fgraph, node)
+            if not res:
+                continue
+            if inputs_vals is None:
+                return res  # no way to time: first hit wins
+            # benchmark the replacement by compiling it standalone
+            try:
+                from aesara_tpu.compile.function import function
+                from aesara_tpu.graph.ir import graph_inputs
+
+                outs = list(res.values()) if isinstance(res, dict) else list(res)
+                ins = [v for v in graph_inputs(outs) if v.owner is None
+                       and not isinstance(v, Constant)]
+                f = function(ins, outs, on_unused_input="ignore", mode="PY")
+                vals = [get_test_value(v) for v in ins]
+                t0 = _time.perf_counter()
+                f(*vals)
+                dt = _time.perf_counter() - t0
+            except Exception:
+                dt = float("inf")
+            if best is None or dt < best_time:
+                best, best_time = res, dt
+        return best if best is not None else False

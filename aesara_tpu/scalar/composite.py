@@ -129,3 +129,31 @@ class Composite(ScalarOp):
 
     def __str__(self):
         return self.name
+
+
+class Compositef32(Composite):
+    """float32-variant Composite (reference ``scalar/basic.py:4366``):
+    identical computation with float64 leaf types narrowed to float32 —
+    on TPU this is the default world, so it is a thin subclass kept for
+    API parity."""
+
+    @classmethod
+    def from_composite(cls, comp: "Composite") -> "Compositef32":
+        from aesara_tpu.graph.ir import clone_replace
+        from aesara_tpu.scalar.ops import ScalarType, cast_to
+
+        new_inputs = [
+            ScalarType("float32")() if i.type.dtype == "float64" else i.clone()
+            for i in comp.inputs
+        ]
+        replace = {
+            old: (cast_to(new, "float64") if old.type.dtype == "float64"
+                  and new.type.dtype == "float32" else new)
+            for old, new in zip(comp.inputs, new_inputs)
+        }
+        new_outputs = clone_replace(comp.outputs, replace=replace)
+        new_outputs = [
+            cast_to(o, "float32") if o.type.dtype == "float64" else o
+            for o in new_outputs
+        ]
+        return cls(new_inputs, new_outputs, name=comp.name + "_f32")

@@ -744,3 +744,419 @@ def sp_zeros_like(x):
     from aesara_tpu.tensor.basic import zeros_like as t_zeros_like
 
     return CSM(x.type.format)(t_zeros_like(data), indices, indptr, shape)
+
+
+# ---------------------------------------------------------------------------
+# stacking, comparisons, indexing, casts, structured elemwise
+# (reference sparse/basic.py: HStack:3211, VStack:3296, comparison ops
+# :430-700, GetItem2d:1542, GetItemScalar:1702, Cast:1150,
+# structured_* :2800s)
+# ---------------------------------------------------------------------------
+
+class HStack(Op):
+    """Concatenate sparse matrices horizontally (ref ``HStack:3211``)."""
+
+    __props__ = ("format", "dtype")
+
+    def __init__(self, format="csc", dtype=None):
+        self.format = format
+        self.dtype = dtype
+
+    def make_node(self, *mats):
+        mats = [as_sparse_variable(m) for m in mats]
+        dtype = self.dtype or upcast(*[m.type.dtype for m in mats])
+        return Apply(self, list(mats), [SparseTensorType(self.format, dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = sp.hstack(inputs, format=self.format).astype(
+            node.outputs[0].type.dtype
+        )
+
+    def grad(self, inputs, output_grads):
+        (gz,) = output_grads
+        out, col = [], 0
+        for m in inputs:
+            ncols = m.shape[1]
+            out.append(_slice_grad(gz, slice(None), slice(col, col + ncols)))
+            col = col + ncols
+        return out
+
+    def infer_shape(self, fgraph, node, shapes):
+        from aesara_tpu.tensor import math as tm
+
+        cols = shapes[0][1]
+        for s in shapes[1:]:
+            cols = tm.add(cols, s[1])
+        return [(shapes[0][0], cols)]
+
+
+class VStack(HStack):
+    """Concatenate sparse matrices vertically (ref ``VStack:3296``)."""
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = sp.vstack(inputs, format=self.format).astype(
+            node.outputs[0].type.dtype
+        )
+
+    def grad(self, inputs, output_grads):
+        (gz,) = output_grads
+        out, row = [], 0
+        for m in inputs:
+            nrows = m.shape[0]
+            out.append(_slice_grad(gz, slice(row, row + nrows), slice(None)))
+            row = row + nrows
+        return out
+
+    def infer_shape(self, fgraph, node, shapes):
+        from aesara_tpu.tensor import math as tm
+
+        rows = shapes[0][0]
+        for s in shapes[1:]:
+            rows = tm.add(rows, s[0])
+        return [(rows, shapes[0][1])]
+
+
+def _slice_grad(gz, s0, s1):
+    """HStack/VStack gradient slice: the upstream gradient may be sparse
+    (structured path) or dense (after ``sp_sum(sparse_grad=False)`` etc.);
+    slice in whichever domain it lives, convert dense slices to sparse."""
+    if isinstance(gz.type, SparseTensorType):
+        return get_item_2d(gz, s0, s1)
+    piece = gz[s0, s1]
+    return SparseFromDense("csr")(piece)
+
+
+def hstack(blocks, format="csc", dtype=None):
+    return HStack(format, dtype)(*blocks)
+
+
+def vstack(blocks, format="csc", dtype=None):
+    return VStack(format, dtype)(*blocks)
+
+
+class GetItem2d(Op):
+    """Slice a sparse matrix with symbolic slice bounds — stays sparse
+    (ref ``GetItem2d:1542``).  Bounds arrive as four scalar inputs
+    (start0, stop0, start1, stop1); None bounds become 0/nrows."""
+
+    __props__ = ()
+
+    def make_node(self, x, start0, stop0, start1, stop1):
+        x = as_sparse_variable(x)
+        bounds = [as_tensor_variable(b) for b in (start0, stop0, start1, stop1)]
+        return Apply(self, [x] + bounds,
+                     [SparseTensorType(x.type.format, x.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, a0, b0, a1, b1 = inputs
+        output_storage[0][0] = x[int(a0):int(b0), int(a1):int(b1)].asformat(
+            node.outputs[0].type.format
+        )
+
+
+def get_item_2d(x, s0: slice, s1: slice):
+    x = as_sparse_variable(x)
+    from aesara_tpu.tensor.shape import shape as _shape
+
+    shp = _shape(x)
+    def _bounds(sl, dim):
+        start = 0 if sl.start is None else sl.start
+        stop = shp[dim] if sl.stop is None else sl.stop
+        if sl.step not in (None, 1):
+            raise NotImplementedError("sparse GetItem2d supports step=1 only")
+        return start, stop
+
+    a0, b0 = _bounds(s0, 0)
+    a1, b1 = _bounds(s1, 1)
+    return GetItem2d()(x, a0, b0, a1, b1)
+
+
+class GetItemScalar(Op):
+    """x[i, j] → 0-d dense scalar (ref ``GetItemScalar:1702``)."""
+
+    __props__ = ()
+
+    def make_node(self, x, i, j):
+        x = as_sparse_variable(x)
+        i = as_tensor_variable(i)
+        j = as_tensor_variable(j)
+        return Apply(self, [x, i, j], [TensorType(x.type.dtype, ())()])
+
+    def perform(self, node, inputs, output_storage):
+        x, i, j = inputs
+        output_storage[0][0] = np.asarray(x[int(i), int(j)], dtype=node.outputs[0].type.dtype)
+
+
+class Cast(Op):
+    """Sparse dtype cast on the data vector only (ref ``Cast:1150``)."""
+
+    __props__ = ("out_type",)
+
+    def __init__(self, out_type):
+        self.out_type = out_type
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(self, [x], [SparseTensorType(x.type.format, self.out_type)()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = inputs[0].astype(self.out_type)
+
+    def grad(self, inputs, output_grads):
+        return [Cast(inputs[0].type.dtype)(output_grads[0])]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+def sp_cast(x, dtype):
+    return Cast(dtype)(x)
+
+
+class _ComparisonSS(_BinarySS):
+    """sparse-vs-sparse comparison → bool-valued sparse matrix.
+    SciPy emits efficiency warnings for comparisons that densify; the
+    reference keeps the sparse container regardless, so do we."""
+
+    _cmp = None
+
+    def make_node(self, a, b):
+        a = as_sparse_variable(a)
+        b = as_sparse_variable(b)
+        return Apply(self, [a, b], [SparseTensorType(a.type.format, "uint8")()])
+
+    def perform(self, node, inputs, output_storage):
+        a, b = inputs
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("ignore")
+            res = self._cmp(a, b)
+        output_storage[0][0] = sp.csr_matrix(res, dtype="uint8").asformat(
+            node.outputs[0].type.format
+        )
+
+
+class EqualSS(_ComparisonSS):
+    _cmp = staticmethod(lambda a, b: a == b)
+
+
+class NotEqualSS(_ComparisonSS):
+    _cmp = staticmethod(lambda a, b: a != b)
+
+
+class LessThanSS(_ComparisonSS):
+    _cmp = staticmethod(lambda a, b: a < b)
+
+
+class GreaterThanSS(_ComparisonSS):
+    _cmp = staticmethod(lambda a, b: a > b)
+
+
+class LessEqualSS(_ComparisonSS):
+    _cmp = staticmethod(lambda a, b: a <= b)
+
+
+class GreaterEqualSS(_ComparisonSS):
+    _cmp = staticmethod(lambda a, b: a >= b)
+
+
+def eq(a, b):
+    return EqualSS()(a, b)
+
+
+def neq(a, b):
+    return NotEqualSS()(a, b)
+
+
+def lt(a, b):
+    return LessThanSS()(a, b)
+
+
+def gt(a, b):
+    return GreaterThanSS()(a, b)
+
+
+def le(a, b):
+    return LessEqualSS()(a, b)
+
+
+def ge(a, b):
+    return GreaterEqualSS()(a, b)
+
+
+class StructuredElemwise(Op):
+    """Apply a scalar function to the NONZERO entries only — the
+    ``structured_*`` family (ref ``structured_sigmoid`` etc., built by
+    ``structured_monoid`` :2799)."""
+
+    __props__ = ("fn_name",)
+
+    def __init__(self, fn_name, np_fn):
+        self.fn_name = fn_name
+        self.np_fn = np_fn
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        dtype = x.type.dtype
+        if dtype.startswith(("int", "uint")):
+            dtype = "float64" if dtype in ("int64", "uint64") else "float32"
+        return Apply(self, [x], [SparseTensorType(x.type.format, dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        out = x.copy().astype(node.outputs[0].type.dtype)
+        out.data = self.np_fn(out.data).astype(node.outputs[0].type.dtype)
+        output_storage[0][0] = out
+
+    def __str__(self):
+        return f"structured_{self.fn_name}"
+
+
+def _structured(name, np_fn):
+    op = StructuredElemwise(name, np_fn)
+
+    def fn(x):
+        return op(x)
+
+    fn.__name__ = f"structured_{name}"
+    return fn
+
+
+import scipy.special as _sps  # noqa: E402
+
+structured_sigmoid = _structured("sigmoid", _sps.expit)
+structured_exp = _structured("exp", np.exp)
+structured_log = _structured("log", np.log)
+structured_log1p = _structured("log1p", np.log1p)
+structured_pow = None  # binary; see structured_add_s_v below for pattern
+structured_sqrt = _structured("sqrt", np.sqrt)
+structured_conj = _structured("conj", np.conj)
+sqr_sp = _structured("sqr", np.square)
+deg2rad_sp = _structured("deg2rad", np.deg2rad)
+rad2deg_sp = _structured("rad2deg", np.rad2deg)
+trunc_sp = _structured("trunc", np.trunc)
+sgn_sp = _structured("sgn", np.sign)
+ceil_sp = _structured("ceil", np.ceil)
+floor_sp = _structured("floor", np.floor)
+sin_sp = _structured("sin", np.sin)
+tan_sp = _structured("tan", np.tan)
+arcsin_sp = _structured("arcsin", np.arcsin)
+arctan_sp = _structured("arctan", np.arctan)
+sinh_sp = _structured("sinh", np.sinh)
+tanh_sp = _structured("tanh", np.tanh)
+arcsinh_sp = _structured("arcsinh", np.arcsinh)
+arctanh_sp = _structured("arctanh", np.arctanh)
+expm1_sp = _structured("expm1", np.expm1)
+
+
+class Diag(Op):
+    """Extract the diagonal of a square sparse matrix as a dense vector
+    (ref ``Diag:3610``)."""
+
+    __props__ = ()
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(self, [x], [TensorType(x.type.dtype, (None,))()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = np.asarray(inputs[0].diagonal())
+
+
+class SquareDiagonal(Op):
+    """Build a sparse diagonal matrix from a dense vector
+    (ref ``SquareDiagonal:3653``)."""
+
+    __props__ = ()
+
+    def make_node(self, diag):
+        diag = as_tensor_variable(diag)
+        return Apply(self, [diag], [SparseTensorType("csc", diag.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        (d,) = inputs
+        output_storage[0][0] = sp.diags(d).tocsc().astype(node.outputs[0].type.dtype)
+
+    def grad(self, inputs, output_grads):
+        return [Diag()(output_grads[0])]
+
+
+def diag(x):
+    return Diag()(x)
+
+
+def square_diagonal(d):
+    return SquareDiagonal()(d)
+
+
+class EnsureSortedIndices(Op):
+    """(ref ``EnsureSortedIndices:3704``)"""
+
+    __props__ = ("inplace",)
+
+    def __init__(self, inplace=False):
+        self.inplace = inplace
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(self, [x], [SparseTensorType(x.type.format, x.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        if self.inplace:
+            x.sort_indices()
+            output_storage[0][0] = x
+        else:
+            output_storage[0][0] = x.sorted_indices()
+
+    def grad(self, inputs, output_grads):
+        return [output_grads[0]]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+def ensure_sorted_indices(x):
+    return EnsureSortedIndices()(x)
+
+
+def clean(x):
+    """Sort indices and drop explicit zeros (ref ``clean:3770``)."""
+    return ensure_sorted_indices(remove0(x))
+
+
+class Remove0(Op):
+    """Drop explicitly-stored zeros (ref ``Remove0:295``)."""
+
+    __props__ = ()
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(self, [x], [SparseTensorType(x.type.format, x.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        out = inputs[0].copy()
+        out.eliminate_zeros()
+        output_storage[0][0] = out
+
+    def grad(self, inputs, output_grads):
+        return [output_grads[0]]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+def remove0(x):
+    return Remove0()(x)
+
+
+__all__ += [
+    "HStack", "VStack", "hstack", "vstack", "GetItem2d", "get_item_2d", "GetItemScalar",
+    "Cast", "sp_cast", "eq", "neq", "lt", "gt", "le", "ge",
+    "structured_sigmoid", "structured_exp", "structured_log",
+    "structured_log1p", "structured_sqrt",
+    "Diag", "diag", "SquareDiagonal", "square_diagonal",
+    "EnsureSortedIndices", "ensure_sorted_indices", "clean",
+    "Remove0", "remove0",
+]

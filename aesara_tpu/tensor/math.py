@@ -878,3 +878,22 @@ def _tensordot_as_dot(a, b, axes, batched: bool):
 
 def dense_dot(x, y):
     return dot(x, y)
+
+
+# --- BLAS-call parity helpers (reference tensor/blas.py Gemv:231, Ger:330,
+# Gemm:872) — on TPU these are just dot_general compositions; the names
+# exist so BLAS-era user code ports unchanged.
+
+def gemv(z, alpha, a, x, beta):
+    """z*beta + alpha*dot(a, x)"""
+    return add(mul(z, beta), mul(alpha, dot(a, x)))
+
+
+def ger(z, alpha, x, y):
+    """rank-1 update: z + alpha*outer(x, y)"""
+    return add(z, mul(alpha, outer(x, y)))
+
+
+def gemm(z, alpha, a, b, beta):
+    """z*beta + alpha*dot(a, b) — the canonical MXU fused form."""
+    return add(mul(z, beta), mul(alpha, dot(a, b)))

@@ -1,0 +1,100 @@
+"""API-parity extras: inline OpFromGraph expansion, MetaNodeRewriter,
+Compositef32, BLAS-name helpers (reference ``compile/builders.py:1047``,
+``rewriting/basic.py:945``, ``scalar/basic.py:4366``, ``tensor/blas.py``)."""
+
+import numpy as np
+
+import aesara_tpu as at
+import aesara_tpu.scalar.ops as sops
+from aesara_tpu.compile.builders import OpFromGraph
+from aesara_tpu.compile.function import function
+from aesara_tpu.graph.fg import FunctionGraph
+from aesara_tpu.graph.rewriting.basic import MetaNodeRewriter, node_rewriter
+from aesara_tpu.scalar.composite import Composite, Compositef32
+from aesara_tpu.scalar.ops import ScalarType
+from aesara_tpu.tensor import math as tm
+from aesara_tpu.tensor.elemwise import Elemwise
+
+
+def test_inline_ofg_expands():
+    x = at.tensor.vector("x")
+    y = at.tensor.vector("y")
+    ofg = OpFromGraph([x, y], [tm.add(tm.mul(x, y), x)], inline=True)
+    a = at.tensor.vector("a")
+    b = at.tensor.vector("b")
+    f = function([a, b], ofg(a, b))
+    fg = f.maker.fgraph if hasattr(f, "maker") else f._fgraph
+    assert not any(isinstance(n.op, OpFromGraph) for n in fg.toposort())
+    av = np.arange(4.0)
+    bv = np.full(4, 2.0)
+    assert np.allclose(f(av, bv), av * bv + av)
+
+
+def test_noninline_ofg_stays():
+    x = at.tensor.vector("x")
+    y = at.tensor.vector("y")
+    ofg = OpFromGraph([x, y], [tm.add(x, y)], inline=False)
+    a = at.tensor.vector("a")
+    b = at.tensor.vector("b")
+    f = function([a, b], ofg(a, b))
+    fg = f.maker.fgraph if hasattr(f, "maker") else f._fgraph
+    assert any(isinstance(n.op, OpFromGraph) for n in fg.toposort())
+    assert np.allclose(f(np.ones(3), np.ones(3)), 2 * np.ones(3))
+
+
+def test_meta_node_rewriter_dispatch():
+    xv = at.tensor.vector("xv")
+    out = tm.mul(xv, 2.0)
+    fg = FunctionGraph([xv], [out])
+    meta = MetaNodeRewriter()
+
+    @node_rewriter([Elemwise])
+    def rw_to_add(fgraph, node):
+        if node.op.scalar_op == sops.mul:
+            return [tm.add(node.inputs[0], node.inputs[0])]
+        return False
+
+    meta.register(rw_to_add)
+    assert Elemwise in meta.track_dict or rw_to_add in next(iter(meta.track_dict.values()))
+    res = meta.transform(fg, out.owner)
+    assert res and res[0].owner.op.scalar_op == sops.add
+
+
+def test_compositef32_narrows():
+    xs = ScalarType("float64")()
+    ys = ScalarType("float64")()
+    comp = Composite([xs, ys], [sops.add(sops.mul(xs, ys), xs)])
+    c32 = Compositef32.from_composite(comp)
+    assert all(t.dtype == "float32" for t in c32.inputs_type)
+    assert all(t.dtype == "float32" for t in c32.outputs_type)
+    assert abs(float(c32.impl(np.float32(2.0), np.float32(3.0))) - 8.0) < 1e-6
+
+
+def test_gemv_ger_gemm():
+    rng = np.random.default_rng(0)
+    z = at.tensor.vector("z")
+    a = at.tensor.matrix("a")
+    x = at.tensor.vector("x")
+    zv = rng.normal(size=3)
+    av = rng.normal(size=(3, 4))
+    xv = rng.normal(size=4)
+    f = function([z, a, x], tm.gemv(z, 0.5, a, x, 2.0), mode="PY")
+    assert np.allclose(f(zv, av, xv), zv * 2.0 + 0.5 * (av @ xv))
+
+    M = at.tensor.matrix("M")
+    Mv = rng.normal(size=(3, 4))
+    g = function([z, x, M], tm.ger(M, 1.5, z, x), mode="PY")
+    assert np.allclose(g(zv, xv, Mv), Mv + 1.5 * np.outer(zv, xv))
+
+    B = at.tensor.matrix("B")
+    Bv = rng.normal(size=(4, 5))
+    Cv = rng.normal(size=(3, 5))
+    C = at.tensor.matrix("C")
+    h = function([C, a, B], tm.gemm(C, 2.0, a, B, 0.5), mode="PY")
+    assert np.allclose(h(Cv, av, Bv), Cv * 0.5 + 2.0 * (av @ Bv))
+
+
+def test_dual_linker_alias():
+    from aesara_tpu.compile.debugmode import DebugLinker, DualLinker
+
+    assert DualLinker is DebugLinker
