@@ -25,10 +25,7 @@ def _jax_scan(op, node=None, **kwargs):
 
     info = op.info
     if info.as_while:
-        raise NotImplementedError(
-            "while-Scan lowering (lax.while_loop with bounded buffers) lands "
-            "in a later stage; run while-loops in py mode"
-        )
+        return _jax_while_scan(op)
     body = fgraph_to_jax(op.fgraph)
     tap_depths = [-min(taps) for taps in info.mit_sot_taps]
 
@@ -95,3 +92,74 @@ def _jax_scan(op, node=None, **kwargs):
         return tuple(outs) + tuple(final_shared)
 
     return scan_fn
+
+
+def _jax_while_scan(op):
+    """while-Scan → ``lax.while_loop``: dynamic trip count with STATIC
+    state shapes — XLA-lowerable iff every recurrent output is consumed
+    final-value-only and there are no nit-sot stacks (``scan_save_mem``
+    rewrites last-value usage into exactly this form).  Stacked while
+    outputs are inherently dynamic-length; those stay on the py path
+    (reference semantics: truncate at the triggering step,
+    ``scan/op.py`` perform)."""
+    from aesara_tpu.link.jax.linker import fgraph_to_jax
+
+    info = op.info
+    n_rec = info.n_mit_sot + info.n_sit_sot
+    if info.n_nit_sot or not all(info.is_final_only(i) for i in range(n_rec)):
+        raise NotImplementedError(
+            "while-Scan with stacked (per-step) outputs has a data-dependent "
+            "output length and cannot lower to XLA; keep only final values "
+            "(out[-1], handled by scan_save_mem) or run in py mode"
+        )
+    body = fgraph_to_jax(op.fgraph)
+    tap_depths = [-min(taps) for taps in info.mit_sot_taps]
+
+    def while_fn(n_steps, *operands):
+        pos = 0
+        seqs = [jnp.asarray(s) for s in operands[pos: pos + info.n_seqs]]
+        pos += info.n_seqs
+        mit_windows = [jnp.asarray(v) for v in operands[pos: pos + info.n_mit_sot]]
+        pos += info.n_mit_sot
+        sit_states = [jnp.asarray(v) for v in operands[pos: pos + info.n_sit_sot]]
+        pos += info.n_sit_sot
+        shared_states = list(operands[pos: pos + info.n_shared])
+        pos += info.n_shared
+        non_seqs = list(operands[pos:])
+        bound = jnp.asarray(n_steps, dtype=jnp.int32)
+
+        def cond(state):
+            t, done, *_ = state
+            return jnp.logical_and(t < bound, jnp.logical_not(done))
+
+        def step(state):
+            t, _done, mit_ws, sits, shareds = state
+            args = [lax.dynamic_index_in_dim(s, t, axis=0, keepdims=False)
+                    for s in seqs]
+            for w, taps, depth in zip(mit_ws, info.mit_sot_taps, tap_depths):
+                for tap in taps:
+                    args.append(w[depth + tap])
+            args.extend(sits)
+            args.extend(shareds)
+            args.extend(non_seqs)
+            res = body(*args)
+            idx = 0
+            new_ws = []
+            for w in mit_ws:
+                new_ws.append(jnp.concatenate(
+                    [w[1:], jnp.asarray(res[idx])[None]], axis=0))
+                idx += 1
+            new_sits = tuple(res[idx: idx + info.n_sit_sot])
+            idx += info.n_sit_sot
+            new_shareds = tuple(res[idx: idx + info.n_shared])
+            idx += info.n_shared
+            done = jnp.asarray(res[idx], dtype=bool).reshape(())
+            return (t + 1, done, tuple(new_ws), new_sits, new_shareds)
+
+        init = (jnp.int32(0), jnp.asarray(False),
+                tuple(mit_windows), tuple(sit_states), tuple(shared_states))
+        _t, _done, fin_ws, fin_sits, fin_shareds = lax.while_loop(cond, step, init)
+        outs = [w[-1] for w in fin_ws] + list(fin_sits)
+        return tuple(outs) + tuple(fin_shareds)
+
+    return while_fn

@@ -194,3 +194,171 @@ optdb.register(
                                     name="scan_pushout_non_seqs"),
     "fast_run", "scan", position=1.60,
 )
+
+
+# ---------------------------------------------------------------------------
+# ScanMerge (reference scan/rewriting.py ScanMerge:1947): fuse independent
+# Scan nodes with the same trip count into ONE loop — one lax.scan instead
+# of several, letting XLA fuse the bodies and overlap their compute
+# ---------------------------------------------------------------------------
+
+def _same_n_steps(a, b) -> bool:
+    if a is b:
+        return True
+    from aesara_tpu.graph.ir import Constant
+
+    if isinstance(a, Constant) and isinstance(b, Constant):
+        return np.asarray(a.data) == np.asarray(b.data)
+    return False
+
+
+def _scan_depends_on(fgraph, node_a, node_b) -> bool:
+    """True if any input of node_a (transitively) comes from node_b."""
+    from aesara_tpu.graph.ir import ancestors
+
+    b_outs = set(node_b.outputs)
+    return any(v in b_outs for v in ancestors(node_a.inputs))
+
+
+def _merge_two_scans(node_a, node_b):
+    """Build one Scan equivalent to the pair; returns (new_outputs_for_a,
+    new_outputs_for_b)."""
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.graph.ir import clone
+
+    op_a, op_b = node_a.op, node_b.op
+    ia, ib = op_a.info, op_b.info
+
+    # fresh clones of both inner graphs (never share inner variables)
+    a_in, a_out = clone(list(op_a.fgraph.inputs), list(op_a.fgraph.outputs))
+    b_in, b_out = clone(list(op_b.fgraph.inputs), list(op_b.fgraph.outputs))
+
+    def _split_inner_inputs(info, inner):
+        p = 0
+        seqs = inner[p: p + info.n_seqs]; p += info.n_seqs
+        n_taps = sum(len(t) for t in info.mit_sot_taps)
+        mit = inner[p: p + n_taps]; p += n_taps
+        sit = inner[p: p + info.n_sit_sot]; p += info.n_sit_sot
+        shared = inner[p: p + info.n_shared]; p += info.n_shared
+        non_seqs = inner[p:]
+        return seqs, mit, sit, shared, non_seqs
+
+    def _split_inner_outputs(info, inner):
+        p = 0
+        mit = inner[p: p + info.n_mit_sot]; p += info.n_mit_sot
+        sit = inner[p: p + info.n_sit_sot]; p += info.n_sit_sot
+        nit = inner[p: p + info.n_nit_sot]; p += info.n_nit_sot
+        shared = inner[p: p + info.n_shared]; p += info.n_shared
+        return mit, sit, nit, shared
+
+    sa, ma, ta, ha, na = _split_inner_inputs(ia, a_in)
+    sb, mb, tb, hb, nb = _split_inner_inputs(ib, b_in)
+    oma, ota, onita, osha = _split_inner_outputs(ia, a_out)
+    omb, otb, onitb, oshb = _split_inner_outputs(ib, b_out)
+
+    inner_inputs = (list(sa) + list(sb) + list(ma) + list(mb) + list(ta)
+                    + list(tb) + list(ha) + list(hb) + list(na) + list(nb))
+    inner_outputs = (list(oma) + list(omb) + list(ota) + list(otb)
+                     + list(onita) + list(onitb) + list(osha) + list(oshb))
+
+    def _final(info):
+        if info.final_only:
+            return list(info.final_only)
+        return [False] * info.n_recurrent
+
+    fa, fb = _final(ia), _final(ib)
+    merged_final = (fa[: ia.n_mit_sot] + fb[: ib.n_mit_sot]
+                    + fa[ia.n_mit_sot:] + fb[ib.n_mit_sot:])
+    merged_info = ScanInfo(
+        n_seqs=ia.n_seqs + ib.n_seqs,
+        mit_sot_taps=tuple(ia.mit_sot_taps) + tuple(ib.mit_sot_taps),
+        n_sit_sot=ia.n_sit_sot + ib.n_sit_sot,
+        n_nit_sot=ia.n_nit_sot + ib.n_nit_sot,
+        n_shared=ia.n_shared + ib.n_shared,
+        n_non_seqs=ia.n_non_seqs + ib.n_non_seqs,
+        as_while=False,
+        final_only=tuple(merged_final) if any(merged_final) else (),
+    )
+
+    def _split_outer_inputs(info, node):
+        ins = node.inputs
+        p = 1  # skip n_steps
+        seqs = ins[p: p + info.n_seqs]; p += info.n_seqs
+        mit = ins[p: p + info.n_mit_sot]; p += info.n_mit_sot
+        sit = ins[p: p + info.n_sit_sot]; p += info.n_sit_sot
+        shared = ins[p: p + info.n_shared]; p += info.n_shared
+        return seqs, mit, sit, shared, ins[p:]
+
+    Sa, Ma, Ta, Ha, Na = _split_outer_inputs(ia, node_a)
+    Sb, Mb, Tb, Hb, Nb = _split_outer_inputs(ib, node_b)
+    outer = ([node_a.inputs[0]] + list(Sa) + list(Sb) + list(Ma) + list(Mb)
+             + list(Ta) + list(Tb) + list(Ha) + list(Hb) + list(Na) + list(Nb))
+
+    merged_fg = FunctionGraph(inner_inputs, inner_outputs, clone=False)
+    name = f"{op_a.name or 'scan'}&{op_b.name or 'scan'}"
+    merged_op = Scan(merged_fg, merged_info, name, op_a.truncate_gradient, op_a.mode)
+    new_outs = merged_op(*outer, return_list=True)
+
+    # unpack merged outputs back to the two original orders
+    p = 0
+    nma = new_outs[p: p + ia.n_mit_sot]; p += ia.n_mit_sot
+    nmb = new_outs[p: p + ib.n_mit_sot]; p += ib.n_mit_sot
+    nta = new_outs[p: p + ia.n_sit_sot]; p += ia.n_sit_sot
+    ntb = new_outs[p: p + ib.n_sit_sot]; p += ib.n_sit_sot
+    nnta = new_outs[p: p + ia.n_nit_sot]; p += ia.n_nit_sot
+    nntb = new_outs[p: p + ib.n_nit_sot]; p += ib.n_nit_sot
+    nha = new_outs[p: p + ia.n_shared]; p += ia.n_shared
+    nhb = new_outs[p: p + ib.n_shared]; p += ib.n_shared
+    outs_a = list(nma) + list(nta) + list(nnta) + list(nha)
+    outs_b = list(nmb) + list(ntb) + list(nntb) + list(nhb)
+    return outs_a, outs_b
+
+
+@node_rewriter([Scan])
+def scan_merge(fgraph, node):
+    op = node.op
+    if op.info.as_while:
+        return False
+    for other in fgraph.toposort():
+        if other is node or not isinstance(other.op, Scan):
+            continue
+        oi = other.op.info
+        if oi.as_while:
+            continue
+        if not _same_n_steps(node.inputs[0], other.inputs[0]):
+            continue
+        if other.op.truncate_gradient != op.truncate_gradient:
+            continue
+        if _scan_depends_on(fgraph, node, other) or _scan_depends_on(
+            fgraph, other, node
+        ):
+            continue
+        first, second = (node, other) if _node_key(fgraph, node) < _node_key(
+            fgraph, other
+        ) else (other, node)
+        outs_a, outs_b = _merge_two_scans(first, second)
+        repl = {}
+        for old, new in zip(first.outputs, outs_a):
+            if fgraph.clients.get(old):
+                repl[old] = new
+        for old, new in zip(second.outputs, outs_b):
+            if fgraph.clients.get(old):
+                repl[old] = new
+        if not repl:
+            return False
+        for old, new in repl.items():
+            copy_stack_trace(old, new)
+        return repl
+    return False
+
+
+def _node_key(fgraph, node):
+    order = fgraph.toposort()
+    return order.index(node)
+
+
+# reference: ScanMerge runs in scan_eqopt2 (position 1.6 range)
+optdb.register(
+    "scan_merge", in2out(scan_merge, name="scan_merge"),
+    "fast_run", "scan", position=1.62,
+)
