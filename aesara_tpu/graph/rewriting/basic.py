@@ -1030,3 +1030,32 @@ class MetaNodeRewriter(NodeRewriter):
             if best is None or dt < best_time:
                 best, best_time = res, dt
         return best if best is not None else False
+
+
+def check_stack_trace(f_or_fgraph, ops_to_check="last", bug_print="raise"):
+    """Assert that rewritten nodes carry creation stack traces — the
+    testing aid guarding ``copy_stack_trace`` discipline (reference
+    ``rewriting/basic.py:2979``).  Returns True/False (or raises when
+    ``bug_print='raise'``)."""
+    fgraph = getattr(getattr(f_or_fgraph, "maker", None), "fgraph", f_or_fgraph)
+    order = fgraph.toposort()
+    if not order:
+        return True
+    if ops_to_check == "last":
+        nodes = [n for n in order if any(
+            o in fgraph.outputs for o in n.outputs)]
+    elif ops_to_check == "all":
+        nodes = order
+    elif isinstance(ops_to_check, (tuple, list)):
+        nodes = [n for n in order
+                 if isinstance(n.op, tuple(ops_to_check))
+                 or n.op in ops_to_check]
+    elif callable(ops_to_check):
+        nodes = [n for n in order if ops_to_check(n)]
+    else:
+        raise ValueError(f"unknown ops_to_check: {ops_to_check}")
+    bad = [n for n in nodes
+           if not any(getattr(o.tag, "trace", None) for o in n.outputs)]
+    if bad and bug_print == "raise":
+        raise AssertionError(f"nodes missing stack traces: {bad}")
+    return not bad

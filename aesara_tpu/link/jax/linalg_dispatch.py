@@ -12,7 +12,11 @@ import aesara_tpu.tensor.extra_ops as xo
 import aesara_tpu.tensor.fft as tfft
 import aesara_tpu.tensor.nlinalg as nl
 import aesara_tpu.tensor.slinalg as sl
-import aesara_tpu.tensor.sort as tsort
+# NOTE: `import a.b as x` resolves via getattr and would pick up the
+# sort() FUNCTION exported at the tensor namespace root — import the
+# module explicitly (same submodule-shadowing trap as tensor.shape)
+import importlib
+tsort = importlib.import_module("aesara_tpu.tensor.sort")
 import aesara_tpu.tensor.special as sp
 from aesara_tpu.link.jax.dispatch import _SCALAR_IMPLS, jax_funcify
 from aesara_tpu.tensor.xlogx import XlogX, XlogY0

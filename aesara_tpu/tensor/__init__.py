@@ -34,6 +34,7 @@ from aesara_tpu.tensor.subtensor import (
     set_subtensor,
     take,
 )
+from aesara_tpu.tensor.sort import argsort, argtopk, sort, topk, topk_and_argtopk
 
 # submodules that land in later build stages import lazily:
 def __getattr__(name):
@@ -45,4 +46,8 @@ def __getattr__(name):
     }
     if name in lazy:
         return importlib.import_module(f"aesara_tpu.tensor.{name}")
+    # extra_ops functions surface at the namespace root like the reference
+    eo = importlib.import_module("aesara_tpu.tensor.extra_ops")
+    if hasattr(eo, name):
+        return getattr(eo, name)
     raise AttributeError(f"module 'aesara_tpu.tensor' has no attribute {name!r}")

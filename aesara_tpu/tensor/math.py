@@ -897,3 +897,31 @@ def ger(z, alpha, x, y):
 def gemm(z, alpha, a, b, beta):
     """z*beta + alpha*dot(a, b) — the canonical MXU fused form."""
     return add(mul(z, beta), mul(alpha, dot(a, b)))
+
+
+def convolve(x, kernel, mode: str = "full"):
+    """1-d convolution of two vectors (reference ``tensor/math.py``
+    Convolve:3005 — np.convolve semantics).  Built from the MXU-friendly
+    conv primitive: pad per mode, flip the kernel, slide."""
+    from aesara_tpu.tensor.nnet.abstract_conv import conv2d
+    from aesara_tpu.tensor.shape import shape_padleft
+
+    x = as_tensor_variable(x)
+    kernel = as_tensor_variable(kernel)
+    if x.type.ndim != 1 or kernel.type.ndim != 1:
+        raise TypeError("convolve expects two vectors")
+    # lift to NCHW with H=1: x -> (1,1,1,N), kernel -> (1,1,1,K)
+    xi = x.dimshuffle("x", "x", "x", 0)
+    ki = kernel.dimshuffle("x", "x", "x", 0)
+    if mode in ("full", "valid"):
+        res = conv2d(xi, ki, border_mode=mode)
+        return res.dimshuffle(3)
+    if mode == "same":
+        # np 'same' = centre slice of 'full', length max(N, K) — computed
+        # symbolically; the shape arithmetic folds to static under jit
+        full = conv2d(xi, ki, border_mode="full").dimshuffle(3)
+        n = x.shape[0]
+        k = kernel.shape[0]
+        start = (minimum(n, k) - 1) // 2
+        return full[start: start + maximum(n, k)]
+    raise ValueError(f"unknown convolve mode {mode!r}")

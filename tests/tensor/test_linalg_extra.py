@@ -8,7 +8,8 @@ from aesara_tpu.gradient import verify_grad
 from aesara_tpu.tensor import extra_ops as xo
 from aesara_tpu.tensor import nlinalg as nl
 from aesara_tpu.tensor import slinalg as sl
-from aesara_tpu.tensor import sort as tsort
+import importlib
+tsort = importlib.import_module("aesara_tpu.tensor.sort")
 from aesara_tpu.tensor import special as sp
 from aesara_tpu.tensor import fft as tfft
 from tests.utils import compare_jax_and_py
@@ -220,3 +221,38 @@ class TestXlogX:
         v = np.array([0.0, 0.5, 2.0])
         res = compare_jax_and_py([x], xlogx(x), [v])
         np.testing.assert_allclose(np.asarray(res[0]), [0.0, 0.5 * np.log(0.5), 2 * np.log(2)])
+
+
+def test_namespace_root_exports():
+    """reference surfaces sort/topk/extra_ops functions at ``at.*``"""
+    import aesara_tpu.tensor as t
+
+    for name in ("topk", "argtopk", "sort", "argsort", "searchsorted",
+                 "bartlett", "fill_diagonal", "cumsum", "repeat", "unique"):
+        assert getattr(t, name) is not None, name
+
+
+def test_convolve_matches_numpy():
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as t
+
+    x = t.vector("x")
+    xv = np.arange(5.0, dtype="float32")
+    for kv in (np.array([1.0, 2.0, 3.0]), np.ones(7), np.ones(4), np.ones(1)):
+        k = t.as_tensor_variable(kv.astype("float32"))
+        for mode in ("full", "valid", "same"):
+            if mode == "valid" and len(kv) > len(xv):
+                continue
+            f = atp.function([x], t.convolve(x, k, mode=mode), mode="PY")
+            got, exp = f(xv), np.convolve(xv, kv, mode)
+            assert got.shape == exp.shape and np.allclose(got, exp), (len(kv), mode)
+
+
+def test_check_stack_trace():
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as t
+    from aesara_tpu.graph.rewriting.basic import check_stack_trace
+
+    x = t.vector("x")
+    f = atp.function([x], t.math.exp(x) * 2)
+    assert check_stack_trace(f, ops_to_check="last", bug_print="ignore")
