@@ -32,6 +32,12 @@ def rewrite_graph(
     query_rewrites = optdb.query(RewriteDatabaseQuery(include=include, **kwargs))
     query_rewrites.rewrite(fgraph)
     if custom_rewrite is not None:
+        if not hasattr(custom_rewrite, "rewrite"):
+            # node-local rewriter (e.g. a LocalGroupDB query result):
+            # promote to a whole-graph pass
+            from aesara_tpu.graph.rewriting.basic import in2out
+
+            custom_rewrite = in2out(custom_rewrite)
         custom_rewrite.rewrite(fgraph)
 
     if return_fgraph:

@@ -430,7 +430,15 @@ def _jax_scalar_from_tensor(op, node=None, **kwargs):
 @jax_funcify.register(tb.Alloc)
 def _jax_alloc(op, node=None, **kwargs):
     def alloc(value, *shape):
-        return jnp.broadcast_to(value, tuple(int(s) for s in shape))
+        try:
+            target = tuple(int(s) for s in shape)
+        except jax.errors.ConcretizationTypeError as e:
+            raise NotImplementedError(
+                "Alloc with a runtime-computed shape (e.g. from a scalar "
+                "function input) is a dynamic shape XLA cannot compile; "
+                "derive sizes from input shapes (x.shape[i]) or run in py mode"
+            ) from e
+        return jnp.broadcast_to(value, target)
 
     return alloc
 

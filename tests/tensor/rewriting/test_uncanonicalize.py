@@ -1,0 +1,44 @@
+"""Uncanonicalize pack (reference ``tensor/rewriting/uncanonicalize.py``)."""
+
+import numpy as np
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.tensor import math as tm
+from aesara_tpu.tensor.elemwise import DimShuffle
+from aesara_tpu.tensor.math import Min
+
+
+def test_max_to_min():
+    x = at.matrix("x")
+    f = atp.function([x], tm.neg(tm.max(tm.neg(x), axis=0)))
+    assert any(isinstance(n.op, Min) for n in f.maker.fgraph.toposort())
+    xv = np.random.default_rng(0).normal(size=(3, 4)).astype("float32")
+    assert np.allclose(f(xv), xv.min(axis=0), rtol=1e-6)
+
+
+def test_alloc_dimshuffle_lift():
+    x = at.matrix("x")
+    a = at.alloc(np.float32(2.5), x.shape[0], x.shape[1])
+    f = atp.function([x], a.T)
+    assert not any(isinstance(n.op, DimShuffle) for n in f.maker.fgraph.toposort())
+    out = f(np.zeros((2, 3), dtype="float32"))
+    assert out.shape == (3, 2) and np.all(np.asarray(out) == np.float32(2.5))
+
+
+def test_reshape_dimshuffle():
+    v = at.vector("v")
+    r = v.dimshuffle("x", 0, "x").reshape((1, v.shape[0]))
+    f = atp.function([v], r)
+    assert not any(isinstance(n.op, DimShuffle) for n in f.maker.fgraph.toposort())
+    vv = np.arange(4.0, dtype="float32")
+    assert np.allclose(f(vv), vv[None])
+
+
+def test_dynamic_alloc_actionable_error():
+    import pytest
+
+    n = at.scalar("n", dtype="int64")
+    f = atp.function([n], at.alloc(np.float32(1.0), n))
+    with pytest.raises(NotImplementedError, match="derive sizes from"):
+        f(3)

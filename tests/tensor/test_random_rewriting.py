@@ -1,0 +1,81 @@
+"""RV rewrites (reference ``tensor/random/rewriting.py``)."""
+
+import numpy as np
+
+import aesara_tpu.tensor as at
+from aesara_tpu.graph.fg import FunctionGraph
+from aesara_tpu.tensor.basic import get_vector_length
+from aesara_tpu.tensor.random.basic import normal
+from aesara_tpu.tensor.random.rewriting import (
+    local_dimshuffle_rv_lift,
+    local_rv_size_lift,
+    local_subtensor_rv_lift,
+    random_rewrites_db,
+)
+
+
+def test_rv_size_lift_redundant_size():
+    mu = at.as_tensor_variable(np.array([1.0, 2.0, 3.0], dtype="float32"))
+    d = normal(mu, 1.0, size=(3,))
+    fg = FunctionGraph([], [d], clone=False)
+    res = local_rv_size_lift.transform(fg, d.owner)
+    assert res
+    new = res[d]
+    assert get_vector_length(new.owner.inputs[1]) == 0
+    assert new.type.shape == d.type.shape
+
+
+def test_rv_size_lift_skips_real_size():
+    # size (2, 3) broadcasts a scalar param — NOT redundant
+    d = normal(0.0, 1.0, size=(2, 3))
+    fg = FunctionGraph([], [d], clone=False)
+    assert not local_rv_size_lift.transform(fg, d.owner)
+
+
+def test_dimshuffle_rv_lift_permutes_size():
+    d = normal(0.0, 1.0, size=(2, 3))
+    tr = d.T
+    fg = FunctionGraph([], [tr], clone=False)
+    res = local_dimshuffle_rv_lift.transform(fg, tr.owner)
+    assert res
+    new = res[tr]
+    # the transpose is gone: output comes straight from an RV
+    from aesara_tpu.tensor.random.op import RandomVariable
+
+    assert isinstance(new.owner.op, RandomVariable)
+
+
+def test_dimshuffle_rv_lift_skips_broadcast_insert():
+    d = normal(0.0, 1.0, size=(4,))
+    padded = d.dimshuffle("x", 0)
+    fg = FunctionGraph([], [padded], clone=False)
+    assert not local_dimshuffle_rv_lift.transform(fg, padded.owner)
+
+
+def test_subtensor_rv_lift_indexes_params():
+    mu = at.as_tensor_variable(np.array([1.0, 2.0, 3.0], dtype="float32"))
+    sd = at.as_tensor_variable(np.array([1.0, 1.0, 1.0], dtype="float32"))
+    d = normal(mu, sd)
+    sub = d[1]
+    fg = FunctionGraph([], [sub], clone=False)
+    res = local_subtensor_rv_lift.transform(fg, sub.owner)
+    assert res
+    new = res[sub]
+    assert new.type.ndim == 0
+    # the new RV's mu param is the indexed element
+    assert new.owner.inputs[2].type.ndim == 0
+
+
+def test_subtensor_rv_lift_skips_explicit_size():
+    mu = at.as_tensor_variable(np.array([1.0, 2.0, 3.0], dtype="float32"))
+    d = normal(mu, 1.0, size=(5, 3))
+    sub = d[1]
+    fg = FunctionGraph([], [sub], clone=False)
+    assert not local_subtensor_rv_lift.transform(fg, sub.owner)
+
+
+def test_db_queryable():
+    from aesara_tpu.graph.rewriting.db import RewriteDatabaseQuery
+
+    result = random_rewrites_db.query(RewriteDatabaseQuery(include=["basic"]))
+    assert result is not None
