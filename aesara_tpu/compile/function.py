@@ -416,19 +416,25 @@ class Function:
                 else:
                     raise TypeError(f"missing input {spec.variable}")
 
-        self.fn()
+        ran_subset = False
+        if output_subset is not None:
+            ran_subset = self._run_output_subset(output_subset)
+        if not ran_subset:
+            self.fn()
 
         # write updates back into shared containers
         for ui, (shared, _) in enumerate(self.update_pairs):
             new_val = self.output_storage[self.n_user_outputs + ui][0]
             shared.container.storage[0] = new_val
 
+        wanted = (set(output_subset) if output_subset is not None
+                  else set(range(self.n_user_outputs)))
         outs = [cell[0] for cell in self.output_storage[: self.n_user_outputs]]
         specs = self.out_specs or [None] * len(outs)
         outs = [
-            o if (sp is not None and getattr(sp, "borrow", False))
-            else self._to_host(o)
-            for o, sp in zip(outs, specs)
+            (o if (sp is not None and getattr(sp, "borrow", False))
+             else self._to_host(o)) if i in wanted else None
+            for i, (o, sp) in enumerate(zip(outs, specs))
         ]
         self.call_time += time.perf_counter() - t0
         self.n_calls += 1
@@ -443,6 +449,32 @@ class Function:
         if self.single_output:
             return outs[0]
         return outs
+
+    def _run_output_subset(self, output_subset) -> bool:
+        """Demand-driven evaluation of only the requested outputs through
+        the C++ VM's run_subset (reference Stack VM partial eval,
+        ``link/vm.py:423``).  Update expressions always run.  Returns
+        False when this Function's thunk has no lazy VM (whole-graph
+        XLA/py paths just run everything)."""
+        vm = getattr(self.fn, "vm", None)
+        order = getattr(self.fn, "order", None)
+        if vm is None or order is None or not hasattr(vm, "run_subset"):
+            return False
+        pos = {id(n): i for i, n in enumerate(order)}
+        targets = []
+        outs = self.fgraph.outputs
+        wanted = list(output_subset) + list(
+            range(self.n_user_outputs, len(outs))
+        )  # updates always run
+        for i in wanted:
+            owner = outs[i].owner
+            if owner is not None:
+                idx = pos.get(id(owner))
+                if idx is None:
+                    return False  # replaced graph: fall back to full run
+                targets.append(idx)
+        vm.run_subset(tuple(targets))
+        return True
 
     @staticmethod
     def _to_host(o):

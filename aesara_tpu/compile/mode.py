@@ -240,12 +240,14 @@ FAST_RUN = Mode(JAXLinker(), OPT_FAST_RUN)
 JAX = Mode(JAXLinker(), OPT_FAST_RUN)
 PY = Mode(PerformLinker(), OPT_FAST_COMPILE)
 PY_NONE = Mode(PerformLinker(), OPT_NONE)
+CVM = Mode(_LazyCVM(), OPT_FAST_COMPILE)
 
 predefined_modes = {
     "FAST_COMPILE": FAST_COMPILE,
     "FAST_RUN": FAST_RUN,
     "JAX": JAX,
     "PY": PY,
+    "CVM": CVM,
 }
 
 

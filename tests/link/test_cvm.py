@@ -89,3 +89,64 @@ def test_module_cache_reuse(tmp_path):
     h2 = module_hash("int main(){}")
     h3 = module_hash("int main(){return 1;}")
     assert h1 == h2 != h3
+
+
+def test_output_subset_lazy_on_cvm():
+    """output_subset runs ONLY the requested outputs' ancestor thunks on
+    the CVM (reference Stack VM partial eval, link/vm.py:423); updates
+    always run."""
+    import numpy as np
+
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+    from aesara_tpu.graph.ir import Apply
+    from aesara_tpu.graph.op import Op
+
+    calls = {"a": 0, "b": 0}
+
+    class Tick(Op):
+        __props__ = ("key",)
+
+        def __init__(self, key):
+            self.key = key
+
+        def make_node(self, x):
+            x = at.as_tensor_variable(x)
+            return Apply(self, [x], [x.type()])
+
+        def perform(self, node, inputs, out):
+            calls[self.key] += 1
+            out[0][0] = np.asarray(inputs[0])
+
+    x = at.vector("x")
+    a = Tick("a")(at.math.exp(x))
+    b = Tick("b")(at.math.log(at.math.abs(x) + 1))
+    f = atp.function([x], [a, b], mode="CVM")
+    xv = np.arange(1.0, 4.0, dtype="float32")
+
+    f(xv)
+    assert calls == {"a": 1, "b": 1}
+    r = f(xv, output_subset=[0])
+    assert calls == {"a": 2, "b": 1}
+    assert np.allclose(r[0], np.exp(xv))
+    f(xv, output_subset=[1])
+    assert calls == {"a": 2, "b": 2}
+
+    s = atp.shared(np.float32(0.0), name="s")
+    g = atp.function([x], [Tick("a")(at.math.exp(x))],
+                     updates=[(s, s + 1)], mode="CVM")
+    g(xv, output_subset=[0])
+    assert float(s.get_value()) == 1.0
+
+
+def test_output_subset_full_run_fallback_jax():
+    import numpy as np
+
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+
+    x = at.vector("x")
+    f = atp.function([x], [at.math.exp(x), at.math.log(at.math.abs(x) + 1)])
+    xv = np.arange(1.0, 4.0, dtype="float32")
+    r = f(xv, output_subset=[1])
+    assert len(r) == 1 and np.allclose(r[0], np.log(np.abs(xv) + 1))
