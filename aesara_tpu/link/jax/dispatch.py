@@ -230,6 +230,14 @@ _SCALAR_IMPLS = {
     aes.ops.ArcSinh: jnp.arcsinh,
     aes.ops.ArcTanh: jnp.arctanh,
     aes.ops.Conj: jnp.conj,
+    aes.ops.Real: jnp.real,
+    aes.ops.Imag: jnp.imag,
+    aes.ops.Angle: jnp.angle,
+    aes.ops.ComplexOp: lambda re_, im_: jax.lax.complex(
+        *jnp.broadcast_arrays(jnp.asarray(re_, jnp.result_type(re_, im_, jnp.float32)),
+                              jnp.asarray(im_, jnp.result_type(re_, im_, jnp.float32)))),
+    aes.ops.ComplexFromPolar: lambda r, t: jax.lax.complex(
+        jnp.asarray(r * jnp.cos(t)), jnp.asarray(r * jnp.sin(t))),
     aesm.Erf: jax.scipy.special.erf,
     aesm.Erfc: jax.scipy.special.erfc,
     aesm.Erfinv: jax.scipy.special.erfinv,

@@ -1159,3 +1159,75 @@ conj = Conj(name="conj")
 def clip(x, min_, max_):
     """clip as composition (reference defines a Clip op; min(max(x,lo),hi))."""
     return minimum(maximum(x, min_), max_)
+
+
+# --- complex component ops (reference scalar/basic.py Real:2876, Imag:2895,
+# Angle:2914, Complex:2952, ComplexFromPolar:2990) ---------------------------
+
+def _real_out(*types):
+    out = []
+    for t in types:
+        if t.dtype == "complex64":
+            out.append(ScalarType("float32"))
+        elif t.dtype == "complex128":
+            out.append(ScalarType("float64"))
+        else:
+            out.append(t)
+    return out[:1]
+
+
+class Real(UnaryScalarOp):
+    nfunc = staticmethod(np.real)
+    output_types_preference = staticmethod(_real_out)
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.graph.null_type import NullType
+
+        return [NullType("grad of real is not holomorphic")()]
+
+
+class Imag(UnaryScalarOp):
+    nfunc = staticmethod(np.imag)
+    output_types_preference = staticmethod(_real_out)
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.graph.null_type import NullType
+
+        return [NullType("grad of imag is not holomorphic")()]
+
+
+class Angle(UnaryScalarOp):
+    nfunc = staticmethod(np.angle)
+    output_types_preference = staticmethod(_real_out)
+
+
+def _complex_out(*types):
+    if any(t.dtype == "float64" for t in types):
+        return [ScalarType("complex128")]
+    return [ScalarType("complex64")]
+
+
+class ComplexOp(BinaryScalarOp):
+    """real, imag → complex"""
+
+    output_types_preference = staticmethod(_complex_out)
+
+    def impl(self, re_, im_):
+        return np.complex64(re_ + 1j * im_) if np.asarray(re_).dtype != np.float64 else np.complex128(re_ + 1j * im_)
+
+
+class ComplexFromPolar(BinaryScalarOp):
+    """abs, angle → complex"""
+
+    output_types_preference = staticmethod(_complex_out)
+
+    def impl(self, r, theta):
+        res = r * np.cos(theta) + 1j * (r * np.sin(theta))
+        return np.complex128(res) if np.asarray(r).dtype == np.float64 else np.complex64(res)
+
+
+real_part = Real(name="real")
+imag_part = Imag(name="imag")
+angle = Angle(name="angle")
+complex_op = ComplexOp(name="complex")
+complex_from_polar = ComplexFromPolar(name="complex_from_polar")

@@ -133,18 +133,11 @@ conj = _ew(aes.ops.conj, "conj")
 conjugate = conj
 
 
-def real(x):
-    x = as_tensor_variable(x)
-    if not x.type.dtype.startswith("complex"):
-        return x
-    raise NotImplementedError("complex real() lowering lands with FFT support")
-
-
-def imag(x):
-    x = as_tensor_variable(x)
-    if not x.type.dtype.startswith("complex"):
-        return tb.zeros_like(x)
-    raise NotImplementedError("complex imag() lowering lands with FFT support")
+real = _ew(aes.ops.real_part, "real")
+imag = _ew(aes.ops.imag_part, "imag")
+angle = _ew(aes.ops.angle, "angle")
+complex = _ew(aes.ops.complex_op, "complex")
+complex_from_polar = _ew(aes.ops.complex_from_polar, "complex_from_polar")
 
 
 def reciprocal(x):

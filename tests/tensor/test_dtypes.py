@@ -92,3 +92,41 @@ class TestIntegers:
         a = rng.integers(-5, 5, 6).astype("int32")
         compare_jax_and_py([x], at.math.abs(x), [a])
         compare_jax_and_py([x], x ** 2, [a])
+
+
+class TestComplex:
+    """complex64/128 component ops (reference scalar/basic.py Real:2876,
+    Imag, Angle, Complex, ComplexFromPolar)."""
+
+    def test_components_py(self):
+        z = at.vector("z", dtype="complex64")
+        f = atp.function(
+            [z],
+            [at.math.real(z), at.math.imag(z), at.math.angle(z), at.math.conj(z)],
+            mode="PY",
+        )
+        zv = np.array([1 + 2j, 3 - 4j], dtype="complex64")
+        r, i, a, c = f(zv)
+        assert np.allclose(r, zv.real) and np.allclose(i, zv.imag)
+        assert np.allclose(a, np.angle(zv)) and np.allclose(c, zv.conj())
+
+    def test_construct_and_jit(self):
+        x = at.vector("x")
+        y = at.vector("y")
+        xv = np.array([1.0, 2.0], dtype="float32")
+        yv = np.array([3.0, 4.0], dtype="float32")
+        g = atp.function([x, y], at.math.complex(x, y), mode="PY")
+        assert g(xv, yv).dtype.kind == "c"
+        assert np.allclose(g(xv, yv), xv + 1j * yv)
+        # |z|^2 through XLA
+        zz = at.math.complex(x, y)
+        fj = atp.function([x, y], at.math.real(zz * at.math.conj(zz)))
+        assert np.allclose(fj(xv, yv), xv**2 + yv**2)
+
+    def test_polar(self):
+        x = at.vector("x")
+        y = at.vector("y")
+        h = atp.function([x, y], at.math.complex_from_polar(x, y), mode="PY")
+        xv = np.array([1.0, 2.0], dtype="float32")
+        yv = np.array([0.5, 1.5], dtype="float32")
+        assert np.allclose(h(xv, yv), xv * np.exp(1j * yv), rtol=1e-6)
