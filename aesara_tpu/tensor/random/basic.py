@@ -277,7 +277,41 @@ class VonMisesRV(RandomVariable):
         super().__init__("vonmises", 0, (0, 0), "floatX")
 
     def rng_fn(self, key, size, mu, kappa):
-        raise NotImplementedError("vonmises sampling lands in a later stage")
+        # Best & Fisher (1979) rejection, batched with a fixed proposal
+        # budget: 16 rounds x ~66% acceptance -> miss prob < 1e-7 per
+        # sample; XLA-friendly (no data-dependent loop).
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, mu, kappa)
+        mu = _jnp(mu)
+        kappa_in = _jnp(kappa)
+        # Best-Fisher is numerically unstable for tiny kappa (catastrophic
+        # cancellation in rho); the distribution is uniform there anyway
+        kappa = jnp.maximum(kappa_in, 1e-2)
+        rounds = 16
+        u = jr.uniform(key, (rounds, 3) + tuple(shape))
+        tau = 1.0 + jnp.sqrt(1.0 + 4.0 * kappa**2)
+        rho = (tau - jnp.sqrt(2.0 * tau)) / (2.0 * kappa)
+        r = (1.0 + rho**2) / (2.0 * rho)
+        z = jnp.cos(jnp.pi * u[:, 0])
+        f = (1.0 + r * z) / (r + z)
+        c = kappa * (r - f)
+        accept = jnp.logical_or(
+            c * (2.0 - c) - u[:, 1] > 0.0,
+            jnp.log(c / jnp.maximum(u[:, 1], 1e-30)) + 1.0 - c >= 0.0,
+        )
+        # first accepted round per sample
+        first = jnp.argmax(accept, axis=0)
+        f_sel = jnp.take_along_axis(f, first[None], axis=0)[0]
+        u3_sel = jnp.take_along_axis(u[:, 2], first[None], axis=0)[0]
+        theta = jnp.sign(u3_sel - 0.5) * jnp.arccos(jnp.clip(f_sel, -1.0, 1.0))
+        out = mu + theta
+        # tiny-kappa limit: exactly uniform on the circle
+        uniform_draw = jnp.pi * (2.0 * u[0, 0] - 1.0) + mu
+        out = jnp.where(kappa_in < 1e-2, uniform_draw, out)
+        # wrap to [-pi, pi] (numpy.random.vonmises convention)
+        return jnp.mod(out + jnp.pi, 2.0 * jnp.pi) - jnp.pi
 
 
 class RandIntRV(RandomVariable):
@@ -394,8 +428,10 @@ class MultinomialRV(RandomVariable):
             fn = jr.multinomial
         except AttributeError:
             raise NotImplementedError("jax.random.multinomial unavailable")
-        shape = tuple(size) if size is not None else None
-        res = fn(key, _jnp(n).astype("float32"), _jnp(p), shape=shape)
+        p = _jnp(p)
+        # jax's shape is the FULL result shape including the event axis
+        shape = tuple(size) + (p.shape[-1],) if size is not None else None
+        res = fn(key, _jnp(n).astype("float32"), p, shape=shape)
         return res
 
 
@@ -420,6 +456,7 @@ pareto = ParetoRV()
 poisson = PoissonRV()
 geometric = GeometricRV()
 t = StudentTRV()
+studentt = t  # reference alias
 truncated_normal = TruncNormalRV()
 vonmises = VonMisesRV()
 randint = RandIntRV()

@@ -141,6 +141,27 @@ class RandomStream:
     def truncated_normal(self, lower=-2.0, upper=2.0, size=None, **kw):
         return self.gen(rb.truncated_normal, lower, upper, size=size, **kw)
 
+    def halfnormal(self, loc=0.0, scale=1.0, size=None, **kw):
+        return self.gen(rb.halfnormal, loc, scale, size=size, **kw)
+
+    def halfcauchy(self, loc=0.0, scale=1.0, size=None, **kw):
+        return self.gen(rb.halfcauchy, loc, scale, size=size, **kw)
+
+    def weibull(self, shape, size=None, **kw):
+        # np.random convention: standard Weibull; scale via multiplication
+        return self.gen(rb.weibull, shape, size=size, **kw)
+
+    def pareto(self, b, size=None, **kw):
+        return self.gen(rb.pareto, b, size=size, **kw)
+
+    def standard_t(self, df, loc=0.0, scale=1.0, size=None, **kw):
+        return self.gen(rb.studentt, df, loc, scale, size=size, **kw)
+
+    t = standard_t
+
+    def vonmises(self, mu=0.0, kappa=1.0, size=None, **kw):
+        return self.gen(rb.vonmises, mu, kappa, size=size, **kw)
+
 
 #: parity aliases with the reference
 RandomStreams = RandomStream
