@@ -1160,3 +1160,253 @@ __all__ += [
     "EnsureSortedIndices", "ensure_sorted_indices", "clean",
     "Remove0", "remove0",
 ]
+
+
+# ---------------------------------------------------------------------------
+# sparse×vector broadcast, list indexing, construction, pattern samplers
+# (reference sparse/basic.py: MulSV:2730, StructuredAddSV:2612,
+# GetItemList:1402, GetItem2Lists:1480, ConstructSparseFromList:4100,
+# Poisson:3860, Binomial:3900, Multinomial:3950)
+# ---------------------------------------------------------------------------
+
+class MulSV(Op):
+    """sparse * dense vector, broadcast along rows (ref ``MulSV:2730``):
+    keeps the sparsity pattern — only stored entries are scaled."""
+
+    __props__ = ()
+
+    def make_node(self, x, v):
+        x = as_sparse_variable(x)
+        v = as_tensor_variable(v)
+        if v.type.ndim != 1:
+            raise TypeError("MulSV needs a vector")
+        dtype = upcast(x.type.dtype, v.type.dtype)
+        return Apply(self, [x, v], [SparseTensorType(x.type.format, dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, v = inputs
+        output_storage[0][0] = x.multiply(v).asformat(
+            node.outputs[0].type.format
+        ).astype(node.outputs[0].type.dtype)
+
+    def grad(self, inputs, output_grads):
+        x, v = inputs
+        (gz,) = output_grads
+        from aesara_tpu.tensor.math import sum as t_sum
+
+        # z_ij = x_ij * v_j:  dx = gz*v (same pattern),  dv_j = sum_i gz_ij x_ij
+        return [MulSV()(gz, v),
+                t_sum(dense_from_sparse(MulSS()(gz, x)), axis=0)]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+def mul_s_v(x, v):
+    return MulSV()(x, v)
+
+
+class StructuredAddSV(Op):
+    """Add a dense vector to the NONZERO entries only (ref
+    ``StructuredAddSV:2612``) — pattern-preserving add."""
+
+    __props__ = ()
+
+    def make_node(self, x, v):
+        x = as_sparse_variable(x)
+        v = as_tensor_variable(v)
+        if v.type.ndim != 1:
+            raise TypeError("StructuredAddSV needs a vector")
+        dtype = upcast(x.type.dtype, v.type.dtype)
+        return Apply(self, [x, v], [SparseTensorType(x.type.format, dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, v = inputs
+        out = x.copy().astype(node.outputs[0].type.dtype)
+        if x.format == "csr":
+            col_of = out.indices
+            out.data = out.data + np.asarray(v)[col_of]
+        else:
+            csr = out.tocsr()
+            csr.data = csr.data + np.asarray(v)[csr.indices]
+            out = csr.asformat(x.format)
+        output_storage[0][0] = out
+
+    def grad(self, inputs, output_grads):
+        x, v = inputs
+        (gz,) = output_grads
+        from aesara_tpu.tensor.math import sum as t_sum
+
+        # z.data = x.data + v[col]:  dx = gz (same pattern),
+        # dv_j = sum of gz's stored entries in column j
+        return [MulSS()(gz, sp_ones_like(x)),
+                t_sum(dense_from_sparse(gz), axis=0)]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+def structured_add_s_v(x, v):
+    return StructuredAddSV()(x, v)
+
+
+class GetItemList(Op):
+    """Select ROWS by an index vector — stays sparse (ref
+    ``GetItemList:1402``)."""
+
+    __props__ = ()
+
+    def make_node(self, x, idx):
+        x = as_sparse_variable(x)
+        idx = as_tensor_variable(idx)
+        if idx.type.ndim != 1:
+            raise TypeError("GetItemList needs a 1-d index vector")
+        return Apply(self, [x, idx],
+                     [SparseTensorType(x.type.format, x.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, idx = inputs
+        output_storage[0][0] = x[np.asarray(idx, dtype="int64")].asformat(
+            node.outputs[0].type.format
+        )
+
+    def grad(self, inputs, output_grads):
+        x, idx = inputs
+        (gz,) = output_grads
+        from aesara_tpu.tensor.shape import shape as _shape
+
+        return [GetItemListGrad()(gz, idx, _shape(x)),
+                grad_undefined_int(self, 1, idx)]
+
+
+def grad_undefined_int(op, i, inp):
+    from aesara_tpu.gradient import grad_undefined
+
+    return grad_undefined(op, i, inp, "integer index has no gradient")
+
+
+class GetItemListGrad(Op):
+    """Scatter row gradients back to the original row positions."""
+
+    __props__ = ()
+
+    def make_node(self, gz, idx, xshape):
+        gz = as_sparse_variable(gz)
+        idx = as_tensor_variable(idx)
+        xshape = as_tensor_variable(xshape)
+        return Apply(self, [gz, idx, xshape],
+                     [SparseTensorType(gz.type.format, gz.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        gz, idx, xshape = inputs
+        out = sp.lil_matrix(tuple(int(s) for s in xshape), dtype=gz.dtype)
+        gzl = gz.tolil()
+        for k, row in enumerate(np.asarray(idx, dtype="int64")):
+            out[row] = out[row] + gzl[k]
+        output_storage[0][0] = out.asformat(node.outputs[0].type.format)
+
+
+class GetItem2Lists(Op):
+    """x[rows, cols] elementwise gather → dense vector (ref
+    ``GetItem2Lists:1480``)."""
+
+    __props__ = ()
+
+    def make_node(self, x, rows, cols):
+        x = as_sparse_variable(x)
+        rows = as_tensor_variable(rows)
+        cols = as_tensor_variable(cols)
+        return Apply(self, [x, rows, cols],
+                     [TensorType(x.type.dtype, (None,))()])
+
+    def perform(self, node, inputs, output_storage):
+        x, rows, cols = inputs
+        output_storage[0][0] = np.asarray(
+            x[np.asarray(rows, dtype="int64"),
+              np.asarray(cols, dtype="int64")]
+        ).flatten().astype(node.outputs[0].type.dtype)
+
+
+def get_item_list(x, idx):
+    return GetItemList()(x, idx)
+
+
+def get_item_2lists(x, rows, cols):
+    return GetItem2Lists()(x, rows, cols)
+
+
+class ConstructSparseFromList(Op):
+    """Build a sparse matrix whose rows (selected by ``idx``) come from a
+    dense matrix — the gradient of dense row-gather through a sparse
+    intermediate (ref ``ConstructSparseFromList:4100``)."""
+
+    __props__ = ()
+
+    def make_node(self, idx, values, xshape):
+        idx = as_tensor_variable(idx)
+        values = as_tensor_variable(values)
+        xshape = as_tensor_variable(xshape)
+        return Apply(self, [idx, values, xshape],
+                     [SparseTensorType("csr", values.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        idx, values, xshape = inputs
+        out = sp.lil_matrix(tuple(int(s) for s in xshape),
+                            dtype=node.outputs[0].type.dtype)
+        for k, row in enumerate(np.asarray(idx, dtype="int64")):
+            out[row] = out[row] + values[k]
+        output_storage[0][0] = out.tocsr()
+
+
+def construct_sparse_from_list(idx, values, xshape):
+    return ConstructSparseFromList()(idx, values, xshape)
+
+
+class _PatternSampler(Op):
+    """Fill the sparsity pattern with random draws (ref ``Poisson:3860``
+    family): structure stays, stored values are resampled on the host —
+    utility ops for sparse-data pipelines, not device RNG."""
+
+    __props__ = ("seed",)
+    _sample = None
+
+    def __init__(self, seed=428):
+        self.seed = seed
+
+    def make_node(self, x):
+        x = as_sparse_variable(x)
+        return Apply(self, [x], [SparseTensorType(x.type.format, x.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        (x,) = inputs
+        rng = np.random.default_rng(self.seed)
+        out = x.copy()
+        out.data = self._sample(rng, out.data).astype(out.dtype)
+        out.eliminate_zeros()
+        output_storage[0][0] = out
+
+
+class PoissonSampler(_PatternSampler):
+    _sample = staticmethod(lambda rng, lam: rng.poisson(np.abs(lam)))
+
+
+class BinomialSampler(_PatternSampler):
+    _sample = staticmethod(
+        lambda rng, p: rng.binomial(1, np.clip(np.abs(p), 0, 1))
+    )
+
+
+def poisson(x, seed=428):
+    return PoissonSampler(seed)(x)
+
+
+def binomial_sample(x, seed=428):
+    return BinomialSampler(seed)(x)
+
+
+__all__ += [
+    "MulSV", "mul_s_v", "StructuredAddSV", "structured_add_s_v",
+    "GetItemList", "GetItem2Lists", "get_item_list", "get_item_2lists",
+    "ConstructSparseFromList", "construct_sparse_from_list",
+    "PoissonSampler", "poisson", "BinomialSampler", "binomial_sample",
+]

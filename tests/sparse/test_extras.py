@@ -117,3 +117,77 @@ def test_square_diagonal_grad():
     f = function([d], g, mode="PY")
     dv = np.arange(1.0, 5.0)
     assert np.allclose(f(dv), 2 * dv)
+
+
+def test_mul_s_v_and_grad(mats):
+    xv, _ = mats
+    x = spb.csr_matrix("x")
+    v = at.tensor.vector("v")
+    vv = np.arange(1.0, 8.0)
+    f = function([x, v], spb.dense_from_sparse(spb.mul_s_v(x, v)), mode="PY")
+    assert np.allclose(f(xv, vv), xv.toarray() * vv)
+    loss = spb.sp_sum(spb.mul(spb.mul_s_v(x, v), spb.mul_s_v(x, v)),
+                      sparse_grad=False)
+    fg = function([x, v], grad(loss, v), mode="PY")
+    assert np.allclose(fg(xv, vv), 2 * (xv.toarray() ** 2 * vv).sum(axis=0))
+
+
+def test_structured_add_s_v(mats):
+    xv, _ = mats
+    x = spb.csr_matrix("x")
+    v = at.tensor.vector("v")
+    vv = np.arange(1.0, 8.0)
+    f = function([x, v], spb.dense_from_sparse(spb.structured_add_s_v(x, v)),
+                 mode="PY")
+    expect = xv.toarray().copy()
+    mask = xv.toarray() != 0
+    expect[mask] += np.broadcast_to(vv, expect.shape)[mask]
+    assert np.allclose(f(xv, vv), expect)
+    fg = function([x, v], grad(spb.sp_sum(spb.structured_add_s_v(x, v),
+                                          sparse_grad=False), v), mode="PY")
+    assert np.allclose(fg(xv, vv), mask.sum(axis=0).astype("float64"))
+
+
+def test_get_item_list_and_grad(mats):
+    xv, _ = mats
+    x = spb.csr_matrix("x")
+    idx = at.tensor.as_tensor_variable(np.array([2, 0, 2], dtype="int64"))
+    gl = spb.get_item_list(x, idx)
+    f = function([x], spb.dense_from_sparse(gl), mode="PY")
+    assert np.allclose(f(xv), xv[np.array([2, 0, 2])].toarray())
+    fg = function([x], spb.dense_from_sparse(
+        grad(spb.sp_sum(spb.mul(gl, gl), sparse_grad=False), x)), mode="PY")
+    expected = np.zeros_like(xv.toarray())
+    for r in [2, 0, 2]:
+        expected[r] += 2 * xv.toarray()[r]
+    assert np.allclose(fg(xv), expected)
+
+
+def test_get_item_2lists_and_construct(mats):
+    xv, _ = mats
+    x = spb.csr_matrix("x")
+    f = function([x], spb.get_item_2lists(
+        x, np.array([0, 1], dtype="int64"), np.array([1, 2], dtype="int64")),
+        mode="PY")
+    assert np.allclose(f(xv), [xv[0, 1], xv[1, 2]])
+
+    vals = at.tensor.matrix("vals")
+    idx = at.tensor.as_tensor_variable(np.array([2, 0, 2], dtype="int64"))
+    cs = spb.construct_sparse_from_list(
+        idx, vals, at.tensor.as_tensor_variable(np.array([5, 7], dtype="int64")))
+    f5 = function([vals], spb.dense_from_sparse(cs), mode="PY")
+    vv2 = np.ones((3, 7), dtype="float32")
+    exp = np.zeros((5, 7))
+    for r in [2, 0, 2]:
+        exp[r] += 1
+    assert np.allclose(f5(vv2), exp)
+
+
+def test_pattern_samplers(mats):
+    xv, _ = mats
+    x = spb.csr_matrix("x")
+    f = function([x], spb.dense_from_sparse(spb.poisson(x)), mode="PY")
+    out = f(xv)
+    assert np.all(out[xv.toarray() == 0] == 0)  # pattern preserved (or shrunk)
+    fb = function([x], spb.dense_from_sparse(spb.binomial_sample(x)), mode="PY")
+    assert set(np.unique(fb(xv))) <= {0.0, 1.0}
