@@ -1,0 +1,22 @@
+"""Symbolic model builders — the framework's model families, expressed
+entirely in the aesara_tpu graph language so every model compiles to one
+XLA program (and shards through ``aesara_tpu.parallel``).
+
+The reference ships these as tutorial code (logistic regression, MLP,
+conv net, RNN — ``doc/tutorial`` of aesara-devs/aesara); here they are a
+first-class package so the flagship train steps are importable,
+testable, and benchmarkable.
+"""
+
+from aesara_tpu.models.optim import adam, momentum, rmsprop, sgd
+from aesara_tpu.models.linear import LinearRegression, LogisticRegression
+from aesara_tpu.models.mlp import MLP
+from aesara_tpu.models.convnet import ConvNet
+from aesara_tpu.models.rnn import GRU, LSTM, ElmanRNN
+from aesara_tpu.models.transformer import TransformerEncoderLayer
+
+__all__ = [
+    "sgd", "momentum", "rmsprop", "adam",
+    "LinearRegression", "LogisticRegression", "MLP", "ConvNet",
+    "ElmanRNN", "LSTM", "GRU", "TransformerEncoderLayer",
+]

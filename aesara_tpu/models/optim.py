@@ -1,0 +1,75 @@
+"""Optimizer update builders: (cost, params) → updates list for
+``aesara_tpu.function(updates=...)``.
+
+The reference leaves optimizers to user code / tutorial snippets; these
+are the canonical implementations.  All state (momenta, second moments,
+step counters) lives in shared variables → donated HBM buffers under
+XLA, so a train step is one fused program with in-place state updates.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from aesara_tpu.compile.sharedvalue import shared
+from aesara_tpu.gradient import grad as _grad
+from aesara_tpu.tensor import math as tm
+from aesara_tpu.tensor.basic import cast
+
+
+def _grads(cost, params):
+    return _grad(cost, list(params))
+
+
+def sgd(cost, params: Sequence, lr: float = 0.01) -> List[Tuple]:
+    """Plain stochastic gradient descent."""
+    return [(p, p - lr * g) for p, g in zip(params, _grads(cost, params))]
+
+
+def momentum(cost, params: Sequence, lr: float = 0.01, mu: float = 0.9) -> List[Tuple]:
+    """Polyak momentum; one velocity buffer per parameter."""
+    updates = []
+    for p, g in zip(params, _grads(cost, params)):
+        v = shared(np.zeros(p.get_value().shape, dtype=p.get_value().dtype),
+                   name=(p.name or "p") + "_vel")
+        v_new = mu * v - lr * g
+        updates.append((v, v_new))
+        updates.append((p, p + v_new))
+    return updates
+
+
+def rmsprop(cost, params: Sequence, lr: float = 0.001, rho: float = 0.9,
+            eps: float = 1e-8) -> List[Tuple]:
+    updates = []
+    for p, g in zip(params, _grads(cost, params)):
+        acc = shared(np.zeros(p.get_value().shape, dtype=p.get_value().dtype),
+                     name=(p.name or "p") + "_acc")
+        acc_new = rho * acc + (1.0 - rho) * g * g
+        updates.append((acc, acc_new))
+        updates.append((p, p - lr * g / tm.sqrt(acc_new + eps)))
+    return updates
+
+
+def adam(cost, params: Sequence, lr: float = 0.001, b1: float = 0.9,
+         b2: float = 0.999, eps: float = 1e-8) -> List[Tuple]:
+    """Adam (Kingma & Ba 2015) with bias correction via a shared step
+    counter — the whole optimizer is part of the single jitted step."""
+    t = shared(np.asarray(0.0, dtype="float32"), name="adam_t")
+    t_new = t + 1.0
+    updates = [(t, t_new)]
+    for p, g in zip(params, _grads(cost, params)):
+        dt = p.get_value().dtype
+        m = shared(np.zeros(p.get_value().shape, dtype=dt),
+                   name=(p.name or "p") + "_m")
+        v = shared(np.zeros(p.get_value().shape, dtype=dt),
+                   name=(p.name or "p") + "_v")
+        m_new = b1 * m + (1.0 - b1) * g
+        v_new = b2 * v + (1.0 - b2) * g * g
+        m_hat = m_new / (1.0 - tm.pow(cast(b1, "float32"), t_new))
+        v_hat = v_new / (1.0 - tm.pow(cast(b2, "float32"), t_new))
+        updates.append((m, m_new))
+        updates.append((v, v_new))
+        updates.append((p, p - lr * m_hat / (tm.sqrt(v_hat) + eps)))
+    return updates

@@ -21,7 +21,7 @@ from aesara_tpu.tensor.basic import as_tensor_variable, constant
 from aesara_tpu.tensor.elemwise import DimShuffle
 from aesara_tpu.tensor.random.op import RandomVariable
 from aesara_tpu.tensor.shape import SpecifyShape
-from aesara_tpu.tensor.subtensor import Subtensor
+from aesara_tpu.tensor.subtensor import AdvancedSubtensor1, Subtensor
 
 
 __all__ = ["local_rv_size_lift", "local_dimshuffle_rv_lift",
@@ -115,7 +115,7 @@ def local_dimshuffle_rv_lift(fgraph, node):
             rv_node.outputs[0]: new_node.outputs[0]}
 
 
-@node_rewriter([Subtensor])
+@node_rewriter([Subtensor, AdvancedSubtensor1])
 def local_subtensor_rv_lift(fgraph, node):
     """Draw only the indexed slice: ``normal(mu, sd, size=(N,))[i]`` →
     ``normal(mu[i], sd[i])`` for batch-indexed RVs with batched params
@@ -142,9 +142,13 @@ def local_subtensor_rv_lift(fgraph, node):
     )
     if batch_ndim == 0:
         return False
-    from aesara_tpu.tensor.subtensor import get_idx_list
+    if isinstance(sub_op, AdvancedSubtensor1):
+        # vector-indexing the leading batch dim: index params the same way
+        idx = (node.inputs[1],)
+    else:
+        from aesara_tpu.tensor.subtensor import get_idx_list
 
-    idx = get_idx_list(node.inputs, sub_op.idx_list)
+        idx = get_idx_list(node.inputs, sub_op.idx_list)
     if len(idx) > batch_ndim:
         return False
     new_params = []

@@ -79,3 +79,17 @@ def test_db_queryable():
 
     result = random_rewrites_db.query(RewriteDatabaseQuery(include=["basic"]))
     assert result is not None
+
+
+def test_subtensor_rv_lift_advanced_index():
+    mu = at.as_tensor_variable(np.arange(5.0, dtype="float32"))
+    sd = at.as_tensor_variable(np.ones(5, dtype="float32"))
+    d = normal(mu, sd)
+    idx = at.as_tensor_variable(np.array([3, 1], dtype="int64"))
+    sub = d[idx]
+    fg = FunctionGraph([], [sub], clone=False)
+    res = local_subtensor_rv_lift.transform(fg, sub.owner)
+    assert res
+    new = res[sub]
+    assert new.type.ndim == 1
+    assert new.owner.inputs[2].type.ndim == 1  # mu got indexed, not the draw
