@@ -51,3 +51,50 @@ def _jx_pool_grad(op, node=None, **kw):
         return g
 
     return pool_grad
+
+
+# --- fused attention ---------------------------------------------------------
+
+from aesara_tpu.tensor.nnet.attention import (  # noqa: E402
+    FusedAttention,
+    FusedAttentionGrad,
+    _attention_ref,
+)
+
+
+@jax_funcify.register(FusedAttention)
+def _jx_fused_attention(op, node=None, **kw):
+    import numpy as _np
+
+    def attn(q, k, v):
+        from aesara_tpu.link.jax.pallas_kernels import (
+            flash_attention,
+            use_pallas_for,
+        )
+
+        q = jnp.asarray(q)
+        scale = 1.0 / float(_np.sqrt(q.shape[-1]))
+        # measured crossover on v5-lite: flash wins from T~2048 up
+        if use_pallas_for(q.shape, q.dtype) and q.shape[1] >= 2048:
+            return flash_attention(q, jnp.asarray(k), jnp.asarray(v),
+                                   causal=op.causal, scale=scale)
+        return _attention_ref(q, jnp.asarray(k), jnp.asarray(v),
+                              op.causal, scale)
+
+    return attn
+
+
+@jax_funcify.register(FusedAttentionGrad)
+def _jx_fused_attention_grad(op, node=None, **kw):
+    import numpy as _np
+
+    def attn_grad(q, k, v, gz):
+        q = jnp.asarray(q)
+        scale = 1.0 / float(_np.sqrt(q.shape[-1]))
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _attention_ref(q_, k_, v_, op.causal, scale),
+            q, jnp.asarray(k), jnp.asarray(v),
+        )
+        return vjp(jnp.asarray(gz, dtype=q.dtype))
+
+    return attn_grad

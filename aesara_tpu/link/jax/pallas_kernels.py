@@ -146,3 +146,102 @@ def use_pallas_for(shape, dtype) -> bool:
         return False
     n = int(np.prod(shape)) if shape else 1
     return n >= config.pallas_fusion_min_size
+
+
+def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
+                    bf16_dots: bool = False):
+    """Fused attention with online softmax — the (T, T) score matrix
+    never touches HBM.
+
+    Canonical TPU grid structure: grid = (BH, q_tiles, k_tiles) with the
+    k axis innermost — TPU executes the grid sequentially over the last
+    axis, so the running max / denominator / accumulator live in VMEM
+    scratch across k steps while Pallas pipelines the next k/v tile's
+    HBM→VMEM copy under the current tile's compute.
+
+    q, k, v: (BH, T, D).  ``bf16_dots`` runs both MXU matmuls in
+    bfloat16 with f32 accumulation (the MXU's native mode).
+    """
+    pl, pltpu = _pl()
+    BH, T, D = q.shape
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    BQ = min(512, _round_up(T, 8))
+    BK = min(512, _round_up(T, 8))
+    T_pad = _round_up(T, max(BQ, BK))
+    D_pad = _round_up(D, 128)
+
+    def padp(a):
+        return jnp.pad(a, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
+
+    qp, kp, vp = padp(q), padp(k), padp(v)
+    nq = T_pad // BQ
+    nk = T_pad // BK
+    dot_dtype = jnp.bfloat16 if bf16_dots else jnp.float32
+
+    def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+        qi = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full((BQ, 128), -jnp.inf, dtype=jnp.float32)
+            l_ref[:] = jnp.zeros((BQ, 128), dtype=jnp.float32)
+            acc_ref[:] = jnp.zeros((BQ, D_pad), dtype=jnp.float32)
+
+        qt = (q_ref[0] * scale).astype(dot_dtype)
+        kt = k_ref[0].astype(dot_dtype)
+        vt = v_ref[0].astype(dot_dtype)
+        s = jax.lax.dot_general(
+            qt, kt, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                   # (BQ, BK)
+        col = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        valid = col < T
+        if causal:
+            row = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+            valid = jnp.logical_and(valid, col <= row)
+        s = jnp.where(valid, s, -jnp.inf)
+
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.exp(s - m_safe)
+        p = jnp.where(valid, p, 0.0)
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(dot_dtype), vt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = alpha * acc_ref[:] + pv
+        m_ref[:] = jnp.broadcast_to(m_new, (BQ, 128))
+        l_ref[:] = jnp.broadcast_to(l_new, (BQ, 128))
+
+        @pl.when(j == nk - 1)
+        def _finish():
+            l_f = l_ref[:, :1]
+            l_f = jnp.where(l_f == 0.0, 1.0, l_f)
+            o_ref[0] = (acc_ref[:] / l_f).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D_pad), q.dtype),
+        grid=(BH, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, 128), jnp.float32),
+            pltpu.VMEM((BQ, 128), jnp.float32),
+            pltpu.VMEM((BQ, D_pad), jnp.float32),
+        ],
+    )(qp, kp, vp)
+    return out[:, :T, :D]
