@@ -13,7 +13,6 @@ import numpy as np
 
 from aesara_tpu.models.base import Model, glorot, zeros
 from aesara_tpu.tensor import math as tm
-from aesara_tpu.tensor.special import softmax
 
 
 def layer_norm(x, gain, bias, eps: float = 1e-5):
@@ -55,14 +54,16 @@ class TransformerEncoderLayer(Model):
         h = h.dimshuffle(0, 2, 1, 3)
         return h.reshape((B * self.n_heads, T, self.d_head))
 
-    def attention(self, x):
+    def attention(self, x, causal: bool = False):
+        from aesara_tpu.tensor.nnet.attention import fused_attention
+
         B, T = x.shape[0], x.shape[1]
         q = self._split_heads(tm.dot(x, self.wq), B, T)
         k = self._split_heads(tm.dot(x, self.wk), B, T)
         v = self._split_heads(tm.dot(x, self.wv), B, T)
-        scores = tm.batched_dot(q, k.dimshuffle(0, 2, 1)) / np.sqrt(self.d_head)
-        probs = softmax(scores, axis=-1)
-        ctx = tm.batched_dot(probs, v)                      # (B*H, T, d_head)
+        # ONE fused op: XLA composition for short T, FlashAttention Pallas
+        # kernel (no (T,T) score matrix in HBM) from T>=2048 on TPU
+        ctx = fused_attention(q, k, v, causal=causal)       # (B*H, T, d_head)
         ctx = ctx.reshape((B, self.n_heads, T, self.d_head))
         ctx = ctx.dimshuffle(0, 2, 1, 3).reshape((B, T, self.d_model))
         return tm.dot(ctx, self.wo)
