@@ -48,6 +48,40 @@ from aesara_tpu.scan.views import foldl, foldr
 from aesara_tpu.scan.views import map as scan_map
 from aesara_tpu.scan.views import reduce as scan_reduce
 from aesara_tpu.scan.checkpoints import scan_checkpoints
+from aesara_tpu.scan import checkpoints
+from aesara_tpu.scan.views import map, reduce  # noqa: A001,A002 (reference exports these names)
+from aesara_tpu.graph.ir import Variable
+from aesara_tpu.compile.profiling import ProfileStats
+from aesara_tpu.compile.mode import predefined_linkers, predefined_modes, predefined_optimizers
+from aesara_tpu.compile.function import Function as FunctionMaker  # maker == function here
+
+
+def as_symbolic(x, name=None, **kwargs):
+    """Convert any supported value into the equivalent Variable
+    (reference ``aesara/__init__.py:81`` singledispatch): Variables pass
+    through, scipy.sparse values become sparse constants, everything
+    else goes through ``as_tensor_variable``."""
+    from aesara_tpu.graph.ir import Variable as _Var
+
+    if isinstance(x, _Var):
+        return x
+    try:
+        import scipy.sparse as _sp
+
+        if _sp.issparse(x):
+            from aesara_tpu.sparse.basic import constant as sp_constant
+
+            return sp_constant(x, name=name)
+    except Exception:
+        pass
+    from aesara_tpu.tensor.basic import as_tensor_variable
+
+    res = as_tensor_variable(x, **kwargs)
+    if name is not None:
+        res.name = name
+    return res
+
+
 from aesara_tpu.ifelse import ifelse
 from aesara_tpu.raise_op import Assert, assert_op
 

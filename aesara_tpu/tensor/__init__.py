@@ -35,6 +35,17 @@ from aesara_tpu.tensor.subtensor import (
     take,
 )
 from aesara_tpu.tensor.sort import argsort, argtopk, sort, topk, topk_and_argtopk
+from aesara_tpu.graph.ir import Constant
+from aesara_tpu.gradient import (
+    consider_constant,
+    grad,
+    hessian,
+    jacobian,
+)
+
+#: anything convertible by as_tensor_variable (reference TensorLike)
+TensorLike = object
+
 
 # submodules that land in later build stages import lazily:
 def __getattr__(name):
@@ -42,7 +53,8 @@ def __getattr__(name):
 
     lazy = {
         "extra_ops", "nlinalg", "slinalg", "sort", "special", "fft",
-        "random", "nnet", "signal", "io", "blas", "rewriting", "xlogx",
+        "random", "nnet", "signal", "io", "blas", "blas_c", "blas_scipy",
+        "rewriting", "xlogx", "linalg", "sharedvar",
     }
     if name in lazy:
         return importlib.import_module(f"aesara_tpu.tensor.{name}")

@@ -57,3 +57,67 @@ def test_check_blas_small():
 
     _, elapsed = execute(verbose=False, M=64, N=64, K=64, iters=2)
     assert elapsed > 0
+
+
+def test_reference_namespace_parity():
+    """Every public name of the reference's root and tensor namespaces
+    resolves here (stdlib/typing/logging internals excluded)."""
+    import ast
+
+    def exported_names(path):
+        tree = ast.parse(open(path).read())
+        names = set()
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if isinstance(t, ast.Name):
+                        if t.id == "__all__" and isinstance(
+                            node.value, (ast.List, ast.Tuple)
+                        ):
+                            for e in node.value.elts:
+                                if isinstance(e, ast.Constant):
+                                    names.add(e.value)
+                        elif not t.id.startswith("_"):
+                            names.add(t.id)
+            elif isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                if not node.name.startswith("_"):
+                    names.add(node.name)
+            elif isinstance(node, ast.ImportFrom):
+                for a in node.names:
+                    nm = a.asname or a.name
+                    if nm != "*" and not nm.startswith("_"):
+                        names.add(nm)
+        return names
+
+    import os
+
+    if not os.path.exists("/root/reference/aesara/__init__.py"):
+        import pytest
+
+        pytest.skip("reference tree not mounted")
+
+    STDLIB = {
+        "Any", "Optional", "List", "Tuple", "NoReturn", "TYPE_CHECKING",
+        "singledispatch", "DEPRECATED_NAMES", "MATH_DEPRECATED_NAMES",
+        "aesara_logger", "disable_log_handler", "logging_default_formatter",
+        "logging_default_handler", "rpath",
+    }
+    import aesara_tpu
+    import aesara_tpu.tensor as at_mod
+
+    def have(mod, n):
+        try:
+            return hasattr(mod, n)
+        except Exception:
+            return False
+
+    miss_root = [
+        n for n in exported_names("/root/reference/aesara/__init__.py")
+        if n not in STDLIB and not have(aesara_tpu, n)
+    ]
+    miss_tensor = [
+        n for n in exported_names("/root/reference/aesara/tensor/__init__.py")
+        if n not in STDLIB and not have(at_mod, n)
+    ]
+    assert not miss_root, miss_root
+    assert not miss_tensor, miss_tensor
