@@ -684,3 +684,27 @@ def grad_scale(x, multiplier):
 def consider_constant(x):
     """Deprecated alias of zero_grad (reference keeps it)."""
     return zero_grad(x)
+
+
+class DisconnectedInputError(ValueError):
+    """Raised when ``grad`` is asked for a wrt disconnected from the cost
+    and ``disconnected_inputs='raise'`` (reference ``gradient.py``)."""
+
+
+def as_list_or_tuple(use_list, use_tuple, outputs):
+    """(reference ``gradient.py`` helper): wrap per the caller's flags."""
+    if use_list and use_tuple:
+        raise ValueError("use_list and use_tuple are mutually exclusive")
+    if use_list:
+        return list(outputs) if isinstance(outputs, (list, tuple)) else [outputs]
+    if use_tuple:
+        return tuple(outputs) if isinstance(outputs, (list, tuple)) else (outputs,)
+    return outputs
+
+
+#: reference keeps callable-class spellings of the grad-manipulation ops
+consider_constant_ = consider_constant
+zero_grad_ = zero_grad
+disconnected_grad_ = disconnected_grad
+undefined_grad_ = undefined_grad
+ConsiderConstant = ZeroGrad  # reference alias: consider_constant IS zero_grad

@@ -32,3 +32,5 @@ from aesara_tpu.graph.rewriting.basic import (
     node_rewriter,
 )
 from aesara_tpu.graph.rewriting.utils import rewrite_graph
+from aesara_tpu.graph.rewriting.basic import graph_rewriter, node_rewriter  # noqa: F401
+from aesara_tpu.graph.rewriting.db import RewriteDatabaseQuery  # noqa: F401

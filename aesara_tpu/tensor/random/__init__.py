@@ -8,3 +8,4 @@ from aesara_tpu.tensor.random.op import (
     random_generator_type,
 )
 from aesara_tpu.tensor.random.utils import RandomStream, RandomStreams
+from aesara_tpu.tensor.random.op import RandomStateType as RandomState  # noqa: F401

@@ -24,3 +24,4 @@ from aesara_tpu.typed_list.basic import (
     remove,
     reverse,
 )
+from aesara_tpu.typed_list import rewriting  # noqa: F401

@@ -121,3 +121,30 @@ def test_reference_namespace_parity():
     ]
     assert not miss_root, miss_root
     assert not miss_tensor, miss_tensor
+
+    import importlib
+
+    STDLIB2 = STDLIB | {
+        "Literal", "Union", "Sequence", "Callable", "Iterable", "Dict",
+        "warnings", "np", "numpy", "config", "partial", "dataclass", "Enum",
+        "itertools", "sys", "os", "typing", "collections", "logging",
+        "Mapping", "MutableSequence", "TypeVar", "V", "utils",
+        "configdefaults", "mode_not_slow", "get_test_values",
+        "NominalVariable", "ViewOp", "reduce",
+    }
+    for ref_path, modname in [
+        ("/root/reference/aesara/scan/__init__.py", "aesara_tpu.scan"),
+        ("/root/reference/aesara/sparse/__init__.py", "aesara_tpu.sparse"),
+        ("/root/reference/aesara/compile/__init__.py", "aesara_tpu.compile"),
+        ("/root/reference/aesara/graph/__init__.py", "aesara_tpu.graph"),
+        ("/root/reference/aesara/gradient.py", "aesara_tpu.gradient"),
+        ("/root/reference/aesara/typed_list/__init__.py", "aesara_tpu.typed_list"),
+        ("/root/reference/aesara/tensor/random/__init__.py",
+         "aesara_tpu.tensor.random"),
+    ]:
+        mod = importlib.import_module(modname)
+        miss = sorted(
+            n for n in exported_names(ref_path)
+            if n not in STDLIB2 and not have(mod, n)
+        )
+        assert not miss, (modname, miss)
