@@ -170,6 +170,34 @@ def _hyp2f1(a, b, c, z):
     return hyp2f1(a, b, c, z)
 
 
+
+
+def _owens_t_quad(h, a, n=64):
+    """Owen's T by Gauss-Legendre quadrature of its integral definition:
+    T(h,a) = 1/(2pi) integral_0^a of exp(-h^2(1+t^2)/2)/(1+t^2) dt."""
+    nodes, weights = np.polynomial.legendre.leggauss(n)
+    h = jnp.asarray(h)[..., None]
+    a_ = jnp.asarray(a)[..., None]
+    t = 0.5 * a_ * (nodes + 1.0)          # map [-1,1] -> [0,a]
+    w = 0.5 * a_ * weights
+    integrand = jnp.exp(-0.5 * h * h * (1.0 + t * t)) / (1.0 + t * t)
+    return jnp.sum(w * integrand, axis=-1) / (2.0 * jnp.pi)
+
+
+def _hyp2f1_der_fd(a, b, c, z, wrt):
+    from jax.scipy.special import hyp2f1
+
+    eps = 1e-4
+    args = [jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)]
+    outs = []
+    for i in range(3):
+        hi = [ar + (eps if j == i else 0.0) for j, ar in enumerate(args)]
+        lo = [ar - (eps if j == i else 0.0) for j, ar in enumerate(args)]
+        outs.append((hyp2f1(*hi, z) - hyp2f1(*lo, z)) / (2 * eps))
+    wrt_i = jnp.asarray(wrt, dtype=jnp.int32)
+    return jnp.where(wrt_i == 0, outs[0], jnp.where(wrt_i == 1, outs[1], outs[2]))
+
+
 _SCALAR_IMPLS = {
     aes.ops.Add: _variadic(jnp.add),
     aes.ops.Mul: _variadic(jnp.multiply),
@@ -257,6 +285,17 @@ _SCALAR_IMPLS = {
     aesm.I0: _i0,
     aesm.I1: _i1,
     aesm.BetaInc: jax.scipy.special.betainc,
+    aesm.Erfcx: lambda x: jnp.where(
+        x < 8.0,
+        jnp.exp(jnp.square(jnp.minimum(x, 8.0)))
+        * jax.scipy.special.erfc(jnp.minimum(x, 8.0)),
+        # asymptotic series for large x (exp(x^2) would overflow)
+        (1.0 - 0.5 / jnp.square(jnp.maximum(x, 8.0))
+         + 0.75 / jnp.square(jnp.square(jnp.maximum(x, 8.0))))
+        / (jnp.maximum(x, 8.0) * jnp.sqrt(jnp.pi)),
+    ),
+    aesm.OwensT: lambda h, a: _owens_t_quad(h, a),
+    aesm.Hyp2F1Der: lambda a, b, c, z, wrt: _hyp2f1_der_fd(a, b, c, z, wrt),
     aesm.BetaIncGradA: _betainc_grad(True),
     aesm.BetaIncGradB: _betainc_grad(False),
     aesm.Hyp2F1: _hyp2f1,

@@ -434,3 +434,51 @@ hyp2f1 = Hyp2F1(name="hyp2f1")
 sigmoid = Sigmoid(name="sigmoid")
 softplus = Softplus(name="softplus")
 log1mexp = Log1mexp(name="log1mexp")
+
+
+class Erfcx(UnaryScalarOp):
+    """exp(x^2) * erfc(x), overflow-safe (reference ``scalar/math.py``
+    Erfcx — backed by gamma.c in the reference)."""
+
+    nfunc = staticmethod(_sp.erfcx)
+    output_types_preference = staticmethod(upgrade_to_float)
+
+    def grad(self, inputs, output_grads):
+        (x,) = inputs
+        (gz,) = output_grads
+        from aesara_tpu.scalar.ops import constant as s_const, mul, sub
+
+        # d/dx erfcx = 2 x erfcx(x) - 2/sqrt(pi)
+        two_over_sqrt_pi = s_const(2.0 / np.sqrt(np.pi))
+        return [mul(gz, sub(mul(s_const(2.0), mul(x, erfcx(x))), two_over_sqrt_pi))]
+
+
+class OwensT(BinaryScalarOp):
+    """Owen's T function T(h, a) (reference ``scalar/math.py`` — scipy)."""
+
+    nfunc = staticmethod(_sp.owens_t)
+    output_types_preference = staticmethod(upgrade_to_float)
+
+
+class Hyp2F1Der(ScalarOp):
+    """d/d{a|b|c} 2F1 by central difference (reference Hyp2F1Der)."""
+
+    nin = 5  # a, b, c, z, wrt(0/1/2)
+    nout = 1
+    output_types_preference = staticmethod(upgrade_to_float)
+
+    def impl(self, a, b, c, z, wrt):
+        import scipy.special as sps
+
+        eps = 1e-6
+        args = [float(a), float(b), float(c)]
+        i = int(wrt)
+        hi, lo = list(args), list(args)
+        hi[i] += eps
+        lo[i] -= eps
+        return (sps.hyp2f1(*hi, float(z)) - sps.hyp2f1(*lo, float(z))) / (2 * eps)
+
+
+erfcx = Erfcx(name="erfcx")
+owens_t = OwensT(name="owens_t")
+hyp2f1_der = Hyp2F1Der(name="hyp2f1_der")

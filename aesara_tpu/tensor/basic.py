@@ -1295,3 +1295,185 @@ class Choose(Op):
 
 def choose(a, choices, mode="raise"):
     return Choose(mode)(a, choices)
+
+
+# --- reference __all__ completions (tensor/basic.py tail) --------------------
+
+second = fill
+extract_diag = diagonal
+
+
+def atleast_3d(*args):
+    res = []
+    for a in args:
+        a = as_tensor_variable(a)
+        if a.type.ndim == 0:
+            a = a.dimshuffle("x", "x", "x")
+        elif a.type.ndim == 1:
+            a = a.dimshuffle("x", 0, "x")
+        elif a.type.ndim == 2:
+            a = a.dimshuffle("x", 0, 1)
+        res.append(a)
+    return res if len(res) > 1 else res[0]
+
+
+def empty_like(x, dtype=None):
+    x = as_tensor_variable(x)
+    from aesara_tpu.tensor.shape import shape as _shape
+
+    return AllocEmpty(dtype or x.type.dtype)(*[x.shape[i] for i in range(x.type.ndim)])
+
+
+def is_flat(var, ndim=1):
+    """True iff ``var`` has exactly ``ndim`` dims (reference ``is_flat``)."""
+    return as_tensor_variable(var).type.ndim == ndim
+
+
+def roll(x, shift, axis=None):
+    """np.roll semantics via modular arange indexing — works for
+    symbolic shifts (reference ``roll``)."""
+    x = as_tensor_variable(x)
+    if axis is None:
+        flat = x.reshape((mul_scalars([x.shape[i] for i in range(x.type.ndim)]),))
+        return roll(flat, shift, 0).reshape(x.shape)
+    n = x.shape[axis]
+    idx = (arange(0, n) - shift) % n
+    from aesara_tpu.tensor.subtensor import take
+
+    return take(x, idx, axis=axis)
+
+
+def mul_scalars(xs):
+    from aesara_tpu.tensor.math import mul as tmul
+
+    res = xs[0]
+    for e in xs[1:]:
+        res = tmul(res, e)
+    return res
+
+
+def tile(x, reps, ndim=None):
+    """np.tile with a static reps tuple (reference ``tile``)."""
+    x = as_tensor_variable(x)
+    if isinstance(reps, (int, np.integer)):
+        reps = (int(reps),)
+    reps = tuple(int(r) for r in reps)
+    nd = max(len(reps), x.type.ndim) if ndim is None else ndim
+    while x.type.ndim < nd:
+        x = x.dimshuffle(*(["x"] + list(range(x.type.ndim))))
+    reps = (1,) * (nd - len(reps)) + reps
+    for axis, r in enumerate(reps):
+        if r == 1:
+            continue
+        x = join(axis, *([x] * r))
+    return x
+
+
+def take_along_axis(arr, indices, axis=-1):
+    """np.take_along_axis for matching-rank int indices (reference)."""
+    arr = as_tensor_variable(arr)
+    indices = as_tensor_variable(indices)
+    nd = arr.type.ndim
+    ax = axis % nd
+    index = []
+    for d in range(nd):
+        if d == ax:
+            index.append(indices)
+        else:
+            shp = ["x"] * nd
+            shp[d] = 0
+            index.append(arange(0, indices.shape[d]).dimshuffle(*shp))
+    return arr[tuple(index)]
+
+
+def tril_indices(n, k=0, m=None):
+    """Symbolic tril indices via Nonzero(Tri) (reference ``tril_indices``)."""
+    from aesara_tpu.tensor.math import ge as t_ge
+
+    m = n if m is None else m
+    r = arange(0, n).dimshuffle(0, "x")
+    c = arange(0, m).dimshuffle("x", 0)
+    return nonzero(t_ge(r + k, c))
+
+
+def tril_indices_from(a, k=0):
+    a = as_tensor_variable(a)
+    return tril_indices(a.shape[0], k=k, m=a.shape[1])
+
+
+def triu_indices(n, k=0, m=None):
+    from aesara_tpu.tensor.math import le as t_le
+
+    m = n if m is None else m
+    r = arange(0, n).dimshuffle(0, "x")
+    c = arange(0, m).dimshuffle("x", 0)
+    return nonzero(t_le(r + k, c))
+
+
+def triu_indices_from(a, k=0):
+    a = as_tensor_variable(a)
+    return triu_indices(a.shape[0], k=k, m=a.shape[1])
+
+
+def stacklists(arg):
+    """Recursively stack nested lists into one tensor (reference
+    ``stacklists``)."""
+    if isinstance(arg, (tuple, list)):
+        return stack([stacklists(a) for a in arg], axis=0)
+    return as_tensor_variable(arg)
+
+
+def transfer(var, target):
+    """Device transfer is the linker's job under XLA; identity
+    (reference ``transfer`` moved data host<->device)."""
+    return as_tensor_variable(var)
+
+
+def default(x, default_value):
+    """Use ``default_value`` when ``x`` is not provided at call time
+    (reference ``Default`` op used with In())."""
+    from aesara_tpu.compile.io import In
+
+    x = as_tensor_variable(x)
+    return In(x, value=np.asarray(default_value))
+
+
+class _GridBase:
+    def __init__(self, sparse_grid):
+        self.sparse = sparse_grid
+
+    def __getitem__(self, key):
+        if not isinstance(key, tuple):
+            key = (key,)
+        ranges = []
+        for sl in key:
+            start = 0 if sl.start is None else sl.start
+            step = 1 if sl.step is None else sl.step
+            ranges.append(arange(start, sl.stop, step))
+        nd = len(ranges)
+        outs = []
+        for i, r in enumerate(ranges):
+            order = ["x"] * nd
+            order[i] = 0
+            outs.append(r.dimshuffle(*order))
+        if self.sparse:
+            return outs if nd > 1 else outs[0]
+        # dense: broadcast all to the full grid
+        from aesara_tpu.tensor.math import add as t_add
+
+        full = outs[0]
+        for o in outs[1:]:
+            full = t_add(full, o * 0)
+        dense = [o + full * 0 for o in outs]
+        return dense if nd > 1 else dense[0]
+
+
+mgrid = _GridBase(sparse_grid=False)
+ogrid = _GridBase(sparse_grid=True)
+
+__all__ += [
+    "second", "extract_diag", "atleast_3d", "empty_like", "is_flat",
+    "roll", "tile", "take_along_axis", "tril_indices", "tril_indices_from",
+    "triu_indices", "triu_indices_from", "stacklists", "transfer",
+    "default", "mgrid", "ogrid",
+]

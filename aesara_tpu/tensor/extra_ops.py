@@ -581,3 +581,53 @@ def to_one_hot(y, nb_class, dtype=None):
     y = cast(as_tensor_variable(y), "int64")
     res = teq(expand_dims(y, -1), arange(nb_class))
     return cast(res, dtype or "float32")
+
+
+def linspace(start, stop, num=50, endpoint=True, dtype=None):
+    """np.linspace composition (reference ``extra_ops.linspace``)."""
+    from aesara_tpu.tensor.basic import arange, as_tensor_variable, cast
+
+    start = as_tensor_variable(start)
+    stop = as_tensor_variable(stop)
+    div = (num - 1) if endpoint else num
+    step = (stop - start) / div
+    res = start + arange(0, num) * step
+    return cast(res, dtype) if dtype else res
+
+
+def logspace(start, stop, num=50, base=10.0, endpoint=True, dtype=None):
+    from aesara_tpu.tensor.math import pow as t_pow
+
+    return t_pow(base, linspace(start, stop, num, endpoint, dtype))
+
+
+def geomspace(start, stop, num=50, endpoint=True, dtype=None):
+    from aesara_tpu.tensor.math import exp, log
+
+    return exp(linspace(log(start), log(stop), num, endpoint, dtype))
+
+
+def broadcast_shape(*arrays, arrays_are_shapes: bool = False):
+    """The broadcast result shape of the arguments (reference
+    ``broadcast_shape``)."""
+    from aesara_tpu.tensor.basic import as_tensor_variable
+    from aesara_tpu.tensor.math import maximum
+
+    if arrays_are_shapes:
+        shapes = [tuple(a) for a in arrays]
+    else:
+        shapes = [tuple(as_tensor_variable(a).shape[i]
+                        for i in range(as_tensor_variable(a).type.ndim))
+                  for a in arrays]
+    nd = max((len(s) for s in shapes), default=0)
+    out = []
+    for d in range(nd):
+        dims = [s[len(s) - nd + d] for s in shapes if len(s) - nd + d >= 0]
+        r = dims[0]
+        for e in dims[1:]:
+            r = maximum(r, e)
+        out.append(r)
+    return tuple(out)
+
+
+__all__ += ["linspace", "logspace", "geomspace", "broadcast_shape"]

@@ -918,3 +918,68 @@ def convolve(x, kernel, mode: str = "full"):
         start = (minimum(n, k) - 1) // 2
         return full[start: start + maximum(n, k)]
     raise ValueError(f"unknown convolve mode {mode!r}")
+
+
+# --- reference __all__ completions (tensor/math.py tail) ---------------------
+
+true_divide = true_div
+floor_divide = int_div
+power = pow
+divmod = divmod_
+
+
+def ceil_intdiv(a, b):
+    """ceil(a / b) for ints (reference ``ceil_intdiv``)."""
+    return -int_div(-as_tensor_variable(a), b)
+
+
+def largest(*args):
+    """Variadic elementwise max (reference ``largest``)."""
+    if len(args) == 1:
+        return as_tensor_variable(args[0])
+    res = args[0]
+    for a in args[1:]:
+        res = maximum(res, a)
+    return res
+
+
+def smallest(*args):
+    if len(args) == 1:
+        return as_tensor_variable(args[0])
+    res = args[0]
+    for a in args[1:]:
+        res = minimum(res, a)
+    return res
+
+
+def chi2sf(x, k):
+    """Chi-square survival function: Q(k/2, x/2) (reference ``chi2sf``)."""
+    return gammaincc(true_div(k, constant(2.0)), true_div(x, constant(2.0)))
+
+
+def cov(m, y=None, rowvar=True, bias=False, ddof=None):
+    """Covariance matrix, np.cov semantics (reference ``cov``)."""
+    m = as_tensor_variable(m)
+    if m.type.ndim == 1:
+        m = m.dimshuffle("x", 0)
+    if not rowvar:
+        m = m.T
+    if y is not None:
+        y = as_tensor_variable(y)
+        if y.type.ndim == 1:
+            y = y.dimshuffle("x", 0)
+        if not rowvar:
+            y = y.T
+        from aesara_tpu.tensor.basic import join
+
+        m = join(0, m, y)
+    ddof_ = (1 if not bias else 0) if ddof is None else ddof
+    n = m.shape[1]
+    mean_ = mean(m, axis=1, keepdims=True)
+    centered = m - mean_
+    return dot(centered, centered.T) / cast(n - ddof_, centered.dtype)
+
+
+erfcx = _ew(aes.math.erfcx, "erfcx")
+owens_t = _ew(aes.math.owens_t, "owens_t")
+hyp2f1_der = _ew(aes.math.hyp2f1_der, "hyp2f1_der")

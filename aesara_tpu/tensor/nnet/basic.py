@@ -141,3 +141,129 @@ def confusion_matrix(actual, pred):
     oP = teq(colP, shape_padleft(order, 1))
     conf = tm.dot(tb.cast(oA, "int64").T, tb.cast(oP, "int64"))
     return [conf, order]
+
+
+# --- reference nnet/__init__ completions -------------------------------------
+
+def softsign(x):
+    """x / (1 + |x|) (reference ``nnet/basic.py softsign``)."""
+    x = as_tensor_variable(x)
+    return x / (1.0 + tm.abs(x))
+
+
+def logsoftmax(x, axis=-1):
+    from aesara_tpu.tensor.special import log_softmax
+
+    return log_softmax(x, axis=axis)
+
+
+def softmax_legacy(x):
+    from aesara_tpu.tensor.special import softmax
+
+    return softmax(x, axis=-1)
+
+
+def softmax_grad_legacy(dy, sm):
+    from aesara_tpu.tensor.special import SoftmaxGrad
+
+    return SoftmaxGrad(axis=-1)(dy, sm)
+
+
+def crossentropy_softmax_max_and_argmax_1hot_with_bias(x, b, y_idx):
+    xent, sm = crossentropy_softmax_1hot_with_bias(x, b, y_idx)
+    mx = tm.max(as_tensor_variable(x) + b, axis=-1)
+    am = tm.argmax(as_tensor_variable(x) + b, axis=-1)
+    return xent, sm, mx, am
+
+
+def crossentropy_softmax_max_and_argmax_1hot(x, y_idx):
+    from aesara_tpu.tensor.basic import zeros
+
+    b = zeros((as_tensor_variable(x).shape[1],), dtype=x.dtype)
+    return crossentropy_softmax_max_and_argmax_1hot_with_bias(x, b, y_idx)
+
+
+def crossentropy_softmax_1hot_with_bias_dx(dy, sm, y_idx):
+    """Gradient wrt x of the fused xent-softmax (reference
+    ``CrossentropySoftmax1HotWithBiasDx``): dx = dy[:,None]*(sm - onehot)."""
+    from aesara_tpu.tensor.basic import arange
+    from aesara_tpu.tensor.subtensor import inc_subtensor
+
+    sm = as_tensor_variable(sm)
+    dy = as_tensor_variable(dy)
+    n = sm.shape[0]
+    dx = sm * dy.dimshuffle(0, "x")
+    return inc_subtensor(dx[arange(n), y_idx], -dy)
+
+
+def crossentropy_categorical_1hot_grad(dy, coding_dist, true_one_of_n):
+    """(reference ``CrossentropyCategorical1HotGrad``)"""
+    from aesara_tpu.tensor.basic import arange, zeros_like
+    from aesara_tpu.tensor.subtensor import inc_subtensor
+
+    coding = as_tensor_variable(coding_dist)
+    n = coding.shape[0]
+    g = zeros_like(coding)
+    return inc_subtensor(
+        g[arange(n), true_one_of_n],
+        -as_tensor_variable(dy) / coding[arange(n), true_one_of_n],
+    )
+
+
+def prepend_scalar_to_each_row(scalar, x):
+    """(reference ``Prepend_scalar_to_each_row``)"""
+    from aesara_tpu.tensor.basic import alloc, join
+
+    x = as_tensor_variable(x)
+    col = alloc(cast(scalar, x.dtype), x.shape[0], 1)
+    return join(1, col, x)
+
+
+def prepend_0_to_each_row(x):
+    return prepend_scalar_to_each_row(0.0, x)
+
+
+def prepend_1_to_each_row(x):
+    return prepend_scalar_to_each_row(1.0, x)
+
+
+def h_softmax(x, batch_size, n_outputs, n_classes, n_outputs_per_class,
+              W1, b1, W2, b2, target=None):
+    """Two-level hierarchical softmax (reference ``nnet/basic.py
+    h_softmax``): class softmax x within-class softmax; with a target,
+    return only the target's probability (the O(sqrt(V)) trick)."""
+    from aesara_tpu.tensor.basic import arange
+    from aesara_tpu.tensor.special import softmax
+
+    x = as_tensor_variable(x)
+    class_probs = softmax(tm.dot(x, W1) + b1, axis=-1)      # (B, n_classes)
+    if target is None:
+        # full distribution: (B, n_classes, n_outputs_per_class)
+        activations = tm.dot(x, W2.reshape((W2.shape[0], -1)))
+        activations = activations.reshape(
+            (x.shape[0], n_classes, n_outputs_per_class)) + b2
+        within = softmax(activations, axis=-1)
+        out = class_probs.dimshuffle(0, 1, "x") * within
+        return out.reshape((x.shape[0], n_classes * n_outputs_per_class))[
+            :, :n_outputs]
+    target = as_tensor_variable(target)
+    cls = target // n_outputs_per_class
+    within_idx = target % n_outputs_per_class
+    b = arange(0, x.shape[0])
+    # only the target class's weight column block
+    W2_cls = W2[:, cls, :]                                   # (D, B, P)
+    act = tm.sum(x.dimshuffle(0, 1, "x") * W2_cls.dimshuffle(1, 0, 2), axis=1)
+    act = act + b2[cls]
+    within = softmax(act, axis=-1)
+    return class_probs[b, cls] * within[b, within_idx]
+
+
+__all__ += [
+    "softsign", "logsoftmax", "softmax_legacy", "softmax_grad_legacy",
+    "crossentropy_softmax_max_and_argmax_1hot_with_bias",
+    "crossentropy_softmax_max_and_argmax_1hot",
+    "crossentropy_softmax_1hot_with_bias_dx",
+    "crossentropy_categorical_1hot_grad",
+    "prepend_0_to_each_row", "prepend_1_to_each_row",
+    "prepend_scalar_to_each_row", "h_softmax",
+]

@@ -92,3 +92,11 @@ def local_logsoftmax(fgraph, node):
 
 register_stabilize(local_logsoftmax)
 register_specialize(local_logsoftmax)
+
+
+#: reference rewrite names (tensor/rewriting/special.py + nnet/basic.py):
+#: the graph-recognition passes above play these roles on the XLA path
+softmax_simplifier = local_softmax_graph
+crossentropy_to_crossentropy_with_softmax = local_logsoftmax
+crossentropy_to_crossentropy_with_softmax_with_bias = local_logsoftmax
+graph_merge_softmax_with_crossentropy_softmax = local_softmax_graph

@@ -383,3 +383,22 @@ def unbroadcast(x, *axes):
     if not real:
         return x
     return Unbroadcast(*real)(x)
+
+
+def shape_i_op(i: int):
+    """Shape_i factory (reference ``shape.py shape_i_op``)."""
+    return Shape_i(i)
+
+
+def specify_broadcastable(x, *axes):
+    """Assert the given axes have extent 1 (reference
+    ``specify_broadcastable``): SpecifyShape with 1s at those axes."""
+    from aesara_tpu.tensor.basic import as_tensor_variable
+
+    x = as_tensor_variable(x)
+    shp = [1 if d in axes or (d - x.type.ndim) in axes else None
+           for d in range(x.type.ndim)]
+    return specify_shape(x, shp)
+
+
+__all__ += ["shape_i_op", "specify_broadcastable"]

@@ -148,3 +148,43 @@ def test_reference_namespace_parity():
             if n not in STDLIB2 and not have(mod, n)
         )
         assert not miss, (modname, miss)
+
+    # per-module __all__ parity for the big tensor submodules
+    def all_names(path):
+        tree = ast.parse(open(path).read())
+        for node in tree.body:
+            if isinstance(node, ast.Assign):
+                for t in node.targets:
+                    if (isinstance(t, ast.Name) and t.id == "__all__"
+                            and isinstance(node.value, (ast.List, ast.Tuple))):
+                        return {e.value for e in node.value.elts
+                                if isinstance(e, ast.Constant)}
+        return set()
+
+    SKIP_MOD = {
+        "COp", "DenseTensorType", "Dict", "DisconnectedType", "HasShape",
+        "List", "NoneConst", "NotScalarConstantError", "Number", "ParamsType",
+        "ShapeValueType", "TensorConstant", "TensorVariable", "Tuple",
+        "as_tensor_variable", "at", "dedent", "int32", "int_dtypes",
+        "register_shape_c_code", "register_shape_i_c_code",
+        "get_vector_length", "tensor",
+    }
+    for ref_path, modname in [
+        ("/root/reference/aesara/tensor/math.py", "aesara_tpu.tensor.math"),
+        ("/root/reference/aesara/tensor/basic.py", "aesara_tpu.tensor.basic"),
+        ("/root/reference/aesara/tensor/extra_ops.py",
+         "aesara_tpu.tensor.extra_ops"),
+        ("/root/reference/aesara/tensor/nlinalg.py",
+         "aesara_tpu.tensor.nlinalg"),
+        ("/root/reference/aesara/tensor/slinalg.py",
+         "aesara_tpu.tensor.slinalg"),
+        ("/root/reference/aesara/tensor/nnet/__init__.py",
+         "aesara_tpu.tensor.nnet"),
+        ("/root/reference/aesara/tensor/special.py",
+         "aesara_tpu.tensor.special"),
+    ]:
+        names = all_names(ref_path) or exported_names(ref_path)
+        mod = importlib.import_module(modname)
+        miss = sorted(n for n in names
+                      if n not in SKIP_MOD and not have(mod, n))
+        assert not miss, (modname, miss)
