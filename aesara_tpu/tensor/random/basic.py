@@ -467,3 +467,262 @@ permutation = PermutationRV()
 dirichlet = DirichletRV()
 multivariate_normal = MultivariateNormalRV()
 multinomial = MultinomialRV()
+
+
+# --- reference inventory completions (random/basic.py tail ops) --------------
+
+class RayleighRV(RandomVariable):
+    def __init__(self):
+        super().__init__("rayleigh", 0, (0,), "floatX")
+
+    def rng_fn(self, key, size, scale):
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, scale)
+        # inverse CDF: scale * sqrt(-2 ln U)
+        u = jr.uniform(key, shape, minval=1e-7, maxval=1.0)
+        return _jnp(scale) * jnp.sqrt(-2.0 * jnp.log(u))
+
+
+class InvGammaRV(RandomVariable):
+    def __init__(self):
+        super().__init__("invgamma", 0, (0, 0), "floatX")
+
+    def rng_fn(self, key, size, shape_p, scale):
+        import jax.random as jr
+
+        shape = _bshape(size, shape_p, scale)
+        g = jr.gamma(key, _jnp(shape_p), shape)
+        return _jnp(scale) / g
+
+
+class WaldRV(RandomVariable):
+    def __init__(self):
+        super().__init__("wald", 0, (0, 0), "floatX")
+
+    def rng_fn(self, key, size, mean, scale):
+        # Michael, Schucany & Haas (1976) inverse-gaussian transform
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, mean, scale)
+        k1, k2 = jr.split(key)
+        mu = _jnp(mean)
+        lam = _jnp(scale)
+        nu = jr.normal(k1, shape)
+        y = nu * nu
+        x = (mu + mu * mu * y / (2.0 * lam)
+             - mu / (2.0 * lam) * jnp.sqrt(4.0 * mu * lam * y + mu * mu * y * y))
+        z = jr.uniform(k2, shape)
+        return jnp.where(z <= mu / (mu + x), x, mu * mu / x)
+
+
+class TriangularRV(RandomVariable):
+    def __init__(self):
+        super().__init__("triangular", 0, (0, 0, 0), "floatX")
+
+    def rng_fn(self, key, size, left, mode, right):
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, left, mode, right)
+        l, m, r = _jnp(left), _jnp(mode), _jnp(right)
+        u = jr.uniform(key, shape)
+        fc = (m - l) / (r - l)
+        return jnp.where(
+            u < fc,
+            l + jnp.sqrt(u * (r - l) * (m - l)),
+            r - jnp.sqrt((1.0 - u) * (r - l) * (r - m)),
+        )
+
+
+class TruncExponRV(RandomVariable):
+    def __init__(self):
+        super().__init__("truncexpon", 0, (0, 0, 0), "floatX")
+
+    def rng_fn(self, key, size, b, loc, scale):
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, b, loc, scale)
+        u = jr.uniform(key, shape)
+        bb = _jnp(b)
+        # inverse CDF of exponential truncated to [0, b]
+        x = -jnp.log1p(-u * (1.0 - jnp.exp(-bb)))
+        return _jnp(loc) + _jnp(scale) * x
+
+
+class PowerRV(RandomVariable):
+    def __init__(self):
+        super().__init__("power", 0, (0,), "floatX")
+
+    def rng_fn(self, key, size, a):
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, a)
+        u = jr.uniform(key, shape, minval=1e-7, maxval=1.0)
+        return jnp.power(u, 1.0 / _jnp(a))
+
+
+class FRV(RandomVariable):
+    def __init__(self):
+        super().__init__("f", 0, (0, 0), "floatX")
+
+    def rng_fn(self, key, size, dfn, dfd):
+        import jax.random as jr
+
+        shape = _bshape(size, dfn, dfd)
+        k1, k2 = jr.split(key)
+        num = jr.gamma(k1, _jnp(dfn) / 2.0, shape) / (_jnp(dfn) / 2.0)
+        den = jr.gamma(k2, _jnp(dfd) / 2.0, shape) / (_jnp(dfd) / 2.0)
+        return num / den
+
+
+class GenGammaRV(RandomVariable):
+    def __init__(self):
+        super().__init__("gengamma", 0, (0, 0, 0), "floatX")
+
+    def rng_fn(self, key, size, alpha, p, lambd):
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, alpha, p, lambd)
+        g = jr.gamma(key, _jnp(alpha) / _jnp(p), shape)
+        return _jnp(lambd) * jnp.power(g, 1.0 / _jnp(p))
+
+
+class NegBinomialRV(RandomVariable):
+    def __init__(self):
+        super().__init__("nbinom", 0, (0, 0), "int64")
+
+    def rng_fn(self, key, size, n, p):
+        # gamma-Poisson mixture
+        import jax.random as jr
+
+        shape = _bshape(size, n, p)
+        k1, k2 = jr.split(key)
+        pp = _jnp(p)
+        lam = jr.gamma(k1, _jnp(n), shape) * (1.0 - pp) / pp
+        return jr.poisson(k2, lam, shape)
+
+
+class BetaBinomialRV(RandomVariable):
+    def __init__(self):
+        super().__init__("betabinom", 0, (0, 0, 0), "int64")
+
+    def rng_fn(self, key, size, n, a, b):
+        import jax.random as jr
+
+        shape = _bshape(size, n, a, b)
+        k1, k2 = jr.split(key)
+        p = jr.beta(k1, _jnp(a), _jnp(b), shape)
+        return jr.binomial(k2, _jnp(n).astype("float32"), p, shape=shape).astype("int64")
+
+
+class ZipfRV(RandomVariable):
+    """Devroye's rejection sampler, batched with a fixed proposal budget
+    (the vonmises pattern)."""
+
+    def __init__(self):
+        super().__init__("zipf", 0, (0,), "int64")
+
+    def rng_fn(self, key, size, a):
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        shape = _bshape(size, a)
+        aa = _jnp(a)
+        rounds = 32
+        u = jr.uniform(key, (rounds, 2) + tuple(shape), minval=1e-12, maxval=1.0)
+        am1 = aa - 1.0
+        b = jnp.power(2.0, am1)
+        x = jnp.floor(jnp.power(u[:, 0], -1.0 / am1))
+        t = jnp.power(1.0 + 1.0 / x, am1)
+        accept = u[:, 1] * x * (t - 1.0) / (b - 1.0) <= t / b
+        # guard against float overflow producing inf candidates
+        accept = jnp.logical_and(accept, jnp.isfinite(x))
+        first = jnp.argmax(accept, axis=0)
+        xs = jnp.take_along_axis(x, first[None], axis=0)[0]
+        # the tail is legitimately huge for a near 1; saturate instead of
+        # letting the float->int64 cast wrap (numpy.random.zipf raises here)
+        xs = jnp.clip(xs, 1.0, 2.0**62)
+        return xs.astype("int64")
+
+
+class HyperGeometricRV(RandomVariable):
+    """ngood, nbad, nsample → count of good draws without replacement.
+    Sequential-urn formulation in a lax.scan over nsample steps (sizes
+    must be concrete for the trip count)."""
+
+    def __init__(self):
+        super().__init__("hypergeometric", 0, (0, 0, 0), "int64")
+
+    def rng_fn(self, key, size, ngood, nbad, nsample):
+        import jax
+        import jax.numpy as jnp
+        import jax.random as jr
+
+        try:
+            steps = int(np.max(np.asarray(nsample)))
+        except Exception as e:
+            raise NotImplementedError(
+                "hypergeometric needs a concrete nsample (the urn scan's "
+                "trip count)"
+            ) from e
+        shape = _bshape(size, ngood, nbad, nsample)
+        good0 = jnp.broadcast_to(_jnp(ngood).astype("float32"), shape)
+        bad0 = jnp.broadcast_to(_jnp(nbad).astype("float32"), shape)
+        ns = jnp.broadcast_to(_jnp(nsample), shape)
+
+        def step(carry, k):
+            good, bad, cnt, t = carry
+            p = good / jnp.maximum(good + bad, 1.0)
+            u = jr.uniform(k, shape)
+            active = t < ns
+            take_good = jnp.logical_and(u < p, active)
+            good = good - take_good
+            bad = bad - jnp.logical_and(u >= p, active)
+            cnt = cnt + take_good
+            return (good, bad, cnt, t + 1), None
+
+        keys = jr.split(key, steps) if steps else jnp.zeros((0, 2), "uint32")
+        init = (good0, bad0, jnp.zeros(shape, "int32"), jnp.zeros(shape, "int32"))
+        (g, b, cnt, _), _ = jax.lax.scan(step, init, keys)
+        return cnt.astype("int64")
+
+
+rayleigh = RayleighRV()
+invgamma = InvGammaRV()
+wald = WaldRV()
+triangular = TriangularRV()
+truncexpon = TruncExponRV()
+power = PowerRV()
+f = FRV()
+gengamma = GenGammaRV()
+nbinom = NegBinomialRV()
+negative_binomial = nbinom
+betabinom = BetaBinomialRV()
+zipf = ZipfRV()
+hypergeometric = HyperGeometricRV()
+
+
+def standard_gamma(shape, size=None, rng=None, **kw):
+    return gamma(shape, 1.0, size=size, rng=rng, **kw)
+
+
+def standard_exponential(size=None, rng=None, **kw):
+    return exponential(1.0, size=size, rng=rng, **kw)
+
+
+def standard_cauchy(size=None, rng=None, **kw):
+    return cauchy(0.0, 1.0, size=size, rng=rng, **kw)
+
+
+standard_t = t
+
+
+def random(size=None, rng=None, **kw):
+    """U[0, 1) (reference alias for uniform with defaults)."""
+    return uniform(0.0, 1.0, size=size, rng=rng, **kw)

@@ -162,6 +162,57 @@ class RandomStream:
     def vonmises(self, mu=0.0, kappa=1.0, size=None, **kw):
         return self.gen(rb.vonmises, mu, kappa, size=size, **kw)
 
+    def rayleigh(self, scale=1.0, size=None, **kw):
+        return self.gen(rb.rayleigh, scale, size=size, **kw)
+
+    def invgamma(self, shape, scale=1.0, size=None, **kw):
+        return self.gen(rb.invgamma, shape, scale, size=size, **kw)
+
+    def wald(self, mean=1.0, scale=1.0, size=None, **kw):
+        return self.gen(rb.wald, mean, scale, size=size, **kw)
+
+    def triangular(self, left, mode, right, size=None, **kw):
+        return self.gen(rb.triangular, left, mode, right, size=size, **kw)
+
+    def truncexpon(self, b, loc=0.0, scale=1.0, size=None, **kw):
+        return self.gen(rb.truncexpon, b, loc, scale, size=size, **kw)
+
+    def power(self, a, size=None, **kw):
+        return self.gen(rb.power, a, size=size, **kw)
+
+    def f(self, dfn, dfd, size=None, **kw):
+        return self.gen(rb.f, dfn, dfd, size=size, **kw)
+
+    def gengamma(self, alpha=1.0, p=1.0, lambd=1.0, size=None, **kw):
+        return self.gen(rb.gengamma, alpha, p, lambd, size=size, **kw)
+
+    def negative_binomial(self, n, p, size=None, **kw):
+        return self.gen(rb.nbinom, n, p, size=size, **kw)
+
+    nbinom = negative_binomial
+
+    def betabinom(self, n, a, b, size=None, **kw):
+        return self.gen(rb.betabinom, n, a, b, size=size, **kw)
+
+    def zipf(self, a, size=None, **kw):
+        return self.gen(rb.zipf, a, size=size, **kw)
+
+    def hypergeometric(self, ngood, nbad, nsample, size=None, **kw):
+        return self.gen(rb.hypergeometric, ngood, nbad, nsample,
+                        size=size, **kw)
+
+    def standard_gamma(self, shape, size=None, **kw):
+        return self.gen(rb.gamma, shape, 1.0, size=size, **kw)
+
+    def standard_exponential(self, size=None, **kw):
+        return self.gen(rb.exponential, 1.0, size=size, **kw)
+
+    def standard_cauchy(self, size=None, **kw):
+        return self.gen(rb.cauchy, 0.0, 1.0, size=size, **kw)
+
+    def random(self, size=None, **kw):
+        return self.gen(rb.uniform, 0.0, 1.0, size=size, **kw)
+
 
 #: parity aliases with the reference
 RandomStreams = RandomStream

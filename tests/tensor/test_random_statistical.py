@@ -187,3 +187,64 @@ def test_multinomial_no_size():
     d = srng.multinomial(10, p)
     v = np.asarray(atp.function([], d)())
     assert v.shape == (2,) and v.sum() == 10
+
+
+def test_extended_distribution_inventory():
+    """The 18 round-1-gap distributions: KS vs scipy for continuous,
+    moments/support for discrete (reference random/basic.py tail)."""
+    from scipy import stats
+
+    import aesara_tpu.tensor.random.basic as rb
+
+    M = 6000
+
+    def draw(rv, *params):
+        return np.asarray(atp.function([], rv(*params, size=(M,)), mode="PY")())
+
+    for name, x, dist in [
+        ("rayleigh", draw(rb.rayleigh, 2.0), stats.rayleigh(scale=2)),
+        ("invgamma", draw(rb.invgamma, 3.0, 2.0), stats.invgamma(3, scale=2)),
+        ("wald", draw(rb.wald, 1.5, 2.0), stats.invgauss(0.75, scale=2.0)),
+        ("triangular", draw(rb.triangular, 0.0, 1.0, 4.0),
+         stats.triang(0.25, 0, 4)),
+        ("truncexpon", draw(rb.truncexpon, 2.0, 0.5, 1.5),
+         stats.truncexpon(2.0, 0.5, 1.5)),
+        ("power", draw(rb.power, 3.0), stats.powerlaw(3.0)),
+        ("f", draw(rb.f, 5.0, 12.0), stats.f(5, 12)),
+        ("gengamma", draw(rb.gengamma, 3.0, 2.0, 1.5),
+         stats.gengamma(1.5, 2.0, scale=1.5)),
+    ]:
+        p = stats.kstest(x, dist.cdf).pvalue
+        assert p > 1e-3, (name, p)
+
+    x = draw(rb.nbinom, 5.0, 0.4)
+    assert abs(x.mean() - 7.5) < 0.4
+    x = draw(rb.betabinom, 10, 2.0, 3.0)
+    assert abs(x.mean() - 4.0) < 0.2
+    x = draw(rb.zipf, 3.0)
+    assert x.min() >= 1 and abs((x == 1).mean() - 1 / 1.2020569) < 0.03
+    x = draw(rb.hypergeometric, 7, 5, 6)
+    ref = stats.hypergeom(12, 7, 6)
+    assert abs(x.mean() - ref.mean()) < 0.15
+    assert x.min() >= 1 and x.max() <= 6
+
+
+def test_random_basic_all_parity():
+    import ast
+    import os
+
+    if not os.path.exists("/root/reference/aesara/tensor/random/basic.py"):
+        pytest.skip("reference not mounted")
+    tree = ast.parse(open("/root/reference/aesara/tensor/random/basic.py").read())
+    names = set()
+    for node in tree.body:
+        if isinstance(node, ast.Assign):
+            for t in node.targets:
+                if (isinstance(t, ast.Name) and t.id == "__all__"
+                        and isinstance(node.value, (ast.List, ast.Tuple))):
+                    names = {e.value for e in node.value.elts
+                             if isinstance(e, ast.Constant)}
+    import aesara_tpu.tensor.random.basic as rb
+
+    miss = sorted(n for n in names if not hasattr(rb, n))
+    assert not miss, miss
