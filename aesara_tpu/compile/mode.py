@@ -257,7 +257,19 @@ def get_mode(orig_string: Optional[Union[str, Mode]]) -> Mode:
     if isinstance(orig_string, (Mode,)):
         return orig_string
     if orig_string in predefined_modes:
-        return predefined_modes[orig_string]
+        mode = predefined_modes[orig_string]
+        # AESARA_FLAGS optimizer_including/excluding/requiring (reference
+        # configdefaults): colon-separated tag lists applied to the query
+        inc = [t for t in config.optimizer_including.split(":") if t]
+        exc = [t for t in config.optimizer_excluding.split(":") if t]
+        req = [t for t in config.optimizer_requiring.split(":") if t]
+        if inc:
+            mode = mode.including(*inc)
+        if exc:
+            mode = mode.excluding(*exc)
+        if req:
+            mode = mode.requiring(*req)
+        return mode
     if orig_string == "DebugMode":
         from aesara_tpu.compile.debugmode import DebugMode
 

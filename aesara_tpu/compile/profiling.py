@@ -16,6 +16,8 @@ import time
 from collections import defaultdict
 from typing import Optional
 
+from aesara_tpu.config import config
+
 import numpy as np
 
 from aesara_tpu.compile.mode import Mode
@@ -55,7 +57,9 @@ class ProfileStats:
             agg[type(node.op).__name__] += t
         return agg
 
-    def summary(self, file=None, n_ops_to_print: int = 20):
+    def summary(self, file=None, n_ops_to_print: Optional[int] = None):
+        if n_ops_to_print is None:
+            n_ops_to_print = config.profiling__n_ops
         file = file or sys.stdout
         print(f"== ProfileStats {self.name or ''} ==", file=file)
         print(f"  function calls : {self.fct_callcount}", file=file)

@@ -255,5 +255,92 @@ def _load_env_flags() -> None:
     config.warn_unused_flags(unknown)
 
 
+
+# ---------------------------------------------------------------------------
+# reference flag-name parity (configdefaults.py): every AESARA_FLAGS name a
+# reference user can set is accepted.  Flags whose mechanism has no TPU
+# equivalent (C compiler knobs, numba) parse and are ignored; the
+# meaningful ones are wired where noted.
+# ---------------------------------------------------------------------------
+
+# wired: get_mode() applies these to the rewrite query
+config.add("optimizer_including", StrParam("", doc="extra rewrite tags to include"))
+config.add("optimizer_excluding", StrParam("", doc="rewrite tags to exclude"))
+config.add("optimizer_requiring", StrParam("", doc="rewrite tags to require"))
+# wired: NanGuardMode defaults
+config.add("NanGuardMode__nan_is_error", BoolParam(True))
+config.add("NanGuardMode__inf_is_error", BoolParam(True))
+config.add("NanGuardMode__big_is_error", BoolParam(True))
+config.add("NanGuardMode__action", EnumStr("raise", ("warn", "pdb")))
+# wired: DebugMode check_finite default
+config.add("DebugMode__check_finite", BoolParam(True))
+# wired: ProfileStats.summary row counts
+config.add("profiling__n_ops", IntParam(20))
+config.add("profiling__n_apply", IntParam(20))
+config.add("profiling__destination", StrParam("stderr"))
+# accepted for parity (no TPU mechanism / covered elsewhere)
+for _name, _param in [
+    ("DebugMode__check_c", BoolParam(False, doc="no C thunks; XLA is the second path")),
+    ("DebugMode__check_py", BoolParam(True)),
+    ("DebugMode__check_preallocated_output", StrParam("")),
+    ("DebugMode__check_preallocated_output_ndim", IntParam(4)),
+    ("DebugMode__check_strides", IntParam(0, doc="XLA owns layout")),
+    ("DebugMode__patience", IntParam(10)),
+    ("DebugMode__warn_input_not_reused", BoolParam(True)),
+    ("base_compiledir", StrParam("", doc="see compiledir")),
+    ("check_stack_trace", EnumStr("off", ("log", "warn", "raise"))),
+    ("cmodule__age_thresh_use", IntParam(60 * 60 * 24 * 24)),
+    ("cmodule__compilation_warning", BoolParam(False)),
+    ("cmodule__debug", BoolParam(False)),
+    ("cmodule__preload_cache", BoolParam(False)),
+    ("cmodule__remove_gxx_opt", BoolParam(False)),
+    ("cmodule__warn_no_version", BoolParam(False)),
+    ("compile__timeout", IntParam(120, doc="compile-lock timeout (s)")),
+    ("compile__wait", IntParam(5, doc="compile-lock poll interval (s)")),
+    ("compiledir_format", StrParam("compiledir_%(platform)s")),
+    ("conv__assert_shape", BoolParam(False)),
+    ("ctc__root", StrParam("", doc="warp-ctc not needed: CTC is pure jax")),
+    ("cxx", StrParam("g++", doc="used by the cvm extension build")),
+    ("cycle_detection", EnumStr("regular", ("fast",))),
+    ("deterministic", EnumStr("default", ("more",),
+                              doc="XLA on TPU is deterministic by default")),
+    ("experimental__local_alloc_elemwise", BoolParam(True)),
+    ("experimental__local_alloc_elemwise_assert", BoolParam(True)),
+    ("force_device", BoolParam(False)),
+    ("gcc__cxxflags", StrParam("")),
+    ("lib__amblibm", BoolParam(False)),
+    ("metaopt__optimizer_excluding", StrParam("")),
+    ("metaopt__optimizer_including", StrParam("")),
+    ("metaopt__verbose", IntParam(0)),
+    ("nocleanup", BoolParam(False)),
+    ("numba__cache", BoolParam(True, doc="no numba backend on TPU")),
+    ("numba__fastmath", BoolParam(True)),
+    ("numba__vectorize_target", EnumStr("cpu", ("parallel", "cuda"))),
+    ("openmp_elemwise_minsize", IntParam(200000,
+                                         doc="XLA fusion replaces OpenMP")),
+    ("optdb__max_use_ratio", FloatParam(8.0)),
+    ("optdb__position_cutoff", FloatParam(float("inf"))),
+    ("pickle_test_value", BoolParam(True)),
+    ("print_global_stats", BoolParam(False)),
+    ("print_test_value", BoolParam(False)),
+    ("profiling__debugprint", BoolParam(False)),
+    ("profiling__ignore_first_call", BoolParam(False)),
+    ("profiling__min_memory_size", IntParam(1024)),
+    ("profiling__min_peak_memory", BoolParam(False)),
+    ("profiling__output_line_width", IntParam(512)),
+    ("profiling__time_thunks", BoolParam(True)),
+    ("tensor__cmp_sloppy", IntParam(0)),
+    ("tensor__insert_inplace_optimizer_validate_nb", IntParam(-1)),
+    ("traceback__compile_limit", IntParam(0)),
+    ("unittests__rseed", StrParam("666")),
+    ("vm__lazy", StrParam("None", doc="CVM is always the lazy VM here")),
+    ("warn__round", BoolParam(False)),
+]:
+    config.add(_name, _param)
+del _name, _param
+
+
+# rc + env flags load LAST so they can set every flag, including the
+# reference-parity block above
 _load_rc_files()
 _load_env_flags()

@@ -79,7 +79,7 @@ def compile_and_load(name: str, source_path: str, force: bool = False):
             if force or not os.path.exists(so_path):
                 os.makedirs(cache_dir, exist_ok=True)
                 include = sysconfig.get_paths()["include"]
-                cxx = os.environ.get("CXX", "g++")
+                cxx = os.environ.get("CXX", None) or config.cxx
                 cmd = [
                     cxx, "-O2", "-shared", "-fPIC", "-std=c++17",
                     f"-I{include}", source_path, "-o", so_path + ".tmp",

@@ -188,3 +188,44 @@ def test_reference_namespace_parity():
         miss = sorted(n for n in names
                       if n not in SKIP_MOD and not have(mod, n))
         assert not miss, (modname, miss)
+
+
+def test_config_flag_parity():
+    """Every flag name the reference's configdefaults registers is
+    accepted here (AESARA_FLAGS strings port unchanged)."""
+    import os
+    import re
+
+    if not os.path.exists("/root/reference/aesara/configdefaults.py"):
+        import pytest
+
+        pytest.skip("reference not mounted")
+    from aesara_tpu.config import config
+
+    ref = open("/root/reference/aesara/configdefaults.py").read()
+    names = sorted(set(re.findall(r'config\.add\(\s*[\'"]([^\'"]+)[\'"]', ref)))
+    miss = [n for n in names if not hasattr(config, n)]
+    assert not miss, miss
+
+
+def test_optimizer_excluding_flag():
+    import numpy as np
+
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at_mod
+    from aesara_tpu.config import config
+
+    x = at_mod.vector("x")
+    expr = at_mod.math.exp(x) * at_mod.math.sigmoid(x) + 1.0
+    with config.change_flags(optimizer_excluding="fusion"):
+        f = atp.function([x], expr)
+        scalar_ops = [getattr(n.op, "scalar_op", None).__class__.__name__
+                      for n in f.maker.fgraph.toposort()]
+        assert "Composite" not in scalar_ops
+    f2 = atp.function([x], expr)
+    assert any(
+        getattr(n.op, "scalar_op", None).__class__.__name__ == "Composite"
+        for n in f2.maker.fgraph.toposort()
+    )
+    xv = np.arange(3.0, dtype="float32")
+    assert np.allclose(f(xv), f2(xv), rtol=1e-6)
