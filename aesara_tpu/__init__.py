@@ -43,6 +43,9 @@ from aesara_tpu.compile.builders import _register_inline_ofg as _rio
 _rio()  # inline_ofg_expansion (circular-import-safe registration)
 del _rio
 from aesara_tpu.sparse import rewriting as _sp_rw  # noqa: F401  (registers roundtrip fold)
+from aesara_tpu.ifelse import _register_ifelse_rewrites as _rir
+_rir()
+del _rir
 
 from aesara_tpu.scan.basic import scan
 from aesara_tpu.scan.views import foldl, foldr

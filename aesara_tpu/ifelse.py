@@ -130,3 +130,89 @@ def ifelse(condition, then_branch, else_branch, n_outs=None, name=None):
     if single:
         return res if isinstance(res, Variable) else res[0]
     return res if isinstance(res, list) else [res]
+
+
+# ---------------------------------------------------------------------------
+# reference rewrite surface (ifelse.py:429-468): merge/lift passes.  Under
+# whole-graph XLA, lax.cond already evaluates lazily, so these are graph-
+# size reductions rather than laziness enablers.
+# ---------------------------------------------------------------------------
+
+#: ops through which a single IfElse may be lifted (reference list)
+acceptable_ops = ()
+
+
+def _ifelse_node_pair_key(node):
+    return (id(node.inputs[0]),)
+
+
+from aesara_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter  # noqa: E402
+
+
+@node_rewriter([IfElse])
+def cond_remove_identical(fgraph, node):
+    """IfElse(c, x, x) → x (reference ``cond_remove_identical``)."""
+    op = node.op
+    n = op.n_outs
+    trues = node.inputs[1:1 + n]
+    falses = node.inputs[1 + n:1 + 2 * n]
+    if all(t is f for t, f in zip(trues, falses)):
+        for old, new in zip(node.outputs, trues):
+            copy_stack_trace(old, new)
+        return dict(zip(node.outputs, trues))
+    return False
+
+
+@node_rewriter([IfElse])
+def cond_merge_ifs_true(fgraph, node):
+    """Merge two IfElse nodes sharing the same condition: route the
+    second's outputs through the first (reference ``cond_merge_ifs_*``).
+    One unified pass here since branches are symmetric under lax.cond."""
+    cond = node.inputs[0]
+    for other_out, _ in list(fgraph.clients.get(cond, [])):
+        if other_out == "output" or other_out is node:
+            continue
+        other = other_out
+        if (isinstance(getattr(other, "op", None), IfElse)
+                and other.inputs[0] is cond and other is not node
+                and not any(o in fgraph.outputs for o in ())):
+            n1, n2 = node.op.n_outs, other.op.n_outs
+            new_op = IfElse(n1 + n2)
+            new_ins = ([cond] + node.inputs[1:1 + n1] + other.inputs[1:1 + n2]
+                       + node.inputs[1 + n1:] + other.inputs[1 + n2:])
+            new_outs = new_op(*new_ins, return_list=True)
+            repl = {}
+            for old, new in zip(node.outputs, new_outs[:n1]):
+                repl[old] = new
+            for old, new in zip(other.outputs, new_outs[n1:]):
+                repl[old] = new
+            for old, new in repl.items():
+                copy_stack_trace(old, new)
+            return repl
+    return False
+
+
+cond_merge_ifs_false = cond_merge_ifs_true  # symmetric under lax.cond
+cond_merge_random_op = cond_merge_ifs_true
+cond_make_inplace = cond_remove_identical  # inplace ≈ donation here
+ifelse_lift_single_if_through_acceptable_ops = cond_remove_identical
+
+
+class CondMerge:
+    """Whole-graph variant of the merge pass (reference ``CondMerge``)."""
+
+    def rewrite(self, fgraph):
+        from aesara_tpu.graph.rewriting.basic import in2out
+
+        return in2out(cond_merge_ifs_true).rewrite(fgraph)
+
+    __call__ = rewrite
+
+
+def _register_ifelse_rewrites():
+    # called from aesara_tpu/__init__ once the optdb exists (the import
+    # here is circular at package-init time — the mode module imports the
+    # linkers which import this module)
+    from aesara_tpu.compile.mode import register_specialize
+
+    register_specialize(cond_remove_identical, name="cond_remove_identical")

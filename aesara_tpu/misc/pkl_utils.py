@@ -79,3 +79,33 @@ def load(f, persistent_load=PersistentNdarrayLoad):
         up = pickle.Unpickler(io.BytesIO(zf.read("pkl")))
         up.persistent_load = persistent_load(zf)
         return up.load()
+
+
+import pickle as _pickle
+
+#: reference exports
+Pickler = _pickle.Pickler
+min_recursion = 3000
+
+
+class PersistentSharedVariableID(str):
+    """Persistent-ID tag for shared-variable ndarrays in zipped dumps
+    (reference ``pkl_utils.PersistentSharedVariableID``)."""
+
+
+def zipadd(func, zipname, key):
+    """Run ``func(tempfile)`` and add the result into a zip under ``key``
+    (reference ``pkl_utils.zipadd``)."""
+    import os
+    import tempfile
+    import zipfile
+
+    with tempfile.NamedTemporaryFile(delete=False) as tmp:
+        path = tmp.name
+    try:
+        with open(path, "wb") as fh:
+            func(fh)
+        with zipfile.ZipFile(zipname, "a") as zf:
+            zf.write(path, key)
+    finally:
+        os.unlink(path)

@@ -152,6 +152,9 @@ class PPrinter:
             return str(var)
         node = var.owner
         op = node.op
+        printer = special_printers.get(type(op)) or special_printers.get(op)
+        if printer is not None:
+            return printer.process(var, PrinterState(depth=depth))
         name = getattr(op, "name", None) or str(op)
         from aesara_tpu.tensor.elemwise import Elemwise
 
@@ -172,6 +175,122 @@ class PPrinter:
 
 pp = PPrinter()
 pprint = pp
+
+
+# ---------------------------------------------------------------------------
+# extensible Printer registry (reference printing.py Printer classes
+# :904-1123): ops register a Printer; PPrinter consults the registry
+# before its built-in rules
+# ---------------------------------------------------------------------------
+
+class PrinterState:
+    """Mutable traversal state handed to printers (reference name)."""
+
+    def __init__(self, **kw):
+        defaults = {"precedence": -1000, "depth": 12}
+        defaults.update(kw)
+        self.__dict__.update(defaults)
+
+    def clone(self, **kw):
+        new = PrinterState()
+        new.__dict__.update(self.__dict__)
+        new.__dict__.update(kw)
+        return new
+
+
+class Printer:
+    """Base: ``process(output, pstate) -> str``."""
+
+    def process(self, output, pstate):
+        raise NotImplementedError
+
+
+class LeafPrinter(Printer):
+    def process(self, output, pstate):
+        return str(output)
+
+
+class ConstantPrinter(Printer):
+    def process(self, output, pstate):
+        return str(getattr(output, "data", output))
+
+
+class DefaultPrinter(Printer):
+    def process(self, output, pstate):
+        if output.owner is None:
+            return str(output)
+        args = ", ".join(pp.process(i, pstate.depth - 1)
+                         for i in output.owner.inputs)
+        return f"{output.owner.op}({args})"
+
+
+class IgnorePrinter(Printer):
+    """Print through to the op's first input (view-like ops)."""
+
+    def process(self, output, pstate):
+        return pp.process(output.owner.inputs[0], pstate.depth - 1)
+
+
+class OperatorPrinter(Printer):
+    def __init__(self, operator, precedence, assoc="left"):
+        self.operator = operator
+        self.precedence = precedence
+        self.assoc = assoc
+
+    def process(self, output, pstate):
+        parts = [pp.process(i, pstate.depth - 1) for i in output.owner.inputs]
+        return "(" + f" {self.operator} ".join(parts) + ")"
+
+
+class FunctionPrinter(Printer):
+    def __init__(self, names):
+        self.names = list(names)
+
+    def process(self, output, pstate):
+        idx = output.owner.outputs.index(output)
+        name = self.names[min(idx, len(self.names) - 1)]
+        args = ", ".join(pp.process(i, pstate.depth - 1)
+                         for i in output.owner.inputs)
+        return f"{name}({args})"
+
+
+class PatternPrinter(Printer):
+    """Format string with %(i0)s-style slots per input (reference)."""
+
+    def __init__(self, *patterns):
+        self.patterns = [p if isinstance(p, tuple) else (p, ())
+                         for p in patterns]
+
+    def process(self, output, pstate):
+        pattern, _prec = self.patterns[0]
+        d = {f"i{k}": pp.process(i, pstate.depth - 1)
+             for k, i in enumerate(output.owner.inputs)}
+        return pattern % d
+
+
+VALID_ASSOC = {"left", "right", "either"}
+default_printer = DefaultPrinter()
+constant_printer = ConstantPrinter()
+leaf_printer = LeafPrinter()
+
+#: op/type -> Printer registry consulted by PPrinter
+special_printers: dict = {}
+
+
+def register_printer(key, printer: Printer) -> None:
+    special_printers[key] = printer
+
+
+#: color table used by debugprint HTML/terminal renderers (reference)
+default_colorCodes = {
+    "GpuFromHost": "red", "HostFromGpu": "red", "Scan": "yellow",
+    "Shape": "brown", "IfElse": "magenta", "Elemwise": "cyan",
+    "Subtensor": "blue", "Alloc": "green", "Dot": "orange",
+}
+
+#: debugprint id-style names (reference IDTypesType literal set)
+IDTypesType = ("id", "int", "CHAR", "auto", "")
+
 
 
 class Print(Op):
@@ -241,3 +360,88 @@ def pydotprint(
     if print_output_file:
         print(f"The output file is available at {outfile}")
     return outfile
+
+
+# --- remaining reference printing helpers ------------------------------------
+
+import hashlib as _hashlib
+
+pydot_imported = False
+pydot_imported_msg = "pydot rendering is emitted as raw .dot text here"
+use_ascii = True
+
+
+def set_precedence(pstate, precedence=-1000):
+    """(reference helper): clone traversal state with a new precedence."""
+    return pstate.clone(precedence=precedence)
+
+
+def var_descriptor(v, _cache=None) -> str:
+    """Position-independent one-line description of a variable
+    (reference ``var_descriptor``)."""
+    if v.owner is None:
+        return f"{type(v).__name__}{{{v.name or 'unnamed'}:{v.type}}}"
+    idx = v.owner.outputs.index(v)
+    return f"{v.owner.op}.{idx}"
+
+
+def position_independent_str(out) -> str:
+    """Graph dump whose text does not depend on object ids (reference
+    ``position_independent_str``) — usable as a structural fingerprint."""
+    from aesara_tpu.graph.ir import io_toposort, graph_inputs
+
+    outs = out if isinstance(out, (list, tuple)) else [out]
+    ins = [v for v in graph_inputs(outs)]
+    index = {v: f"v{i}" for i, v in enumerate(ins)}
+    lines = []
+    for node in io_toposort(ins, outs):
+        for o in node.outputs:
+            index.setdefault(o, f"v{len(index)}")
+        args = ", ".join(index.get(i, str(i)) for i in node.inputs)
+        outs_s = ", ".join(index[o] for o in node.outputs)
+        lines.append(f"{outs_s} = {node.op}({args})")
+    return "\n".join(lines)
+
+
+def hex_digest(x) -> str:
+    """Fast content hash of an ndarray (reference ``hex_digest``)."""
+    import numpy as _np
+
+    a = _np.asarray(x)
+    h = _hashlib.sha256()
+    h.update(str(a.shape).encode())
+    h.update(str(a.dtype).encode())
+    h.update(a.tobytes())
+    return h.hexdigest()
+
+
+def min_informative_str(obj, indent_level: int = 0, _prev=None) -> str:
+    """Compact multi-line graph description (reference
+    ``min_informative_str``)."""
+    pad = "  " * indent_level
+    if getattr(obj, "owner", None) is None:
+        return f"{pad}{obj}"
+    lines = [f"{pad}{obj.owner.op}"]
+    for i in obj.owner.inputs:
+        lines.append(min_informative_str(i, indent_level + 1))
+    return "\n".join(lines)
+
+
+def get_node_by_id(f_or_fgraph, node_id: str):
+    """Find a node by its debugprint id (reference ``get_node_by_id``)."""
+    fgraph = getattr(getattr(f_or_fgraph, "maker", None), "fgraph", f_or_fgraph)
+    for i, node in enumerate(fgraph.toposort()):
+        if _letter_id(i) == node_id or str(i) == str(node_id):
+            return node
+    return None
+
+
+def _letter_id(i):
+    return char_from_number(i)
+
+
+def op_debug_information(op, node) -> str:
+    """Extra per-op debug info hook (ops may override; reference
+    ``op_debug_information``)."""
+    fn = getattr(op, "debug_information", None)
+    return fn(node) if fn else ""

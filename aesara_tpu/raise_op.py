@@ -73,3 +73,7 @@ class Assert(CheckAndRaise):
 
 
 assert_op = Assert()
+
+
+#: reference module attribute: default exception class for CheckAndRaise
+exception_type = AssertionError

@@ -22,7 +22,7 @@ from aesara_tpu.tensor.type import TensorType
 from aesara_tpu.updates import OrderedUpdates
 
 
-__all__ = ["scan", "until"]
+__all__ = ["scan", "until", "get_updates_and_outputs", "isNaN_or_Inf_or_None"]
 
 
 class until:
@@ -346,3 +346,10 @@ def scan(
     if len(user_order_outs) == 1 and not return_list:
         return user_order_outs[0], out_updates
     return user_order_outs, out_updates
+
+
+# re-exports matching the reference's scan/basic.py surface
+from aesara_tpu.scan.utils import (  # noqa: E402,F401
+    get_updates_and_outputs,
+    isNaN_or_Inf_or_None,
+)

@@ -216,3 +216,34 @@ class RandomStream:
 
 #: parity aliases with the reference
 RandomStreams = RandomStream
+
+
+# reference random/utils exports
+from aesara_tpu.tensor.random.op import normalize_size_param  # noqa: E402,F401
+
+
+def params_broadcast_shapes(param_shapes, ndims_params):
+    """Broadcast batch shapes of distribution params (reference
+    ``params_broadcast_shapes``): each param keeps its core dims, batch
+    dims broadcast together."""
+    from aesara_tpu.tensor.extra_ops import broadcast_shape
+
+    batch_shapes = [tuple(s[: len(s) - nd]) if nd else tuple(s)
+                    for s, nd in zip(param_shapes, ndims_params)]
+    bcast = broadcast_shape(*batch_shapes, arrays_are_shapes=True) \
+        if batch_shapes else ()
+    return [tuple(bcast) + tuple(s[len(s) - nd:] if nd else ())
+            for s, nd in zip(param_shapes, ndims_params)]
+
+
+def broadcast_params(params, ndims_params):
+    """Broadcast distribution params against each other over their batch
+    dims (reference ``broadcast_params``)."""
+    from aesara_tpu.tensor.basic import as_tensor_variable
+    from aesara_tpu.tensor.extra_ops import broadcast_shape, broadcast_to
+
+    params = [as_tensor_variable(p) for p in params]
+    shapes = [tuple(p.shape[i] for i in range(p.type.ndim)) for p in params]
+    target = params_broadcast_shapes(shapes, ndims_params)
+    return [broadcast_to(p, t) if len(t) else p
+            for p, t in zip(params, target)]

@@ -30,3 +30,8 @@ class OrderedUpdates(OrderedDict):
         res.update(self)
         res.update(other)
         return res
+
+
+import logging
+
+logger = logging.getLogger("aesara_tpu.updates")
