@@ -574,6 +574,7 @@ def _jax_alloc_diag(op, node=None, **kwargs):
     offset = op.offset
 
     def alloc_diag(x):
+        x = jnp.asarray(x)
         if x.ndim == 1:
             return jnp.diag(x, offset)
         n = x.shape[-1] + abs(offset)

@@ -270,6 +270,7 @@ def _jx_ravel(op, node=None, **kw):
 @jax_funcify.register(xo.FillDiagonal)
 def _jx_fill_diag(op, node=None, **kw):
     def fill_diagonal(a, val):
+        a = jnp.asarray(a)
         n = min(a.shape[0], a.shape[1])
         i = jnp.arange(n)
         return a.at[i, i].set(val)
@@ -282,6 +283,7 @@ def _jx_fill_diag_off(op, node=None, **kw):
     k = op.offset
 
     def fill_diagonal_offset(a, val):
+        a = jnp.asarray(a)
         if k >= 0:
             n = min(a.shape[0], a.shape[1] - k)
             i = jnp.arange(max(n, 0))

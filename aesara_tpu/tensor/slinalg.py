@@ -73,8 +73,13 @@ class Cholesky(Op):
         inner = phi(dot(chol_x.T, gz))
         li = solve_triangular(chol_x, _eye_like(chol_x), lower=True)
         grad_val = dot(dot(li.T, inner), li)
-        sym = 0.5 * (grad_val + grad_val.T)
-        return [sym]
+        # the perform reads ONLY the input's lower triangle (scipy
+        # semantics), so all sensitivity lands there: off-diagonal gets
+        # g + g.T, the diagonal g alone, the upper triangle zero
+        lower_grad = tril(grad_val + grad_val.T) - _diag_part_as_matrix(grad_val)
+        if not self.lower:
+            return [lower_grad.T]
+        return [lower_grad]
 
 
 def _diag_part_as_matrix(m):

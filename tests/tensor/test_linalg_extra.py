@@ -256,3 +256,32 @@ def test_check_stack_trace():
     x = t.vector("x")
     f = atp.function([x], t.math.exp(x) * 2)
     assert check_stack_trace(f, ops_to_check="last", bug_print="ignore")
+
+
+def test_linalg_gradient_sweep():
+    """verify_grad over the risky linalg grads (reference
+    tests/tensor/test_nlinalg.py / test_slinalg.py strategy)."""
+    from aesara_tpu.gradient import verify_grad
+    import aesara_tpu.tensor.nlinalg as nl
+    import aesara_tpu.tensor.slinalg as sl
+    from aesara_tpu.tensor import math as tm
+
+    rng = np.random.RandomState(42)
+    A = rng.randn(4, 4)
+    Aspd = A @ A.T + 4 * np.eye(4)
+    B = rng.randn(4, 3)
+
+    verify_grad(lambda M: nl.inv(M), [Aspd], rng=rng)
+    verify_grad(lambda M: nl.det(M), [Aspd], rng=rng)
+    verify_grad(lambda M: nl.trace(M), [A], rng=rng)
+    verify_grad(lambda M: nl.eigh((M + M.T) / 2)[0], [Aspd], rng=rng)
+    verify_grad(lambda M: sl.cholesky(M), [Aspd], rng=rng,
+                abs_tol=1e-5, rel_tol=1e-5)
+    verify_grad(lambda M: sl.Cholesky(lower=False)(M), [Aspd], rng=rng,
+                abs_tol=1e-5, rel_tol=1e-5)
+    verify_grad(lambda M, b: sl.solve(M, b), [Aspd, B], rng=rng)
+    verify_grad(lambda M, b: sl.solve_triangular(M, b, lower=True),
+                [np.tril(Aspd), B], rng=rng)
+    # composite: log-determinant via cholesky (the common GP/MVN path)
+    verify_grad(lambda M: 2.0 * tm.sum(tm.log(sl.cholesky(M).diagonal())),
+                [Aspd], rng=rng, abs_tol=1e-5, rel_tol=1e-5)
