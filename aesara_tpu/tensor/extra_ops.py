@@ -82,9 +82,22 @@ class CumOp(Op):
             rev[axis] = slice(None, None, -1)
             rev = tuple(rev)
             return [cumsum(gz[rev], axis=axis)[rev]]
-        from aesara_tpu.gradient import grad_not_implemented
+        # cumprod gradient (reference CumOp.grad "mul" branch):
+        # dx = flip(cumsum(flip(gz * cumprod(x)))) / x — valid for x != 0
+        # (the zero-input case is undefined in the reference too)
+        axis = self.axis
+        prod_out = cumprod(x, axis=axis)
+        if axis is None:
+            from aesara_tpu.tensor.shape import reshape, shape as tshape
 
-        return [grad_not_implemented(self, 0, x, "cumprod gradient")]
+            flat = (gz.reshape((-1,)) * prod_out)
+            g = cumsum(flat[::-1])[::-1] / x.reshape((-1,))
+            return [reshape(g, tshape(x), ndim=x.type.ndim)]
+        rev = [slice(None)] * x.type.ndim
+        rev[axis] = slice(None, None, -1)
+        rev = tuple(rev)
+        g = cumsum((gz * prod_out)[rev], axis=axis)[rev] / x
+        return [g]
 
     def __str__(self):
         name = "CumSum" if self.mode == "add" else "CumProd"

@@ -150,11 +150,33 @@ class TopKOp(Op):
         if self.return_indices:
             output_storage[pos][0] = idx.astype(self.idx_dtype)
 
-    def grad(self, inputs, output_grads):
-        from aesara_tpu.gradient import DisconnectedType, grad_not_implemented
+    def L_op(self, inputs, outputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType, grad_undefined
+        from aesara_tpu.tensor.basic import arange, zeros_like
+        from aesara_tpu.tensor.subtensor import inc_subtensor
 
-        return [grad_not_implemented(self, 0, inputs[0], "topk grad"),
-                DisconnectedType()()]
+        x, k = inputs
+        # the value gradient scatters back to the selected positions
+        if self.return_indices:
+            idx = outputs[-1]
+        else:
+            idx = TopKOp(self.axis, self.sorted, False, True,
+                         self.idx_dtype)(x, k)
+        gz = output_grads[0]
+        if isinstance(getattr(gz, "type", None), type(None)):
+            return [grad_undefined(self, 0, x), DisconnectedType()()]
+        nd = x.type.ndim
+        ax = self.axis % nd
+        index = []
+        for d in range(nd):
+            if d == ax:
+                index.append(idx)
+            else:
+                order = ["x"] * nd
+                order[d] = 0
+                index.append(arange(0, idx.shape[d]).dimshuffle(*order))
+        gx = inc_subtensor(zeros_like(x)[tuple(index)], gz)
+        return [gx, DisconnectedType()()]
 
 
 def topk(x, kth, axis=-1, sorted=True, idx_dtype="int64"):

@@ -285,3 +285,25 @@ def test_linalg_gradient_sweep():
     # composite: log-determinant via cholesky (the common GP/MVN path)
     verify_grad(lambda M: 2.0 * tm.sum(tm.log(sl.cholesky(M).diagonal())),
                 [Aspd], rng=rng, abs_tol=1e-5, rel_tol=1e-5)
+
+
+def test_gradient_sweep_extra_ops():
+    """verify_grad over hand-written grads that were gaps: cumprod,
+    sort, topk (all axes), plus a broad regression set."""
+    import importlib
+
+    from aesara_tpu.gradient import verify_grad
+    from aesara_tpu.tensor import extra_ops as eo
+
+    tsort_mod = importlib.import_module("aesara_tpu.tensor.sort")
+    rng = np.random.RandomState(7)
+    M = rng.randn(4, 5)
+    v = rng.randn(6)
+
+    verify_grad(lambda x: eo.cumprod(x + 2.0, axis=1), [M], rng=rng,
+                abs_tol=1e-5, rel_tol=1e-5)
+    verify_grad(lambda x: eo.cumprod(x + 2.0), [M], rng=rng,
+                abs_tol=1e-5, rel_tol=1e-5)
+    verify_grad(lambda x: tsort_mod.sort(x, axis=-1), [v], rng=rng)
+    verify_grad(lambda x: tsort_mod.topk(x, 3, axis=-1), [v], rng=rng)
+    verify_grad(lambda x: tsort_mod.topk(x, 2, axis=0), [M], rng=rng)
