@@ -105,3 +105,35 @@ def test_while_scan_stacked_outputs_stay_py():
     node = outs.owner
     with pytest.raises(NotImplementedError, match="stacked"):
         jax_funcify(node.op, node=node)
+
+
+def test_rop_through_scan_vs_jax_jvp():
+    """Forward-mode (Rop, double-backward construction) through a scan
+    matches jax.jvp ground truth."""
+    import jax
+    import jax.numpy as jnp
+
+    from aesara_tpu.gradient import Rop
+
+    rng = np.random.default_rng(0)
+    x0v = rng.normal(size=4).astype("float32")
+    Wv = (rng.normal(size=(4, 4)) * 0.5).astype("float32")
+    uv = rng.normal(size=4).astype("float32")
+
+    x0 = at.vector("x0")
+    W = at.matrix("W")
+    u = at.vector("u")
+    outs, _ = scan(lambda h, W_: at.math.tanh(at.math.dot(W_, h)),
+                   outputs_info=[x0], non_sequences=[W], n_steps=5)
+    jvp = Rop(outs[-1], x0, u)
+    f = atp.function([x0, W, u], jvp, mode="PY")
+
+    def fwd(x):
+        h = x
+        for _ in range(5):
+            h = jnp.tanh(Wv @ h)
+        return h
+
+    _, expected = jax.jvp(fwd, (jnp.asarray(x0v),), (jnp.asarray(uv),))
+    assert np.allclose(np.asarray(f(x0v, Wv, uv)), np.asarray(expected),
+                       atol=1e-5)
