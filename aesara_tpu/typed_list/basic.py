@@ -202,3 +202,73 @@ class MakeList(Op):
 
 def make_list(elems):
     return MakeList()(*elems)
+
+
+class TypedListVariable(Variable):
+    """Variable of a TypedListType (reference name; operator sugar)."""
+
+    def __getitem__(self, index):
+        return getitem(self, index)
+
+    def __len__(self):
+        raise TypeError("use typed_list.length(x) for the symbolic length")
+
+    def append(self, new):
+        return append(self, new)
+
+    def extend(self, other):
+        return extend(self, other)
+
+    def insert(self, index, new):
+        return insert(self, index, new)
+
+    def remove(self, v):
+        return remove(self, v)
+
+    def reverse(self):
+        return reverse(self)
+
+    def count(self, v):
+        return count(self, v)
+
+    def index(self, v):
+        return index_(self, v)
+
+
+class TypedListConstant(TypedListVariable, Constant):
+    pass
+
+
+class Index(Op):
+    """Position of an element in the list (reference ``Index`` op)."""
+
+    __props__ = ()
+
+    def make_node(self, lst, e):
+        from aesara_tpu.tensor.type import TensorType
+
+        lst = _as_list_variable(lst)
+        return Apply(self, [lst, e], [TensorType("int64", ())()])
+
+    def perform(self, node, inputs, output_storage):
+        lst, e = inputs
+        for i, item in enumerate(lst):
+            if np.array_equal(np.asarray(item), np.asarray(e)):
+                output_storage[0][0] = np.asarray(i, dtype="int64")
+                return
+        raise ValueError("element not in the typed list")
+
+
+def index_(x, elem):
+    return Index()(x, elem)
+
+
+# wire variable/constant types onto TypedListType
+from aesara_tpu.typed_list.type import TypedListType as _TLT  # noqa: E402
+
+_TLT.variable_type = TypedListVariable
+_TLT.constant_type = TypedListConstant
+
+
+#: reference helper name
+as_typed_list = _as_list_variable

@@ -98,3 +98,29 @@ def test_broadcast_params():
     f = atp.function([], [bmu.shape, bsd.shape], mode="PY")
     s1, s2 = f()
     assert list(s1) == [3, 4] and list(s2) == [3, 4]
+
+
+def test_typed_list_variable_sugar():
+    from aesara_tpu.tensor.type import TensorType
+    from aesara_tpu.typed_list.basic import TypedListVariable, index_, length
+    from aesara_tpu.typed_list.type import TypedListType
+
+    tl_type = TypedListType(TensorType("float64", (None,)))
+    lst = tl_type("lst")
+    assert isinstance(lst, TypedListVariable)
+    v = TensorType("float64", (None,))("v")
+    data = [np.arange(3.0), np.ones(2), np.zeros(4)]
+
+    f = atp.function([lst, v], index_(lst, v), mode="PY")
+    assert int(f(data, np.ones(2))) == 1
+
+    f2 = atp.function([lst], lst[1], mode="PY")
+    assert np.allclose(f2(data), np.ones(2))
+
+    f3 = atp.function([lst, v], length(lst.append(v)), mode="PY")
+    assert int(f3(data, np.ones(2))) == 4
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in"):
+        f(data, np.full(5, 7.0))
