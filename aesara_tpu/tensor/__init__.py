@@ -54,7 +54,7 @@ def __getattr__(name):
     lazy = {
         "extra_ops", "nlinalg", "slinalg", "sort", "special", "fft",
         "random", "nnet", "signal", "io", "blas", "blas_c", "blas_scipy",
-        "rewriting", "xlogx", "linalg", "sharedvar",
+        "rewriting", "xlogx", "linalg", "sharedvar", "type_other",
     }
     if name in lazy:
         return importlib.import_module(f"aesara_tpu.tensor.{name}")
