@@ -236,8 +236,11 @@ def scan(
         if v not in non_seq_outer:
             non_seq_outer.append(v)
     if strict:
+        # reference semantics: EVERY variable the body captures — shared
+        # variables included — must be passed via non_sequences (updated
+        # shareds ride the carry and are exempt)
         for v in outer_captured:
-            if v not in non_sequences_user and not isinstance(v, SharedVariable):
+            if v not in non_sequences_user:
                 raise ValueError(
                     f"scan(strict=True): {v} used in the body but not passed "
                     f"via non_sequences"

@@ -137,3 +137,50 @@ def test_rop_through_scan_vs_jax_jvp():
     _, expected = jax.jvp(fwd, (jnp.asarray(x0v),), (jnp.asarray(uv),))
     assert np.allclose(np.asarray(f(x0v, Wv, uv)), np.asarray(expected),
                        atol=1e-5)
+
+
+def test_scan_edge_behaviors():
+    """go_backwards, non-contiguous taps, strict mode, mixed kinds
+    (reference tests/scan/test_basic.py behaviors)."""
+    s = at.vector("s")
+    sv = np.array([1.0, 2.0, 3.0], dtype="float32")
+
+    outs, _ = scan(lambda e, acc: acc + e, sequences=[s],
+                   outputs_info=[at.as_tensor_variable(np.float32(0.0))],
+                   go_backwards=True)
+    f = atp.function([s], outs, mode="PY")
+    assert np.allclose(f(sv), [3.0, 5.0, 6.0])
+
+    # taps=[-2] only: value interleave from a 2-row initial window
+    x0 = at.matrix("x0")
+    outs2, _ = scan(lambda xm2: xm2 + 1.0,
+                    outputs_info=[dict(initial=x0, taps=[-2])], n_steps=5)
+    f2 = atp.function([x0], outs2, mode="PY")
+    init = np.array([[0.0], [10.0]], dtype="float32")
+    assert np.allclose(np.asarray(f2(init)).ravel(), [1, 11, 2, 12, 3])
+
+    # strict=True: implicit shared use raises; explicit passing works;
+    # updated shareds are exempt (they ride the carry)
+    w = atp.shared(np.float32(2.0), name="w")
+    with pytest.raises(ValueError, match="strict"):
+        scan(lambda e: e * w, sequences=[s], strict=True)
+    outs3, _ = scan(lambda e, w_: e * w_, sequences=[s], non_sequences=[w],
+                    strict=True)
+    f3 = atp.function([s], outs3, mode="PY")
+    assert np.allclose(f3(sv), sv * 2)
+    c = atp.shared(np.float32(0.0), name="c")
+    scan(lambda e: {c: c + e}, sequences=[s], strict=True)  # no raise
+
+    # mixed kinds in one scan: sit-sot + nit-sot + shared update
+    c2 = atp.shared(np.float32(0.0), name="c2")
+
+    def step(e, acc):
+        return (acc + e, e * 2.0), {c2: c2 + 1.0}
+
+    (acc_out, dbl), upd = scan(
+        step, sequences=[s],
+        outputs_info=[at.as_tensor_variable(np.float32(0.0)), None])
+    f4 = atp.function([s], [acc_out[-1], dbl], updates=upd, mode="PY")
+    a, d = f4(sv)
+    assert float(a) == 6.0 and np.allclose(d, sv * 2)
+    assert float(c2.get_value()) == 3.0
