@@ -150,7 +150,14 @@ class ProfileMode(Mode):
 
 def xla_cost_analysis(fn) -> dict:
     """FLOPs/bytes estimates from XLA for a compiled Function on the jax
-    path (the device-side replacement for per-node host timing)."""
+    path (the device-side replacement for per-node host timing).  Also
+    accepts an already-compiled jax callable."""
+    cost_fn = getattr(fn, "cost_analysis", None)
+    if cost_fn is not None:  # a jax Compiled object directly
+        cost = cost_fn()
+        if isinstance(cost, list):
+            cost = cost[0] if cost else {}
+        return dict(cost)
     thunk = fn.fn
     jit_fn = getattr(thunk, "jit_fn", None)
     if jit_fn is None:

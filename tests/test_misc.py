@@ -229,3 +229,38 @@ def test_optimizer_excluding_flag():
     )
     xv = np.arange(3.0, dtype="float32")
     assert np.allclose(f(xv), f2(xv), rtol=1e-6)
+
+
+def test_profiling_stack():
+    """ProfileMode per-op table, function(profile=True), xla_cost_analysis
+    (reference ProfileStats/ProfileMode surface)."""
+    import io
+
+    import numpy as np
+
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at_mod
+    from aesara_tpu.compile.profiling import (ProfileMode, ProfileStats,
+                                              xla_cost_analysis)
+
+    x = at_mod.matrix("x")
+    y = at_mod.matrix("y")
+    expr = at_mod.math.dot(at_mod.math.tanh(x), y)
+    stats = ProfileStats(name="t", atexit_print=False)
+    f = atp.function([x, y], expr, mode=ProfileMode(stats=stats))
+    xv = np.random.default_rng(0).normal(size=(16, 16)).astype("float32")
+    for _ in range(3):
+        f(xv, xv)
+    buf = io.StringIO()
+    stats.summary(file=buf)
+    out = buf.getvalue()
+    assert "function calls : 3" in out and "tanh" in out
+
+    f2 = atp.function([x, y], expr, profile=True)
+    f2(xv, xv)
+    assert f2.profile is not None and f2.profile.fct_callcount == 1
+
+    f3 = atp.function([x, y], expr)
+    f3(xv, xv)
+    cost = xla_cost_analysis(f3)
+    assert cost.get("flops", 0) > 0
