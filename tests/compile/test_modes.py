@@ -106,3 +106,42 @@ def test_xla_cost_analysis():
     assert isinstance(cost, dict)
     if "flops" in cost:
         assert cost["flops"] >= 2 * 16 * 16 * 16 * 0.5
+
+
+def test_debugmode_catches_wrong_lowering():
+    """The py-vs-XLA differential runner (SURVEY section-5 role of
+    DebugMode): an op whose lowering disagrees with its oracle raises
+    BadThunkOutput at the exact node."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+    from aesara_tpu.compile.debugmode import BadThunkOutput, DebugMode
+    from aesara_tpu.graph.ir import Apply
+    from aesara_tpu.graph.op import Op
+    from aesara_tpu.link.jax.dispatch import jax_funcify
+
+    class EvilOp(Op):
+        __props__ = ()
+
+        def make_node(self, v):
+            v = at.as_tensor_variable(v)
+            return Apply(self, [v], [v.type()])
+
+        def perform(self, node, inputs, out):
+            out[0][0] = inputs[0] * 2.0
+
+    @jax_funcify.register(EvilOp)
+    def _evil(op, node=None, **kw):
+        return lambda v: jnp.asarray(v) * 3.0  # deliberately wrong
+
+    x = at.vector("x")
+    xv = np.arange(3.0, dtype="float32")
+    # healthy graph is clean
+    f = atp.function([x], at.math.exp(x) * 2, mode=DebugMode())
+    assert np.allclose(f(xv), np.exp(xv) * 2, rtol=1e-5)
+    # wrong lowering is pinpointed
+    g = atp.function([x], EvilOp()(x), mode=DebugMode())
+    with pytest.raises(BadThunkOutput, match="EvilOp"):
+        g(xv)
