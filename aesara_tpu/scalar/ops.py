@@ -1231,3 +1231,179 @@ imag_part = Imag(name="imag")
 angle = Angle(name="angle")
 complex_op = ComplexOp(name="complex")
 complex_from_polar = ComplexFromPolar(name="complex_from_polar")
+
+
+# --- reference class-name aliases + small completions (scalar/basic.py) ------
+
+AND = And
+OR = Or
+XOR = Xor
+TrueDivide = TrueDiv
+FloorDivide = IntDiv
+ScalarMaximum = Maximum
+ScalarMinimum = Minimum
+BinaryBitOp = BinaryScalarOp  # the reference's bit-op base
+UnaryBitOp = UnaryScalarOp
+
+
+class ComplexError(Exception):
+    """Complex numbers not supported by an op (reference name)."""
+
+
+class IntegerDivisionError(Exception):
+    """Integer division edge error (reference name)."""
+
+
+class Clip(ScalarOp):
+    """clip(x, min, max) as one scalar op (reference ``Clip``)."""
+
+    nin = 3
+    nout = 1
+    nfunc = staticmethod(np.clip)
+    output_types_preference = staticmethod(upcast_out)
+
+    def impl(self, x, mn, mx):
+        return np.clip(x, mn, mx)
+
+    def grad(self, inputs, output_grads):
+        x, mn, mx = inputs
+        (gz,) = output_grads
+        inside = and_(ge(x, mn), le(x, mx))
+        gx = mul(gz, cast_to(inside, gz.type.dtype))
+        below = lt(x, mn)
+        above = gt(x, mx)
+        gmn = mul(gz, cast_to(below, gz.type.dtype))
+        gmx = mul(gz, cast_to(above, gz.type.dtype))
+        return [gx, gmn, gmx]
+
+
+clip_scalar = Clip(name="clip")
+
+
+class InRange(ScalarOp):
+    """low <= x <= high with configurable openness (reference ``InRange``)."""
+
+    nin = 3
+    nout = 1
+    __props__ = ("openlow", "openhigh")
+
+    def __init__(self, openlow=False, openhigh=False):
+        self.openlow = bool(openlow)
+        self.openhigh = bool(openhigh)
+
+    def output_types_preference(self, *types):
+        return [ScalarType("bool")]
+
+    def impl(self, x, low, high):
+        lo_ok = x > low if self.openlow else x >= low
+        hi_ok = x < high if self.openhigh else x <= high
+        return np.bool_(lo_ok and hi_ok)
+
+
+class Mean(ScalarOp):
+    """Variadic scalar mean (reference ``Mean``)."""
+
+    nout = 1
+    nfunc = None
+    output_types_preference = staticmethod(upgrade_to_float)
+
+    def impl(self, *vals):
+        return sum(vals) / len(vals)
+
+
+mean_scalar = Mean(name="mean")
+
+
+class Reciprocal(UnaryScalarOp):
+    nfunc = staticmethod(np.reciprocal)
+    output_types_preference = staticmethod(upgrade_to_float)
+
+    def impl(self, x):
+        return 1.0 / x
+
+    def grad(self, inputs, output_grads):
+        (x,) = inputs
+        (gz,) = output_grads
+        return [neg(true_div(gz, sqr(x)))]
+
+
+reciprocal = Reciprocal(name="reciprocal")
+
+
+class Complex(BinaryScalarOp):
+    """reference alias of ComplexOp"""
+
+
+Complex = ComplexOp  # noqa: F811
+
+
+class NumpyAutocaster:
+    """Value→dtype policy object (reference ``NumpyAutocaster``)."""
+
+    def __init__(self, dtypes):
+        self.dtypes = tuple(dtypes)
+
+    def __call__(self, x):
+        for dt in self.dtypes:
+            try:
+                np_dt = np.dtype(dt)
+                if np.asarray(x).astype(np_dt) == x:
+                    return np_dt
+            except (OverflowError, ValueError):
+                continue
+        return np.asarray(x).dtype
+
+
+autocast_int = NumpyAutocaster(("int8", "int16", "int32", "int64"))
+autocast_float = NumpyAutocaster(("float32", "float64"))
+
+
+class autocast_float_as:
+    """Context manager temporarily changing float autocasting
+    (reference ``autocast_float_as``)."""
+
+    def __init__(self, *dtypes):
+        self.dtypes = dtypes
+
+    def __enter__(self):
+        global autocast_float
+        self._old = autocast_float
+        autocast_float = NumpyAutocaster(self.dtypes)
+        return self
+
+    def __exit__(self, *exc):
+        global autocast_float
+        autocast_float = self._old
+        return False
+
+
+def transfer_type(*indices):
+    """output_types_preference: output i takes input indices[i]'s type
+    (reference ``transfer_type``)."""
+
+    def preference(*types):
+        return [types[i] if isinstance(i, int) else i for i in indices]
+
+    return preference
+
+
+def specific_out(*spec_types):
+    """output_types_preference returning fixed types (reference)."""
+
+    def preference(*types):
+        return list(spec_types)
+
+    return preference
+
+
+def unary_out_lookup(type_table):
+    """output_types_preference from an {in_dtype: out_dtype} table
+    (reference ``unary_out_lookup``)."""
+
+    def preference(t, *rest):
+        out = type_table.get(t.dtype)
+        if out is None:
+            raise TypeError(f"no output type rule for {t.dtype}")
+        return [ScalarType(out)]
+
+    return preference
