@@ -164,3 +164,7 @@ optdb.register(
     FromFunctionGraphRewriter(lambda fg: add_destroy_handler(fg)),
     "fast_run", "inplace", position=49.5,
 )
+
+
+class ProtocolError(Exception):
+    """Inplace-legalization protocol violated (reference name)."""

@@ -259,3 +259,46 @@ class LambdaExtract:
         return self.fgraph.change_node_input(
             self.node, self.i, self.r, reason=("Revert", self.reason), check=False
         )
+
+
+class ReplacementDidNotRemoveError(Exception):
+    """(reference name) a NodeFinder replacement left the node behind."""
+
+
+class PrintListener(Feature):
+    """Print every fgraph event (reference ``PrintListener``)."""
+
+    def __init__(self, active: bool = True):
+        self.active = active
+
+    def on_attach(self, fgraph):
+        if self.active:
+            print(f"-- attaching to {fgraph}")
+
+    def on_detach(self, fgraph):
+        if self.active:
+            print(f"-- detaching from {fgraph}")
+
+    def on_import(self, fgraph, node, reason):
+        if self.active:
+            print(f"-- importing: {node}, reason: {reason}")
+
+    def on_prune(self, fgraph, node, reason):
+        if self.active:
+            print(f"-- pruning: {node}, reason: {reason}")
+
+    def on_change_input(self, fgraph, node, i, r, new_r, reason=None):
+        if self.active:
+            print(f"-- changing ({node}.inputs[{i}]) from {r} to {new_r}")
+
+
+class PreserveVariableAttributes(Feature):
+    """Copy name/test_value tags onto replacement variables (reference
+    ``PreserveVariableAttributes``)."""
+
+    def on_change_input(self, fgraph, node, i, r, new_r, reason=None):
+        if getattr(r, "name", None) and not getattr(new_r, "name", None):
+            new_r.name = r.name
+        tv = getattr(getattr(r, "tag", None), "test_value", None)
+        if tv is not None and not hasattr(new_r.tag, "test_value"):
+            new_r.tag.test_value = tv

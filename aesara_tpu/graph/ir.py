@@ -854,3 +854,66 @@ def as_string(inputs, outputs) -> list:
 
     inputs = list(inputs)
     return [render(o) for o in outputs]
+
+
+# --- reference graph/basic.py long-tail helpers -------------------------------
+
+def view_roots(var: Variable):
+    """Walk view-op chains back to the underlying storage roots
+    (reference ``view_roots``)."""
+    node = var.owner
+    if node is None:
+        return [var]
+    vmap = getattr(node.op, "view_map", {}) or {}
+    for out_idx, in_idxs in vmap.items():
+        if node.outputs[out_idx] is var:
+            return view_roots(node.inputs[in_idxs[0]])
+    return [var]
+
+
+def is_in_ancestors(l_apply: "Apply", f_node: "Apply") -> bool:
+    """True iff ``f_node`` is an ancestor apply of ``l_apply``
+    (reference ``is_in_ancestors``)."""
+    return f_node in applys_between([], l_apply.outputs)
+
+
+def op_as_string(i, op, leaf_formatter=str, node_formatter=None):
+    """Render one apply as a string (reference ``op_as_string``)."""
+    strs = [leaf_formatter(inp) if inp in i or inp.owner is None
+            else op_as_string(i, inp.owner, leaf_formatter, node_formatter)
+            for inp in op.inputs]
+    if node_formatter is not None:
+        return node_formatter(op, strs)
+    return default_node_formatter(op, strs)
+
+
+def default_node_formatter(op: "Apply", argstrings) -> str:
+    return f"{op.op}({', '.join(argstrings)})"
+
+
+def clone_node_and_cache(node: "Apply", clone_d: dict, **kwargs) -> Optional["Apply"]:
+    """Clone one apply, reusing/recording clones in ``clone_d``
+    (reference ``clone_node_and_cache``)."""
+    if node in clone_d:
+        return clone_d[node]
+    new_inputs = [clone_d.get(i, i) for i in node.inputs]
+    new_node = node.clone_with_new_inputs(new_inputs, **kwargs) \
+        if hasattr(node, "clone_with_new_inputs") else Apply(
+            node.op, new_inputs, [o.type() for o in node.outputs])
+    clone_d[node] = new_node
+    for old_o, new_o in zip(node.outputs, new_node.outputs):
+        clone_d.setdefault(old_o, new_o)
+    return new_node
+
+
+def replace_nominals_with_dummies(inputs, outputs):
+    """Swap NominalVariables for fresh regular variables (reference
+    ``replace_nominals_with_dummies``) — used when re-wrapping inner
+    graphs."""
+    replace = {}
+    for v in graph_inputs(outputs):
+        if isinstance(v, NominalVariable):
+            replace[v] = v.type()
+    new_outputs = clone_replace(list(outputs), replace=replace)
+    new_inputs = [replace.get(i, i) for i in inputs]
+    return new_inputs, new_outputs

@@ -269,3 +269,12 @@ def compute_test_value(node: Apply) -> None:
         return
     for out, cell in zip(node.outputs, storage):
         out.tag.test_value = cell[0]
+
+
+#: thunk-callable marker (reference ``ThunkType``/``is_thunk_type``: the
+#: C machinery tagged compiled thunks; here any callable qualifies)
+ThunkType = type(lambda: None)
+
+
+def is_thunk_type(fn):
+    return callable(fn)

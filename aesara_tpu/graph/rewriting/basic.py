@@ -1059,3 +1059,115 @@ def check_stack_trace(f_or_fgraph, ops_to_check="last", bug_print="raise"):
     if bad and bug_print == "raise":
         raise AssertionError(f"nodes missing stack traces: {bad}")
     return not bad
+
+
+# --- reference long-tail names -------------------------------------------
+
+walking_rewriter = in2out  # reference factory alias (WalkingGraphRewriter)
+
+
+class MetaNodeRewriterSkip(AssertionError):
+    """A MetaNodeRewriter candidate asked to be skipped (reference)."""
+
+
+def check_chain(r, *chain):
+    """Does variable r's producer chain match the given op sequence
+    (reference ``check_chain``)?"""
+    node = getattr(r, "owner", r)
+    for op in reversed(chain):
+        if node is None:
+            return False
+        if isinstance(node, Variable):
+            node = node.owner
+            if node is None:
+                return False
+        this_op = node.op
+        matches = (this_op == op or (isinstance(op, type)
+                                     and isinstance(this_op, op)))
+        if not matches:
+            return False
+        node = node.inputs[0] if node.inputs else None
+    return True
+
+
+def merge_dict(d1: dict, d2: dict) -> dict:
+    out = dict(d1)
+    out.update(d2)
+    return out
+
+
+class ChangeTracker(Feature):
+    """Feature flagging whether any change happened (reference
+    ``ChangeTracker``)."""
+
+    def __init__(self):
+        self.changed = False
+        self.nb_imported = 0
+
+    def on_import(self, fgraph, node, reason):
+        self.changed = True
+        self.nb_imported += 1
+
+    def on_change_input(self, fgraph, node, i, r, new_r, reason=None):
+        self.changed = True
+
+    def reset(self):
+        self.changed = False
+
+
+class DispatchingFeature(Feature):
+    """Feature routing events to user callbacks (reference name)."""
+
+    def __init__(self, attach=None, prune=None, import_=None, change=None):
+        self._attach = attach
+        self._prune = prune
+        self._import = import_
+        self._change = change
+
+    def on_attach(self, fgraph):
+        if self._attach:
+            self._attach(fgraph)
+
+    def on_prune(self, fgraph, node, reason):
+        if self._prune:
+            self._prune(fgraph, node, reason)
+
+    def on_import(self, fgraph, node, reason):
+        if self._import:
+            self._import(fgraph, node, reason)
+
+    def on_change_input(self, fgraph, node, i, r, new_r, reason=None):
+        if self._change:
+            self._change(fgraph, node, i, r, new_r, reason)
+
+
+class CheckStackTraceFeature(Feature):
+    """Record rewrites that drop stack traces (reference)."""
+
+    def on_import(self, fgraph, node, reason):
+        if not hasattr(fgraph, "_check_stacktrace_nodes"):
+            fgraph._check_stacktrace_nodes = []
+        fgraph._check_stacktrace_nodes.append((node, reason))
+
+
+class CheckStackTraceRewriter(GraphRewriter):
+    """Pass verifying stack-trace discipline (reference)."""
+
+    def apply(self, fgraph):
+        return check_stack_trace(fgraph, ops_to_check="all",
+                                 bug_print="ignore")
+
+
+def inplace_graph_rewriter(fn):
+    """Decorator for rewrites that require a DestroyHandler (reference
+    factory name)."""
+    rval = FromFunctionGraphRewriter(fn)
+
+    def add_dh(fgraph):
+        from aesara_tpu.graph.destroyhandler import DestroyHandler
+
+        if not hasattr(fgraph, "destroyers"):
+            fgraph.attach_feature(DestroyHandler())
+
+    rval.requirements = (add_dh,)
+    return rval

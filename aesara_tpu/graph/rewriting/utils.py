@@ -55,3 +55,33 @@ def is_same_graph(var1: Variable, var2: Variable, givens: Optional[dict] = None)
         var1 = clone_replace(var1, replace=givens)
         var2 = clone_replace(var2, replace=givens)
     return equal_computations([var1], [var2])
+
+
+def get_clients_at_depth(fgraph, node, depth: int):
+    """Client applies exactly ``depth`` hops downstream (reference
+    ``get_clients_at_depth``)."""
+    frontier = [node]
+    for _ in range(depth):
+        nxt = []
+        for n in frontier:
+            for out in n.outputs:
+                for client, _i in fgraph.clients.get(out, []):
+                    if client != "output":
+                        nxt.append(client)
+        frontier = nxt
+    return frontier
+
+
+def is_same_graph_with_merge(var1, var2, givens=None):
+    """Structural equality via running MergeOptimizer on the combined
+    graph (reference ``is_same_graph_with_merge``)."""
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.graph.rewriting.basic import MergeOptimizer
+
+    givens = givens or {}
+    from aesara_tpu.graph.ir import clone_replace
+
+    v1, v2 = clone_replace([var1, var2], replace=givens)
+    fg = FunctionGraph(outputs=[v1, v2], clone=True)
+    MergeOptimizer().rewrite(fg)
+    return fg.outputs[0] is fg.outputs[1]

@@ -107,3 +107,25 @@ def key_to_cmp(key):
         return -1 if ka < kb else (1 if ka > kb else 0)
 
     return key_cmp
+
+
+def reverse_dict(d: dict) -> dict:
+    """{a: set(children)} → {child: set(parents)} (reference helper)."""
+    out: dict = {}
+    for k, vals in d.items():
+        for v in vals:
+            out.setdefault(v, set()).add(k)
+    return out
+
+
+def memodict(fn):
+    """Single-argument memoizer (reference ``memodict``)."""
+    cache: dict = {}
+
+    def wrapped(x):
+        if x not in cache:
+            cache[x] = fn(x)
+        return cache[x]
+
+    wrapped.cache = cache
+    return wrapped

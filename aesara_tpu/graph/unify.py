@@ -150,3 +150,64 @@ def reify(x, s: dict):
             return op(*args)
         return tuple(parts)
     return x
+
+
+# --- reference car/cdr dispatch names (rewriting/unify.py) --------------------
+# our unification is self-contained (no `cons` dependency); these helpers
+# expose the same decomposition the reference registers with cons.core
+
+def car_Variable(x):
+    if x.owner is None:
+        raise ValueError("a leaf variable has no car")
+    return x.owner.op
+
+
+def cdr_Variable(x):
+    if x.owner is None:
+        raise ValueError("a leaf variable has no cdr")
+    return list(x.owner.inputs)
+
+
+def car_Op(x):
+    return type(x)
+
+
+def cdr_Op(x):
+    props = getattr(x, "__props__", ()) or ()
+    return [getattr(x, p) for p in props]
+
+
+def car_Type(x):
+    return type(x)
+
+
+def cdr_Type(x):
+    props = getattr(x, "__props__", ()) or ()
+    return [getattr(x, p, None) for p in props]
+
+
+def apply_Op_ExpressionTuple(op, args):
+    """Rebuild an application from (op, inputs) (reference
+    ``apply_Op_ExpressionTuple``)."""
+    return op(*args)
+
+
+def eval_if_etuple(x):
+    """Evaluate an expression-tuple-like value (reference helper): here
+    (op, args) tuples."""
+    if isinstance(x, tuple) and x and callable(x[0]):
+        return x[0](*[eval_if_etuple(a) for a in x[1:]])
+    return x
+
+
+def convert_strs_to_vars(x, var_map=None):
+    """Turn string placeholders into unification Vars (reference
+    ``convert_strs_to_vars``)."""
+    var_map = {} if var_map is None else var_map
+    if isinstance(x, str):
+        if x not in var_map:
+            var_map[x] = var(x)
+        return var_map[x]
+    if isinstance(x, (tuple, list)):
+        return type(x)(convert_strs_to_vars(e, var_map) for e in x)
+    return x

@@ -148,3 +148,116 @@ class NoDuplicateOptWarningFilter:
                 return False
             self.prev_msgs.add(msg)
         return True
+
+
+# --- reference graph/utils.py long tail --------------------------------------
+
+class MetaObject:
+    """Base with __props__-driven equality (reference ``MetaObject``)."""
+
+    __props__: tuple = ()
+
+    def _props(self):
+        return tuple(getattr(self, p) for p in self.__props__)
+
+    def _props_dict(self):
+        return {p: getattr(self, p) for p in self.__props__}
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self._props() == other._props()
+
+    def __hash__(self):
+        return hash((type(self), self._props()))
+
+
+class MetaType(type):
+    """Metaclass wiring __props__ equality automatically (reference)."""
+
+    def __new__(cls, name, bases, dct):
+        props = dct.get("__props__")
+        res = super().__new__(cls, name, bases, dct)
+        if props is not None and "__eq__" not in dct:
+            res.__eq__ = MetaObject.__eq__
+            res.__hash__ = MetaObject.__hash__
+        return res
+
+
+class AssocList:
+    """Association list with a dict fast-path and a linear fallback for
+    unhashable keys (reference ``AssocList``)."""
+
+    def __init__(self):
+        self._dict = {}
+        self._list = []
+
+    def __setitem__(self, k, v):
+        try:
+            self._dict[k] = v
+        except TypeError:
+            for i, (k2, _) in enumerate(self._list):
+                if k2 == k:
+                    self._list[i] = (k, v)
+                    return
+            self._list.append((k, v))
+
+    def __getitem__(self, k):
+        try:
+            return self._dict[k]
+        except TypeError:
+            for k2, v in self._list:
+                if k2 == k:
+                    return v
+            raise KeyError(k)
+        except KeyError:
+            raise
+
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+
+D = AssocList  # reference alias
+
+
+def simple_extract_stack(f=None, limit=None, skips=None):
+    """traceback.extract_stack with framework frames skipped (reference
+    ``simple_extract_stack``)."""
+    import traceback
+
+    stack = traceback.extract_stack(f)
+    if skips:
+        stack = [s for s in stack
+                 if not any(sk in (s.filename or "") for sk in skips)]
+    if limit is not None:
+        stack = stack[-limit:]
+    return stack
+
+
+def get_variable_trace_string(v) -> str:
+    """Render a variable's creation traceback (reference name)."""
+    tr = getattr(getattr(v, "tag", None), "trace", None)
+    if not tr:
+        return "  (no stored trace)"
+    lines = []
+    for entry in tr[-1] if isinstance(tr[-1], list) else tr:
+        lines.append(f"  {entry}")
+    return "\n".join(lines)
+
+
+def toposort(prereqs_d: dict):
+    """Generic topological sort over a {node: set(prereqs)} dict
+    (reference ``graph/utils.py toposort``)."""
+    seq = []
+    done = set()
+    prereqs = {k: set(v) for k, v in prereqs_d.items()}
+    while prereqs:
+        ready = [k for k, v in prereqs.items() if v <= done]
+        if not ready:
+            raise ValueError("cycle in the prerequisite graph")
+        for k in ready:
+            seq.append(k)
+            done.add(k)
+            del prereqs[k]
+    return seq
