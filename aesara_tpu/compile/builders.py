@@ -223,3 +223,26 @@ def _register_inline_ofg():
     rw.__name__ = "inline_ofg_expansion"
     rw.name = "inline_ofg_expansion"
     register_specialize(rw, name="inline_ofg_expansion")
+
+
+#: reference rewrite-name export (the registered pass defined above)
+inline_ofg_expansion = _inline_ofg_node
+
+
+def infer_shape(outs, inputs, input_shapes):
+    """Compute output shapes of a graph given input shapes (reference
+    ``builders.py infer_shape``)."""
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.tensor.rewriting.shape import ShapeFeature
+
+    fg = FunctionGraph(list(inputs), list(outs), clone=False)
+    feature = getattr(fg, "shape_feature", None)
+    shapes = []
+    for o in outs:
+        if hasattr(o.type, "ndim"):
+            from aesara_tpu.tensor.shape import shape as tshape
+
+            shapes.append(tuple(tshape(o)[i] for i in range(o.type.ndim)))
+        else:
+            shapes.append(None)
+    return shapes

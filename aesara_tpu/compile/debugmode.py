@@ -147,3 +147,60 @@ class DebugMode(Mode):
 #: the reference's DualLinker (link/c/basic.py:1934) runs py & C in
 #: parallel and compares; here the pair is py & XLA — same checker
 DualLinker = DebugLinker
+
+
+# --- reference error taxonomy + diagnostics (debugmode.py) -------------------
+
+class BadViewMap(DebugModeError):
+    """An op's view_map claim doesn't hold at runtime (reference)."""
+
+
+class BadDestroyMap(DebugModeError):
+    """An op destroyed an input it didn't declare (reference) — under
+    donation semantics this is an aliasing bug in a lowering."""
+
+
+class BadOptimization(DebugModeError):
+    """A rewrite changed results (reference; also raised by History/
+    ReplaceValidate as graph.features.BadOptimization)."""
+
+
+class StochasticOrder(DebugModeError):
+    """Non-deterministic rewrite ordering detected (reference)."""
+
+
+class DataDestroyed(DebugModeError):
+    """Storage read after being destroyed (reference)."""
+
+
+def check_eq(var, val1, val2) -> bool:
+    """Type-aware value comparison (reference ``check_eq``)."""
+    eq = getattr(var.type, "values_eq_approx", None) or var.type.values_eq
+    return bool(eq(val1, val2))
+
+
+def str_diagnostic(expected, value, rtol=None, atol=None) -> str:
+    """Human-readable mismatch report (reference ``str_diagnostic``)."""
+    import numpy as np
+
+    e = np.asarray(expected)
+    v = np.asarray(value)
+    lines = [f"  shapes: expected {e.shape}, got {v.shape}",
+             f"  dtypes: expected {e.dtype}, got {v.dtype}"]
+    if e.shape == v.shape and e.size:
+        diff = np.abs(e.astype("float64") - v.astype("float64"))
+        lines.append(f"  max abs err: {diff.max():.6g}")
+        denom = np.maximum(np.abs(e), 1e-8)
+        lines.append(f"  max rel err: {(diff / denom).max():.6g}")
+    if rtol is not None or atol is not None:
+        lines.append(f"  tolerances: rtol={rtol} atol={atol}")
+    return "\n".join(lines)
+
+
+def validity_hint(t, value) -> str:
+    """Why a value is invalid for a type, or 'valid' (reference)."""
+    try:
+        t.filter(value, strict=True)
+        return "valid"
+    except Exception as e:
+        return str(e)

@@ -283,3 +283,9 @@ def get_mode(orig_string: Optional[Union[str, Mode]]) -> Mode:
 
 def get_default_mode() -> Mode:
     return get_mode(None)
+
+
+def get_target_language(mode=None):
+    """Languages the mode's linker emits (reference
+    ``get_target_language``): always the XLA path here (+'py' fallback)."""
+    return ("jax",)

@@ -103,3 +103,32 @@ class NanGuardMode(Mode):
 def flatten_values(x):
     """Parity helper from the reference."""
     return np.asarray(x).ravel()
+
+
+def flatten(l):
+    """Flatten nested lists/tuples (reference ``nanguardmode.flatten``)."""
+    if isinstance(l, (list, tuple)):
+        out = []
+        for e in l:
+            out.extend(flatten(e))
+        return out
+    return [l]
+
+
+def contains_nan(arr, node=None, var=None) -> bool:
+    """(reference ``contains_nan``)"""
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype.kind not in "fc":
+        return False
+    return bool(np.isnan(a).any())
+
+
+def contains_inf(arr, node=None, var=None) -> bool:
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.dtype.kind not in "fc":
+        return False
+    return bool(np.isinf(a).any())

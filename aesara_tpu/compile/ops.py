@@ -114,3 +114,31 @@ def as_op(itypes, otypes, infer_shape=None):
         return FromFunctionOp(fn, itypes, otypes, infer_shape)
 
     return make_op
+
+
+class OutputGuard(ViewOp):
+    """Protects outputs from inplace overwrite (reference ``OutputGuard``)
+    — donation semantics make it a view here."""
+
+
+output_guard = OutputGuard()
+
+
+class UpdatePlaceholder(ViewOp):
+    """Marks an input slot awaiting its update expression (reference)."""
+
+
+def load_back(mod, name):
+    """Unpickle helper resolving an attribute from a module (reference
+    ``load_back``)."""
+    import importlib
+
+    return getattr(importlib.import_module(mod), name)
+
+
+def register_deep_copy_op_c_code(typ, code, version=()):
+    """No-op: register lowerings with @jax_funcify.register instead."""
+
+
+def register_view_op_c_code(typ, code, version=()):
+    """No-op: see register_deep_copy_op_c_code."""

@@ -169,3 +169,39 @@ def xla_cost_analysis(fn) -> dict:
     if isinstance(cost, list):
         cost = cost[0] if cost else {}
     return dict(cost)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def extended_open(filename, mode="r"):
+    """open() that also understands '<stdout>'/'<stderr>' (reference)."""
+    import sys
+
+    if filename == "<stdout>":
+        yield sys.stdout
+    elif filename == "<stderr>":
+        yield sys.stderr
+    else:
+        with open(filename, mode) as fh:
+            yield fh
+
+
+_profiler_printers: list = []
+
+
+def register_profiler_printer(fct):
+    """Extra sections for the atexit profile dump (reference)."""
+    _profiler_printers.append(fct)
+    return fct
+
+
+def print_global_stats():
+    """Aggregate stats across all ProfileStats instances (reference)."""
+    import sys
+
+    total_time = sum(getattr(p, "fct_call_time", 0.0) for p in _all_profiles)
+    total_calls = sum(getattr(p, "fct_callcount", 0) for p in _all_profiles)
+    print(f"Global profiling stats: {len(_all_profiles)} profiled functions, "
+          f"{total_calls} calls, {total_time:.4f}s total", file=sys.stderr)

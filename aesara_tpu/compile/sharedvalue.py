@@ -101,13 +101,17 @@ def shared(value, name=None, strict=False, allow_downcast=None, **kwargs):
     if isinstance(value, Variable):
         raise TypeError("shared() takes a value, not a Variable")
     try:
-        return shared_constructor(
+        sv = shared_constructor(
             value, name=name, strict=strict, allow_downcast=allow_downcast, **kwargs
         )
+        collect_new_shareds._notify(sv)
+        return sv
     except TypeError:
         pass
     # default: tensors from ndarrays / python numbers
-    return _tensor_shared(value, name, strict, allow_downcast, **kwargs)
+    sv = _tensor_shared(value, name, strict, allow_downcast, **kwargs)
+    collect_new_shareds._notify(sv)
+    return sv
 
 
 def _tensor_shared(value, name=None, strict=False, allow_downcast=None,
@@ -152,3 +156,24 @@ class TensorSharedVariable(_tensor_ops, SharedVariable):
 
     def __eq__(self, other):
         return self is other
+
+
+class collect_new_shareds:
+    """Context manager recording shared variables created inside it
+    (reference ``collect_new_shareds``)."""
+
+    _active: list = []
+
+    def __enter__(self):
+        self.new_shareds: list = []
+        collect_new_shareds._active.append(self)
+        return self
+
+    def __exit__(self, *exc):
+        collect_new_shareds._active.remove(self)
+        return False
+
+    @classmethod
+    def _notify(cls, sv):
+        for ctx in cls._active:
+            ctx.new_shareds.append(sv)

@@ -261,3 +261,146 @@ class WrapLinker(Linker):
                     raise_with_op(fgraph, node, th[0])
 
         return run, input_cs[0], output_cs[0]
+
+
+# --- reference linker-surface aliases -----------------------------------------
+
+class WrapLinkerMany(WrapLinker):
+    """WrapLinker with multiple wrap functions composed (reference)."""
+
+    def __init__(self, linkers, wrappers):
+        def composed(*args, **kwargs):
+            for w in wrappers:
+                w(*args, **kwargs)
+
+        super().__init__(linkers[0] if len(linkers) == 1 else linkers,
+                         composed)
+
+
+def gc_helper(node_list):
+    """(last-use map, dependencies) for storage GC (reference
+    ``link/utils.py gc_helper``)."""
+    dependencies = {}
+    last_user = {}
+    for node in node_list:
+        dependencies[node] = list(node.inputs)
+        for inp in node.inputs:
+            last_user[inp] = node
+    return last_user, dependencies
+
+
+def streamline(fgraph, thunks, order, post_thunk_old_storage=None,
+               no_recycling=None, nice_errors=True):
+    """Compose per-node thunks into one callable with last-use clearing
+    (reference ``link/utils.py streamline``)."""
+    post = post_thunk_old_storage or [[] for _ in order]
+
+    def streamlined():
+        for thunk, node, old_storage in zip(thunks, order, post):
+            try:
+                thunk()
+            except Exception:
+                if nice_errors:
+                    raise_with_op(getattr(thunk, "fgraph", fgraph), node, thunk)
+                raise
+            for cell in old_storage:
+                cell[0] = None
+
+    return streamlined
+
+
+def get_destroy_dependencies(fgraph):
+    """Extra inputs each apply's destroy-ordering must wait on (reference
+    ``link/utils.py get_destroy_dependencies``)."""
+    order = fgraph.orderings()
+    deps = {}
+    for node in fgraph.apply_nodes:
+        deps[node] = list(node.inputs)
+        for prereq in order.get(node, []):
+            deps[node].extend(prereq.outputs)
+    return deps
+
+
+def unique_name_generator(external_names=None, suffix_sep="_"):
+    """Fresh-name factory avoiding clashes (reference
+    ``link/utils.py unique_name_generator``)."""
+    taken = set(external_names or [])
+    counts = {}
+
+    def unique_name(obj, force_unique=False, name=None):
+        base = name or getattr(obj, "name", None) or "tmp"
+        base = "".join(c if c.isalnum() or c == "_" else "_" for c in str(base))
+        if base not in taken and not force_unique:
+            taken.add(base)
+            return base
+        k = counts.get(base, 0) + 1
+        counts[base] = k
+        fresh = f"{base}{suffix_sep}{k}"
+        while fresh in taken:
+            k += 1
+            fresh = f"{base}{suffix_sep}{k}"
+        taken.add(fresh)
+        return fresh
+
+    return unique_name
+
+
+def get_name_for_object(obj) -> str:
+    """Best-effort identifier for codegen naming (reference)."""
+    name = getattr(obj, "name", None) or getattr(obj, "__name__", None)
+    if name:
+        return "".join(c if c.isalnum() or c == "_" else "_" for c in str(name))
+    return type(obj).__name__
+
+
+def compile_function_src(src: str, function_name: str, global_env=None,
+                         local_env=None):
+    """exec() a generated-source function and return it (reference
+    ``link/utils.py compile_function_src`` — used by fgraph_to_python)."""
+    global_env = {} if global_env is None else dict(global_env)
+    local_env = {} if local_env is None else local_env
+    exec(compile(src, f"<generated:{function_name}>", "exec"),
+         global_env, local_env)
+    fn = local_env.get(function_name) or global_env.get(function_name)
+    fn.__source__ = src
+    return fn
+
+
+def register_thunk_trace_excepthook(hook=None):
+    """No-op parity hook: our raise_with_op already injects the stored
+    creation trace into every node error."""
+
+
+def fgraph_to_python(fgraph, op_conversion_fn, **kwargs):
+    """Emit a python callable evaluating ``fgraph`` with each op
+    converted by ``op_conversion_fn`` (reference ``link/utils.py
+    fgraph_to_python`` — the JITLinker workhorse; our jax path uses
+    ``link.jax.linker.fgraph_to_jax`` which composes closures instead of
+    source text, so this generic version interprets directly)."""
+    order = fgraph.toposort()
+    converted = [op_conversion_fn(n.op, node=n, **kwargs) for n in order]
+
+    def python_fn(*values):
+        env = dict(zip(fgraph.inputs, values))
+        from aesara_tpu.graph.ir import Constant
+
+        for node, fn in zip(order, converted):
+            ins = [env[i] if i in env else i.data for i in node.inputs]
+            res = fn(*ins)
+            if not isinstance(res, (tuple, list)):
+                res = (res,)
+            for o, r in zip(node.outputs, res):
+                env[o] = r
+        return tuple(env[o] if o in env else o.data for o in fgraph.outputs)
+
+    return python_fn
+
+
+class JITLinker(JAXLinkerBase := object):
+    """Name anchor: the reference's JITLinker base is realized by
+    ``aesara_tpu.link.jax.linker.JAXLinker`` (whole-fgraph jit)."""
+
+    def __new__(cls, *a, **kw):
+        from aesara_tpu.link.jax.linker import JAXLinker
+
+        return JAXLinker(*a, **kw)

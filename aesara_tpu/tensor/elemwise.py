@@ -483,3 +483,16 @@ def get_normalized_batch_axes(core_axes, core_ndim: int, batch_ndim: int):
         core_axes = (core_axes,)
     delta = batch_ndim - core_ndim
     return tuple(a + delta if a >= 0 else a + batch_ndim for a in core_axes)
+
+
+#: reference printer hook (printing registers a DimShuffle printer)
+class DimShufflePrinter:
+    def process(self, output, pstate):
+        from aesara_tpu.printing import pp
+
+        node = output.owner
+        order = node.op.new_order
+        inner = pp.process(node.inputs[0], pstate.depth - 1)
+        if all(o == "x" for o in order):
+            return inner  # pure broadcast pad prints through
+        return f"{inner}.dimshuffle({', '.join(map(repr, order))})"

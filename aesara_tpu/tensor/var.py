@@ -570,3 +570,29 @@ class TensorConstant(TensorVariable, Constant):
 
 TensorType.variable_type = TensorVariable
 TensorType.constant_type = TensorConstant
+
+
+# --- reference dense-variable aliases (tensor/var.py tail) -------------------
+# every TensorVariable here IS dense (sparse has its own Variable class),
+# so the Dense* names are direct aliases; the metaclasses existed to make
+# isinstance checks exclude sparse — same semantics via subclassing here.
+DenseTensorVariable = TensorVariable
+DenseTensorConstant = TensorConstant
+DenseVariableMeta = type(TensorVariable)
+DenseConstantMeta = type(TensorConstant)
+
+
+def get_unique_value(x):
+    """If ``x`` is a constant filled with one repeated value, return that
+    value, else None (reference ``get_unique_value``)."""
+    import numpy as np
+
+    if not isinstance(x, TensorConstant):
+        return None
+    data = np.asarray(x.data)
+    if data.size == 0:
+        return None
+    first = data.ravel()[0]
+    if np.all(data == first):
+        return first
+    return None
