@@ -1,4 +1,4 @@
 """Tensor rewrite packs; importing registers them into the global optdb
 (reference registers via module import the same way)."""
 
-from aesara_tpu.tensor.rewriting import basic, elemwise, math, shape, special, subtensor, uncanonicalize  # noqa: F401
+from aesara_tpu.tensor.rewriting import basic, elemwise, math, shape, special, subtensor, uncanonicalize, extra_ops  # noqa: F401

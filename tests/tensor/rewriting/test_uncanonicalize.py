@@ -42,3 +42,28 @@ def test_dynamic_alloc_actionable_error():
     f = atp.function([n], at.alloc(np.float32(1.0), n))
     with pytest.raises(NotImplementedError, match="derive sizes from"):
         f(3)
+
+
+def test_unique_lift_rewrites():
+    """extra_ops rewrites: Unique over repeat/alloc/scalar simplifies
+    (reference tensor/rewriting/extra_ops.py)."""
+    from aesara_tpu.tensor.extra_ops import Repeat, Unique, unique
+
+    x = at.vector("x")
+    xv = np.array([3.0, 1.0, 3.0], dtype="float32")
+
+    f = atp.function([x], unique(at.repeat(x, 3)), mode="PY")
+    ops = [type(n.op).__name__ for n in f.maker.fgraph.toposort()]
+    assert "Repeat" not in ops
+    assert np.allclose(f(xv), [1.0, 3.0])
+
+    s = at.scalar("s")
+    fs = atp.function([s], unique(s), mode="PY")
+    assert "Unique" not in [type(n.op).__name__
+                            for n in fs.maker.fgraph.toposort()]
+    assert np.allclose(fs(5.0), [5.0])
+
+    f3 = atp.function(
+        [x], unique(at.alloc(at.as_tensor_variable(np.float32(2.0)),
+                             x.shape[0], 4)), mode="PY")
+    assert np.allclose(f3(xv), [2.0])
