@@ -410,3 +410,36 @@ def _xlogy0(x, y):
 
 _SCALAR_IMPLS[XlogX] = _xlogx
 _SCALAR_IMPLS[XlogY0] = _xlogy0
+
+
+from aesara_tpu.tensor.fft import IRFFTGradOp, RFFTGradOp  # noqa: E402
+
+
+@jax_funcify.register(RFFTGradOp)
+def _jx_rfft_grad(op, node=None, **kw):
+    def rfft_grad(a, gz):
+        def packed_rfft(x):
+            res = jnp.fft.rfftn(x, axes=range(1, x.ndim))
+            return jnp.stack([res.real, res.imag], axis=-1)
+
+        a = jnp.asarray(a)
+        _, vjp = jax.vjp(packed_rfft, a)
+        (g,) = vjp(jnp.asarray(gz, dtype=a.dtype))
+        return g
+
+    return rfft_grad
+
+
+@jax_funcify.register(IRFFTGradOp)
+def _jx_irfft_grad(op, node=None, **kw):
+    def irfft_grad(a, gz):
+        def unpacked_irfft(packed):
+            comp = packed[..., 0] + 1j * packed[..., 1]
+            return jnp.fft.irfftn(comp, axes=range(1, comp.ndim))
+
+        a = jnp.asarray(a)
+        _, vjp = jax.vjp(unpacked_irfft, a)
+        (g,) = vjp(jnp.asarray(gz, dtype=jnp.asarray(gz).dtype))
+        return g
+
+    return irfft_grad

@@ -104,8 +104,41 @@ def debugprint(
         for inp in node.inputs:
             render_var(inp, prefix + " ", depth_left - 1)
 
+    inner_graphs_printed: set = set()
+    inner_graph_ops: list = []
+
+    def collect_inner(v):
+        node = v.owner
+        if node is None:
+            return
+        op = node.op
+        if hasattr(op, "fgraph") and id(op) not in inner_graphs_printed:
+            inner_graphs_printed.add(id(op))
+            inner_graph_ops.append(op)
+
+    _orig_render = render_var
+
+    def render_var(v, prefix, depth_left):  # noqa: F811
+        collect_inner(v)
+        _orig_render(v, prefix, depth_left)
+
     for out in outputs:
         render_var(out, "", depth)
+
+    # reference behavior: inner graphs (Scan/OpFromGraph/Composite) are
+    # appended after the outer dump
+    if inner_graph_ops:
+        lines.append("")
+        lines.append("Inner graphs:")
+        for op in inner_graph_ops:
+            lines.append("")
+            lines.append(f"{op}{get_id(op)}")
+            try:
+                inner_outs = list(op.fgraph.outputs)
+            except Exception:
+                continue
+            for io_ in inner_outs:
+                _orig_render(io_, " >", depth)
 
     if print_fgraph_inputs and fgraph is not None:
         lines.append("Inputs:")

@@ -42,7 +42,7 @@ class RFFTOp(Op):
 
         (gz,) = output_grads
         rest = [DisconnectedType()()] if len(inputs) > 1 else []
-        return [irfft(gz)] + rest
+        return [RFFTGradOp()(inputs[0], gz)] + rest
 
 
 def rfft(inp, norm=None):
@@ -76,10 +76,69 @@ class IRFFTOp(Op):
 
         (gz,) = output_grads
         rest = [DisconnectedType()()] if len(inputs) > 1 else []
-        return [rfft(gz)] + rest
+        return [IRFFTGradOp()(inputs[0], gz)] + rest
 
 
 def irfft(inp, norm=None):
     if norm is not None:
         raise NotImplementedError("irfft norm option lands later")
     return IRFFTOp()(inp)
+
+
+class RFFTGradOp(Op):
+    """vjp of RFFTOp via jax (packed-pair convention preserved); the
+    naive ``irfft(gz)`` is wrong by the hermitian double-counting and
+    1/n normalization."""
+
+    __props__ = ()
+
+    def make_node(self, a, gz):
+        a = as_tensor_variable(a)
+        gz = as_tensor_variable(gz)
+        return Apply(self, [a, gz], [a.type()])
+
+    def perform(self, node, inputs, output_storage):
+        import jax
+        import jax.numpy as jnp
+
+        a, gz = inputs
+
+        def packed_rfft(x):
+            res = jnp.fft.rfftn(x, axes=range(1, x.ndim))
+            return jnp.stack([res.real, res.imag], axis=-1)
+
+        _, vjp = jax.vjp(packed_rfft, jnp.asarray(a, dtype="float64")
+                         if a.dtype == np.float64 else jnp.asarray(a))
+        (g,) = vjp(jnp.asarray(gz, dtype=np.asarray(a).dtype))
+        output_storage[0][0] = np.asarray(g, dtype=a.dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+
+class IRFFTGradOp(Op):
+    """vjp of IRFFTOp via jax (same rationale as RFFTGradOp)."""
+
+    __props__ = ()
+
+    def make_node(self, a, gz):
+        a = as_tensor_variable(a)
+        gz = as_tensor_variable(gz)
+        return Apply(self, [a, gz], [a.type()])
+
+    def perform(self, node, inputs, output_storage):
+        import jax
+        import jax.numpy as jnp
+
+        a, gz = inputs
+
+        def unpacked_irfft(packed):
+            comp = packed[..., 0] + 1j * packed[..., 1]
+            return jnp.fft.irfftn(comp, axes=range(1, comp.ndim))
+
+        _, vjp = jax.vjp(unpacked_irfft, jnp.asarray(a))
+        (g,) = vjp(jnp.asarray(gz, dtype=np.asarray(gz).dtype))
+        output_storage[0][0] = np.asarray(g, dtype=a.dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]

@@ -190,15 +190,21 @@ def local_useless_cast(fgraph, node):
         x = node.inputs[0]
         if x.type.dtype == node.outputs[0].type.dtype:
             return [x]
-        # cast(cast(x)) → cast(x) when outer decides
+        # cast(cast(y)) → cast(y) ONLY when the inner cast is lossless
+        # for y's dtype (a narrowing or kind-changing inner cast — e.g.
+        # float->int truncation — must stay)
         if (
             x.owner is not None
             and isinstance(x.owner.op, Elemwise)
             and isinstance(x.owner.op.scalar_op, aes.ops.Cast)
         ):
-            res = cast(x.owner.inputs[0], node.outputs[0].type.dtype)
-            copy_stack_trace(node.outputs[0], res)
-            return [res]
+            y = x.owner.inputs[0]
+            inner_np = np.dtype(x.type.dtype)
+            y_np = np.dtype(y.type.dtype)
+            if np.can_cast(y_np, inner_np, casting="safe"):
+                res = cast(y, node.outputs[0].type.dtype)
+                copy_stack_trace(node.outputs[0], res)
+                return [res]
     return False
 
 
