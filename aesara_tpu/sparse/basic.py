@@ -445,14 +445,64 @@ class Dot(Op):
         return rval
 
 
-_true_dot = Dot()
+_dense_dot = Dot()
 
 
 def dot(a, b):
-    return _true_dot(a, b)
+    return _dense_dot(a, b)
 
 
-true_dot = dot
+class TrueDot(Op):
+    """Sparse @ (sparse|dense) keeping a SPARSE result (ref ``TrueDot``
+    sparse/basic.py:3285 — where ``Dot`` densifies, ``TrueDot`` keeps the
+    scipy product's container)."""
+
+    __props__ = ()
+
+    def __init__(self, grad_preserves_dense=True):
+        # not part of __props__ on purpose (matches the reference): merge
+        # rewrites must unify nodes that differ only in grad packaging.
+        self.grad_preserves_dense = grad_preserves_dense
+
+    def make_node(self, x, y):
+        x = as_sparse_variable(x)
+        y = as_sparse_or_tensor_variable(y)
+        if x.type.dtype != y.type.dtype:
+            raise NotImplementedError("TrueDot requires matching dtypes")
+        fmt = "csr" if x.type.format == "csr" else "csc"
+        return Apply(self, [x, y], [SparseTensorType(fmt, x.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, y = inputs
+        res = x @ y
+        if not sp.issparse(res):
+            res = sp.csr_matrix(res)
+        output_storage[0][0] = res.asformat(node.outputs[0].type.format).astype(
+            node.outputs[0].type.dtype
+        )
+
+    def grad(self, inputs, output_grads):
+        x, y = inputs
+        (gz,) = output_grads
+        gx = true_dot(gz, transpose(y) if isinstance(y.type, SparseTensorType) else y.T)
+        gy = true_dot(transpose(x), gz)
+        if not isinstance(y.type, SparseTensorType) and self.grad_preserves_dense:
+            gy = dense_from_sparse(gy)
+        return [gx, gy]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [(shapes[0][0], shapes[1][1])]
+
+
+def true_dot(x, y, grad_preserves_dense=True):
+    """Dot product with a sparse result (ref ``true_dot``
+    sparse/basic.py:3375). At least ``x`` must be sparse; a dense left
+    operand is handled by transposing the flipped product."""
+    if hasattr(x, "type") and isinstance(x.type, SparseTensorType):
+        return TrueDot(grad_preserves_dense)(x, y)
+    if hasattr(y, "type") and isinstance(y.type, SparseTensorType):
+        return transpose(TrueDot(grad_preserves_dense)(transpose(y), x.T))
+    raise TypeError("true_dot requires at least one sparse operand")
 
 
 class SamplingDot(Op):
@@ -961,28 +1011,97 @@ class GreaterEqualSS(_ComparisonSS):
     _cmp = staticmethod(lambda a, b: a >= b)
 
 
-def eq(a, b):
-    return EqualSS()(a, b)
+class _ComparisonSD(Op):
+    """sparse-vs-dense comparison → DENSE uint8 matrix (ref
+    ``__ComparisonOpSD`` sparse/basic.py:2618 — densifying is inherent:
+    entries absent from the pattern still compare against the dense side)."""
+
+    __props__ = ()
+    _cmp = None
+
+    def make_node(self, x, y):
+        x = as_sparse_variable(x)
+        y = as_tensor_variable(y)
+        if y.type.ndim != 2:
+            raise TypeError("sparse-dense comparison needs a 2d dense operand")
+        return Apply(self, [x, y], [TensorType("uint8", (None, None))()])
+
+    def perform(self, node, inputs, output_storage):
+        x, y = inputs
+        output_storage[0][0] = np.asarray(self._cmp(x, y)).astype("uint8")
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
 
 
-def neq(a, b):
-    return NotEqualSS()(a, b)
+class EqualSD(_ComparisonSD):
+    _cmp = staticmethod(lambda x, y: x == y)
 
 
-def lt(a, b):
-    return LessThanSS()(a, b)
+class NotEqualSD(_ComparisonSD):
+    _cmp = staticmethod(lambda x, y: x != y)
 
 
-def gt(a, b):
-    return GreaterThanSS()(a, b)
+class LessThanSD(_ComparisonSD):
+    _cmp = staticmethod(lambda x, y: x < y)
 
 
-def le(a, b):
-    return LessEqualSS()(a, b)
+class GreaterThanSD(_ComparisonSD):
+    _cmp = staticmethod(lambda x, y: x > y)
 
 
-def ge(a, b):
-    return GreaterEqualSS()(a, b)
+class LessEqualSD(_ComparisonSD):
+    _cmp = staticmethod(lambda x, y: x <= y)
+
+
+class GreaterEqualSD(_ComparisonSD):
+    _cmp = staticmethod(lambda x, y: x >= y)
+
+
+def _comparison_switch(ss, sd, ds):
+    """Dispatch a comparison over the sparse/dense operand mix (ref
+    ``__ComparisonSwitch`` sparse/basic.py:2624).  ``ds`` is the mirrored
+    sparse-dense op, applied as ``ds(y, x)`` since scipy requires the
+    sparse operand on the left."""
+
+    def helper(x, y):
+        if sp.issparse(x):
+            x = as_sparse_variable(x)
+        if sp.issparse(y):
+            y = as_sparse_variable(y)
+        x_sp = hasattr(x, "type") and isinstance(getattr(x, "type", None), SparseTensorType)
+        y_sp = hasattr(y, "type") and isinstance(getattr(y, "type", None), SparseTensorType)
+        if x_sp and y_sp:
+            return ss(x, y)
+        if x_sp:
+            return sd(x, as_tensor_variable(y))
+        if y_sp:
+            return ds(y, as_tensor_variable(x))
+        raise TypeError("at least one operand must be sparse")
+
+    return helper
+
+
+equal_s_s = EqualSS()
+equal_s_d = EqualSD()
+not_equal_s_s = NotEqualSS()
+not_equal_s_d = NotEqualSD()
+less_than_s_s = LessThanSS()
+less_than_s_d = LessThanSD()
+greater_than_s_s = GreaterThanSS()
+greater_than_s_d = GreaterThanSD()
+less_equal_s_s = LessEqualSS()
+less_equal_s_d = LessEqualSD()
+greater_equal_s_s = GreaterEqualSS()
+greater_equal_s_d = GreaterEqualSD()
+
+# mirrored forms: cmp(dense, sparse) == mirror_cmp(sparse, dense)
+eq = _comparison_switch(equal_s_s, equal_s_d, equal_s_d)
+neq = _comparison_switch(not_equal_s_s, not_equal_s_d, not_equal_s_d)
+lt = _comparison_switch(less_than_s_s, less_than_s_d, greater_than_s_d)
+gt = _comparison_switch(greater_than_s_s, greater_than_s_d, less_than_s_d)
+le = _comparison_switch(less_equal_s_s, less_equal_s_d, greater_equal_s_d)
+ge = _comparison_switch(greater_equal_s_s, greater_equal_s_d, less_equal_s_d)
 
 
 class StructuredElemwise(Op):
@@ -1326,6 +1445,37 @@ class GetItem2Lists(Op):
               np.asarray(cols, dtype="int64")]
         ).flatten().astype(node.outputs[0].type.dtype)
 
+    def grad(self, inputs, output_grads):
+        x, rows, cols = inputs
+        (gz,) = output_grads
+        return [GetItem2ListsGrad()(x, rows, cols, gz),
+                grad_undefined_int(self, 1, rows),
+                grad_undefined_int(self, 2, cols)]
+
+
+class GetItem2ListsGrad(Op):
+    """Scatter the gather's cotangent back to a sparse matrix at the
+    (rows, cols) coordinates (ref ``GetItem2ListsGrad:1516``)."""
+
+    __props__ = ()
+
+    def make_node(self, x, rows, cols, gz):
+        x = as_sparse_variable(x)
+        return Apply(self, [x, as_tensor_variable(rows),
+                            as_tensor_variable(cols), as_tensor_variable(gz)],
+                     [SparseTensorType(x.type.format, gz.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, rows, cols, gz = inputs
+        out = sp.coo_matrix(
+            (gz, (np.asarray(rows, dtype="int64"), np.asarray(cols, dtype="int64"))),
+            shape=x.shape,
+        )
+        output_storage[0][0] = out.asformat(node.outputs[0].type.format)
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
 
 def get_item_list(x, idx):
     return GetItemList()(x, idx)
@@ -1409,4 +1559,163 @@ __all__ += [
     "GetItemList", "GetItem2Lists", "get_item_list", "get_item_2lists",
     "ConstructSparseFromList", "construct_sparse_from_list",
     "PoissonSampler", "poisson", "BinomialSampler", "binomial_sample",
+]
+
+
+# ---------------------------------------------------------------------------
+# column/row scaling, same-pattern add, operator sugar
+# (reference sparse/basic.py: ColScaleCSC:1567, RowScaleCSC:1611,
+# col_scale:1660, row_scale:1691, AddSSData:2051, _sparse_py_operators)
+# ---------------------------------------------------------------------------
+
+
+class ColScaleCSC(Op):
+    """Scale each column of a csc matrix by the matching element of a dense
+    vector; structured gradient (ref ``ColScaleCSC:1567``)."""
+
+    __props__ = ()
+
+    def make_node(self, x, s):
+        x = as_sparse_variable(x)
+        if x.type.format != "csc":
+            raise ValueError("ColScaleCSC needs a csc operand")
+        s = as_tensor_variable(s)
+        return Apply(self, [x, s], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        x, s = inputs
+        out = x.copy()
+        # column id of every stored entry, vectorized over the csc layout
+        cols = np.repeat(np.arange(x.shape[1]), np.diff(x.indptr))
+        out.data = out.data * s[cols]
+        output_storage[0][0] = out.astype(x.dtype)
+
+    def grad(self, inputs, output_grads):
+        x, s = inputs
+        (gz,) = output_grads
+        return [col_scale(gz, s), sp_sum(mul(x, gz), axis=0)]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+class RowScaleCSC(Op):
+    """Scale each row of a csc matrix by the matching element of a dense
+    vector; structured gradient (ref ``RowScaleCSC:1611``)."""
+
+    __props__ = ()
+
+    def make_node(self, x, s):
+        x = as_sparse_variable(x)
+        if x.type.format != "csc":
+            raise ValueError("RowScaleCSC needs a csc operand")
+        s = as_tensor_variable(s)
+        return Apply(self, [x, s], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        x, s = inputs
+        out = x.copy()
+        # in csc layout, indices[k] is the ROW of stored entry k
+        out.data = out.data * s[x.indices]
+        output_storage[0][0] = out.astype(x.dtype)
+
+    def grad(self, inputs, output_grads):
+        x, s = inputs
+        (gz,) = output_grads
+        return [row_scale(gz, s), sp_sum(mul(x, gz), axis=1)]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+def col_scale(x, s):
+    """Scale columns of ``x`` by vector ``s`` (ref ``col_scale:1660``).
+    csr inputs route through the transpose, exactly as the reference."""
+    if x.format == "csc":
+        return ColScaleCSC()(x, s)
+    if x.format == "csr":
+        return transpose(RowScaleCSC()(transpose(x), s))
+    raise NotImplementedError(f"col_scale: format {x.format}")
+
+
+def row_scale(x, s):
+    """Scale rows of ``x`` by vector ``s`` (ref ``row_scale:1691``)."""
+    return transpose(col_scale(transpose(x), s))
+
+
+class AddSSData(Op):
+    """Add two sparse matrices that share a sparsity pattern by adding their
+    data vectors; structured gradient (ref ``AddSSData:2051``)."""
+
+    __props__ = ()
+
+    def make_node(self, x, y):
+        x = as_sparse_variable(x)
+        y = as_sparse_variable(y)
+        if x.type.dtype != y.type.dtype or x.type.format != y.type.format:
+            raise NotImplementedError("AddSSData needs matching dtype+format")
+        return Apply(self, [x, y], [SparseTensorType(x.type.format, x.type.dtype)()])
+
+    def perform(self, node, inputs, output_storage):
+        x, y = inputs
+        if x.data.shape != y.data.shape:
+            raise ValueError("AddSSData operands must share a sparsity pattern")
+        out = x.copy()
+        out.data = out.data + y.data
+        output_storage[0][0] = out
+
+    def grad(self, inputs, output_grads):
+        (gz,) = output_grads
+        return [gz, gz]
+
+    def infer_shape(self, fgraph, node, shapes):
+        return [shapes[0]]
+
+
+add_s_s_data = AddSSData()
+
+
+# operator sugar on SparseVariable (ref ``_sparse_py_operators``): route the
+# arithmetic dunders through the sparse ops instead of the inherited dense
+# TensorVariable ones, and make ``.T`` a sparse transpose (a dimshuffle on a
+# scipy container would be meaningless).
+def _sp_add(self, other):
+    return add(self, other)
+
+
+def _sp_sub(self, other):
+    return sub(self, other)
+
+
+def _sp_mul(self, other):
+    return mul(self, other)
+
+
+SparseVariable.__add__ = _sp_add
+SparseVariable.__radd__ = _sp_add
+SparseVariable.__sub__ = _sp_sub
+SparseVariable.__mul__ = _sp_mul
+SparseVariable.__rmul__ = _sp_mul
+SparseVariable.__neg__ = lambda self: neg(self)
+SparseVariable.__lt__ = lambda self, other: lt(self, other)
+SparseVariable.__le__ = lambda self, other: le(self, other)
+SparseVariable.__gt__ = lambda self, other: gt(self, other)
+SparseVariable.__ge__ = lambda self, other: ge(self, other)
+SparseVariable.T = property(lambda self: transpose(self))
+SparseVariable.sum = lambda self, axis=None, sparse_grad=True: sp_sum(
+    self, axis=axis, sparse_grad=sparse_grad
+)
+SparseVariable.astype = lambda self, dtype: sp_cast(self, dtype)
+
+
+__all__ += [
+    "TrueDot",
+    "ColScaleCSC", "RowScaleCSC", "col_scale", "row_scale",
+    "AddSSData", "add_s_s_data",
+    "EqualSD", "NotEqualSD", "LessThanSD", "GreaterThanSD",
+    "LessEqualSD", "GreaterEqualSD",
+    "equal_s_s", "equal_s_d", "not_equal_s_s", "not_equal_s_d",
+    "less_than_s_s", "less_than_s_d", "greater_than_s_s",
+    "greater_than_s_d", "less_equal_s_s", "less_equal_s_d",
+    "greater_equal_s_s", "greater_equal_s_d",
 ]

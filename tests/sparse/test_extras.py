@@ -191,3 +191,122 @@ def test_pattern_samplers(mats):
     assert np.all(out[xv.toarray() == 0] == 0)  # pattern preserved (or shrunk)
     fb = function([x], spb.dense_from_sparse(spb.binomial_sample(x)), mode="PY")
     assert set(np.unique(fb(xv))) <= {0.0, 1.0}
+
+
+def test_true_dot_sparse_result(mats):
+    xv, _ = mats                      # 5x7 csr
+    wv = np.random.RandomState(2).standard_normal((7, 3))
+    x = spb.csr_matrix("x")
+    w = at.tensor.matrix("w")
+    out = spb.true_dot(x, w)
+    assert isinstance(out.type, type(x.type))
+    f = function([x, w], spb.dense_from_sparse(out), mode="PY")
+    assert np.allclose(f(xv, wv), xv.toarray() @ wv)
+    # sparse @ sparse stays sparse
+    yv = sp.random(7, 4, density=0.4, format="csr",
+                   random_state=np.random.RandomState(3))
+    y = spb.csr_matrix("y")
+    g = function([x, y], spb.dense_from_sparse(spb.true_dot(x, y)), mode="PY")
+    assert np.allclose(g(xv, yv), (xv @ yv).toarray())
+
+
+def test_true_dot_grad(mats):
+    xv, _ = mats
+    wv = np.random.RandomState(4).standard_normal((7, 3)).astype("float64")
+    x = spb.csr_matrix("x")
+    w = at.tensor.matrix("w")
+    cost = spb.sp_sum(spb.true_dot(x, w))
+    gw = grad(cost, w)
+    f = function([x, w], gw, mode="PY")
+    got = f(xv, wv)
+    # d/dw sum(x@w) = x^T @ ones
+    want = xv.toarray().T @ np.ones((5, 3))
+    assert np.allclose(got, want)
+
+
+def test_col_row_scale_values(mats):
+    xv, _ = mats
+    sv = np.random.RandomState(5).standard_normal(7)
+    rv = np.random.RandomState(6).standard_normal(5)
+    for fmt in ("csr", "csc"):
+        x = spb.matrix(fmt, "x")
+        s = at.tensor.vector("s")
+        f = function([x, s], spb.dense_from_sparse(spb.col_scale(x, s)), mode="PY")
+        assert np.allclose(f(xv.asformat(fmt), sv), xv.toarray() * sv[None, :])
+        r = at.tensor.vector("r")
+        g = function([x, r], spb.dense_from_sparse(spb.row_scale(x, r)), mode="PY")
+        assert np.allclose(g(xv.asformat(fmt), rv), xv.toarray() * rv[:, None])
+
+
+def test_col_scale_grad(mats):
+    xv, _ = mats
+    sv = np.random.RandomState(7).standard_normal(7)
+    x = spb.csc_matrix("x")
+    s = at.tensor.vector("s")
+    cost = spb.sp_sum(spb.col_scale(x, s))
+    gs = grad(cost, s)
+    f = function([x, s], gs, mode="PY")
+    # d/ds_j sum(x * s_j per column) = sum of column j of x
+    assert np.allclose(f(xv.tocsc(), sv), np.asarray(xv.sum(axis=0)).ravel())
+
+
+def test_add_s_s_data(mats):
+    xv, _ = mats
+    yv = xv.copy()
+    yv.data = np.random.RandomState(8).standard_normal(len(xv.data))
+    x = spb.csr_matrix("x")
+    y = spb.csr_matrix("y")
+    f = function([x, y], spb.dense_from_sparse(spb.add_s_s_data(x, y)), mode="PY")
+    assert np.allclose(f(xv, yv), (xv + yv).toarray())
+    cost = spb.sp_sum(spb.add_s_s_data(x, y))
+    gx = grad(cost, x)
+    gfn = function([x, y], spb.dense_from_sparse(gx), mode="PY")
+    got = gfn(xv, yv)
+    assert np.allclose(got[xv.toarray() != 0], 1.0)
+
+
+def test_sparse_dense_comparisons(mats):
+    xv, _ = mats
+    dv = np.random.RandomState(9).standard_normal((5, 7))
+    x = spb.csr_matrix("x")
+    d = at.tensor.matrix("d")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for fn, npop in ((spb.lt, np.less), (spb.gt, np.greater),
+                         (spb.le, np.less_equal), (spb.ge, np.greater_equal)):
+            out = fn(x, d)
+            f = function([x, d], out, mode="PY")
+            assert np.array_equal(f(xv, dv), npop(xv.toarray(), dv).astype("uint8"))
+            # mirrored: dense on the left
+            out2 = fn(d, x)
+            f2 = function([x, d], out2, mode="PY")
+            assert np.array_equal(f2(xv, dv), npop(dv, xv.toarray()).astype("uint8"))
+
+
+def test_sparse_operator_sugar(mats):
+    xv, yv = mats
+    x = spb.csr_matrix("x")
+    y = spb.csr_matrix("y")
+    out = (-x) * y + x - y
+    f = function([x, y], spb.dense_from_sparse(out), mode="PY")
+    want = (-xv.toarray()) * yv.toarray() + xv.toarray() - yv.toarray()
+    assert np.allclose(f(xv, yv), want)
+    # .T is a sparse transpose, not a dimshuffle
+    t = x.T
+    assert isinstance(t.type, type(x.type))
+    ft = function([x], spb.dense_from_sparse(t), mode="PY")
+    assert np.allclose(ft(xv), xv.toarray().T)
+
+
+def test_get_item_2lists_grad(mats):
+    xv, _ = mats
+    rows = np.array([0, 2, 4])
+    cols = np.array([1, 3, 6])
+    x = spb.csr_matrix("x")
+    cost = spb.get_item_2lists(x, rows, cols).sum()
+    gx = grad(cost, x)
+    f = function([x], spb.dense_from_sparse(gx), mode="PY")
+    got = f(xv)
+    want = np.zeros((5, 7))
+    want[rows, cols] = 1.0
+    assert np.allclose(got, want)
