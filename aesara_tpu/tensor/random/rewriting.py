@@ -21,7 +21,11 @@ from aesara_tpu.tensor.basic import as_tensor_variable, constant
 from aesara_tpu.tensor.elemwise import DimShuffle
 from aesara_tpu.tensor.random.op import RandomVariable
 from aesara_tpu.tensor.shape import SpecifyShape
-from aesara_tpu.tensor.subtensor import AdvancedSubtensor1, Subtensor
+from aesara_tpu.tensor.subtensor import (
+    AdvancedSubtensor,
+    AdvancedSubtensor1,
+    Subtensor,
+)
 
 
 __all__ = ["local_rv_size_lift", "local_dimshuffle_rv_lift",
@@ -115,12 +119,14 @@ def local_dimshuffle_rv_lift(fgraph, node):
             rv_node.outputs[0]: new_node.outputs[0]}
 
 
-@node_rewriter([Subtensor, AdvancedSubtensor1])
+@node_rewriter([Subtensor, AdvancedSubtensor1, AdvancedSubtensor])
 def local_subtensor_rv_lift(fgraph, node):
     """Draw only the indexed slice: ``normal(mu, sd, size=(N,))[i]`` →
     ``normal(mu[i], sd[i])`` for batch-indexed RVs with batched params
-    (reference ``local_subtensor_rv_lift``).  Changes the sampled values
-    (fewer random bits consumed) — registered opt-in only."""
+    (reference ``local_subtensor_rv_lift``).  Also fires on boolean-mask
+    indexing (``rv[mask]`` → rv over masked params) when the mask covers
+    batch dims only.  Changes the sampled values (fewer random bits
+    consumed) — registered opt-in only."""
     sub_op = node.op
     rv_out = node.inputs[0]
     rv_node = rv_out.owner
@@ -145,11 +151,23 @@ def local_subtensor_rv_lift(fgraph, node):
     if isinstance(sub_op, AdvancedSubtensor1):
         # vector-indexing the leading batch dim: index params the same way
         idx = (node.inputs[1],)
+        consumed = 1
+    elif isinstance(sub_op, AdvancedSubtensor):
+        # the boolean-mask form rv[mask]: the mask consumes mask.ndim
+        # leading batch dims at once
+        if sub_op.idx_list != ("array",):
+            return False
+        mask = node.inputs[1]
+        if mask.type.dtype != "bool":
+            return False
+        idx = (mask,)
+        consumed = mask.type.ndim
     else:
         from aesara_tpu.tensor.subtensor import get_idx_list
 
         idx = get_idx_list(node.inputs, sub_op.idx_list)
-    if len(idx) > batch_ndim:
+        consumed = len(idx)
+    if consumed > batch_ndim:
         return False
     new_params = []
     for p, nd in zip(params, rv_op.ndims_params):

@@ -93,3 +93,40 @@ def test_subtensor_rv_lift_advanced_index():
     new = res[sub]
     assert new.type.ndim == 1
     assert new.owner.inputs[2].type.ndim == 1  # mu got indexed, not the draw
+
+
+def test_subtensor_rv_lift_boolean_mask():
+    mu = at.as_tensor_variable(np.arange(6.0, dtype="float32").reshape(2, 3))
+    sd = at.as_tensor_variable(np.ones((2, 3), dtype="float32"))
+    d = normal(mu, sd)
+    mask = at.matrix("mask", dtype="bool")
+    sub = d[mask]
+    fg = FunctionGraph([mask], [sub], clone=False)
+    res = local_subtensor_rv_lift.transform(fg, sub.owner)
+    assert res
+    new = res[sub]
+    from aesara_tpu.tensor.random.op import RandomVariable
+
+    assert isinstance(new.owner.op, RandomVariable)
+    # the mu param has been masked: it is now 1-d (data-dependent length)
+    assert new.owner.inputs[2].type.ndim == 1
+    # value check: masked draw equals drawing from masked params
+    from aesara_tpu.compile.function import function
+
+    f = function([mask], new, mode="PY")
+    mv = np.array([[True, False, True], [False, True, False]])
+    out = f(mv)
+    assert out.shape == (3,)
+
+
+def test_subtensor_rv_lift_boolean_mask_skips_support_dims():
+    # masks that would touch support dims (ndim_supp > 0) must not fire
+    from aesara_tpu.tensor.random.basic import multivariate_normal
+
+    mean = at.as_tensor_variable(np.zeros((2, 3), dtype="float64"))
+    cov = at.as_tensor_variable(np.eye(3))
+    d = multivariate_normal(mean, cov)        # batch (2,), support (3,)
+    mask = at.matrix("mask", dtype="bool")    # covers batch+support dims
+    sub = d[mask]
+    fg = FunctionGraph([mask], [sub], clone=False)
+    assert not local_subtensor_rv_lift.transform(fg, sub.owner)
