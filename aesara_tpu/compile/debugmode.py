@@ -137,11 +137,69 @@ class DebugLinker(LocalLinker):
         return run, input_containers, output_containers, thunks, order
 
 
-class DebugMode(Mode):
-    """(reference ``debugmode.py:2148``)"""
+class _RewriteEventRecorder:
+    """Feature recording a canonical trace of fgraph mutations, so two
+    rewrite runs over clones of the same graph can be compared (reference
+    ``_VariableEquivalenceTracker`` event list, debugmode.py:1172)."""
 
-    def __init__(self, optimizer="fast_run", check_finite=False):
+    def __init__(self):
+        self.events = []
+
+    def on_attach(self, fgraph):
+        pass
+
+    def on_import(self, fgraph, node, reason):
+        self.events.append(f"import {node.op} [{reason}]")
+
+    def on_prune(self, fgraph, node, reason):
+        self.events.append(f"prune {node.op} [{reason}]")
+
+    def on_change_input(self, fgraph, node, i, old_var, new_var, reason=None):
+        op = node.op if node != "output" else "output"
+        self.events.append(f"change {op}.{i} [{reason}]")
+
+
+class StochasticOrder(DebugModeError):
+    """Non-deterministic rewrite ordering detected: the same graph
+    rewritten twice produced different event traces (reference)."""
+
+
+def check_rewrite_stability(make_fgraph_and_rewrite, patience: int):
+    """Run the rewrite pipeline ``patience`` times over fresh clones and
+    compare event traces (reference ``stability_patience`` loop,
+    debugmode.py:2015).  ``make_fgraph_and_rewrite(recorder)`` must build
+    a fresh clone, attach the recorder, run the pipeline, and return the
+    fgraph.  Returns the first fgraph; raises StochasticOrder on drift."""
+    first = None
+    trace0 = None
+    for i in range(max(1, patience)):
+        rec = _RewriteEventRecorder()
+        fg = make_fgraph_and_rewrite(rec)
+        if i == 0:
+            first, trace0 = fg, rec.events
+        elif rec.events != trace0:
+            lines = ["Optimization process is unstable...",
+                     "(event index)  (run 0)  (run %d)" % i]
+            for j in range(max(len(trace0), len(rec.events))):
+                a = trace0[j] if j < len(trace0) else "<missing>"
+                b = rec.events[j] if j < len(rec.events) else "<missing>"
+                if a != b:
+                    lines.append(f"  {j}: {a}  !=  {b}")
+            raise StochasticOrder("\n".join(lines))
+    return first
+
+
+class DebugMode(Mode):
+    """(reference ``debugmode.py:2148``).  ``stability_patience`` > 1 makes
+    the compile driver re-run the rewrite pipeline that many times on
+    fresh clones and verify the event traces agree."""
+
+    def __init__(self, optimizer="fast_run", check_finite=False,
+                 stability_patience=None):
         super().__init__(DebugLinker(check_finite=check_finite), optimizer)
+        if stability_patience is None:
+            stability_patience = config.DebugMode__patience
+        self.stability_patience = stability_patience
 
 
 #: the reference's DualLinker (link/c/basic.py:1934) runs py & C in
@@ -163,10 +221,6 @@ class BadDestroyMap(DebugModeError):
 class BadOptimization(DebugModeError):
     """A rewrite changed results (reference; also raised by History/
     ReplaceValidate as graph.features.BadOptimization)."""
-
-
-class StochasticOrder(DebugModeError):
-    """Non-deterministic rewrite ordering detected (reference)."""
 
 
 class DataDestroyed(DebugModeError):

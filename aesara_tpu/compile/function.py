@@ -246,11 +246,6 @@ def orig_function(
                     raise UnusedInputError(msg)
                 warnings.warn(msg)
 
-    # clone into an isolated FunctionGraph
-    memo = clone_get_equiv(all_inputs, all_outputs, copy_inputs=True, copy_orphans=True)
-    fg_inputs = [memo[v] for v in all_inputs]
-    fg_outputs = [memo[v] for v in all_outputs]
-
     # update mapping: output index -> input index (for donation)
     update_mapping = {}
     for ui, (shared, _) in enumerate(update_pairs):
@@ -258,34 +253,60 @@ def orig_function(
         in_idx = all_inputs.index(shared)
         update_mapping[out_idx] = in_idx
 
-    fgraph = FunctionGraph(
-        fg_inputs, fg_outputs, clone=False, update_mapping=update_mapping
-    )
-    fgraph.attach_feature(ReplaceValidate())
-    # protect non-mutable explicit inputs and non-updated shareds from
-    # destructive rewrites (reference Supervisor, types.py:136)
     from aesara_tpu.graph.destroyhandler import Supervisor
 
     updated_idx = set(update_mapping.values())
-    protected = [
-        fg_inputs[i]
-        for i, spec in enumerate(in_specs)
-        if not getattr(spec, "mutable", False)
-    ] + [
-        fg_inputs[n_explicit + j]
-        for j in range(len(shared_vars))
-        if (n_explicit + j) not in updated_idx
-    ]
-    fgraph.attach_feature(Supervisor(protected))
 
-    # run the rewrite pipeline
+    def _build_fgraph():
+        # clone into an isolated FunctionGraph
+        memo = clone_get_equiv(
+            all_inputs, all_outputs, copy_inputs=True, copy_orphans=True
+        )
+        fg_inputs = [memo[v] for v in all_inputs]
+        fg_outputs = [memo[v] for v in all_outputs]
+        fg = FunctionGraph(
+            fg_inputs, fg_outputs, clone=False, update_mapping=update_mapping
+        )
+        fg.attach_feature(ReplaceValidate())
+        # protect non-mutable explicit inputs and non-updated shareds from
+        # destructive rewrites (reference Supervisor, types.py:136)
+        protected = [
+            fg_inputs[i]
+            for i, spec in enumerate(in_specs)
+            if not getattr(spec, "mutable", False)
+        ] + [
+            fg_inputs[n_explicit + j]
+            for j in range(len(shared_vars))
+            if (n_explicit + j) not in updated_idx
+        ]
+        fg.attach_feature(Supervisor(protected))
+        return fg
+
+    # run the rewrite pipeline; DebugMode reruns it over fresh clones to
+    # catch nondeterministic rewrite orderings (reference stability_patience
+    # loop, debugmode.py:2015)
     rewriter = mode.optimizer
+    patience = getattr(mode, "stability_patience", 1)
     rewrite_time = None
     if rewriter is not None:
         rt0 = time.perf_counter()
         with config.change_flags(compute_test_value="off"):
-            rewriter.rewrite(fgraph)
+            if patience > 1:
+                from aesara_tpu.compile.debugmode import check_rewrite_stability
+
+                def _make(recorder):
+                    fg = _build_fgraph()
+                    fg.attach_feature(recorder)
+                    rewriter.rewrite(fg)
+                    return fg
+
+                fgraph = check_rewrite_stability(_make, patience)
+            else:
+                fgraph = _build_fgraph()
+                rewriter.rewrite(fgraph)
         rewrite_time = time.perf_counter() - rt0
+    else:
+        fgraph = _build_fgraph()
 
     # aliasing protection for the py path: outputs that are literally graph
     # inputs/constants must be copied (insert_deepcopy, types.py:1172)

@@ -145,3 +145,42 @@ def test_debugmode_catches_wrong_lowering():
     g = atp.function([x], EvilOp()(x), mode=DebugMode())
     with pytest.raises(BadThunkOutput, match="EvilOp"):
         g(xv)
+
+
+def test_stability_patience_clean_pipeline():
+    # the real pipeline is deterministic: patience > 1 compiles cleanly
+    x = at.vector("x")
+    f = function([x], at.math.exp(x) + 1.0,
+                 mode=DebugMode(stability_patience=3))
+    xv = np.arange(3.0, dtype="float32")
+    assert np.allclose(f(xv), np.exp(xv) + 1.0, rtol=1e-5)
+
+
+def test_stability_patience_catches_stochastic_rewriter():
+    from aesara_tpu.compile.debugmode import StochasticOrder
+    from aesara_tpu.compile.mode import Mode
+    from aesara_tpu.link.basic import PerformLinker
+
+    calls = {"n": 0}
+
+    class FlakyRewriter:
+        """Mutates the graph only on every second run."""
+
+        def rewrite(self, fg):
+            calls["n"] += 1
+            if calls["n"] % 2 == 0:
+                node = fg.outputs[0].owner
+                rep = at.math.mul(*node.inputs)
+                fg.replace(fg.outputs[0], rep, reason="flaky")
+
+    class _M(Mode):
+        @property
+        def optimizer(self):
+            return FlakyRewriter()
+
+    m = _M(PerformLinker(), None)
+    m.stability_patience = 3
+    x = at.vector("x")
+    y = at.vector("y")
+    with pytest.raises(StochasticOrder):
+        function([x, y], at.math.add(x, y), mode=m)
