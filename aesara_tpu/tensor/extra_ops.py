@@ -104,6 +104,22 @@ class CumOp(Op):
         return f"{name}{{axis={self.axis}}}"
 
 
+class CumsumOp(Op):
+    """Back-compat constructor (reference ``CumsumOp``): instantiating it
+    yields a ``CumOp(mode="add")``, so old pickles and isinstance checks
+    keep working."""
+
+    def __new__(cls, axis=None):
+        return CumOp(axis, "add")
+
+
+class CumprodOp(Op):
+    """Back-compat constructor (reference ``CumprodOp``) → ``CumOp(mode="mul")``."""
+
+    def __new__(cls, axis=None):
+        return CumOp(axis, "mul")
+
+
 def cumsum(x, axis=None):
     return CumOp(axis, "add")(x)
 
@@ -643,4 +659,4 @@ def broadcast_shape(*arrays, arrays_are_shapes: bool = False):
     return tuple(out)
 
 
-__all__ += ["linspace", "logspace", "geomspace", "broadcast_shape"]
+__all__ += ["linspace", "logspace", "geomspace", "broadcast_shape", "CumsumOp", "CumprodOp"]

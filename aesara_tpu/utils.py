@@ -261,3 +261,45 @@ def toposort(prereqs_d: dict):
             done.add(k)
             del prereqs[k]
     return seq
+
+
+class Singleton:
+    """Classes inheriting from this have a single instance: construction
+    always returns the same object, equality is class identity (reference
+    ``utils.py Singleton``)."""
+
+    __instance = None
+
+    def __new__(cls):
+        if cls.__instance is None or type(cls.__instance) is not cls:
+            cls.__instance = super().__new__(cls)
+        return cls.__instance
+
+    def __str__(self):
+        return self.__class__.__name__
+
+    def __eq__(self, other):
+        return type(self) is type(other)
+
+    def __hash__(self):
+        return hash(type(self))
+
+
+class DefaultOrderedDict(dict):
+    """Ordered dict with a default factory (reference
+    ``utils.py DefaultOrderedDict``; plain dicts are ordered on 3.7+)."""
+
+    def __init__(self, default_factory=None, *args, **kwargs):
+        if default_factory is not None and not callable(default_factory):
+            raise TypeError("first argument must be callable")
+        super().__init__(*args, **kwargs)
+        self.default_factory = default_factory
+
+    def __missing__(self, key):
+        if self.default_factory is None:
+            raise KeyError(key)
+        self[key] = value = self.default_factory()
+        return value
+
+    def copy(self):
+        return type(self)(self.default_factory, self)
