@@ -503,6 +503,10 @@ class Function:
         # semantics to the caller (the reference returns ndarrays)
         if o is None or isinstance(o, (np.ndarray, np.generic)):
             return o
+        import scipy.sparse as _sp
+
+        if _sp.issparse(o):
+            return o  # sparse outputs stay scipy containers (reference)
         try:
             return np.asarray(o)
         except Exception:

@@ -9,3 +9,8 @@ from aesara_tpu.tensor.random.op import (
 )
 from aesara_tpu.tensor.random.utils import RandomStream, RandomStreams
 from aesara_tpu.tensor.random.op import RandomStateType as RandomState  # noqa: F401
+from aesara_tpu.tensor.random.var import (  # noqa: F401  (registers shared ctors)
+    RandomGeneratorSharedVariable,
+    RandomStateSharedVariable,
+    RandomTypeSharedVariable,
+)

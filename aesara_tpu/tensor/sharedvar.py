@@ -14,3 +14,9 @@ def tensor_constructor(value, name=None, strict=False, allow_downcast=None,
 
 
 scalar_constructor = tensor_constructor
+
+
+class ScalarSharedVariable(TensorSharedVariable):
+    """0-d shared value (reference ``tensor/sharedvar.py
+    ScalarSharedVariable`` — there a distinct aesara.scalar-typed shared;
+    here scalars are 0-d tensors, so this is the same container)."""

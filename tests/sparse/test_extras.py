@@ -310,3 +310,35 @@ def test_get_item_2lists_grad(mats):
     want = np.zeros((5, 7))
     want[rows, cols] = 1.0
     assert np.allclose(got, want)
+
+
+def test_sparse_function_output_stays_sparse(mats):
+    # regression: Function._to_host used to np.asarray sparse outputs
+    xv, _ = mats
+    x = spb.csr_matrix("x")
+    f = function([x], spb.transpose(x), mode="PY")
+    out = f(xv)
+    assert sp.issparse(out)
+    assert out.shape == (7, 5)
+    assert np.allclose(out.toarray(), xv.toarray().T)
+
+
+def test_sparse_sandbox_sp2(mats):
+    from aesara_tpu.sparse.sandbox import sp2
+
+    xv, _ = mats
+    x = spb.csr_matrix("x")
+    f = function([x], sp2.poisson(x), mode="PY")
+    out = f((xv * 5).tocsr())
+    assert sp.issparse(out) and out.shape == xv.shape
+    # zero pattern preserved (or shrunk)
+    assert np.all(out.toarray()[xv.toarray() == 0] == 0)
+
+    fb = function([], sp2.Binomial("csr", "int64")(20, 0.5, np.array([3, 4])),
+                  mode="PY")
+    assert fb().shape == (3, 4)
+
+    pv = sp.csr_matrix(np.array([[0.5, 0.5, 0.0], [0.0, 0.2, 0.8]]))
+    p = spb.csr_matrix("p")
+    fm = function([p], sp2.multinomial(9, p), mode="PY")
+    assert np.all(np.asarray(fm(pv).sum(axis=1)).ravel() == 9)

@@ -264,3 +264,23 @@ def test_profiling_stack():
     f3(xv, xv)
     cost = xla_cost_analysis(f3)
     assert cost.get("flops", 0) > 0
+
+
+def test_rng_shared_constructors():
+    import numpy as np
+
+    import aesara_tpu as atp
+    from aesara_tpu.tensor.random import (
+        RandomGeneratorSharedVariable,
+        RandomStateSharedVariable,
+    )
+    from aesara_tpu.tensor.random.basic import normal
+
+    sv = atp.shared(np.random.default_rng(3), name="rng")
+    assert isinstance(sv, RandomGeneratorSharedVariable)
+    sv2 = atp.shared(np.random.RandomState(7))
+    assert isinstance(sv2, RandomStateSharedVariable)
+    # usable as the rng= input of a RandomVariable
+    d = normal(0.0, 1.0, rng=sv)
+    f = atp.function([], d, mode="PY")
+    assert isinstance(float(f()), float)
