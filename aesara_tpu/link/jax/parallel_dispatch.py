@@ -128,3 +128,100 @@ def _jx_shard_constraint(op, node=None, **kw):
             return x  # no mesh context: annotation is a no-op
 
     return shard_constraint
+
+
+# --- context/sequence-parallel attention (parallel/attention.py) -------------
+
+from aesara_tpu.parallel.attention import RingAttention, UlyssesAttention  # noqa: E402
+
+
+@jax_funcify.register(RingAttention)
+def _jax_ring_attention(op, node=None, **kwargs):
+    axis = op.axis_name
+    causal = op.causal
+
+    def ring(q, k, v):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from aesara_tpu.tensor.nnet.attention import _attention_ref
+
+        if not _in_shard_map(axis):
+            # unsharded compile: the shard is the whole sequence
+            return _attention_ref(q, k, v, causal, 1.0 / float(np.sqrt(q.shape[-1])))
+
+        P = lax.psum(1, axis)               # static axis size
+        rank = lax.axis_index(axis)
+        T = q.shape[1]
+        scale = jnp.asarray(1.0 / float(np.sqrt(q.shape[-1])), dtype=jnp.float32)
+        fwd = [(i, (i + 1) % P) for i in range(P)]   # kv travels i → i+1
+
+        q32 = q.astype(jnp.float32)
+        m = jnp.full(q.shape[:2], -1e30, dtype=jnp.float32)       # (BH, T)
+        l = jnp.zeros(q.shape[:2], dtype=jnp.float32)
+        o = jnp.zeros(q.shape, dtype=jnp.float32)
+        q_pos = rank * T + jnp.arange(T)
+
+        for step in range(P):
+            # after `step` forward hops, this device holds the block that
+            # originated on rank - step (mod P)
+            src = (rank - step) % P
+            s = jnp.einsum("btd,bsd->bts", q32, k.astype(jnp.float32)) * scale
+            if causal:
+                k_pos = src * T + jnp.arange(k.shape[1])
+                s = jnp.where(k_pos[None, None, :] <= q_pos[None, :, None],
+                              s, -jnp.inf)
+            m_new = jnp.maximum(m, s.max(axis=-1))
+            corr = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new[..., None])
+            l = l * corr + p.sum(axis=-1)
+            o = o * corr[..., None] + jnp.einsum(
+                "bts,bsd->btd", p, v.astype(jnp.float32)
+            )
+            m = m_new
+            if step + 1 < P:
+                k = lax.ppermute(k, axis, fwd)
+                v = lax.ppermute(v, axis, fwd)
+        return (o / l[..., None]).astype(q.dtype)
+
+    return ring
+
+
+@jax_funcify.register(UlyssesAttention)
+def _jax_ulysses_attention(op, node=None, **kwargs):
+    axis = op.axis_name
+    causal = op.causal
+
+    def ulysses(q, k, v):
+        import jax.numpy as jnp
+        from jax import lax
+
+        from aesara_tpu.tensor.nnet.attention import _attention_ref
+
+        if not _in_shard_map(axis):
+            return _attention_ref(q, k, v, causal, 1.0 / float(np.sqrt(q.shape[-1])))
+
+        P = lax.psum(1, axis)
+        if q.shape[0] % P:
+            raise ValueError(
+                f"Ulysses needs batch*heads ({q.shape[0]}) divisible by the "
+                f"'{axis}' axis size ({P})"
+            )
+        # seq-sharded (BH, T/P, D) → head-sharded (BH/P, T, D)
+        def to_heads(x):
+            return lax.all_to_all(x, axis, split_axis=0, concat_axis=1,
+                                  tiled=True)
+
+        def to_seq(x):
+            return lax.all_to_all(x, axis, split_axis=1, concat_axis=0,
+                                  tiled=True)
+
+        qh, kh, vh = to_heads(q), to_heads(k), to_heads(v)
+        scale = 1.0 / float(np.sqrt(q.shape[-1]))
+        if causal:
+            out = _attention_ref(qh, kh, vh, True, scale)
+        else:
+            out = _attention_ref(qh, kh, vh, False, scale)
+        return to_seq(out)
+
+    return ulysses

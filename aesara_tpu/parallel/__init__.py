@@ -44,3 +44,11 @@ from aesara_tpu.parallel.shard import (
     shard_map_function,
     use_mesh,
 )
+from aesara_tpu.parallel.attention import (
+    RingAttention,
+    UlyssesAttention,
+    attention_to_ring,
+    attention_to_ulysses,
+    ring_attention,
+    ulysses_attention,
+)

@@ -1,0 +1,118 @@
+"""Context/sequence-parallel attention (SURVEY §2.12/§7: "SP/CP via
+blockwise-scan ring attention rewrite; Ulysses via all_to_all head
+exchange").  The reference has no attention at all; these are the
+TPU-first specializations of the framework's ``FusedAttention`` op for
+sequence-sharded meshes.
+
+Both ops consume the LOCAL sequence shard (per shard_map semantics) and
+produce the local shard of the GLOBAL attention result:
+
+- ``RingAttention``: k/v blocks rotate around the mesh axis via
+  ``lax.ppermute`` while a running online-softmax (m, l, o) accumulates —
+  the (T, T) score matrix never exists, and each hop overlaps with the
+  next block's matmuls (the blockwise form of FlashAttention over ICI).
+- ``UlyssesAttention``: two ``lax.all_to_all`` hops re-shard from
+  sequence-parallel to head-parallel, run dense attention per head, and
+  shard back.  Cheaper when heads ≥ axis size and T is moderate.
+
+The world-size-1 oracle (``perform``) is plain attention, so py/XLA
+differential testing works unsharded, and an 8-device CPU mesh test
+checks the sharded result against the single-device reference.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aesara_tpu.graph.ir import Apply
+from aesara_tpu.graph.op import Op
+from aesara_tpu.tensor.basic import as_tensor_variable
+from aesara_tpu.tensor.nnet.attention import _attention_ref
+
+__all__ = ["RingAttention", "UlyssesAttention", "ring_attention",
+           "ulysses_attention", "context_parallel_db"]
+
+
+class _ShardedAttention(Op):
+    """Common contract: (BH, T_local, D) q, k, v → (BH, T_local, D)."""
+
+    __props__ = ("axis_name", "causal")
+    jax_never_fold = True  # collectives must stay symbolic under the trace
+
+    def __init__(self, axis_name: str, causal: bool = False):
+        self.axis_name = axis_name
+        self.causal = bool(causal)
+
+    def make_node(self, q, k, v):
+        q = as_tensor_variable(q)
+        k = as_tensor_variable(k)
+        v = as_tensor_variable(v)
+        if not (q.type.ndim == k.type.ndim == v.type.ndim == 3):
+            raise TypeError(f"{type(self).__name__} expects 3-d (BH, T, D) q/k/v")
+        return Apply(self, [q, k, v], [q.type()])
+
+    def perform(self, node, inputs, output_storage):
+        # world-size-1 oracle: the local shard IS the global sequence
+        import jax.numpy as jnp
+
+        q, k, v = inputs
+        scale = 1.0 / float(np.sqrt(q.shape[-1]))
+        res = _attention_ref(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+                             self.causal, scale)
+        output_storage[0][0] = np.asarray(res, dtype=node.outputs[0].type.dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def __str__(self):
+        return f"{type(self).__name__}{{{self.axis_name}, causal={self.causal}}}"
+
+
+class RingAttention(_ShardedAttention):
+    pass
+
+
+class UlyssesAttention(_ShardedAttention):
+    pass
+
+
+def ring_attention(q, k, v, axis_name, causal=False):
+    return RingAttention(axis_name, causal)(q, k, v)
+
+
+def ulysses_attention(q, k, v, axis_name, causal=False):
+    return UlyssesAttention(axis_name, causal)(q, k, v)
+
+
+# --- rewrite pack: FusedAttention → sharded form (opt-in) --------------------
+
+from aesara_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter  # noqa: E402
+from aesara_tpu.graph.rewriting.db import LocalGroupDB  # noqa: E402
+from aesara_tpu.tensor.nnet.attention import FusedAttention  # noqa: E402
+
+
+def attention_to_ring(axis_name: str):
+    """Build a rewriter mapping every FusedAttention onto a ring over
+    ``axis_name`` — apply when compiling a sequence-sharded graph."""
+
+    @node_rewriter([FusedAttention])
+    def local_attention_to_ring(fgraph, node):
+        new = RingAttention(axis_name, node.op.causal)(*node.inputs)
+        copy_stack_trace(node.outputs[0], new)
+        return [new]
+
+    return local_attention_to_ring
+
+
+def attention_to_ulysses(axis_name: str):
+    @node_rewriter([FusedAttention])
+    def local_attention_to_ulysses(fgraph, node):
+        new = UlyssesAttention(axis_name, node.op.causal)(*node.inputs)
+        copy_stack_trace(node.outputs[0], new)
+        return [new]
+
+    return local_attention_to_ulysses
+
+
+context_parallel_db = LocalGroupDB()
+context_parallel_db.name = "context_parallel_db"
