@@ -52,3 +52,5 @@ from aesara_tpu.parallel.attention import (
     ring_attention,
     ulysses_attention,
 )
+from aesara_tpu.parallel.pipeline import gpipe
+from aesara_tpu.parallel.moe import switch_moe
