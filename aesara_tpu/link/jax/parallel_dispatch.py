@@ -225,3 +225,20 @@ def _jax_ulysses_attention(op, node=None, **kwargs):
         return to_seq(out)
 
     return ulysses
+
+
+from aesara_tpu.parallel.attention import ShardedAttentionGrad  # noqa: E402
+
+
+@jax_funcify.register(ShardedAttentionGrad)
+def _jax_sharded_attention_grad(op, node=None, **kwargs):
+    from aesara_tpu.parallel.attention import RingAttention, UlyssesAttention
+
+    fwd_cls = RingAttention if op.kind == "ring" else UlyssesAttention
+    fwd = jax_funcify(fwd_cls(op.axis_name, op.causal))
+
+    def grad_fn(q, k, v, gz):
+        _, vjp = jax.vjp(fwd, q, k, v)
+        return tuple(vjp(gz.astype(q.dtype)))
+
+    return grad_fn

@@ -68,12 +68,60 @@ class _ShardedAttention(Op):
         return f"{type(self).__name__}{{{self.axis_name}, causal={self.causal}}}"
 
 
+class ShardedAttentionGrad(Op):
+    """vjp of ring/ulysses attention — the backward pass reverses the
+    collectives (jax derives the transposed ppermute/all_to_all), so CP
+    training is one program too.  Three outputs: (dq, dk, dv)."""
+
+    __props__ = ("axis_name", "causal", "kind")
+    jax_never_fold = True
+
+    def __init__(self, axis_name: str, causal: bool, kind: str):
+        self.axis_name = axis_name
+        self.causal = bool(causal)
+        if kind not in ("ring", "ulysses"):
+            raise ValueError(f"bad kind {kind}")
+        self.kind = kind
+
+    def make_node(self, q, k, v, gz):
+        q = as_tensor_variable(q)
+        k = as_tensor_variable(k)
+        v = as_tensor_variable(v)
+        gz = as_tensor_variable(gz)
+        return Apply(self, [q, k, v, gz], [q.type(), k.type(), v.type()])
+
+    def perform(self, node, inputs, output_storage):
+        # world-size-1 oracle: vjp of dense attention
+        import jax
+        import jax.numpy as jnp
+
+        q, k, v, gz = inputs
+        scale = 1.0 / float(np.sqrt(q.shape[-1]))
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _attention_ref(q_, k_, v_, self.causal, scale),
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        )
+        for i, g in enumerate(vjp(jnp.asarray(gz, dtype=q.dtype))):
+            output_storage[i][0] = np.asarray(g, dtype=inputs[i].dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0], input_shapes[1], input_shapes[2]]
+
+
 class RingAttention(_ShardedAttention):
-    pass
+    def L_op(self, inputs, outputs, output_grads):
+        g = ShardedAttentionGrad(self.axis_name, self.causal, "ring")(
+            *inputs, output_grads[0]
+        )
+        return [g[0], g[1], g[2]]
 
 
 class UlyssesAttention(_ShardedAttention):
-    pass
+    def L_op(self, inputs, outputs, output_grads):
+        g = ShardedAttentionGrad(self.axis_name, self.causal, "ulysses")(
+            *inputs, output_grads[0]
+        )
+        return [g[0], g[1], g[2]]
 
 
 def ring_attention(q, k, v, axis_name, causal=False):

@@ -99,3 +99,36 @@ def test_attention_to_ring_rewrite():
     new = res[0]
     assert isinstance(new.owner.op, RingAttention)
     assert new.owner.op.causal and new.owner.op.axis_name == "cp"
+
+
+@pytest.mark.parametrize("kind", ["ring", "ulysses"])
+def test_sharded_attention_gradients_match_dense(kind):
+    """d loss / d {q,k,v} through the sharded op == dense vjp."""
+    import jax.numpy as jnp
+
+    from aesara_tpu.gradient import grad
+
+    mesh = par.make_mesh({"cp": 8})
+    q = at.tensor3("q", dtype="float32")
+    k = at.tensor3("k", dtype="float32")
+    v = at.tensor3("v", dtype="float32")
+    builder = ring_attention if kind == "ring" else ulysses_attention
+    out = builder(q, k, v, "cp", causal=(kind == "ring"))
+    loss = (out ** 2).sum()
+    gq, gk, gv = grad(loss, [q, k, v])
+    f = par.shard_map_function(
+        [q, k, v], [gq, gk, gv], mesh=mesh,
+        in_specs=[(None, "cp", None)] * 3,
+        out_specs=[(None, "cp", None)] * 3,
+    )
+    qv, kv, vv = _qkv()
+    got = [np.asarray(g) for g in f(qv, kv, vv)]
+
+    def dense_loss(q_, k_, v_):
+        o = _attention_ref(q_, k_, v_, kind == "ring", 1.0 / np.sqrt(D))
+        return (o ** 2).sum()
+
+    want = jax.grad(dense_loss, argnums=(0, 1, 2))(
+        jnp.asarray(qv), jnp.asarray(kv), jnp.asarray(vv))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, np.asarray(w), rtol=5e-4, atol=5e-5)
