@@ -55,11 +55,20 @@ class AllReduce(Op):
         return input_shapes
 
     def grad(self, inputs, output_grads):
+        # SPMD transpose of psum is per-shard IDENTITY (jax's pbroadcast
+        # rule): out_d = Σ_i x_i and the cotangent is already replicated,
+        # so summing it again would scale gradients by the axis size
+        # (caught by the gpipe gradient-vs-dense test).
         (gz,) = output_grads
         if self.reduce_op == "sum":
-            return [AllReduce("sum", self.axis_name)(gz)]
+            return [gz]
         if self.reduce_op == "mean":
-            return [AllReduce("mean", self.axis_name)(gz)]
+            from aesara_tpu.tensor.basic import constant
+
+            n = AllReduce("sum", self.axis_name)(
+                constant(np.asarray(1.0, dtype=gz.type.dtype))
+            )
+            return [gz / n]
         from aesara_tpu.gradient import grad_not_implemented
 
         return [grad_not_implemented(self, 0, inputs[0], "pmax/pmin grad")]

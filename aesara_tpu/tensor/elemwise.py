@@ -111,7 +111,16 @@ class DimShuffle(Op):
                 grad_order[d] = i
         if x.type.dtype in discrete_dtypes:
             return [x.zeros_like()]
-        res = DimShuffle(gz.type.ndim, grad_order)(gz)
+        res = gz
+        # dims the forward broadcast in ('x') must be summed out of the
+        # cotangent before they can be dropped — gz's static shape there
+        # may be unknown (None) even though the VALUE broadcasts
+        aug = [i for i, d in enumerate(self.new_order) if d == "x"]
+        if aug:
+            from aesara_tpu.tensor.math import sum as _tsum
+
+            res = _tsum(res, axis=aug, keepdims=True)
+        res = DimShuffle(res.type.ndim, grad_order)(res)
         # restore any static-shape info lost through the round trip
         from aesara_tpu.tensor.shape import specify_shape
 

@@ -79,3 +79,39 @@ def test_switch_moe_capacity_drops_overflow():
     # tokens 0,1 routed (within capacity), the rest dropped to zero
     assert np.any(res[0] != 0) and np.any(res[1] != 0)
     assert np.allclose(res[2:], 0.0)
+
+
+def test_switch_moe_gradient_matches_dense():
+    import jax.numpy as jnp
+
+    from aesara_tpu.gradient import grad
+
+    E, B, D = 4, 8, 8
+    mesh = par.make_mesh({"ep": E, "dp": -1})
+    xm = at.matrix("xm", dtype="float32")
+    we = at.tensor3("we", dtype="float32")
+    xv = rng.normal(size=(B, D)).astype("float32")
+    wrv = rng.normal(size=(D, E)).astype("float32")
+    wev = (rng.normal(size=(E, D, D)) / np.sqrt(D)).astype("float32")
+
+    out = switch_moe(xm, at.dot(xm, at.as_tensor_variable(wrv)),
+                     lambda t: at.tanh(at.dot(t, we[0])), "ep",
+                     n_experts=E, capacity=B)
+    gwe = grad((out ** 2).sum(), we)
+    f = par.shard_map_function(
+        [xm, we], gwe, mesh=mesh,
+        in_specs=[None, ("ep", None, None)],
+        out_specs=[("ep", None, None)],
+    )
+    got = np.asarray(f(xv, wev))
+
+    def dense_moe_loss(w):
+        logits = jnp.asarray(xv) @ jnp.asarray(wrv)
+        p = jax.nn.softmax(logits, axis=-1)
+        chosen = p.argmax(axis=-1)
+        outs = [jnp.tanh(jnp.asarray(xv)[b] @ w[chosen[b]]) * p[b, chosen[b]]
+                for b in range(B)]
+        return (jnp.stack(outs) ** 2).sum()
+
+    want = np.asarray(jax.grad(dense_moe_loss)(jnp.asarray(wev)))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)

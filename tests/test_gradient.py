@@ -172,3 +172,22 @@ def test_jacobian():
     f = function([x], J)
     v = rng.normal(size=4)
     np.testing.assert_allclose(f(v), np.diag(2 * v))
+
+
+def test_dimshuffle_grad_sums_augmented_dims():
+    """Grad through a scalar→tensor broadcast where the cotangent's
+    static shape is unknown: the 'x' dims must be summed, not dropped."""
+    import numpy as np
+
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+    from aesara_tpu.tensor.elemwise import DimShuffle
+
+    c = at.scalar("c")
+    padded = DimShuffle(0, ("x", "x"))(c)      # () → (1, 1)
+    x = at.matrix("x")
+    out = (padded * x).sum()
+    g = atp.grad(out, c)
+    f = atp.function([c, x], g, mode="PY")
+    xv = np.arange(6.0).reshape(2, 3)
+    assert np.allclose(f(2.0, xv), xv.sum())
