@@ -106,3 +106,11 @@ def __getattr__(name):
     if name in lazy:
         return importlib.import_module(f"aesara_tpu.{name}")
     raise AttributeError(f"module 'aesara_tpu' has no attribute {name!r}")
+
+
+# deferred optdb registrations (modules that load while compile.mode is
+# still initializing)
+from aesara_tpu.parallel import attention as _par_attention  # noqa: E402
+
+_par_attention._register()
+del _par_attention

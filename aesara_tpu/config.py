@@ -194,6 +194,11 @@ config.add("pallas_fusion", BoolParam(False,
            doc="lower fused Composite elemwise chains to Pallas VPU kernels"))
 config.add("pallas_fusion_min_size", IntParam(8192,
            doc="min elements before a fused chain uses a Pallas kernel"))
+config.add("context_parallel_axis", StrParam("",
+           doc="mesh axis name; when set, FusedAttention graphs rewrite to "
+               "sequence-parallel attention over this axis at compile time"))
+config.add("context_parallel_impl", EnumStr("ring", ("ulysses",),
+           doc="sequence-parallel attention implementation"))
 config.add("scan__allow_gc", BoolParam(False, doc="parity flag; no-op on TPU"))
 config.add("scan__allow_output_prealloc", BoolParam(True, doc="parity flag"))
 config.add("scan__checkpoint_policy", EnumStr("nothing_saveable",

@@ -164,3 +164,47 @@ def attention_to_ulysses(axis_name: str):
 
 context_parallel_db = LocalGroupDB()
 context_parallel_db.name = "context_parallel_db"
+
+
+# flag-driven automatic form: any FusedAttention compiles context-parallel
+# when config.context_parallel_axis is set (the §2.12 "rewrite-pack
+# specialization of attention graphs")
+@node_rewriter([FusedAttention])
+def local_attention_context_parallel(fgraph, node):
+    from aesara_tpu.config import config
+
+    axis = config.context_parallel_axis
+    if not axis:
+        return False
+    cls = RingAttention if config.context_parallel_impl == "ring" else UlyssesAttention
+    new = cls(axis, node.op.causal)(*node.inputs)
+    copy_stack_trace(node.outputs[0], new)
+    return [new]
+
+
+_registered = False
+
+
+def _register():
+    """Idempotent optdb hookup — deferred because this module loads while
+    compile.mode is still initializing (called again from the package
+    root once the pipeline exists)."""
+    global _registered
+    if _registered:
+        return
+    try:
+        from aesara_tpu.compile.mode import optdb
+    except ImportError:
+        return
+    from aesara_tpu.graph.rewriting.basic import in2out
+
+    optdb.register(
+        "local_attention_context_parallel",
+        in2out(local_attention_context_parallel,
+               name="local_attention_context_parallel"),
+        "fast_run", "context_parallel", position=2.05,
+    )
+    _registered = True
+
+
+_register()

@@ -132,3 +132,26 @@ def test_sharded_attention_gradients_match_dense(kind):
         jnp.asarray(qv), jnp.asarray(kv), jnp.asarray(vv))
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, np.asarray(w), rtol=5e-4, atol=5e-5)
+
+
+def test_flag_driven_context_parallel_compile():
+    """config.context_parallel_axis turns ANY FusedAttention graph
+    context-parallel at compile time (the rewrite-pack form)."""
+    import jax.numpy as jnp
+
+    from aesara_tpu.config import config
+    from aesara_tpu.tensor.nnet.attention import fused_attention
+
+    q = at.tensor3("q", dtype="float32")
+    k = at.tensor3("k", dtype="float32")
+    v = at.tensor3("v", dtype="float32")
+    out = fused_attention(q, k, v, causal=True)
+    mesh = par.make_mesh({"cp": 8})
+    with config.change_flags(context_parallel_axis="cp"):
+        f = par.shard_map_function([q, k, v], out, mesh=mesh,
+                                   in_specs=[(None, "cp", None)] * 3,
+                                   out_specs=[(None, "cp", None)])
+    qv, kv, vv = _qkv()
+    np.testing.assert_allclose(np.asarray(f(qv, kv, vv)),
+                               _dense(qv, kv, vv, True),
+                               rtol=2e-4, atol=2e-5)
