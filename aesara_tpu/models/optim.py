@@ -53,18 +53,37 @@ def rmsprop(cost, params: Sequence, lr: float = 0.001, rho: float = 0.9,
 
 
 def adam(cost, params: Sequence, lr: float = 0.001, b1: float = 0.9,
-         b2: float = 0.999, eps: float = 1e-8) -> List[Tuple]:
+         b2: float = 0.999, eps: float = 1e-8,
+         state_shard_axis: str | None = None,
+         state_shard_size: int | None = None) -> List[Tuple]:
     """Adam (Kingma & Ba 2015) with bias correction via a shared step
-    counter — the whole optimizer is part of the single jitted step."""
+    counter — the whole optimizer is part of the single jitted step.
+
+    ``state_shard_axis`` is ZeRO-1: the m/v moment buffers get a
+    sharding annotation along their largest dimension over that mesh
+    axis, so under ``pjit_function`` GSPMD keeps optimizer state
+    partitioned across the data-parallel ranks (each rank stores and
+    updates 1/N of it, with the gradient reduce-scattered and the fresh
+    params all-gathered by XLA) instead of replicating ~2x param memory
+    per rank.  Pass ``state_shard_size`` (the mesh axis size) so buffers
+    whose dims don't divide evenly — small biases — stay replicated."""
     t = shared(np.asarray(0.0, dtype="float32"), name="adam_t")
     t_new = t + 1.0
     updates = [(t, t_new)]
     for p, g in zip(params, _grads(cost, params)):
         dt = p.get_value().dtype
-        m = shared(np.zeros(p.get_value().shape, dtype=dt),
-                   name=(p.name or "p") + "_m")
-        v = shared(np.zeros(p.get_value().shape, dtype=dt),
-                   name=(p.name or "p") + "_v")
+        shape = p.get_value().shape
+        sharding = None
+        if state_shard_axis is not None and len(shape):
+            dim = int(np.argmax(shape))
+            if state_shard_size is None or shape[dim] % state_shard_size == 0:
+                spec = [None] * len(shape)
+                spec[dim] = state_shard_axis
+                sharding = tuple(spec)
+        m = shared(np.zeros(shape, dtype=dt),
+                   name=(p.name or "p") + "_m", sharding=sharding)
+        v = shared(np.zeros(shape, dtype=dt),
+                   name=(p.name or "p") + "_v", sharding=sharding)
         m_new = b1 * m + (1.0 - b1) * g
         v_new = b2 * v + (1.0 - b2) * g * g
         m_hat = m_new / (1.0 - tm.pow(cast(b1, "float32"), t_new))

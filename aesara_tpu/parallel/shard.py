@@ -178,9 +178,17 @@ def pjit_function(
             n_explicit + [id(s) for s in shared_vars].index(id(sv))
             for sv, _ in update_pairs
         )
+    # pin update outputs to their shared variable's declared sharding:
+    # otherwise XLA may propagate a different layout onto the new state
+    # (e.g. ZeRO-sharded moments pulling params sharded) and the NEXT
+    # call's declared input sharding would mismatch the stored buffer
+    out_shardings = tuple([None] * len(out_vars)) + tuple(
+        to_sharding(getattr(sv.type, "sharding", None)) for sv, _ in update_pairs
+    )
     with mesh:
         jitted = jax.jit(
-            fn, in_shardings=tuple(shardings), donate_argnums=donate
+            fn, in_shardings=tuple(shardings),
+            out_shardings=out_shardings, donate_argnums=donate,
         )
     return ShardedFunction(
         jitted, mesh, explicit, shared_vars, update_pairs,

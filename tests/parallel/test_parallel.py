@@ -140,3 +140,46 @@ def test_collectives_py_mode_single_rank():
     f = function([x], out, mode="PY")
     v = rng.normal(size=4)
     np.testing.assert_allclose(f(v), 2 * v)
+
+
+def test_adam_zero1_state_sharding():
+    """ZeRO-1: adam's m/v buffers carry a dp sharding annotation; the
+    pjit training step compiles, trains, and GSPMD actually partitions
+    the moment buffers across the mesh."""
+    from aesara_tpu.models import MLP, adam
+
+    mesh = par.make_mesh({"data": 8})
+    x = at.matrix("x", dtype="float32")
+    y = at.vector("y", dtype="int64")
+    model = MLP(16, [32], 4)
+    cost = model.loss(x, y)
+    updates = adam(cost, model.params, lr=1e-2, state_shard_axis="data",
+                   state_shard_size=8)
+
+    # the moment shareds are annotated
+    moment_shareds = [sv for sv, _ in updates
+                      if sv.name and (sv.name.endswith("_m") or sv.name.endswith("_v"))
+                      and sv.type.ndim]
+    assert moment_shareds
+    # large weight moments annotated; indivisible bias moments replicated
+    annotated = [sv for sv in moment_shareds
+                 if sv.type.sharding and "data" in sv.type.sharding]
+    assert annotated
+
+    step = par.pjit_function([x, y], cost, mesh=mesh,
+                             in_specs=[("data", None), ("data",)],
+                             updates=dict(updates))
+    xv = rng.normal(size=(16, 16)).astype("float32")
+    yv = rng.integers(0, 4, size=16)
+    l0 = float(np.asarray(step(xv, yv)))
+    for _ in range(5):
+        l1 = float(np.asarray(step(xv, yv)))
+    assert np.isfinite(l1) and l1 < l0
+
+    # GSPMD actually placed the moments sharded: per-device shard of the
+    # largest moment buffer is 1/8 of the full rows
+    big = max(annotated, key=lambda sv: np.prod(sv.container.storage[0].shape))
+    val = big.container.storage[0]
+    if hasattr(val, "sharding") and hasattr(val.sharding, "shard_shape"):
+        shard = val.sharding.shard_shape(val.shape)
+        assert np.prod(shard) < np.prod(val.shape)
