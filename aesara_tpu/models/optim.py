@@ -23,17 +23,35 @@ def _grads(cost, params):
     return _grad(cost, list(params))
 
 
+def _state_sharding(shape, state_shard_axis, state_shard_size):
+    """ZeRO-1 annotation: shard the largest dim over the given mesh axis
+    when it divides evenly; None (replicated) otherwise."""
+    if state_shard_axis is None or not len(shape):
+        return None
+    dim = int(np.argmax(shape))
+    if state_shard_size is not None and shape[dim] % state_shard_size:
+        return None
+    spec = [None] * len(shape)
+    spec[dim] = state_shard_axis
+    return tuple(spec)
+
+
 def sgd(cost, params: Sequence, lr: float = 0.01) -> List[Tuple]:
     """Plain stochastic gradient descent."""
     return [(p, p - lr * g) for p, g in zip(params, _grads(cost, params))]
 
 
-def momentum(cost, params: Sequence, lr: float = 0.01, mu: float = 0.9) -> List[Tuple]:
-    """Polyak momentum; one velocity buffer per parameter."""
+def momentum(cost, params: Sequence, lr: float = 0.01, mu: float = 0.9,
+             state_shard_axis: str | None = None,
+             state_shard_size: int | None = None) -> List[Tuple]:
+    """Polyak momentum; one velocity buffer per parameter (optionally
+    ZeRO-1 sharded, see ``adam``)."""
     updates = []
     for p, g in zip(params, _grads(cost, params)):
         v = shared(np.zeros(p.get_value().shape, dtype=p.get_value().dtype),
-                   name=(p.name or "p") + "_vel")
+                   name=(p.name or "p") + "_vel",
+                   sharding=_state_sharding(p.get_value().shape,
+                                            state_shard_axis, state_shard_size))
         v_new = mu * v - lr * g
         updates.append((v, v_new))
         updates.append((p, p + v_new))
@@ -41,11 +59,17 @@ def momentum(cost, params: Sequence, lr: float = 0.01, mu: float = 0.9) -> List[
 
 
 def rmsprop(cost, params: Sequence, lr: float = 0.001, rho: float = 0.9,
-            eps: float = 1e-8) -> List[Tuple]:
+            eps: float = 1e-8,
+            state_shard_axis: str | None = None,
+            state_shard_size: int | None = None) -> List[Tuple]:
+    """RMSProp; squared-gradient accumulator per parameter (optionally
+    ZeRO-1 sharded, see ``adam``)."""
     updates = []
     for p, g in zip(params, _grads(cost, params)):
         acc = shared(np.zeros(p.get_value().shape, dtype=p.get_value().dtype),
-                     name=(p.name or "p") + "_acc")
+                     name=(p.name or "p") + "_acc",
+                     sharding=_state_sharding(p.get_value().shape,
+                                              state_shard_axis, state_shard_size))
         acc_new = rho * acc + (1.0 - rho) * g * g
         updates.append((acc, acc_new))
         updates.append((p, p - lr * g / tm.sqrt(acc_new + eps)))
@@ -73,13 +97,7 @@ def adam(cost, params: Sequence, lr: float = 0.001, b1: float = 0.9,
     for p, g in zip(params, _grads(cost, params)):
         dt = p.get_value().dtype
         shape = p.get_value().shape
-        sharding = None
-        if state_shard_axis is not None and len(shape):
-            dim = int(np.argmax(shape))
-            if state_shard_size is None or shape[dim] % state_shard_size == 0:
-                spec = [None] * len(shape)
-                spec[dim] = state_shard_axis
-                sharding = tuple(spec)
+        sharding = _state_sharding(shape, state_shard_axis, state_shard_size)
         m = shared(np.zeros(shape, dtype=dt),
                    name=(p.name or "p") + "_m", sharding=sharding)
         v = shared(np.zeros(shape, dtype=dt),
