@@ -371,7 +371,33 @@ def _jax_scalar_op(op, node=None, **kwargs):
 
 @jax_funcify.register(Elemwise)
 def _jax_elemwise(op, node=None, **kwargs):
-    base = scalar_jax_impl(op.scalar_op)
+    inner = scalar_jax_impl(op.scalar_op)
+    if node is not None:
+        # aesara semantics: only STATIC-1 dims broadcast.  jnp would
+        # silently broadcast a runtime-1 dim; shapes are concrete at trace
+        # time, so enforce the py-mode rule here and keep the backends
+        # bit-consistent (caught by the differential fuzzer).
+        static_shapes = [tuple(i.type.shape) for i in node.inputs]
+
+        def base(*args):
+            shapes = [jnp.shape(a) for a in args]
+            ndim = max((len(s) for s in shapes), default=0)
+            for d in range(ndim):
+                dims = [s[d - ndim + len(s)] if d - ndim + len(s) >= 0 else 1
+                        for s in shapes]
+                target = max(dims)
+                if target == 1:
+                    continue
+                for a_i, (s, st) in enumerate(zip(shapes, static_shapes)):
+                    k = d - ndim + len(s)
+                    if k >= 0 and s[k] == 1 and st[k] is None:
+                        raise ValueError(
+                            f"runtime broadcasting of non-broadcastable dim "
+                            f"{k} (static shape {st}, got {s})"
+                        )
+            return inner(*args)
+    else:
+        base = inner
     # fused Composite chains can lower to one Pallas VPU kernel
     # (config.pallas_fusion; SURVEY §7 stage 9)
     try:

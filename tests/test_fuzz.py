@@ -98,3 +98,18 @@ def test_fuzz_gradients_agree(seed):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10
         )
+
+
+def test_runtime_broadcast_rejected_on_all_backends():
+    """Only STATIC-1 dims broadcast (reference semantics): a runtime-1
+    dim with static None must raise on the py AND XLA paths alike
+    (found by the extended fuzz sweep, seed 28)."""
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
+    out = x + y
+    xv = np.ones((1, 6))
+    yv = np.ones((4, 6))
+    for mode in (py_mode, jax_mode, "FAST_RUN"):
+        f = function([x, y], out, mode=mode)
+        with pytest.raises(ValueError, match="runtime broadcasting"):
+            f(xv, yv)
