@@ -20,6 +20,7 @@ from jax import lax
 
 from aesara_tpu import scalar as aes
 from aesara_tpu.config import config
+from aesara_tpu.graph.ir import Constant
 from aesara_tpu.graph.op import Op
 from aesara_tpu.scalar import math as aesm
 from aesara_tpu.scalar.ops import ScalarOp, ScalarType
@@ -757,6 +758,20 @@ def _jax_adv_inc_subtensor1(op, node=None, **kwargs):
 @jax_funcify.register(tst.AdvancedSubtensor)
 def _jax_adv_subtensor(op, node=None, **kwargs):
     idx_list = op.idx_list
+    if node is not None and any(
+        getattr(i.type, "dtype", None) == "bool" and not isinstance(i, Constant)
+        for i in node.inputs[1:]
+    ):
+        # a non-constant mask means a data-dependent output length —
+        # surface the inherent limitation at COMPILE time with a fix,
+        # instead of jax's NonConcreteBooleanIndexError mid-trace
+        # (constant masks are concrete under the trace and lower fine)
+        raise NotImplementedError(
+            "boolean-mask indexing with a non-constant mask has a "
+            "data-dependent output length and cannot lower to XLA; run "
+            "this graph in mode=\"PY\", or use where/switch to keep a "
+            "static shape"
+        )
 
     def adv_subtensor(x, *idx_inputs):
         idx = _decode_fancy_jax(idx_list, idx_inputs)

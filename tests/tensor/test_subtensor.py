@@ -166,3 +166,14 @@ class TestAdvanced:
         v = fm(4, 5)
         res = compare_jax_and_py([x], at.take(x, at.constant(np.array([1, 3])), axis=1), [v])
         np.testing.assert_allclose(np.asarray(res[0]), np.take(v, [1, 3], axis=1), rtol=1e-6)
+
+
+def test_boolean_mask_jax_mode_actionable_error():
+    """Boolean-mask gather is inherently dynamic-length: JAX mode must
+    fail at COMPILE time with a message pointing at mode="PY"/where."""
+    import aesara_tpu as atp
+    from tests.utils import jax_mode
+
+    x = at.matrix("x", dtype="float64")
+    with pytest.raises(NotImplementedError, match='mode="PY"'):
+        atp.function([x], x[x > 0.3], mode=jax_mode)
