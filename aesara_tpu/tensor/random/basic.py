@@ -358,10 +358,23 @@ class ChoiceRV(RandomVariable):
         return RandomVariable.make_node(op, rng, size, a, *rest)
 
     def rng_fn(self, key, size, a, p=None):
+        # formulated as randint/categorical + gather instead of
+        # jax.random.choice: a scalar ``a`` stays traced-safe under jit
+        # (jr.choice needs a concrete population size)
+        import jax.numpy as jnp
         import jax.random as jr
 
         shape = tuple(size) if size is not None else ()
-        return jr.choice(key, _jnp(a), shape=shape, p=None if p is None else _jnp(p))
+        a = _jnp(a)
+        if p is None:
+            if a.ndim == 0:
+                return jr.randint(key, shape, 0, a)
+            idx = jr.randint(key, shape, 0, a.shape[0])
+            return a[idx]
+        idx = jr.categorical(key, jnp.log(_jnp(p)), shape=shape)
+        if a.ndim == 0:
+            return idx.astype(a.dtype)
+        return a[idx]
 
 
 class PermutationRV(RandomVariable):
@@ -372,6 +385,20 @@ class PermutationRV(RandomVariable):
         from aesara_tpu.tensor.basic import as_tensor_variable
 
         x = as_tensor_variable(x)
+        if x.type.ndim == 0:
+            # permutation(n) == shuffled arange(n); the output LENGTH is
+            # n's value, so n must be constant (XLA static shapes) —
+            # materialize the arange here and reuse the array path
+            from aesara_tpu.tensor.basic import get_scalar_constant_value
+
+            try:
+                n = int(get_scalar_constant_value(x))
+            except Exception:
+                raise NotImplementedError(
+                    "permutation(n) needs a constant n: the output length "
+                    "is n's value (pass an explicit arange otherwise)"
+                )
+            x = as_tensor_variable(np.arange(n, dtype=x.type.dtype))
         op = PermutationRV()
         op.dtype = x.type.dtype
         return RandomVariable.make_node(op, rng, size, x)

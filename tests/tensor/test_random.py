@@ -108,3 +108,34 @@ def test_no_default_updates_freezes_draws():
     u = srng.uniform(size=(3,))
     f = function([], u, no_default_updates=True, mode="JAX")
     np.testing.assert_allclose(f(), f())
+
+
+def test_choice_permutation_jit_bit_identity():
+    """choice (scalar + array population, with p) and permutation
+    (scalar n + array) draw bit-identically on py and JAX paths —
+    scalar choice used to hit jr.choice's concrete-size requirement,
+    scalar permutation crashed shape inference."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from tests.utils import jax_mode, py_mode
+
+    cases = [
+        ("choice", dict(a=5, size=(4,))),
+        ("choice", dict(a=np.arange(10.0, 15.0), size=(6,))),
+        ("choice", dict(a=4, p=np.array([0.1, 0.2, 0.3, 0.4]), size=(5,))),
+        ("permutation", dict(x=6)),
+        ("permutation", dict(x=np.arange(8.0))),
+    ]
+    for name, kw in cases:
+        draws = []
+        for mode in (py_mode, jax_mode):
+            srng = RandomStream(seed=7)
+            f = atp.function([], getattr(srng, name)(**kw), mode=mode)
+            draws.append(np.asarray(f()))
+        assert np.array_equal(draws[0], draws[1]), (name, kw)
+    # scalar permutation of a NON-constant n is rejected with guidance
+    n = at.scalar("n", dtype="int64")
+    srng = RandomStream(seed=7)
+    with pytest.raises(NotImplementedError, match="constant n"):
+        srng.permutation(n)
