@@ -367,13 +367,12 @@ class Scan(Op, HasInnerGraph):
         pos += info.n_shared
         non_seqs = inputs[pos:]
 
-        n_rec = info.n_mit_sot + info.n_sit_sot
+        n_rec0 = n_rec = info.n_mit_sot + info.n_sit_sot
         rec_outs = outputs[:n_rec]
         nit_outs = outputs[n_rec: n_rec + info.n_nit_sot]
 
         # unified tap structure: mit outputs then sit outputs
         all_taps = [tuple(t) for t in info.mit_sot_taps] + [(-1,)] * info.n_sit_sot
-        depths = [-min(t) for t in all_taps]
         # unified init buffers with a leading window axis
         init_bufs = list(mit_inits) + [shape_padleft(v, 1) for v in sit_inits]
 
@@ -391,18 +390,107 @@ class Scan(Op, HasInnerGraph):
         i_nonseqs = inner_in[p:]
         o_rec = inner_out[:n_rec]
         o_nit = inner_out[n_rec: n_rec + info.n_nit_sot]
+        o_shr = inner_out[n_rec + info.n_nit_sot:
+                          n_rec + info.n_nit_sot + info.n_shared]
+
+        def _inner_grad(known, wrt):
+            gs = sym_grad(
+                None, wrt, known_grads=known,
+                disconnected_inputs="ignore", return_disconnected="zero",
+            )
+            return gs if isinstance(gs, list) else [gs]
 
         g_o_rec = [o.type() for o in o_rec]
         g_o_nit = [o.type() for o in o_nit]
         known = dict(zip(list(o_rec) + list(o_nit), g_o_rec + g_o_nit))
         flat_taps = [tv for tvs in i_taps_per_out for tv in tvs]
-        wrt = list(i_seqs) + flat_taps + list(i_nonseqs)
-        inner_grads = sym_grad(
-            None, wrt, known_grads=known,
-            disconnected_inputs="ignore", return_disconnected="zero",
+        base_wrt = list(i_seqs) + flat_taps + list(i_nonseqs)
+        if known:
+            inner_grads = _inner_grad(known, base_wrt)
+        else:
+            # shared-updates-only loop: nothing flows through rec/nit
+            inner_grads = [tb.zeros_like(v) for v in base_wrt]
+
+        # --- does any gradient actually flow through shared state? ----------
+        # Two channels (reference scan/op.py:2379 saves per-step hidden
+        # states for exactly this): (a) an inner grad expression reads the
+        # per-step shared value, (b) the caller's cost depends on a shared
+        # FINAL output (live cotangent).  Substituting the *initial* outer
+        # value for (a) — what this code once did — is silently wrong.
+        from aesara_tpu.graph.ir import ancestors as _ancestors
+
+        shared_cots = list(
+            output_grads[n_rec + info.n_nit_sot:
+                         n_rec + info.n_nit_sot + info.n_shared]
         )
-        if not isinstance(inner_grads, list):
-            inner_grads = [inner_grads]
+        cot_live = [
+            not isinstance(og.type, (DisconnectedType, NullType))
+            for og in shared_cots
+        ]
+        grads_read_shared = info.n_shared > 0 and bool(
+            set(i_shared) & set(_ancestors(inner_grads))
+        )
+        thread_shared = any(cot_live) or grads_read_shared
+
+        n_thr = 0
+        shared_stacks = []
+        if thread_shared:
+            if not all(isinstance(sv.type, TensorType) for sv in i_shared):
+                return [disconnected_type()] + [
+                    grad_not_implemented(
+                        self, 1 + i, inp,
+                        "gradient flows through a non-tensor Scan shared "
+                        "state (e.g. an RNG stream); per-step state cannot "
+                        "be replayed — restructure the loop to thread that "
+                        "state as an explicit recurrent output",
+                    )
+                    for i, inp in enumerate(inputs[1:])
+                ]
+            # Replay the forward pass with shared states reclassified as
+            # sit-sots so their full per-step history is stacked.  Inner
+            # input order is unchanged (shared slots sit exactly where the
+            # extra sit-sot taps go); outputs are reordered rec+shared+nit.
+            n_thr = info.n_shared
+            aux_fg = FunctionGraph(
+                list(inner_in), list(o_rec) + list(o_shr) + list(o_nit),
+                clone=True,
+            )
+            aux_info = ScanInfo(
+                n_seqs=info.n_seqs,
+                mit_sot_taps=info.mit_sot_taps,
+                n_sit_sot=info.n_sit_sot + n_thr,
+                n_nit_sot=info.n_nit_sot,
+                n_shared=0,
+                n_non_seqs=info.n_non_seqs,
+            )
+            aux_op = Scan(aux_fg, aux_info, name=f"{self.name}_grad_replay",
+                          mode=self.mode)
+            aux_outs = aux_op(
+                n_steps, *seqs, *mit_inits, *sit_inits, *shared_inits,
+                *non_seqs,
+            )
+            if not isinstance(aux_outs, (list, tuple)):
+                aux_outs = [aux_outs]
+            shared_stacks = list(aux_outs[n_rec: n_rec + n_thr])
+
+            # fold shared states into the unified sit-sot machinery
+            all_taps = all_taps + [(-1,)] * n_thr
+            init_bufs = init_bufs + [shape_padleft(v, 1) for v in shared_inits]
+            rec_outs = list(rec_outs) + shared_stacks
+            i_taps_per_out = i_taps_per_out + [[sv] for sv in i_shared]
+            flat_taps = flat_taps + list(i_shared)
+            g_o_shr = [o.type() for o in o_shr]
+            g_o_rec = g_o_rec + g_o_shr
+            known = dict(
+                zip(list(o_rec) + list(o_shr) + list(o_nit),
+                    g_o_rec + g_o_nit)
+            )
+            inner_grads = _inner_grad(
+                known, list(i_seqs) + flat_taps + list(i_nonseqs)
+            )
+            n_rec = n_rec + n_thr
+
+        depths = [-min(t) for t in all_taps]
         g_i_seqs = inner_grads[: info.n_seqs]
         g_i_taps = inner_grads[info.n_seqs: info.n_seqs + len(flat_taps)]
         g_i_nonseqs = inner_grads[info.n_seqs + len(flat_taps):]
@@ -441,12 +529,21 @@ class Scan(Op, HasInnerGraph):
                 tap_seqs.append(rev_trunc(sl))
 
         g_rec_out = []
-        for i, og in enumerate(output_grads[:n_rec]):
+        for i, og in enumerate(output_grads[:n_rec0]):
             if isinstance(og.type, (DisconnectedType, NullType)):
                 og = tb.zeros_like(rec_outs[i])
             g_rec_out.append(rev_trunc(og))
+        for i in range(n_thr):
+            # shared-final cotangent enters at step T only = first
+            # reversed row; zero elsewhere
+            base = rev_trunc(tb.zeros_like(shared_stacks[i]))
+            if cot_live[i]:
+                base = set_subtensor(base[0], shared_cots[i])
+            g_rec_out.append(base)
         g_nit_out = []
-        for i, og in enumerate(output_grads[n_rec: n_rec + info.n_nit_sot]):
+        for i, og in enumerate(
+            output_grads[n_rec0: n_rec0 + info.n_nit_sot]
+        ):
             if isinstance(og.type, (DisconnectedType, NullType)):
                 og = tb.zeros_like(nit_outs[i])
             g_nit_out.append(rev_trunc(og))
@@ -487,8 +584,11 @@ class Scan(Op, HasInnerGraph):
                 for tv in tvs:
                     replace[tv] = b_taps[k]
                     k += 1
-            for iv, v in zip(i_shared, shared_inits):
-                replace[iv] = v  # shared state grads unsupported; value needed
+            if not thread_shared:
+                # grads provably don't read shared state (checked above);
+                # entries are dead but keep values complete
+                for iv, v in zip(i_shared, shared_inits):
+                    replace[iv] = v
             for iv, v in zip(i_nonseqs, b_nonseqs):
                 replace[iv] = v
             for gv, v in zip(g_o_rec, ghat):
@@ -562,7 +662,9 @@ class Scan(Op, HasInnerGraph):
                 g = tb.join(0, pad, g)
             rval.append(g)
         # grads wrt initial tap buffers: final pending window; zero when
-        # truncation stopped the reverse sweep before reaching t=1
+        # truncation stopped the reverse sweep before reaching t=1.  When
+        # shared states were threaded, the tail n_thr windows are the
+        # grads wrt the shared inits (sit-sot formula).
         for i in range(n_rec):
             final_pend = r_pend_stacks[i][-1]
             if n_back is not None:
@@ -574,16 +676,17 @@ class Scan(Op, HasInnerGraph):
                 rval.append(final_pend)
             else:
                 rval.append(final_pend[0])  # sit-sot init is a single step
-        for i in range(info.n_shared):
-            rval.append(grad_not_implemented(
-                self, 1 + info.n_seqs + n_rec + i, shared_inits[i],
-                "gradient through Scan shared states not supported",
-            ))
+        if not thread_shared:
+            for i in range(info.n_shared):
+                rval.append(grad_not_implemented(
+                    self, 1 + info.n_seqs + n_rec + i, shared_inits[i],
+                    "gradient through Scan shared states not supported",
+                ))
         wi = 0
         for k, gwi in enumerate(gw_inits):
             if gwi is None:
                 rval.append(grad_undefined(
-                    self, 1 + info.n_seqs + n_rec + info.n_shared + k,
+                    self, 1 + info.n_seqs + n_rec0 + info.n_shared + k,
                     non_seqs[k],
                 ))
             else:
