@@ -499,12 +499,36 @@ class numeric_grad:
         return abs(a - b), abs(a - b) / (abs(a) + abs(b) + 1e-8)
 
     def max_err(self, g_pt, abs_tol, rel_tol):
-        pos, errs = [], []
-        for i, (a, b) in enumerate(zip(self.gf, g_pt)):
-            abs_err, rel_err = self.abs_rel_err(a, np.asarray(b, dtype=np.float64))
-            errs.append((abs_err.max() if abs_err.size else 0.0,
-                         rel_err.max() if rel_err.size else 0.0))
-        return errs
+        """Worst tolerance violation between ``g_pt`` and the numeric grads.
+
+        Reference contract (``gradient.py:1556``): for each argument,
+        scale errors by the tolerances (``min(abs_err/abs_tol,
+        rel_err/rel_tol)`` — a value > 1 means BOTH tolerances are
+        exceeded), find the elementwise argmax, then return
+        ``(max_arg, max_pos, abs_err, rel_err)`` for the globally worst
+        element.
+        """
+        if len(g_pt) != len(self.gf):
+            raise ValueError("argument count mismatch", len(g_pt), len(self.gf))
+        pos, errs, abs_errs, rel_errs = [], [], [], []
+        for a, b in zip(g_pt, self.gf):
+            abs_err, rel_err = self.abs_rel_err(
+                np.asarray(a, dtype=np.float64), b
+            )
+            if abs_err.size == 0:
+                pos.append(0)
+                errs.append(0.0)
+                abs_errs.append(0.0)
+                rel_errs.append(0.0)
+                continue
+            scaled = np.minimum(abs_err / abs_tol, rel_err / rel_tol)
+            max_i = int(scaled.argmax())
+            pos.append(max_i)
+            errs.append(float(scaled.reshape(-1)[max_i]))
+            abs_errs.append(float(np.asarray(abs_err).reshape(-1)[max_i]))
+            rel_errs.append(float(np.asarray(rel_err).reshape(-1)[max_i]))
+        max_arg = int(np.argmax(errs))
+        return (max_arg, pos[max_arg], abs_errs[max_arg], rel_errs[max_arg])
 
 
 def verify_grad(

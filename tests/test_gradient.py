@@ -191,3 +191,26 @@ def test_dimshuffle_grad_sums_augmented_dims():
     f = atp.function([c, x], g, mode="PY")
     xv = np.arange(6.0).reshape(2, 3)
     assert np.allclose(f(2.0, xv), xv.sum())
+
+
+def test_numeric_grad_max_err_contract():
+    """max_err honors tolerances and returns the reference's aggregated
+    (max_arg, max_pos, abs_err, rel_err) shape (ref gradient.py:1556)."""
+    from aesara_tpu.gradient import numeric_grad
+
+    def f(a, b):
+        return (a ** 2).sum() + (3.0 * b).sum()
+
+    pt = [np.array([1.0, 2.0]), np.array([0.5])]
+    ng = numeric_grad(f, pt)
+    # exact analytic grads -> tiny errors
+    good = [np.array([2.0, 4.0]), np.array([3.0])]
+    max_arg, max_pos, abs_err, rel_err = ng.max_err(good, 1e-5, 1e-5)
+    assert min(abs_err / 1e-5, rel_err / 1e-5) < 1.0
+    # corrupt one element of arg 0 -> it must be flagged, scaled > 1
+    bad = [np.array([2.0, 9.0]), np.array([3.0])]
+    max_arg, max_pos, abs_err, rel_err = ng.max_err(bad, 1e-5, 1e-5)
+    assert max_arg == 0 and max_pos == 1
+    assert abs_err > 1.0 and rel_err > 0.1
+    with pytest.raises(ValueError):
+        ng.max_err([good[0]], 1e-5, 1e-5)
