@@ -129,13 +129,32 @@ class OpFromGraph(Op, HasInnerGraph):
             storage[0] = r
 
     def infer_shape(self, fgraph, node, input_shapes):
-        # propagate through the inner graph symbolically: substitute outer
-        # inputs and read the inner outputs' shapes
-        from aesara_tpu.tensor.shape import shape as tshape
-
+        # propagate through the inner graph symbolically, then re-express
+        # the resulting shape graphs over the OUTER inputs (clone_replace
+        # re-embeds any inner intermediates they reference)
+        inner_shapes = infer_shape(
+            list(self.fgraph.outputs), list(self.fgraph.inputs), input_shapes
+        )
+        repl = dict(zip(self.fgraph.inputs, node.inputs))
+        flat, spans = [], []
+        for sh in inner_shapes:
+            if sh is None:
+                spans.append(None)
+            else:
+                spans.append((len(flat), len(flat) + len(sh)))
+                flat.extend(sh)
+        cloned = clone_replace(flat, replace=repl) if flat else []
         out = []
-        for o in node.outputs:
-            out.append(tuple(tshape(o)[d] for d in range(o.type.ndim)))
+        for o, span in zip(node.outputs, spans):
+            if span is None:
+                from aesara_tpu.tensor.shape import shape as tshape
+
+                out.append(
+                    tuple(tshape(o)[d] for d in range(o.type.ndim))
+                    if hasattr(o.type, "ndim") else None
+                )
+            else:
+                out.append(tuple(cloned[span[0]: span[1]]))
         return out
 
     def connection_pattern(self, node):
@@ -230,19 +249,57 @@ inline_ofg_expansion = _inline_ofg_node
 
 
 def infer_shape(outs, inputs, input_shapes):
-    """Compute output shapes of a graph given input shapes (reference
-    ``builders.py infer_shape``)."""
+    """Compute output shapes of a graph given symbolic input shapes
+    WITHOUT compiling it (reference ``builders.py:32``).
+
+    Seeds a detached ``ShapeFeature`` with ``input_shapes`` and walks
+    the graph backward from ``outs``, running each op's ``infer_shape``
+    rule; returns one tuple of int64 scalar Variables per output (or
+    ``None`` for non-tensor outputs).
+    """
     from aesara_tpu.graph.fg import FunctionGraph
     from aesara_tpu.tensor.rewriting.shape import ShapeFeature
 
-    fg = FunctionGraph(list(inputs), list(outs), clone=False)
-    feature = getattr(fg, "shape_feature", None)
-    shapes = []
-    for o in outs:
-        if hasattr(o.type, "ndim"):
-            from aesara_tpu.tensor.shape import shape as tshape
+    for inp, shp in zip(inputs, input_shapes):
+        if (
+            shp is not None
+            and hasattr(inp.type, "ndim")
+            and len(shp) != inp.type.ndim
+        ):
+            raise ValueError(
+                f"input shape {shp} has {len(shp)} dims for "
+                f"{inp.type.ndim}-d input {inp}"
+            )
 
-            shapes.append(tuple(tshape(o)[i] for i in range(o.type.ndim)))
-        else:
-            shapes.append(None)
-    return shapes
+    shape_feature = ShapeFeature()
+    dummy_fgraph = FunctionGraph([], [], clone=False)
+    shape_feature.on_attach(dummy_fgraph)
+    for inp, shp in zip(inputs, input_shapes):
+        shape_feature.set_shape(inp, shp)
+
+    def traverse(out):
+        # iterative post-order: shapes of a node's inputs before the node
+        stack = [out]
+        while stack:
+            v = stack[-1]
+            if v in shape_feature.shape_of:
+                stack.pop()
+                continue
+            if v.owner is None:
+                shape_feature.init_r(v)
+                stack.pop()
+                continue
+            pending = [
+                i for i in v.owner.inputs if i not in shape_feature.shape_of
+            ]
+            if pending:
+                stack.extend(pending)
+            else:
+                shape_feature.on_import(dummy_fgraph, v.owner, "infer_shape")
+                stack.pop()
+
+    ret = []
+    for o in outs:
+        traverse(o)
+        ret.append(shape_feature.shape_of.get(o))
+    return ret

@@ -237,8 +237,7 @@ class Elemwise(Op):
             storage[0] = np.asarray(r).astype(_np_dtype(o.type.dtype), copy=False)
 
     def infer_shape(self, fgraph, node, input_shapes):
-        from aesara_tpu.tensor.basic import switch as tswitch
-        from aesara_tpu.tensor.math import eq as teq, maximum as tmaximum
+        from aesara_tpu.tensor.basic import constant
 
         if len(node.inputs) == 1:
             return [input_shapes[0]] * len(node.outputs)
@@ -251,10 +250,16 @@ class Elemwise(Op):
                     chosen = ish[d]
                     break
             if chosen is None:
-                candidates = [ish[d] for ish in input_shapes]
-                chosen = candidates[0]
-                for c in candidates[1:]:
-                    chosen = tmaximum(chosen, c)
+                # static-only broadcasting (enforced on both paths): a
+                # runtime-1 dim with static None may NOT broadcast, so
+                # every input whose static dim isn't exactly 1 has the
+                # same runtime extent — any of them is the output's
+                nonb = [
+                    ish[d]
+                    for inp, ish in zip(node.inputs, input_shapes)
+                    if inp.type.shape[d] != 1
+                ]
+                chosen = nonb[0] if nonb else constant(1, dtype="int64")
             out.append(chosen)
         return [tuple(out)] * len(node.outputs)
 

@@ -1,19 +1,40 @@
-"""Shape rewrites: fold static shape information into constants
-(reference ``aesara/tensor/rewriting/shape.py``: ShapeFeature:76,
-ShapeOptimizer:729 — the TPU build replaces the whole-graph shape-cache
-feature with direct static-shape folding, since ``TensorType.shape``
-already carries per-dim knowledge end-to-end)."""
+"""Shape rewrites and whole-graph symbolic shape inference.
+
+Two layers (reference ``aesara/tensor/rewriting/shape.py``):
+
+1. static-shape folding rewrites — ``TensorType.shape`` carries per-dim
+   knowledge end-to-end, so ``Shape``/``Shape_i`` of statically-known
+   dims fold to constants at canonicalize time;
+2. ``ShapeFeature`` (reference ``:76``) — an fgraph-attached cache
+   mapping every variable to a tuple of symbolic int64 scalars, built by
+   per-op ``infer_shape`` rules, giving every rewrite O(1) access to
+   inferred shapes even when they are not static.  Attached by
+   ``ShapeOptimizer`` (reference ``ShapeOptimizer:729``, registered at
+   position 0.1) and detached by ``UnShapeOptimizer`` (``:756``, at
+   position 10).
+"""
 
 from __future__ import annotations
 
+import logging
+import warnings
+
 import numpy as np
 
-from aesara_tpu.compile.mode import register_canonicalize, register_useless
-from aesara_tpu.graph.ir import Constant
-from aesara_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
+from aesara_tpu.compile.mode import optdb, register_canonicalize, register_useless
+from aesara_tpu.config import config
+from aesara_tpu.graph.features import AlreadyThere, Feature
+from aesara_tpu.graph.ir import Constant, equal_computations
+from aesara_tpu.graph.rewriting.basic import (
+    GraphRewriter,
+    copy_stack_trace,
+    node_rewriter,
+)
 from aesara_tpu.tensor.basic import MakeVector, NotScalarConstantError, constant, get_scalar_constant_value
-from aesara_tpu.tensor.shape import Reshape, Shape, Shape_i, SpecifyShape
+from aesara_tpu.tensor.shape import Reshape, Shape, Shape_i, SpecifyShape, shape_i
 from aesara_tpu.tensor.subtensor import SYM, Subtensor
+
+_logger = logging.getLogger("aesara_tpu.tensor.rewriting.shape")
 
 
 @node_rewriter([Shape])
@@ -102,3 +123,245 @@ def local_merge_consecutive_specify_shape(fgraph, node):
 
 
 register_canonicalize(local_merge_consecutive_specify_shape)
+
+
+# ---------------------------------------------------------------------------
+# ShapeFeature: whole-graph symbolic shape inference
+# ---------------------------------------------------------------------------
+
+class ShapeFeature(Feature):
+    """Track a symbolic shape tuple for every variable in an fgraph.
+
+    ``shape_of[r]`` is a tuple of int64 scalar Variables (one per dim)
+    or ``None`` for non-tensor types.  Entries prefer, in order: the
+    static dim from ``r.type.shape``, a constant propagated through the
+    op's ``infer_shape`` rule, then a symbolic graph over *input*
+    shapes, and only as a last resort ``Shape_i(r)`` itself.  Rewrites
+    query it via ``fgraph.shape_feature.get_shape(var, idx)`` /
+    ``same_shape(x, y)``.  Reference: ``tensor/rewriting/shape.py:76``.
+    """
+
+    def __init__(self):
+        self.shape_of = {}
+        self.fgraph = None
+
+    # -- plugin protocol ----------------------------------------------------
+    def on_attach(self, fgraph):
+        if hasattr(fgraph, "shape_feature"):
+            raise AlreadyThere("ShapeFeature already present")
+        fgraph.shape_feature = self
+        self.fgraph = fgraph
+        for v in fgraph.inputs:
+            self.init_r(v)
+        for node in fgraph.toposort():
+            self.on_import(fgraph, node, "on_attach")
+        for v in fgraph.outputs:
+            self.init_r(v)
+
+    def on_detach(self, fgraph):
+        self.shape_of = {}
+        self.fgraph = None
+        if getattr(fgraph, "shape_feature", None) is self:
+            del fgraph.shape_feature
+
+    def clone(self):
+        return type(self)()
+
+    # -- canonical shape elements --------------------------------------------
+    def shape_ir(self, i, r):
+        """Best-known symbolic value of ``r.shape[i]`` from the type alone."""
+        return shape_i(r, i)  # folds to a constant when static
+
+    def shape_tuple(self, r):
+        if not hasattr(r.type, "ndim"):
+            return None
+        return tuple(self.shape_ir(i, r) for i in range(r.type.ndim))
+
+    def unpack(self, s_i, r, i):
+        """Canonicalize one shape element to an int64 scalar Variable."""
+        static = None
+        if hasattr(r.type, "shape") and r.type.shape is not None:
+            try:
+                static = r.type.shape[i]
+            except (IndexError, TypeError):
+                static = None
+        if static is not None:
+            return constant(static, dtype="int64")
+        if s_i is None:
+            return self.shape_ir(i, r)
+        if isinstance(s_i, (int, np.integer)):
+            if s_i < 0:
+                raise ValueError(f"negative shape element {s_i} for {r}")
+            return constant(int(s_i), dtype="int64")
+        from aesara_tpu.tensor.basic import as_tensor_variable
+
+        v = as_tensor_variable(s_i)
+        if getattr(v.type, "ndim", None) != 0:
+            raise TypeError(f"shape element must be scalar, got {v.type}")
+        try:
+            return constant(int(get_scalar_constant_value(v)), dtype="int64")
+        except NotScalarConstantError:
+            pass
+        if v.type.dtype != "int64":
+            from aesara_tpu.tensor.basic import cast
+
+            v = cast(v, "int64")
+        return v
+
+    def set_shape(self, r, s, override=True):
+        if not override and r in self.shape_of:
+            return
+        if s is None:
+            self.shape_of[r] = None
+            return
+        self.shape_of[r] = tuple(
+            self.unpack(s_i, r, i) for i, s_i in enumerate(s)
+        )
+
+    def init_r(self, r):
+        if r not in self.shape_of:
+            self.set_shape(r, self.shape_tuple(r))
+
+    def default_infer_shape(self, fgraph, node, input_shapes=None):
+        return [self.shape_tuple(o) for o in node.outputs]
+
+    # -- events ----------------------------------------------------------------
+    def on_import(self, fgraph, node, reason):
+        if node.outputs[0] in self.shape_of:
+            return
+        for r in node.inputs:
+            self.init_r(r)
+        shape_infer = getattr(node.op, "infer_shape", None)
+        o_shapes = None
+        if shape_infer is not None:
+            try:
+                o_shapes = shape_infer(
+                    fgraph, node, [self.shape_of.get(r) for r in node.inputs]
+                )
+            except NotImplementedError:
+                o_shapes = None
+            except Exception as e:
+                if config.on_shape_error == "raise":
+                    raise
+                _logger.warning(
+                    "infer_shape failed for %s: %s — using default", node.op, e
+                )
+                o_shapes = None
+        if o_shapes is None:
+            o_shapes = self.default_infer_shape(fgraph, node)
+        if len(o_shapes) != len(node.outputs):
+            raise ValueError(
+                f"{node.op}.infer_shape returned {len(o_shapes)} shapes "
+                f"for {len(node.outputs)} outputs"
+            )
+        for o, sh in zip(node.outputs, o_shapes):
+            if not hasattr(o.type, "ndim"):
+                self.shape_of[o] = None
+                continue
+            if sh is None or len(sh) != o.type.ndim:
+                self.set_shape(o, self.shape_tuple(o))
+            else:
+                self.set_shape(o, sh)
+
+    def on_change_input(self, fgraph, node, i, old_var, new_var, reason=None):
+        self.init_r(new_var)
+        self.update_shape(new_var, old_var)
+
+    # -- queries --------------------------------------------------------------
+    def update_shape(self, new_r, old_r):
+        """Adopt constant dims known for ``old_r`` onto its replacement."""
+        old_s = self.shape_of.get(old_r)
+        cur = self.shape_of.get(new_r)
+        if old_s is None or cur is None or len(old_s) != len(cur):
+            return
+        merged = tuple(
+            b if (not isinstance(a, Constant) and isinstance(b, Constant))
+            else a
+            for a, b in zip(cur, old_s)
+        )
+        self.shape_of[new_r] = merged
+
+    def get_shape(self, var, idx):
+        self.init_r(var)
+        s = self.shape_of[var]
+        if s is None:
+            raise TypeError(f"{var} has no shape")
+        return s[idx]
+
+    def same_shape(self, x, y, dim_x=None, dim_y=None) -> bool:
+        """True only when the shapes (or the given dims) PROVABLY match."""
+        self.init_r(x)
+        self.init_r(y)
+        sx, sy = self.shape_of.get(x), self.shape_of.get(y)
+        if sx is None or sy is None:
+            return False
+        if dim_x is not None:
+            sx = (sx[dim_x],)
+            sy = (sy[dim_y if dim_y is not None else dim_x],)
+        elif dim_y is not None:
+            return False
+        if len(sx) != len(sy):
+            return False
+        for a, b in zip(sx, sy):
+            if isinstance(a, Constant) and isinstance(b, Constant):
+                if int(a.data) != int(b.data):
+                    return False
+            elif a is not b and not equal_computations([a], [b]):
+                return False
+        return True
+
+
+class ShapeOptimizer(GraphRewriter):
+    """Attach a ShapeFeature at the start of the pipeline (ref ``:729``)."""
+
+    def add_requirements(self, fgraph):
+        fgraph.attach_feature(ShapeFeature())
+
+    def apply(self, fgraph):
+        pass
+
+
+class UnShapeOptimizer(GraphRewriter):
+    """Detach ShapeFeatures after the shape-driven passes (ref ``:756``)."""
+
+    def apply(self, fgraph):
+        for feature in list(fgraph._features):
+            if isinstance(feature, ShapeFeature):
+                fgraph.remove_feature(feature)
+
+
+optdb.register("ShapeOpt", ShapeOptimizer(), "fast_run", "fast_compile",
+               position=0.1)
+optdb.register("UnShapeOpt", UnShapeOptimizer(), "fast_run", "fast_compile",
+               position=10)
+
+
+@node_rewriter([Shape])
+def local_shape_to_shape_i(fgraph, node):
+    """Shape(x) → MakeVector of the ShapeFeature's cached symbolic dims,
+    lifting shape graphs toward the inputs (reference ``:368``)."""
+    shape_feature = getattr(fgraph, "shape_feature", None)
+    if shape_feature is None:
+        return False
+    (x,) = node.inputs
+    s = shape_feature.shape_of.get(x)
+    if s is None:
+        return False
+    # only rewrite when it makes progress: some entry is a constant or
+    # refers to a different variable than x itself
+    trivial = all(
+        v.owner is not None
+        and isinstance(v.owner.op, Shape_i)
+        and v.owner.inputs[0] is x
+        for v in s
+    )
+    if trivial:
+        return False
+    if len(s) == 0:
+        return [constant(np.zeros((0,), dtype="int64"))]
+    res = MakeVector("int64")(*s)
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_shape_to_shape_i)
