@@ -437,3 +437,756 @@ def local_flatten_add_mul(fgraph, node):
 
 
 register_canonicalize(local_flatten_add_mul)
+
+
+# ---------------------------------------------------------------------------
+# AlgebraicCanonizer: mul/div and add/sub normal form with cancellation
+# (reference ``math.py:664``)
+# ---------------------------------------------------------------------------
+
+from aesara_tpu.graph.ir import equal_computations
+from aesara_tpu.graph.rewriting.basic import NodeRewriter
+
+
+class AlgebraicCanonizer(NodeRewriter):
+    """Normalize a (main, inverse, reciprocal) algebra to one canonical
+    ``main(*num)/main(*denum)`` form, cancelling factors appearing on
+    both sides and folding constants across the division (reference
+    ``tensor/rewriting/math.py:664``).
+
+    Instantiated twice: ``mul_canonizer`` (Mul/TrueDiv/Reciprocal,
+    giving ``x/x → 1``, ``(a/b)/c → a/(b*c)``, ``2*x/2 → x`` …) and
+    ``add_canonizer`` (Add/Sub/Neg, giving ``x-x → 0``,
+    ``-(-a+b) → a-b`` …).
+    """
+
+    def __init__(self, main_cls, inverse_cls, reciprocal_cls,
+                 build_main, build_inverse, build_reciprocal,
+                 calculate, neutral):
+        self.main_cls = main_cls
+        self.inverse_cls = inverse_cls
+        self.reciprocal_cls = reciprocal_cls
+        self.build_main = build_main
+        self.build_inverse = build_inverse
+        self.build_reciprocal = build_reciprocal
+        self.calculate = calculate
+        self.neutral = neutral
+
+    def tracks(self):
+        return [Elemwise]
+
+    def _classify(self, var):
+        node = var.owner
+        if node is None or not isinstance(node.op, Elemwise):
+            return None
+        sop = node.op.scalar_op
+        if isinstance(sop, self.main_cls):
+            return "main"
+        if isinstance(sop, self.inverse_cls):
+            return "inverse"
+        if isinstance(sop, self.reciprocal_cls):
+            return "reciprocal"
+        return None
+
+    def get_num_denum(self, var, fgraph, depth=0):
+        """Decompose ``var`` into (num_factors, denum_factors)."""
+        kind = self._classify(var)
+        # don't tear apart values other nodes also consume
+        if kind is None or (
+            depth > 0 and len(fgraph.clients.get(var, [])) > 1
+        ):
+            return [var], []
+        node = var.owner
+        num, denum = [], []
+        if kind == "main":
+            for inp in node.inputs:
+                n, d = self.get_num_denum(inp, fgraph, depth + 1)
+                num.extend(n)
+                denum.extend(d)
+        elif kind == "inverse":
+            n, d = self.get_num_denum(node.inputs[0], fgraph, depth + 1)
+            num.extend(n)
+            denum.extend(d)
+            n, d = self.get_num_denum(node.inputs[1], fgraph, depth + 1)
+            denum.extend(n)
+            num.extend(d)
+        else:  # reciprocal
+            n, d = self.get_num_denum(node.inputs[0], fgraph, depth + 1)
+            denum.extend(n)
+            num.extend(d)
+        return num, denum
+
+    def simplify(self, num, denum):
+        """Cancel identical factors and fold constants; returns
+        (num, denum, changed)."""
+        changed = False
+        # cancellation: identical graph objects on both sides
+        new_denum = list(denum)
+        out_num = []
+        for v in num:
+            if v in new_denum:
+                new_denum.remove(v)
+                changed = True
+            else:
+                out_num.append(v)
+        num, denum = out_num, new_denum
+        # constant folding across the division
+        n_consts = [v for v in num if _const_val(v) is not None
+                    and np.asarray(_const_val(v)).ndim == 0]
+        d_consts = [v for v in denum if _const_val(v) is not None
+                    and np.asarray(_const_val(v)).ndim == 0]
+        if len(n_consts) + len(d_consts) >= 2 or (
+            n_consts and np.all(np.asarray(_const_val(n_consts[0])) == self.neutral)
+        ) or (
+            d_consts and np.all(np.asarray(_const_val(d_consts[0])) == self.neutral)
+        ):
+            num = [v for v in num if v not in n_consts]
+            denum = [v for v in denum if v not in d_consts]
+            ct = self.calculate(
+                [np.asarray(_const_val(v)) for v in n_consts],
+                [np.asarray(_const_val(v)) for v in d_consts],
+            )
+            if ct is not None and not np.all(np.asarray(ct) == self.neutral):
+                num.insert(0, constant(np.asarray(ct)[()]))
+            changed = True
+        return num, denum, changed
+
+    def merge(self, num, denum, out):
+        if not num and not denum:
+            return constant(np.asarray(self.neutral, dtype=out.type.dtype))
+        if not denum:
+            return num[0] if len(num) == 1 else self.build_main(*num)
+        d = denum[0] if len(denum) == 1 else self.build_main(*denum)
+        if not num:
+            return self.build_reciprocal(d)
+        n = num[0] if len(num) == 1 else self.build_main(*num)
+        return self.build_inverse(n, d)
+
+    def transform(self, fgraph, node):
+        if not isinstance(node.op, Elemwise):
+            return False
+        out = node.outputs[0]
+        if self._classify(out) is None:
+            return False
+        if out.type.dtype in discrete_dtypes and self.reciprocal_cls is aes.ops.Reciprocal:
+            return False  # true_div changes dtype for ints; leave alone
+        num, denum = self.get_num_denum(out, fgraph)
+        num, denum, changed = self.simplify(num, denum)
+        res = self.merge(num, denum, out)
+        kept = _keep_type(out, res)
+        if kept is None and getattr(res.type, "ndim", 99) <= out.type.ndim:
+            # cancellation dropped broadcast-carrying factors (x/x → 1):
+            # restore the output shape by adding zeros of the node's inputs
+            full = res
+            for inp in node.inputs:
+                if getattr(inp.type, "ndim", 0):
+                    full = full + inp.zeros_like(dtype=res.type.dtype)
+            kept = _keep_type(out, full)
+        res = kept
+        if res is None:
+            return False
+        if res is out or equal_computations([res], [out]):
+            return False
+        copy_stack_trace(out, res)
+        return [res]
+
+
+def _calc_mul(num_consts, denum_consts):
+    v = np.asarray(1.0 if not num_consts else num_consts[0])
+    for c in num_consts[1:]:
+        v = v * c
+    for c in denum_consts:
+        v = v / c
+    return v
+
+
+def _calc_add(num_consts, denum_consts):
+    v = np.asarray(0.0 if not num_consts else num_consts[0])
+    for c in num_consts[1:]:
+        v = v + c
+    for c in denum_consts:
+        v = v - c
+    return v
+
+
+mul_canonizer = AlgebraicCanonizer(
+    aes.ops.Mul, aes.ops.TrueDiv, aes.ops.Reciprocal,
+    tm.mul, tm.true_div, tm.reciprocal, _calc_mul, 1,
+)
+add_canonizer = AlgebraicCanonizer(
+    aes.ops.Add, aes.ops.Sub, aes.ops.Neg,
+    tm.add, tm.sub, tm.neg, _calc_add, 0,
+)
+mul_canonizer.__name__ = "mul_canonizer"
+add_canonizer.__name__ = "add_canonizer"
+register_canonicalize(mul_canonizer, name="mul_canonizer")
+register_canonicalize(add_canonizer, name="add_canonizer")
+
+
+# ---------------------------------------------------------------------------
+# pow / reciprocal / abs specializations
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_pow_canonicalize(fgraph, node):
+    """pow(x, 0) → ones_like(x) ; pow(x, 1) → x"""
+    if not _is_elemwise(node, aes.ops.Pow):
+        return False
+    x, p = node.inputs
+    v = _const_val(p)
+    if v is None:
+        return False
+    out = node.outputs[0]
+    if np.all(np.asarray(v) == 0):
+        res = _keep_type(out, x.zeros_like() + 1)
+    elif np.all(np.asarray(v) == 1):
+        res = _keep_type(out, x)
+    else:
+        return False
+    if res is None:
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_pow_canonicalize)
+
+
+@node_rewriter([Elemwise])
+def local_pow_specialize(fgraph, node):
+    """pow(x, 2)→sqr ; pow(x,-1)→reciprocal ; pow(x,0.5)→sqrt ;
+    pow(x,-0.5)→reciprocal(sqrt) ; pow(x,-2)→reciprocal(sqr)
+    (reference local_pow_specialize)."""
+    if not _is_elemwise(node, aes.ops.Pow):
+        return False
+    x, p = node.inputs
+    v = _const_val(p)
+    if v is None or np.asarray(v).size != 1:
+        return False
+    v = float(np.asarray(v))
+    out = node.outputs[0]
+    if out.type.dtype in discrete_dtypes and v < 0:
+        return False
+    if v == 2.0:
+        res = tm.sqr(x)
+    elif v == -1.0:
+        res = tm.reciprocal(x)
+    elif v == 0.5:
+        res = tm.sqrt(x)
+    elif v == -0.5:
+        res = tm.reciprocal(tm.sqrt(x))
+    elif v == -2.0:
+        res = tm.reciprocal(tm.sqr(x))
+    else:
+        return False
+    res = _keep_type(out, res)
+    if res is None:
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_specialize(local_pow_specialize)
+
+
+@node_rewriter([Elemwise])
+def local_mul_to_sqr(fgraph, node):
+    """mul(x, x) → sqr(x) (MXU-friendly single op; ref local_mul_specialize)."""
+    if not _is_elemwise(node, aes.ops.Mul) or len(node.inputs) != 2:
+        return False
+    a, b = node.inputs
+    if a is not b:
+        return False
+    res = _keep_type(node.outputs[0], tm.sqr(a))
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_mul_to_sqr)
+
+
+@node_rewriter([Elemwise])
+def local_reciprocal_reciprocal(fgraph, node):
+    """reciprocal(reciprocal(x)) → x (ref local_func_inv)."""
+    if not _is_elemwise(node, aes.ops.Reciprocal):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_elemwise(inner, aes.ops.Reciprocal):
+        res = _keep_type(node.outputs[0], inner.inputs[0])
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_reciprocal_reciprocal)
+
+
+@node_rewriter([Elemwise])
+def local_zero_div(fgraph, node):
+    """0 / x → zeros (ref local_zero_div)."""
+    if not _is_elemwise(node, (aes.ops.TrueDiv, aes.ops.IntDiv)):
+        return False
+    a, b = node.inputs
+    v = _const_val(a)
+    if v is not None and np.all(np.asarray(v) == 0):
+        out = node.outputs[0]
+        res = _keep_type(out, a.zeros_like() + b.zeros_like())
+        if res is None:
+            return False
+        copy_stack_trace(out, res)
+        return [res]
+    return False
+
+
+register_canonicalize(local_zero_div)
+
+
+@node_rewriter([Elemwise])
+def local_intdiv_by_one(fgraph, node):
+    """int_div(x, 1) → x"""
+    if not _is_elemwise(node, aes.ops.IntDiv):
+        return False
+    v = _const_val(node.inputs[1])
+    if v is not None and np.all(np.asarray(v) == 1):
+        res = _keep_type(node.outputs[0], node.inputs[0])
+        return [res] if res is not None else False
+    return False
+
+
+register_canonicalize(local_intdiv_by_one)
+
+
+@node_rewriter([Elemwise])
+def local_useless_abs(fgraph, node):
+    """abs(abs(x)) → abs(x); abs of provably-nonneg (unsigned, sqr, exp,
+    abs) → identity; abs(-x) → abs(x)."""
+    if not _is_elemwise(node, aes.ops.Abs):
+        return False
+    (x,) = node.inputs
+    out = node.outputs[0]
+    if x.type.dtype.startswith("uint") or x.type.dtype == "bool":
+        res = _keep_type(out, x)
+        return [res] if res is not None else False
+    inner = x.owner
+    if inner is not None and isinstance(inner.op, Elemwise):
+        sop = inner.op.scalar_op
+        if isinstance(sop, (aes.ops.Abs, aes.ops.Sqr, aes.ops.Exp)):
+            res = _keep_type(out, x)
+            if res is not None:
+                copy_stack_trace(out, res)
+                return [res]
+        if isinstance(sop, aes.ops.Neg):
+            res = _keep_type(out, tm.abs(inner.inputs[0]))
+            if res is not None:
+                copy_stack_trace(out, res)
+                return [res]
+    return False
+
+
+register_canonicalize(local_useless_abs)
+
+
+@node_rewriter([Elemwise])
+def local_abs_merge(fgraph, node):
+    """mul(abs(a), abs(b)) → abs(mul(a, b)) (ref local_abs_merge)."""
+    if not _is_elemwise(node, aes.ops.Mul) or len(node.inputs) < 2:
+        return False
+    if not all(
+        i.owner is not None and _is_elemwise(i.owner, aes.ops.Abs)
+        for i in node.inputs
+    ):
+        return False
+    args = [i.owner.inputs[0] for i in node.inputs]
+    res = _keep_type(node.outputs[0], tm.abs(tm.mul(*args)))
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_abs_merge)
+
+
+@node_rewriter([Elemwise])
+def local_add_neg_to_sub(fgraph, node):
+    """a + (-b) → a - b (ref local_add_neg_to_sub, specialize)."""
+    if not _is_elemwise(node, aes.ops.Add) or len(node.inputs) != 2:
+        return False
+    a, b = node.inputs
+    if b.owner is not None and _is_elemwise(b.owner, aes.ops.Neg):
+        res = _keep_type(node.outputs[0], tm.sub(a, b.owner.inputs[0]))
+    elif a.owner is not None and _is_elemwise(a.owner, aes.ops.Neg):
+        res = _keep_type(node.outputs[0], tm.sub(b, a.owner.inputs[0]))
+    else:
+        return False
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_add_neg_to_sub)
+
+
+# ---------------------------------------------------------------------------
+# log/exp stabilizations
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_exp_log_nan_switch(fgraph, node):
+    """exp(log(x)) → switch(x >= 0, x, nan) — value-domain-correct
+    specialization (reference local_exp_log_nan_switch)."""
+    if not _is_elemwise(node, aes.ops.Exp):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_elemwise(inner, aes.ops.Log):
+        return False
+    x = inner.inputs[0]
+    if x.type.dtype in discrete_dtypes:
+        return False
+    from aesara_tpu.tensor.basic import switch as tswitch
+
+    nan = constant(np.asarray(np.nan, dtype=x.type.dtype))
+    res = _keep_type(node.outputs[0], tswitch(tm.ge(x, 0), x, nan))
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_exp_log_nan_switch)
+
+
+@node_rewriter([Elemwise])
+def local_log_sqrt(fgraph, node):
+    """log(sqrt(x)) → 0.5 * log(x) (valid on sqrt's x>0 domain)."""
+    if not _is_elemwise(node, aes.ops.Log):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_elemwise(inner, aes.ops.Sqrt):
+        return False
+    res = _keep_type(node.outputs[0], 0.5 * tm.log(inner.inputs[0]))
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_stabilize(local_log_sqrt)
+
+
+@node_rewriter([Elemwise])
+def local_log_add_exp(fgraph, node):
+    """log(exp(a) + exp(b)) → logaddexp(a, b) — overflow-proof
+    (reference local_log_add_exp)."""
+    if not _is_elemwise(node, aes.ops.Log):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_elemwise(inner, aes.ops.Add):
+        return False
+    if len(inner.inputs) != 2:
+        return False
+    a, b = inner.inputs
+    if not all(
+        i.owner is not None and _is_elemwise(i.owner, aes.ops.Exp)
+        for i in (a, b)
+    ):
+        return False
+    res = _keep_type(
+        node.outputs[0],
+        tm.logaddexp(a.owner.inputs[0], b.owner.inputs[0]),
+    )
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_stabilize(local_log_add_exp)
+
+
+@node_rewriter([Elemwise])
+def local_logsumexp(fgraph, node):
+    """log(sum(exp(x), axis)) → logsumexp(x, axis) — max-shifted, the
+    canonical attention/softmax stabilization (reference local_logsumexp)."""
+    if not _is_elemwise(node, aes.ops.Log):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, tm.Sum):
+        return False
+    exp_node = inner.inputs[0].owner
+    if exp_node is None or not _is_elemwise(exp_node, aes.ops.Exp):
+        return False
+    x = exp_node.inputs[0]
+    res = _keep_type(node.outputs[0], tm.logsumexp(x, axis=inner.op.axis))
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_stabilize(local_logsumexp)
+
+
+@node_rewriter([Elemwise])
+def local_1msigmoid(fgraph, node):
+    """1 - sigmoid(x) → sigmoid(-x) (reference local_1msigmoid)."""
+    from aesara_tpu.scalar.math import Sigmoid
+
+    if not _is_elemwise(node, aes.ops.Sub):
+        return False
+    a, b = node.inputs
+    va = _const_val(a)
+    if (
+        va is not None
+        and np.all(np.asarray(va) == 1)
+        and b.owner is not None
+        and _is_elemwise(b.owner, Sigmoid)
+    ):
+        res = _keep_type(node.outputs[0], tm.sigmoid(tm.neg(b.owner.inputs[0])))
+        if res is None:
+            return False
+        copy_stack_trace(node.outputs[0], res)
+        return [res]
+    return False
+
+
+register_stabilize(local_1msigmoid)
+
+
+@node_rewriter([Elemwise])
+def local_erf_complement(fgraph, node):
+    """1 - erf(x) → erfc(x) ; 1 - erfc(x) → erf(x) (reference
+    local_one_minus_erf/erfc family)."""
+    from aesara_tpu.scalar.math import Erf, Erfc
+
+    if not _is_elemwise(node, aes.ops.Sub):
+        return False
+    a, b = node.inputs
+    va = _const_val(a)
+    if va is None or not np.all(np.asarray(va) == 1) or b.owner is None:
+        return False
+    if _is_elemwise(b.owner, Erf):
+        res = _keep_type(node.outputs[0], tm.erfc(b.owner.inputs[0]))
+    elif _is_elemwise(b.owner, Erfc):
+        res = _keep_type(node.outputs[0], tm.erf(b.owner.inputs[0]))
+    else:
+        return False
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_stabilize(local_erf_complement)
+
+
+@node_rewriter([Elemwise])
+def local_erf_neg(fgraph, node):
+    """erf(-x) → -erf(x) (odd function; reference local_erf_neg)."""
+    from aesara_tpu.scalar.math import Erf
+
+    if not _is_elemwise(node, Erf):
+        return False
+    inner = node.inputs[0].owner
+    if inner is not None and _is_elemwise(inner, aes.ops.Neg):
+        res = _keep_type(node.outputs[0], tm.neg(tm.erf(inner.inputs[0])))
+        if res is None:
+            return False
+        copy_stack_trace(node.outputs[0], res)
+        return [res]
+    return False
+
+
+register_canonicalize(local_erf_neg)
+
+
+# ---------------------------------------------------------------------------
+# comparisons / switch
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_useless_comparison_same_arg(fgraph, node):
+    """cmp(x, x) folds: eq/le/ge → ones, neq/lt/gt → zeros (reference
+    local_useless_elemwise; NaN caveat follows the reference)."""
+    sop = node.op.scalar_op
+    truthy = isinstance(sop, (aes.ops.EQ, aes.ops.LE, aes.ops.GE))
+    falsy = isinstance(sop, (aes.ops.NEQ, aes.ops.LT, aes.ops.GT))
+    if not (truthy or falsy) or len(node.inputs) != 2:
+        return False
+    a, b = node.inputs
+    if a is not b:
+        return False
+    out = node.outputs[0]
+    base = a.zeros_like(dtype=out.type.dtype)
+    res = _keep_type(out, base + 1 if truthy else base)
+    if res is None:
+        return False
+    copy_stack_trace(out, res)
+    return [res]
+
+
+register_canonicalize(local_useless_comparison_same_arg)
+
+
+@node_rewriter([Elemwise])
+def local_useless_switch(fgraph, node):
+    """switch(cond, x, x) → x ; switch(const, a, b) → a|b (reference
+    local_useless_switch)."""
+    if not _is_elemwise(node, aes.ops.Switch):
+        return False
+    cond, ift, iff = node.inputs
+    out = node.outputs[0]
+    if ift is iff:
+        res = _keep_type(out, ift + cond.zeros_like(dtype=ift.type.dtype))
+        if res is None:
+            return False
+        copy_stack_trace(out, res)
+        return [res]
+    v = _const_val(cond)
+    if v is not None:
+        chosen = ift if np.all(np.asarray(v)) else (
+            iff if not np.any(np.asarray(v)) else None
+        )
+        if chosen is None:
+            return False
+        res = _keep_type(out, chosen)
+        if res is None:
+            return False
+        copy_stack_trace(out, res)
+        return [res]
+    return False
+
+
+register_canonicalize(local_useless_switch)
+
+
+@node_rewriter([Elemwise])
+def local_useless_maximum_minimum(fgraph, node):
+    """maximum(x, x) → x ; minimum(x, x) → x"""
+    if not _is_elemwise(node, (aes.ops.Maximum, aes.ops.Minimum)):
+        return False
+    if len(node.inputs) != 2 or node.inputs[0] is not node.inputs[1]:
+        return False
+    res = _keep_type(node.outputs[0], node.inputs[0])
+    return [res] if res is not None else False
+
+
+register_canonicalize(local_useless_maximum_minimum)
+
+
+# ---------------------------------------------------------------------------
+# reduction rewrites
+# ---------------------------------------------------------------------------
+
+@node_rewriter([tm.Sum, tm.Prod])
+def local_reduce_chain(fgraph, node):
+    """Sum(Sum(x, a), b) → Sum(x, merged-axes) — one XLA reduce
+    (reference local_sum_sum / local_reduce_chain)."""
+    op = node.op
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or type(inner.op) is not type(op):
+        return False
+    if len(fgraph.clients.get(inner_var, [])) > 1:
+        return False
+    if (op.dtype, op.acc_dtype) != (inner.op.dtype, inner.op.acc_dtype):
+        return False
+    x = inner.inputs[0]
+    inner_axes = inner.op._normalized_axes(x.type.ndim)
+    remaining = [d for d in range(x.type.ndim) if d not in inner_axes]
+    outer_axes = op._normalized_axes(inner_var.type.ndim)
+    merged = tuple(sorted(set(inner_axes) | {remaining[a] for a in outer_axes}))
+    res = type(op)(axis=merged, dtype=op.dtype, acc_dtype=op.acc_dtype)(x)
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_reduce_chain)
+
+
+@node_rewriter([tm.Sum])
+def local_sum_of_neg(fgraph, node):
+    """Sum(-x, axis) → -Sum(x, axis) (reference local_sum_prod_of_neg)."""
+    inner = node.inputs[0].owner
+    if inner is None or not _is_elemwise(inner, aes.ops.Neg):
+        return False
+    if len(fgraph.clients.get(node.inputs[0], [])) > 1:
+        return False
+    op = node.op
+    res = tm.neg(tm.Sum(axis=op.axis, dtype=op.dtype, acc_dtype=op.acc_dtype)(
+        inner.inputs[0]
+    ))
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_sum_of_neg)
+
+
+@node_rewriter([tm.Sum])
+def local_sum_mul_by_scalar(fgraph, node):
+    """Sum(x * c, axis) → c * Sum(x, axis) for scalar-broadcast c — one
+    fewer full-size elemwise (reference local_sum_prod_mul_by_scalar)."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not _is_elemwise(inner, aes.ops.Mul):
+        return False
+    if len(fgraph.clients.get(inner_var, [])) > 1:
+        return False
+    scalars = []
+    rest = []
+    for i in inner.inputs:
+        if all(s == 1 for s in i.type.shape):
+            scalars.append(i)
+        else:
+            rest.append(i)
+    if not scalars or not rest:
+        return False
+    op = node.op
+    body = rest[0] if len(rest) == 1 else tm.mul(*rest)
+    summed = tm.Sum(axis=op.axis, dtype=op.dtype, acc_dtype=op.acc_dtype)(body)
+    squeezed = [s.dimshuffle(()) if s.type.ndim else s for s in scalars]
+    res = _keep_type(node.outputs[0], tm.mul(*squeezed, summed))
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_sum_mul_by_scalar)
+
+
+@node_rewriter([tm.Sum])
+def local_sum_of_alloc(fgraph, node):
+    """Sum(alloc(scalar, *dims)) over ALL axes → scalar * prod(dims)
+    (reference local_opt_alloc) — no materialization at all."""
+    from aesara_tpu.tensor.basic import Alloc
+
+    if node.op.axis is not None:
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Alloc):
+        return False
+    v = inner.inputs[0]
+    if v.type.ndim != 0:
+        return False
+    dims = inner.inputs[1:]
+    count = dims[0]
+    for d in dims[1:]:
+        count = count * d
+    res = _keep_type(node.outputs[0], v * cast(count, v.type.dtype))
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_sum_of_alloc)
