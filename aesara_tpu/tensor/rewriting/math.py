@@ -516,7 +516,7 @@ class AlgebraicCanonizer(NodeRewriter):
             num.extend(d)
         return num, denum
 
-    def simplify(self, num, denum):
+    def simplify(self, num, denum, out):
         """Cancel identical factors and fold constants; returns
         (num, denum, changed)."""
         changed = False
@@ -547,7 +547,9 @@ class AlgebraicCanonizer(NodeRewriter):
                 [np.asarray(_const_val(v)) for v in d_consts],
             )
             if ct is not None and not np.all(np.asarray(ct) == self.neutral):
-                num.insert(0, constant(np.asarray(ct)[()]))
+                num.insert(0, constant(
+                    np.asarray(ct).astype(out.type.dtype)[()]
+                ))
             changed = True
         return num, denum, changed
 
@@ -570,8 +572,10 @@ class AlgebraicCanonizer(NodeRewriter):
             return False
         if out.type.dtype in discrete_dtypes and self.reciprocal_cls is aes.ops.Reciprocal:
             return False  # true_div changes dtype for ints; leave alone
+        if all(isinstance(i, Constant) for i in node.inputs):
+            return False  # constant_folding's job; rebuilding would ping-pong
         num, denum = self.get_num_denum(out, fgraph)
-        num, denum, changed = self.simplify(num, denum)
+        num, denum, changed = self.simplify(num, denum, out)
         res = self.merge(num, denum, out)
         kept = _keep_type(out, res)
         if kept is None and getattr(res.type, "ndim", 99) <= out.type.ndim:

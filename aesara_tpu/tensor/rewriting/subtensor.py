@@ -131,3 +131,408 @@ def local_useless_inc_subtensor(fgraph, node):
 
 
 register_canonicalize(local_useless_inc_subtensor)
+
+
+# ---------------------------------------------------------------------------
+# expanded pack (reference subtensor.py rewriters)
+# ---------------------------------------------------------------------------
+
+from aesara_tpu.graph.ir import Constant
+from aesara_tpu.tensor.basic import (
+    MakeVector,
+    NotScalarConstantError,
+    get_scalar_constant_value,
+)
+from aesara_tpu.tensor.math import Dot
+from aesara_tpu.tensor.subtensor import (
+    AdvancedIncSubtensor1,
+    AdvancedSubtensor1,
+)
+
+
+def _is_zeros(v) -> bool:
+    """Graph-provably all-zero value: zero Constant, fill(x, 0), or
+    Alloc(0, ...)."""
+    from aesara_tpu import scalar as aes
+    from aesara_tpu.tensor.basic import Alloc
+
+    if isinstance(v, Constant):
+        return bool(np.all(v.data == 0))
+    node = v.owner
+    if node is None:
+        return False
+    if isinstance(node.op, Elemwise) and isinstance(
+        node.op.scalar_op, aes.ops.Second
+    ):
+        return _is_zeros(node.inputs[1])
+    if isinstance(node.op, Alloc):
+        return _is_zeros(node.inputs[0])
+    if isinstance(node.op, DimShuffle):
+        return _is_zeros(node.inputs[0])
+    return False
+
+
+@node_rewriter([Subtensor])
+def local_trim_trailing_full_slices(fgraph, node):
+    """Trim trailing full slices: x[a:b, :] → x[a:b]; x[:, :] → x
+    (reference local_useless_slice; the full-slices-only case also
+    lives in rewriting/basic.py)."""
+    idx = list(node.op.idx_list)
+    full = slice(None, None, None)
+    n_trim = 0
+    while idx and isinstance(idx[-1], slice) and idx[-1] == full:
+        idx.pop()
+        n_trim += 1
+    if n_trim == 0:
+        return False
+    x = node.inputs[0]
+    if not idx:
+        res = x
+    else:
+        # symbolic index inputs are consumed left-to-right; trailing full
+        # slices hold none, so the input list is unchanged
+        res = Subtensor(tuple(idx))(x, *node.inputs[1:])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_trim_trailing_full_slices)
+
+
+@node_rewriter([Subtensor])
+def local_useless_subtensor(fgraph, node):
+    """x[0:n] → x when n provably covers the dim (static shape or
+    ShapeFeature; reference local_useless_subtensor)."""
+    x = node.inputs[0]
+    if node.inputs[1:]:
+        return False
+    sf = getattr(fgraph, "shape_feature", None)
+    for d, e in enumerate(node.op.idx_list):
+        if not isinstance(e, slice):
+            return False
+        if e.step not in (None, 1) or (e.start or 0) != 0:
+            return False
+        if e.stop is None:
+            continue
+        stop = e.stop
+        if stop is SYM:
+            return False
+        static = x.type.shape[d]
+        if static is not None and stop >= static:
+            continue
+        if sf is not None and x in sf.shape_of and sf.shape_of[x] is not None:
+            dim = sf.shape_of[x][d]
+            if isinstance(dim, Constant) and stop >= int(dim.data):
+                continue
+        return False
+    conv = node.outputs[0].type.convert_variable(x)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_useless_subtensor)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_lift(fgraph, node):
+    """f(x)[idx] → f(x[idx]) for single-client unary Elemwise — slice
+    before computing (reference local_subtensor_lift)."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if (
+        inner is None
+        or not isinstance(inner.op, Elemwise)
+        or len(inner.inputs) != 1
+        or len(inner.outputs) != 1
+        or len(fgraph.clients.get(inner_var, [])) > 1
+    ):
+        return False
+    sliced = Subtensor(node.op.idx_list)(inner.inputs[0], *node.inputs[1:])
+    res = inner.op(sliced)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_subtensor_lift)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_expand_dims(fgraph, node):
+    """DimShuffle-inserted leading broadcast dim indexed at 0 drops the
+    dimshuffle: x.dimshuffle('x', ...)[0] → x.dimshuffle(...)."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, DimShuffle):
+        return False
+    order = inner.op.new_order
+    idx = node.op.idx_list
+    if not order or order[0] != "x" or not idx:
+        return False
+    e = idx[0]
+    if not isinstance(e, int) or e not in (0, -1):
+        return False
+    x = inner.inputs[0]
+    rest_order = tuple(order[1:])
+    from aesara_tpu.tensor.elemwise import DimShuffle as DS
+
+    base = DS(x.type.ndim, rest_order)(x) if rest_order != tuple(
+        range(x.type.ndim)
+    ) else x
+    rest_idx = tuple(idx[1:])
+    res = Subtensor(rest_idx)(base, *node.inputs[1:]) if rest_idx else base
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_subtensor_of_expand_dims)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_dot(fgraph, node):
+    """dot(a, b)[leading-idx] → dot(a[leading-idx], b) — slice the
+    operand, not the product (reference local_subtensor_of_dot)."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if (
+        inner is None
+        or not isinstance(inner.op, Dot)
+        or len(fgraph.clients.get(inner_var, [])) > 1
+    ):
+        return False
+    idx = node.op.idx_list
+    if len(idx) != 1:
+        return False
+    a, b = inner.inputs
+    if a.type.ndim < 1:
+        return False
+    a_sliced = Subtensor((idx[0],))(a, *node.inputs[1:])
+    from aesara_tpu.tensor.math import dot as tdot
+
+    res = tdot(a_sliced, b)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_subtensor_of_dot)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_make_vector(fgraph, node):
+    """MakeVector(a, b, c)[1] → b ; constant slices select a sub-vector
+    (reference local_subtensor_make_vector)."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, MakeVector):
+        return False
+    idx = node.op.idx_list
+    if len(idx) != 1 or node.inputs[1:]:
+        return False
+    e = idx[0]
+    elems = inner.inputs
+    out = node.outputs[0]
+    if isinstance(e, int):
+        i = e + len(elems) if e < 0 else e
+        if not (0 <= i < len(elems)):
+            return False
+        res = elems[i]
+        if res.type.dtype != out.type.dtype:
+            from aesara_tpu.tensor.basic import cast as tcast
+
+            res = tcast(res, out.type.dtype)
+    elif isinstance(e, slice) and e is not SYM:
+        if e.start is SYM or e.stop is SYM or e.step is SYM:
+            return False
+        picked = elems[e]
+        if len(picked) == len(elems):
+            return False
+        res = MakeVector(inner.op.dtype)(*picked) if picked else constant(
+            np.zeros((0,), dtype=inner.op.dtype)
+        )
+    else:
+        return False
+    conv = out.type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(out, conv)
+    return [conv]
+
+
+register_canonicalize(local_subtensor_make_vector)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_set_subtensor(fgraph, node):
+    """set_subtensor(x[idx], y)[same static idx] → y (reference
+    local_subtensor_inc_subtensor)."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, IncSubtensor):
+        return False
+    if not inner.op.set_instead_of_inc:
+        return False
+    if node.inputs[1:] or inner.inputs[2:]:
+        return False  # static indices only
+    if node.op.idx_list != inner.op.idx_list:
+        return False
+    y = inner.inputs[1]
+    conv = node.outputs[0].type.convert_variable(y)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_subtensor_of_set_subtensor)
+
+
+@node_rewriter([IncSubtensor])
+def local_inc_subtensor_of_zeros(fgraph, node):
+    """inc_subtensor(zeros[idx], y) → set_subtensor(zeros[idx], y)
+    (reference local_incsubtensor_of_zeros) — XLA scatter-set beats
+    scatter-add."""
+    if node.op.set_instead_of_inc:
+        return False
+    x, y = node.inputs[0], node.inputs[1]
+    if not _is_zeros(x):
+        return False
+    if y.type.dtype in ("bool",):
+        return False
+    res = IncSubtensor(node.op.idx_list, set_instead_of_inc=True)(
+        x, y, *node.inputs[2:]
+    )
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_inc_subtensor_of_zeros)
+
+
+@node_rewriter([IncSubtensor])
+def local_useless_inc_subtensor_of_zeros_increment(fgraph, node):
+    """inc_subtensor(x[idx], zeros) → x (reference
+    local_useless_inc_subtensor_alloc family)."""
+    if node.op.set_instead_of_inc:
+        return False
+    x, y = node.inputs[0], node.inputs[1]
+    if not _is_zeros(y):
+        return False
+    conv = node.outputs[0].type.convert_variable(x)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_useless_inc_subtensor_of_zeros_increment)
+
+
+@node_rewriter([AdvancedSubtensor1])
+def local_adv_sub1_of_adv_set_sub1(fgraph, node):
+    """AdvancedSubtensor1(AdvancedSetSubtensor1(x, y, idx), idx) → y
+    when y already has the gathered shape (reference
+    local_adv_sub1_adv_inc_sub1)."""
+    inner_var, ilist = node.inputs
+    inner = inner_var.owner
+    if (
+        inner is None
+        or not isinstance(inner.op, AdvancedIncSubtensor1)
+        or not inner.op.set_instead_of_inc
+    ):
+        return False
+    x, y, inner_ilist = inner.inputs
+    if inner_ilist is not ilist:
+        return False
+    conv = node.outputs[0].type.convert_variable(y)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_adv_sub1_of_adv_set_sub1)
+
+
+@node_rewriter([AdvancedSubtensor1])
+def local_useless_adv_sub1_arange(fgraph, node):
+    """x[arange(n)] → x when the constant index is exactly 0..n-1 over a
+    static first dim."""
+    x, ilist = node.inputs
+    if not isinstance(ilist, Constant):
+        return False
+    n = x.type.shape[0]
+    if n is None:
+        return False
+    data = np.asarray(ilist.data)
+    if data.shape != (n,) or not np.array_equal(data, np.arange(n)):
+        return False
+    conv = node.outputs[0].type.convert_variable(x)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_useless_adv_sub1_arange)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_of_alloc_slice(fgraph, node):
+    """alloc(scalar, s0, ...)[static a:b] → alloc(scalar, b-a, ...) —
+    never materialize the unsliced buffer (reference
+    local_subtensor_of_alloc)."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, Alloc):
+        return False
+    if node.inputs[1:]:
+        return False
+    idx = node.op.idx_list
+    if len(idx) != 1 or not isinstance(idx[0], slice):
+        return False
+    e = idx[0]
+    if e.start is SYM or e.stop is SYM or e.step is SYM:
+        return False
+    if e.step not in (None, 1):
+        return False
+    start = e.start or 0
+    if start < 0 or (e.stop is not None and e.stop < 0):
+        return False
+    value = inner.inputs[0]
+    if value.type.ndim != 0:
+        return False
+    dims = inner.inputs[1:]
+    d0 = dims[0]
+    try:
+        d0_val = int(get_scalar_constant_value(d0))
+    except NotScalarConstantError:
+        return False
+    stop = d0_val if e.stop is None else min(e.stop, d0_val)
+    new_len = max(stop - start, 0)
+    from aesara_tpu.tensor.basic import alloc
+
+    res = alloc(value, constant(new_len, dtype="int64"), *dims[1:])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_subtensor_of_alloc_slice)

@@ -1,0 +1,182 @@
+"""Expanded subtensor rewrite pack: topology + values-unchanged tests
+(reference ``tests/tensor/rewriting/test_subtensor.py`` strategy)."""
+
+import numpy as np
+import pytest
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.compile.function import function
+from aesara_tpu.graph.ir import Constant, applys_between, equal_computations
+from aesara_tpu.graph.rewriting.utils import rewrite_graph
+from aesara_tpu.tensor.basic import Alloc
+from aesara_tpu.tensor.elemwise import Elemwise
+from aesara_tpu.tensor.math import Dot
+from aesara_tpu.tensor.subtensor import (
+    AdvancedIncSubtensor1,
+    AdvancedSubtensor1,
+    IncSubtensor,
+    Subtensor,
+)
+
+rng = np.random.default_rng(31)
+
+
+def ops_in(out, *roots):
+    return [n.op for n in applys_between(list(roots), [out])]
+
+
+def check_values(inputs, raw, new, vals):
+    f_raw = function(inputs, raw, mode="PY", on_unused_input="ignore")
+    f_new = function(inputs, new, mode="PY", on_unused_input="ignore")
+    np.testing.assert_allclose(
+        np.asarray(f_raw(*vals)), np.asarray(f_new(*vals))
+    )
+
+
+def test_trim_trailing_full_slices():
+    x = at.matrix("x")
+    out = x[1:, :]
+    res = rewrite_graph(out)
+    subs = [op for op in ops_in(res, x) if isinstance(op, Subtensor)]
+    assert len(subs) == 1 and len(subs[0].idx_list) == 1
+    check_values([x], out, res, [rng.normal(size=(4, 3))])
+
+
+def test_useless_subtensor_static_cover():
+    x = at.tensor("x", dtype="float64", shape=(4, 3))
+    res = rewrite_graph(x[0:4])
+    assert equal_computations([res], [x])
+    res = rewrite_graph(x[0:10])  # stop beyond the dim still covers
+    assert equal_computations([res], [x])
+    # NOT useless when it actually slices
+    res = rewrite_graph(x[0:3])
+    assert not equal_computations([res], [x])
+
+
+def test_subtensor_lift_through_unary_elemwise():
+    x = at.matrix("x")
+    out = at.exp(x)[1:3]
+    res = rewrite_graph(out)
+    # exp must now run on the SLICED value: subtensor feeds the elemwise
+    exp_nodes = [
+        n for n in applys_between([x], [res])
+        if isinstance(n.op, Elemwise) and "exp" in str(n.op).lower()
+    ]
+    assert len(exp_nodes) == 1
+    inner = exp_nodes[0].inputs[0].owner
+    assert inner is not None and isinstance(inner.op, Subtensor)
+    check_values([x], out, res, [rng.normal(size=(5, 3))])
+
+
+def test_subtensor_of_expand_dims():
+    x = at.vector("x")
+    out = x.dimshuffle("x", 0)[0]
+    res = rewrite_graph(out)
+    assert equal_computations([res], [x])
+
+
+def test_subtensor_of_dot():
+    a, b = at.matrix("a"), at.matrix("b")
+    out = at.dot(a, b)[1]
+    res = rewrite_graph(out, include=["canonicalize", "specialize"])
+    # the dot must consume a sliced operand (vector-matrix product)
+    dots = [n for n in applys_between([a, b], [res]) if isinstance(n.op, Dot)]
+    assert len(dots) == 1
+    assert dots[0].inputs[0].type.ndim == 1
+    check_values([a, b], out, res,
+                 [rng.normal(size=(4, 3)), rng.normal(size=(3, 5))])
+
+
+def test_subtensor_make_vector_int_and_slice():
+    a, b, c = at.scalar("a"), at.scalar("b"), at.scalar("c")
+    v = at.stack([a, b, c])
+    res = rewrite_graph(v[1])
+    assert equal_computations([res], [b]) or res is b
+    out = v[0:2]
+    res = rewrite_graph(out)
+    check_values([a, b, c], out, res, [1.0, 2.0, 3.0])
+    assert len([op for op in ops_in(res, a, b, c)
+                if isinstance(op, Subtensor)]) == 0
+
+
+def test_subtensor_of_set_subtensor_same_idx():
+    x, y = at.matrix("x"), at.vector("y")
+    out = at.set_subtensor(x[2], y)[2]
+    res = rewrite_graph(out)
+    assert equal_computations([res], [y]) or res is y
+
+
+def test_inc_subtensor_of_zeros_becomes_set():
+    x = at.matrix("x")
+    y = at.vector("y")
+    out = at.inc_subtensor(at.zeros_like(x)[1], y)
+    res = rewrite_graph(out, include=["canonicalize", "specialize"])
+    incs = [n.op for n in applys_between([x, y], [res])
+            if isinstance(n.op, IncSubtensor)]
+    assert len(incs) == 1 and incs[0].set_instead_of_inc
+    check_values([x, y], out, res,
+                 [rng.normal(size=(3, 4)), rng.normal(size=4)])
+
+
+def test_useless_inc_subtensor_zero_increment():
+    x = at.matrix("x")
+    out = at.inc_subtensor(x[1], at.zeros_like(x[1]))
+    res = rewrite_graph(out)
+    assert equal_computations([res], [x])
+
+
+def test_adv_sub1_of_adv_set_sub1():
+    x = at.matrix("x")
+    y = at.matrix("y")
+    idx = at.vector("idx", dtype="int64")
+    setv = AdvancedIncSubtensor1(set_instead_of_inc=True)(x, y, idx)
+    out = AdvancedSubtensor1()(setv, idx)
+    res = rewrite_graph(out, include=["canonicalize", "specialize"])
+    assert equal_computations([res], [y]) or res is y
+
+
+def test_useless_adv_sub1_arange():
+    x = at.tensor("x", dtype="float64", shape=(4, 3))
+    out = AdvancedSubtensor1()(x, at.constant(np.arange(4)))
+    res = rewrite_graph(out)
+    assert equal_computations([res], [x])
+    # non-identity gather untouched
+    out2 = AdvancedSubtensor1()(x, at.constant(np.array([0, 0, 1, 2])))
+    res2 = rewrite_graph(out2)
+    assert not equal_computations([res2], [x])
+
+
+def test_subtensor_of_alloc_slice():
+    v = at.scalar("v")
+    out = at.alloc(v, 10, 7)[2:5]
+    res = rewrite_graph(out, include=["canonicalize", "specialize"])
+    allocs = [n for n in applys_between([v], [res])
+              if isinstance(n.op, Alloc)]
+    subs = [n for n in applys_between([v], [res])
+            if isinstance(n.op, Subtensor)]
+    assert len(allocs) == 1 and len(subs) == 0
+    check_values([v], out, res, [np.float64(3.5)])
+
+
+def test_subtensor_merge_still_works_with_pack():
+    x = at.matrix("x")
+    out = x[1:8][2:4]
+    res = rewrite_graph(out)
+    subs = [n for n in applys_between([x], [res])
+            if isinstance(n.op, Subtensor)]
+    assert len(subs) == 1
+    check_values([x], out, res, [rng.normal(size=(10, 3))])
+
+
+def test_grad_graphs_still_correct():
+    """IncSubtensor rewrites ride gradient graphs: check values."""
+    x = at.matrix("x")
+    out = (at.exp(x)[1:3] ** 2).sum()
+    g = atp.grad(out, x)
+    f_fast = function([x], g, mode="FAST_RUN")
+    f_py_raw = function([x], g, mode="PY")
+    v = rng.normal(size=(5, 3))
+    np.testing.assert_allclose(
+        np.asarray(f_fast(v)), np.asarray(f_py_raw(v)), rtol=1e-5
+    )
