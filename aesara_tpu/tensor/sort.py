@@ -49,16 +49,34 @@ class SortOp(Op):
         from aesara_tpu.tensor.subtensor import take_slice
 
         if x.type.ndim == 1:
-            from aesara_tpu.tensor.basic import inverse_permutation
-            from aesara_tpu.tensor.subtensor import AdvancedIncSubtensor1
             from aesara_tpu.tensor.basic import zeros_like
+            from aesara_tpu.tensor.subtensor import AdvancedIncSubtensor1
 
             gx = AdvancedIncSubtensor1()(zeros_like(x), gz, idx)
             return [gx, DisconnectedType()()]
-        from aesara_tpu.gradient import grad_not_implemented
+        # ndim > 1: gx = gz gathered by the inverse permutation along
+        # axis; argsort(argsort(x)) ranks each element, i.e. where its
+        # cotangent landed in the sorted output
+        from aesara_tpu.tensor.basic import (
+            NotScalarConstantError,
+            get_scalar_constant_value,
+            take_along_axis,
+        )
 
-        return [grad_not_implemented(self, 0, x, "sort grad for ndim>1"),
-                DisconnectedType()()]
+        try:
+            static_axis = int(get_scalar_constant_value(axis))
+        except NotScalarConstantError:
+            from aesara_tpu.gradient import grad_not_implemented
+
+            return [
+                grad_not_implemented(
+                    self, 0, x, "sort grad needs a constant axis"
+                ),
+                DisconnectedType()(),
+            ]
+        ranks = ArgSortOp(self.kind, self.order)(idx, axis)
+        gx = take_along_axis(gz, ranks, axis=static_axis)
+        return [gx, DisconnectedType()()]
 
 
 def sort(x, axis=-1, kind="quicksort", order=None):
