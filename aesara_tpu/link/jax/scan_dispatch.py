@@ -110,7 +110,9 @@ def _jax_while_scan(op):
         raise NotImplementedError(
             "while-Scan with stacked (per-step) outputs has a data-dependent "
             "output length and cannot lower to XLA; keep only final values "
-            "(out[-1], handled by scan_save_mem) or run in py mode"
+            "(out[-1], handled by scan_save_mem), pass a bound via "
+            "scan(..., n_steps=bound, padded_while=True) for static-shape "
+            "padded stacks + validity mask, or run in py mode"
         )
     body = fgraph_to_jax(op.fgraph)
     tap_depths = [-min(taps) for taps in info.mit_sot_taps]

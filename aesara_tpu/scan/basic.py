@@ -55,12 +55,26 @@ def scan(
     allow_gc=None,
     strict: bool = False,
     return_list: bool = False,
+    padded_while: bool = False,
 ):
     """Symbolic loop (reference ``scan/basic.py:162``).
 
     Returns (outputs, updates): ``outputs`` are the per-step stacks (or a
     single variable), ``updates`` maps shared variables to their final
     states (pass to ``function(updates=...)``).
+
+    ``padded_while=True`` (requires an ``until`` condition AND an
+    explicit ``n_steps`` bound) lowers the while-loop as a BOUNDED
+    regular scan with static shapes — the XLA-compilable strategy for
+    stacked while outputs (SURVEY §7(b)): a ``done`` flag rides the
+    carry; after the stopping step recurrent outputs freeze at their
+    final value, nit-sot (map) outputs are zero, and shared updates
+    stop.  Stacks always have ``n_steps`` rows, and one extra int8
+    output is appended holding the per-step VALIDITY mask (1 for rows
+    computed before/at the stop step).  Gradients flow only through
+    valid rows (the masking switches handle it).  Identical semantics
+    in py and XLA modes — differential-testable, unlike the reference's
+    truncated (dynamic-length) while outputs.
     """
     # ---- normalize arguments -------------------------------------------------
     def listify(x):
@@ -166,7 +180,17 @@ def scan(
     # unpack (outputs, updates, until)
     updates = OrderedDict()
     condition = None
-    if isinstance(raw, tuple) and len(raw) == 2 and isinstance(raw[1], (dict, OrderedDict, list)):
+    if (
+        isinstance(raw, tuple)
+        and len(raw) == 3
+        and isinstance(raw[1], (dict, OrderedDict, list))
+        and isinstance(raw[2], until)
+    ):
+        # (outputs, updates, until) — reference's full return form
+        raw_outputs, upd, cond_wrap = raw
+        updates = OrderedDict(upd if not isinstance(upd, list) else upd)
+        condition = cond_wrap.condition
+    elif isinstance(raw, tuple) and len(raw) == 2 and isinstance(raw[1], (dict, OrderedDict, list)):
         raw_outputs, upd = raw
         updates = OrderedDict(upd if not isinstance(upd, list) else upd)
     elif isinstance(raw, (dict, OrderedDict)) and not isinstance(raw, until):
@@ -194,6 +218,61 @@ def scan(
             f"scan fn returned {len(user_outputs)} outputs but outputs_info "
             f"has {len(kinds)} entries"
         )
+
+    # ---- padded_while: fold the until-condition into a done carry --------------
+    n_user_outs = len(user_outputs)
+    if padded_while:
+        if condition is None:
+            raise ValueError("padded_while requires an until() condition")
+        if n_steps is None:
+            raise ValueError(
+                "padded_while requires an explicit n_steps bound (the static "
+                "stack length)"
+            )
+        import aesara_tpu.tensor.basic as tb
+        import aesara_tpu.tensor.math as tmm
+
+        done_prev = TensorType("int8", ())("done[t-1]")
+        done_next = tb.cast(
+            tmm.or_(done_prev, tb.cast(tmm.neq(condition, 0), "int8")), "int8"
+        )
+        for i, kind in enumerate(kinds):
+            if kind == "nit":
+                user_outputs[i] = tb.switch(
+                    done_prev, tb.zeros_like(user_outputs[i]), user_outputs[i]
+                )
+            else:
+                taps = taps_list[i]
+                if -1 not in taps:
+                    raise NotImplementedError(
+                        "padded_while needs tap -1 on every recurrent output "
+                        "to freeze its state after the stop step"
+                    )
+                prev = inner_tap_vars_per_out[i][taps.index(-1)]
+                user_outputs[i] = tb.switch(done_prev, prev, user_outputs[i])
+        for sv in list(updates):
+            if not isinstance(getattr(sv.type, "dtype", None), str) or not hasattr(
+                sv.type, "ndim"
+            ):
+                raise NotImplementedError(
+                    "padded_while cannot freeze non-tensor shared state"
+                )
+            updates[sv] = tb.switch(done_prev, sv, updates[sv])
+        # per-step validity: the row AT the stop step is still valid
+        valid = tb.cast(tmm.eq(done_prev, 0), "int8")
+        # synthetic outputs: done (sit-sot carry, dropped from the user
+        # result) then valid (nit-sot, returned LAST)
+        kinds.append("sit")
+        inits.append(tb.constant(np.int8(0)))
+        taps_list.append([-1])
+        inner_tap_vars_per_out.append([done_prev])
+        user_outputs.append(done_next)
+        kinds.append("nit")
+        inits.append(None)
+        taps_list.append(None)
+        inner_tap_vars_per_out.append([])
+        user_outputs.append(valid)
+        condition = None
 
     # check recurrent output types match their taps
     for kind, tvs, out in zip(kinds, inner_tap_vars_per_out, user_outputs):
@@ -345,6 +424,11 @@ def scan(
     out_updates = OrderedUpdates()
     for sv, final in zip(shared_updated, shared_finals):
         out_updates[sv] = final
+
+    if padded_while:
+        # drop the internal done stack; keep the validity mask LAST
+        valid_stack = user_order_outs[n_user_outs + 1]
+        user_order_outs = user_order_outs[:n_user_outs] + [valid_stack]
 
     if len(user_order_outs) == 1 and not return_list:
         return user_order_outs[0], out_updates
