@@ -54,11 +54,20 @@ def _brief(v):
 
 class DebugLinker(LocalLinker):
     """Runs each node through perform AND the jax lowering, validates
-    output types, compares results."""
+    output types, compares results.  With ``check_aliasing`` it also
+    validates each op's view_map/destroy_map claims at runtime
+    (reference ``_check_viewmap``/BadDestroyMap, debugmode.py:151,233)
+    and with ``check_preallocated`` re-runs each thunk against poisoned
+    output storage (reference ``_get_preallocated_maps:738``) — the
+    donation-safety net of SURVEY §7(c)."""
 
-    def __init__(self, check_finite: bool = False):
+    def __init__(self, check_finite: bool = False,
+                 check_aliasing: bool = True,
+                 check_preallocated: bool = True):
         super().__init__(allow_gc=False)
         self.check_finite = check_finite
+        self.check_aliasing = check_aliasing
+        self.check_preallocated = check_preallocated
 
     def make_all(self, input_storage=None, output_storage=None, storage_map=None):
         from aesara_tpu.link.jax.dispatch import jax_funcify
@@ -89,14 +98,109 @@ class DebugLinker(LocalLinker):
         ]
 
         check_finite = self.check_finite
+        check_aliasing = self.check_aliasing
+        check_preallocated = self.check_preallocated
+
+        def _snapshot(v):
+            return np.array(v, copy=True) if isinstance(v, np.ndarray) else None
+
+        def _same(a, snap):
+            if not isinstance(a, np.ndarray) or a.shape != snap.shape:
+                return False
+            try:
+                return np.array_equal(a, snap, equal_nan=True)
+            except TypeError:  # non-float dtypes reject equal_nan
+                return np.array_equal(a, snap)
+
+        def _check_alias_and_destroy(node):
+            vm = getattr(node.op, "view_map", {}) or {}
+            dm = getattr(node.op, "destroy_map", {}) or {}
+            destroyed = {j for idxs in dm.values() for j in idxs}
+            # (a) undeclared writes to inputs
+            for j, inp in enumerate(node.inputs):
+                snap = node._dbg_snapshots[j]
+                if snap is None or j in destroyed:
+                    continue
+                cur = storage_map[inp][0]
+                if not _same(cur, snap):
+                    raise BadDestroyMap(
+                        f"node {node} modified input {j} ({inp}) without "
+                        f"declaring it in destroy_map={dm}"
+                    )
+            # (b) undeclared output<->input aliasing
+            for i, out in enumerate(node.outputs):
+                oval = storage_map[out][0]
+                if not isinstance(oval, np.ndarray) or oval.size == 0:
+                    continue
+                allowed = set(vm.get(i, [])) | set(dm.get(i, []))
+                for j, inp in enumerate(node.inputs):
+                    ival = storage_map[inp][0]
+                    if (
+                        isinstance(ival, np.ndarray)
+                        and ival.size
+                        and j not in allowed
+                        and np.may_share_memory(oval, ival)
+                    ):
+                        raise BadViewMap(
+                            f"node {node} output {i} aliases input {j} "
+                            f"({inp}) but view_map={vm} destroy_map={dm} "
+                            "don't declare it"
+                        )
+                # (c) output-output aliasing is never legal
+                for k in range(i + 1, len(node.outputs)):
+                    other = storage_map[node.outputs[k]][0]
+                    if (
+                        isinstance(other, np.ndarray)
+                        and other.size
+                        and np.may_share_memory(oval, other)
+                    ):
+                        raise BadViewMap(
+                            f"node {node}: outputs {i} and {k} alias each "
+                            "other"
+                        )
+
+        def _poison_like(a):
+            if a.dtype.kind == "f":
+                return np.full_like(a, np.nan)
+            if a.dtype.kind in "iu":
+                return np.full_like(a, 1234567)
+            if a.dtype.kind == "b":
+                return np.ones_like(a)
+            return None
+
+        def _check_preallocated(node, py_thunk):
+            """Re-run with inputs restored and outputs poisoned: an op
+            that reads or accumulates into its output storage diverges."""
+            saved = [
+                _snapshot(storage_map[o][0]) for o in node.outputs
+            ]
+            if any(s is None for s in saved):
+                return
+            for j, inp in enumerate(node.inputs):
+                snap = node._dbg_snapshots[j]
+                if snap is not None:
+                    storage_map[inp][0] = np.array(snap, copy=True)
+            for o, s in zip(node.outputs, saved):
+                poison = _poison_like(s)
+                if poison is None:
+                    return
+                storage_map[o][0] = poison
+            py_thunk()
+            for i, (o, s) in enumerate(zip(node.outputs, saved)):
+                if not check_eq(o, storage_map[o][0], s):
+                    raise BadThunkOutput(node, i, s, storage_map[o][0])
 
         def run():
             for node, py_thunk, jax_fn in thunks:
                 ins = [storage_map[i][0] for i in node.inputs]
+                if check_aliasing or check_preallocated:
+                    node._dbg_snapshots = [_snapshot(v) for v in ins]
                 try:
                     py_thunk()
                 except Exception:
                     raise_with_op(fgraph, node, py_thunk)
+                if check_aliasing:
+                    _check_alias_and_destroy(node)
                 for i, out in enumerate(node.outputs):
                     val = storage_map[out][0]
                     # type admission check
@@ -133,6 +237,8 @@ class DebugLinker(LocalLinker):
                             continue
                         if not ok:
                             raise BadThunkOutput(node, i, pv, jv)
+                if check_preallocated:
+                    _check_preallocated(node, py_thunk)
 
         return run, input_containers, output_containers, thunks, order
 
@@ -195,8 +301,16 @@ class DebugMode(Mode):
     fresh clones and verify the event traces agree."""
 
     def __init__(self, optimizer="fast_run", check_finite=False,
-                 stability_patience=None):
-        super().__init__(DebugLinker(check_finite=check_finite), optimizer)
+                 stability_patience=None, check_aliasing=True,
+                 check_preallocated=True):
+        super().__init__(
+            DebugLinker(
+                check_finite=check_finite,
+                check_aliasing=check_aliasing,
+                check_preallocated=check_preallocated,
+            ),
+            optimizer,
+        )
         if stability_patience is None:
             stability_patience = config.DebugMode__patience
         self.stability_patience = stability_patience
