@@ -363,6 +363,10 @@ def orig_function(
         )
         stats.compile_time = fn.maker_time or 0.0
         stats.rewrite_time = rewrite_time or 0.0
+        stats.rewriter_profile = getattr(fgraph, "_rewrite_stage_profile", None)
+        stats.equilibrium_profile = getattr(
+            fgraph, "_rewrite_equilibrium_profile", None
+        )
         fn.profile = stats
     else:
         fn.profile = None

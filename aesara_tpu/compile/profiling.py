@@ -39,8 +39,15 @@ class ProfileStats:
         self.linker_time = 0.0
         self.apply_time = defaultdict(float)   # node -> seconds
         self.apply_callcount = defaultdict(int)
-        self.variable_shape = {}
+        self.variable_shape = {}               # var -> shape (memory profile)
+        self.variable_mem = {}                 # var -> nbytes
         self.xla_cost = None  # dict from compiled.cost_analysis()
+        #: per-optdb-stage compile profile: [(name, seconds, nodes_in,
+        #: nodes_out)] (reference rewriter_profile, profiling.py:185+)
+        self.rewriter_profile = None
+        #: per-equilibrium-stage detail: {stage: {passes, applications,
+        #: rewriter_time}}
+        self.equilibrium_profile = None
         if atexit_print:
             _all_profiles.append(self)
 
@@ -73,11 +80,38 @@ class ProfileStats:
             for opname, t in rows[:n_ops_to_print]:
                 print(f"    {t:10.6f}s {100 * t / total:5.1f}%  {opname}",
                       file=file)
+        if self.rewriter_profile:
+            print("  rewrite pipeline (per optdb stage):", file=file)
+            for stage, dt, n_in, n_out in self.rewriter_profile:
+                delta = f"{n_in}->{n_out}" if n_in != n_out else f"{n_in}"
+                print(f"    {dt:10.6f}s  nodes {delta:>9}  {stage}",
+                      file=file)
+        if self.equilibrium_profile:
+            for stage, det in self.equilibrium_profile.items():
+                print(f"  equilibrium stage {stage!r}: "
+                      f"{det['passes']} passes", file=file)
+                top = sorted(det["rewriter_time"].items(),
+                             key=lambda kv: -kv[1])[:n_ops_to_print]
+                for rname, t in top:
+                    napp = det["applications"].get(rname, 0)
+                    print(f"    {t:10.6f}s  {napp:4d}x  {rname}", file=file)
+        if self.variable_mem:
+            total = sum(self.variable_mem.values())
+            print(f"  memory profile: {total / 1e6:.3f} MB across "
+                  f"{len(self.variable_mem)} intermediates; largest:",
+                  file=file)
+            rows = sorted(self.variable_mem.items(), key=lambda kv: -kv[1])
+            for var, nbytes in rows[:n_ops_to_print]:
+                shp = self.variable_shape.get(var)
+                print(f"    {nbytes / 1e6:10.3f} MB  shape={shp}  {var}",
+                      file=file)
         if self.xla_cost:
             print("  XLA cost analysis:", file=file)
             for k in ("flops", "bytes accessed", "transcendentals"):
                 if k in self.xla_cost:
                     print(f"    {k}: {self.xla_cost[k]:.3e}", file=file)
+        for printer in _profiler_printers:
+            printer(self, file)
 
     summary_ops = summary
 
@@ -133,6 +167,12 @@ class ProfileLinker(LocalLinker):
                     raise_with_op(fgraph, node, thunk)
                 stats.apply_time[node] += time.perf_counter() - t0
                 stats.apply_callcount[node] += 1
+                # memory/shape accounting (reference profiling.py:249-259)
+                for out in node.outputs:
+                    val = storage_map[out][0]
+                    if isinstance(val, np.ndarray):
+                        stats.variable_shape[out] = val.shape
+                        stats.variable_mem[out] = val.nbytes
             stats.fct_call_time += time.perf_counter() - t_fn
             stats.fct_callcount += 1
 
@@ -195,6 +235,35 @@ def register_profiler_printer(fct):
     """Extra sections for the atexit profile dump (reference)."""
     _profiler_printers.append(fct)
     return fct
+
+
+@register_profiler_printer
+def _scan_profile_printer(stats, file=None):
+    """Per-Scan breakdown (reference ``scan/op.py:3344 profile_printer``):
+    loop totals and the inner graph's op census."""
+    from aesara_tpu.scan.op import Scan
+
+    file = file or sys.stdout
+    scan_nodes = [
+        (node, t) for node, t in stats.apply_time.items()
+        if isinstance(node.op, Scan)
+    ]
+    if not scan_nodes:
+        return
+    print("  scan loops:", file=file)
+    for node, t in sorted(scan_nodes, key=lambda kv: -kv[1]):
+        op = node.op
+        inner_census = defaultdict(int)
+        for n in op.fgraph.apply_nodes:
+            inner_census[type(n.op).__name__] += 1
+        census = ", ".join(
+            f"{k}x{v}" for k, v in sorted(inner_census.items())
+        )
+        print(
+            f"    {t:10.6f}s {stats.apply_callcount[node]:4d} calls  "
+            f"{op} (inner: {census})",
+            file=file,
+        )
 
 
 def print_global_stats():

@@ -244,7 +244,13 @@ class SequentialGraphRewriter(GraphRewriter, list):
 
     def apply(self, fgraph):
         sub_profs = []
+        stage_profile = []
         for rewriter in self:
+            stage_name = str(
+                getattr(rewriter, "name", None) or type(rewriter).__name__
+            )
+            n_before = len(fgraph.apply_nodes)
+            t0 = time.perf_counter()
             try:
                 sub_profs.append(rewriter.rewrite(fgraph))
             except AssertionError:
@@ -260,6 +266,20 @@ class SequentialGraphRewriter(GraphRewriter, list):
                     sub_profs.append(None)
                 else:
                     sub_profs.append(None)
+            finally:
+                stage_profile.append(
+                    (
+                        stage_name,
+                        time.perf_counter() - t0,
+                        n_before,
+                        len(fgraph.apply_nodes),
+                    )
+                )
+        # per-pass compile profile consumed by ProfileStats (reference
+        # rewriter_profile, compile/profiling.py:185+)
+        fgraph._rewrite_stage_profile = (
+            getattr(fgraph, "_rewrite_stage_profile", []) + stage_profile
+        )
         return sub_profs
 
     def add_requirements(self, fgraph):
@@ -728,6 +748,7 @@ class EquilibriumGraphRewriter(NodeProcessingGraphRewriter):
             1, int(self.max_use_ratio * (len(fgraph.apply_nodes) + 10))
         )
         process_count: Counter = Counter()
+        rewriter_time: Counter = Counter()
         changed = True
         iters = 0
         while changed and iters < 100:
@@ -769,7 +790,9 @@ class EquilibriumGraphRewriter(NodeProcessingGraphRewriter):
                     for rw in self.node_tracker.get_trackers(node.op):
                         if process_count[rw] > max_use:
                             continue
+                        t_rw = time.perf_counter()
                         node_changed = self.process_node(fgraph, node, rw)
+                        rewriter_time[rw] += time.perf_counter() - t_rw
                         if node_changed:
                             process_count[rw] += 1
                             changed = True
@@ -786,6 +809,26 @@ class EquilibriumGraphRewriter(NodeProcessingGraphRewriter):
             frw.apply(fgraph)
         for crw in self.cleanup_rewriters:
             crw.apply(fgraph)
+
+        def _rw_name(rw):
+            return str(getattr(rw, "name", None) or getattr(rw, "__name__", rw))
+
+        # per-equilibrium-stage detail for the compile profile
+        detail = {
+            "passes": iters,
+            "applications": {
+                _rw_name(rw): n for rw, n in process_count.items() if n
+            },
+            "rewriter_time": {
+                _rw_name(rw): t
+                for rw, t in sorted(
+                    rewriter_time.items(), key=lambda kv: -kv[1]
+                )[:20]
+            },
+        }
+        profs = getattr(fgraph, "_rewrite_equilibrium_profile", {})
+        profs[str(getattr(self, "name", None) or "equilibrium")] = detail
+        fgraph._rewrite_equilibrium_profile = profs
         return iters
 
     def __str__(self):
