@@ -55,6 +55,17 @@ def main():
         "unit": "TFLOP/s",
         "vs_baseline": round(baseline_time / elapsed, 3),
     }
+    # MXU roofline companion: tile-aligned bf16 gemm CHAIN in one XLA
+    # program (amortizes the ~810 µs tunnel dispatch floor) + MFU vs the
+    # ~197 TFLOP/s v5-lite bf16 peak (benchmarks/bench_mxu_roofline.py)
+    try:
+        from benchmarks.bench_mxu_roofline import BF16_PEAK_TFLOPS, chained_gemm
+
+        bf16 = chained_gemm(8192, "bfloat16", chain=10, iters=3)
+        result["bf16_8192_tflops"] = round(bf16, 2)
+        result["bf16_mfu"] = round(bf16 / BF16_PEAK_TFLOPS, 3)
+    except Exception:
+        pass
     print(json.dumps(result))
 
 
