@@ -67,6 +67,45 @@ class IfElse(Op):
         for storage, val in zip(output_storage, branch):
             storage[0] = val
 
+    def make_thunk(self, node, storage_map, compute_map, no_recycling,
+                   impl=None):
+        """Lazy thunk (reference lazylinker Stack semantics): returns the
+        THUNK INDICES still needed — first the condition, then only the
+        TAKEN branch — or None once the outputs are filled, so the VM
+        never computes the untaken branch."""
+        cond_st = storage_map[node.inputs[0]]
+        cond_cm = compute_map[node.inputs[0]]
+        branch_sts = [storage_map[v] for v in node.inputs[1:]]
+        branch_cms = [compute_map[v] for v in node.inputs[1:]]
+        out_sts = [storage_map[o] for o in node.outputs]
+        out_cms = [compute_map[o] for o in node.outputs]
+        n_outs = self.n_outs
+
+        def thunk():
+            owners = thunk.input_owner_index
+            if not cond_cm[0]:
+                return [owners[0]]
+            base = 0 if bool(cond_st[0]) else n_outs
+            needed = [
+                owners[1 + base + k]
+                for k in range(n_outs)
+                if not branch_cms[base + k][0] and owners[1 + base + k] >= 0
+            ]
+            if needed:
+                return needed
+            for k in range(n_outs):
+                out_sts[k][0] = branch_sts[base + k][0]
+                out_cms[k][0] = True
+            return None
+
+        thunk.lazy = True
+        thunk.inputs = [cond_st] + branch_sts
+        thunk.outputs = out_sts
+        # linker fills the input-position → thunk-index table; default
+        # (“no producers”) keeps the thunk usable standalone
+        thunk.input_owner_index = tuple(-1 for _ in node.inputs)
+        return thunk
+
     def infer_shape(self, fgraph, node, input_shapes):
         from aesara_tpu.tensor.basic import switch
 

@@ -150,3 +150,91 @@ def test_output_subset_full_run_fallback_jax():
     xv = np.arange(1.0, 4.0, dtype="float32")
     r = f(xv, output_subset=[1])
     assert len(r) == 1 and np.allclose(r[0], np.log(np.abs(xv) + 1))
+
+
+class _CountingExp:
+    """Op wrapper that counts perform() executions."""
+
+    def __new__(cls):
+        from aesara_tpu.graph.ir import Apply
+        from aesara_tpu.graph.op import Op
+        from aesara_tpu.tensor.basic import as_tensor_variable
+
+        class CountingExp(Op):
+            calls = [0]
+
+            def make_node(self, x):
+                x = as_tensor_variable(x)
+                return Apply(self, [x], [x.type()])
+
+            def perform(self, node, inputs, output_storage):
+                type(self).calls[0] += 1
+                output_storage[0][0] = np.exp(inputs[0])
+
+        return CountingExp()
+
+
+def test_cvm_lazy_ifelse_runs_only_taken_branch():
+    """The C++ VM's lazy-thunk protocol: the untaken IfElse branch never
+    executes (reference lazylinker Stack semantics)."""
+    import aesara_tpu.tensor as at
+    from aesara_tpu.compile.function import function
+    from aesara_tpu.compile.mode import Mode, OPT_NONE
+    from aesara_tpu.ifelse import ifelse
+    from aesara_tpu.link.c.vm_linker import CVMLinker
+
+    t_op = _CountingExp()
+    f_op = _CountingExp()
+    c = at.scalar("c")
+    x = at.vector("x")
+    out = ifelse(c > 0, t_op(x), f_op(x * 2.0))
+    fn = function([c, x], out, mode=Mode(CVMLinker(), OPT_NONE))
+
+    v = np.array([0.5, 1.0])
+    res = fn(1.0, v)
+    np.testing.assert_allclose(np.asarray(res), np.exp(v))
+    assert type(t_op).calls[0] == 1
+    assert type(f_op).calls[0] == 0  # untaken branch never ran
+
+    res = fn(-1.0, v)
+    np.testing.assert_allclose(np.asarray(res), np.exp(v * 2.0))
+    assert type(t_op).calls[0] == 1
+    assert type(f_op).calls[0] == 1
+
+
+def test_cvm_lazy_ifelse_nested_condition_chain():
+    import aesara_tpu.tensor as at
+    from aesara_tpu.compile.function import function
+    from aesara_tpu.compile.mode import Mode, OPT_NONE
+    from aesara_tpu.ifelse import ifelse
+    from aesara_tpu.link.c.vm_linker import CVMLinker
+
+    c = at.scalar("c")
+    x = at.vector("x")
+    inner = ifelse(c > 1, at.exp(x), x + 100.0)
+    out = ifelse(c > 0, inner * 2.0, x - 100.0)
+    fn = function([c, x], out, mode=Mode(CVMLinker(), OPT_NONE))
+    v = np.ones(3)
+    np.testing.assert_allclose(np.asarray(fn(2.0, v)), 2 * np.exp(v))
+    np.testing.assert_allclose(np.asarray(fn(0.5, v)), 2 * (v + 100.0))
+    np.testing.assert_allclose(np.asarray(fn(-1.0, v)), v - 100.0)
+
+
+def test_cvm_applies_update_pairs_in_vm():
+    """update-storage handling inside the C++ VM (reference UpdatingVM)."""
+    import aesara_tpu.tensor as at
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.link.c.vm_linker import CVMLinker
+
+    x = at.vector("x")
+    new_x = x * 2.0
+    fg = FunctionGraph([x], [new_x])
+    linker = CVMLinker(update_map={0: 0})
+    linker.accept(fg)
+    run, in_c, out_c = linker.make_thunk()
+    in_c[0].storage[0] = np.ones(3)
+    run()
+    # the VM itself wrote the update output back into the input cell
+    np.testing.assert_allclose(in_c[0].storage[0], 2 * np.ones(3))
+    run()
+    np.testing.assert_allclose(in_c[0].storage[0], 4 * np.ones(3))
