@@ -130,6 +130,12 @@ def rebuild_collect_shared(
         if isinstance(v, SharedVariable) and id(v) not in seen:
             seen.add(id(v))
             shared_vars.append(v)
+    # update TARGETS are function state even when the graph never reads
+    # them (write-only updates, e.g. logging a statistic into a shared)
+    for k, _ in update_pairs:
+        if id(k) not in seen:
+            seen.add(id(k))
+            shared_vars.append(k)
 
     # default updates (RandomStream state rotation etc.)
     explicit_targets = {id(k) for k, _ in update_pairs}

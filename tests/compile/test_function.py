@@ -132,3 +132,20 @@ def test_py_and_jax_agree_on_updates():
         r2 = f(np.ones(4))
         assert np.isclose(r1, 6.0)
         assert np.isclose(r2, 10.0)
+
+
+def test_write_only_update_target():
+    """updates={z: expr} must work when z is never read by the graph
+    (reference pfunc semantics: targets are function state regardless)."""
+    import numpy as np
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+
+    x = atp.shared(np.ones(3, "float32"), name="x")
+    z = atp.shared(np.zeros(3, "float32"), name="z")
+    for mode in ("PY", "JAX"):
+        z.set_value(np.zeros(3, "float32"))
+        f = atp.function([], [], updates={z: at.exp(x)}, mode=mode)
+        f()
+        np.testing.assert_allclose(z.get_value(), np.exp(np.ones(3)),
+                                   rtol=1e-6)
