@@ -176,3 +176,57 @@ def test_fuzz_scan_mit_sot_nit_sot(seed):
     for a, b, c in zip(f_py(Xv, bv), f_jx(Xv, bv), f_fr(Xv, bv)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10)
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-8, atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# round-2 pack-targeted fuzz: expressions biased toward the canonizer,
+# pow/abs specializations, stabilizations, and subtensor rules — compiled
+# FAST_RUN (all packs on) vs raw PY, values and grads
+# ---------------------------------------------------------------------------
+
+PACK_TARGETED = [
+    lambda a, b: (a * b) / (b + 1e-3),
+    lambda a, b: a / (a + 1e-3) + b,
+    lambda a, b: (a + b) - b + (a - a),
+    lambda a, b: (2.0 * a * 3.0) / 6.0 + b * 1.0 + 0.0,
+    lambda a, b: a ** 2 + b ** 1 + (a + 1.0) ** 0,
+    lambda a, b: at.abs(-a) * at.abs(b),
+    lambda a, b: at.log(1.0 + at.exp(a)) + at.log(at.sqrt(b ** 2 + 1.0)),
+    lambda a, b: at.log(at.exp(a) + at.exp(b)),
+    lambda a, b: at.log(at.sum(at.exp(a), axis=1, keepdims=True)) + b,
+    lambda a, b: 1.0 - at.math.sigmoid(a) + at.math.erf(-b),
+    lambda a, b: at.switch(at.math.eq(a, a), a, b) + at.maximum(b, b),
+    lambda a, b: at.sum(at.sum(a * 2.5, axis=1)) + b,
+    lambda a, b: at.sum(-a, axis=0) + b.sum(),
+    lambda a, b: at.exp(a)[1:3].sum() + b[0:4].sum(),
+    lambda a, b: at.set_subtensor(a[1], b[1])[1].sum() + a.sum(),
+    lambda a, b: at.inc_subtensor(at.zeros_like(a)[2], b[2]).sum(),
+    lambda a, b: at.dot(a, b.T)[1].sum(),
+    lambda a, b: a.dimshuffle("x", 0, 1)[0].sum() + b.sum(),
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(PACK_TARGETED)))
+def test_fuzz_pack_targeted_values_and_grads(case_i):
+    rng = np.random.default_rng(1000 + case_i)
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
+    build = PACK_TARGETED[case_i]
+    expr = build(x, y)
+    cost = expr.sum() if expr.type.ndim else expr
+    gx = atp.grad(cost, x, disconnected_inputs="ignore")
+    gy = atp.grad(cost, y, disconnected_inputs="ignore")
+
+    f_py = function([x, y], [cost, gx, gy], mode=py_mode,
+                    on_unused_input="ignore")
+    f_fr = function([x, y], [cost, gx, gy], mode="FAST_RUN",
+                    on_unused_input="ignore")
+    xv = rng.normal(size=(4, 6)) + 2.0
+    yv = rng.normal(size=(4, 6)) + 2.0
+    r_py = f_py(xv, yv)
+    r_fr = f_fr(xv, yv)
+    for p, q in zip(r_py, r_fr):
+        np.testing.assert_allclose(
+            np.asarray(p, dtype="float64"), np.asarray(q, dtype="float64"),
+            rtol=1e-6, atol=1e-8, err_msg=f"case {case_i}",
+        )
