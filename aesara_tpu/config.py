@@ -191,7 +191,9 @@ config.add("jax_donate_shared", BoolParam(True,
 config.add("jax_default_matmul_precision", EnumStr("highest", ("default", "high"),
            doc="precision passed to MXU dot_general in lowered graphs"))
 config.add("pallas_fusion", BoolParam(False,
-           doc="lower fused Composite elemwise chains to Pallas VPU kernels"))
+           doc="lower fused Composite elemwise chains to Pallas VPU kernels "
+               "(opt-in: measured parity with XLA's own fusion at HBM-bound "
+               "sizes — see benchmarks/README.md crossover table)"))
 config.add("pallas_fusion_min_size", IntParam(8192,
            doc="min elements before a fused chain uses a Pallas kernel"))
 config.add("context_parallel_axis", StrParam("",
