@@ -362,3 +362,181 @@ optdb.register(
     "scan_merge", in2out(scan_merge, name="scan_merge"),
     "fast_run", "scan", position=1.62,
 )
+
+
+# ---------------------------------------------------------------------------
+# push-out-SEQS: batch per-step work over the whole time axis
+# (reference push_out_seq_scan — the RNN-throughput rewrite: T small
+# per-step ops become ONE big batched op outside the loop, e.g. the
+# input projection x_t @ W turns into a single (T·B, d) @ (d, k) gemm
+# that actually fills the MXU)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Scan])
+def scan_pushout_seqs(fgraph, node):
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.graph.ir import Constant, io_toposort
+    from aesara_tpu.tensor.elemwise import Elemwise
+    from aesara_tpu.tensor.math import Dot, dot as tdot
+
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+    inner_in = op.fgraph.inputs
+    n_seqs = info.n_seqs
+    if n_seqs == 0:
+        return False
+    seq_vars = inner_in[:n_seqs]
+    n_loop_vars = (
+        n_seqs + sum(len(t) for t in info.mit_sot_taps)
+        + info.n_sit_sot + info.n_shared
+    )
+    nonseq_vars = inner_in[n_loop_vars:]
+    outer_seqs = node.inputs[1: 1 + n_seqs]
+    outer_nonseqs = node.inputs[1 + n_seqs + info.n_mit_sot
+                                + info.n_sit_sot + info.n_shared:]
+
+    invariant = set(nonseq_vars)
+    seq_dep = set(seq_vars)          # seq-dependent hoistable values
+    n_steps_var = node.inputs[0]
+
+    def _sliced(ov):
+        # sequences may be longer than n_steps: batched combinations
+        # must align on exactly the consumed window
+        return ov[:n_steps_var]
+
+    #: inner hoisted var -> builder of the outer BATCHED value
+    outer_of = {
+        iv: (lambda v=ov: _sliced(v)) for iv, ov in zip(seq_vars, outer_seqs)
+    }
+    inv_outer = dict(zip(nonseq_vars, outer_nonseqs))
+
+    hoisted_nodes = []
+    #: hoisted value -> True when its hoisted subgraph contains a Dot.
+    #: Pure elemwise stays IN the loop: XLA fuses it into the scan body
+    #: for free, while hoisting would materialize a (T, ...) buffer in
+    #: HBM.  Only MXU-batchable dot chains pay for the round trip.
+    worth = {}
+    for inner_node in io_toposort(inner_in, op.fgraph.outputs):
+        if getattr(inner_node.op, "jax_never_fold", False):
+            continue
+        ins = inner_node.inputs
+        ok = all(
+            (i in seq_dep) or (i in invariant) or isinstance(i, Constant)
+            for i in ins
+        )
+        has_seq = any(i in seq_dep for i in ins)
+        if not (ok and has_seq):
+            continue
+
+        if isinstance(inner_node.op, Elemwise) and len(inner_node.outputs) == 1:
+            def build_ew(n=inner_node):
+                args = []
+                for i in n.inputs:
+                    if i in seq_dep:
+                        args.append(outer_of[i]())
+                    else:
+                        ov = inv_outer[i] if i in invariant else i
+                        # broadcast over the new leading time axis
+                        order = ("x",) + tuple(range(ov.type.ndim))
+                        from aesara_tpu.tensor.elemwise import DimShuffle
+
+                        args.append(DimShuffle(ov.type.ndim, order)(ov))
+                return n.op(*args)
+
+            builder = build_ew
+        elif (
+            isinstance(inner_node.op, Dot)
+            and len(ins) == 2
+            and ins[0] in seq_dep
+            and ins[0].type.ndim in (1, 2)
+            and (ins[1] in invariant or isinstance(ins[1], Constant))
+            and ins[1].type.ndim == 2
+        ):
+            if ins[0].type.ndim == 1:
+                def build_dot(n=inner_node):
+                    rhs = inv_outer.get(n.inputs[1], n.inputs[1])
+                    return tdot(outer_of[n.inputs[0]](), rhs)
+            else:
+                # matrix slice: (T, B, D) @ (D, K) as ONE (T·B, D) gemm
+                def build_dot(n=inner_node):
+                    from aesara_tpu.tensor.shape import reshape, shape as tshape
+
+                    rhs = inv_outer.get(n.inputs[1], n.inputs[1])
+                    lhs = outer_of[n.inputs[0]]()
+                    shp = tshape(lhs)
+                    flat = reshape(lhs, (shp[0] * shp[1], shp[2]))
+                    res = tdot(flat, rhs)
+                    return reshape(res, (shp[0], shp[1], tshape(rhs)[1]))
+
+            builder = build_dot
+        else:
+            continue
+        hoisted_nodes.append(inner_node)
+        out_v = inner_node.outputs[0]
+        seq_dep.add(out_v)
+        outer_of[out_v] = builder
+        worth[out_v] = isinstance(inner_node.op, Dot) or any(
+            worth.get(i, False) for i in ins
+        )
+
+    if not hoisted_nodes:
+        return False
+
+    # hoist only frontier values consumed outside the hoisted set, and
+    # only when the batched computation includes a Dot (MXU payoff)
+    hoisted_set = set(hoisted_nodes)
+    new_seq_inner = []
+    for inner_node in hoisted_nodes:
+        out_v = inner_node.outputs[0]
+        if not worth.get(out_v, False):
+            continue
+        for client, _ in op.fgraph.clients.get(out_v, []):
+            if client == "output" or client not in hoisted_set:
+                new_seq_inner.append(out_v)
+                break
+    if not new_seq_inner:
+        return False
+    # every frontier value becomes a new sequence; if NOTHING non-trivial
+    # remains in the loop this still pays (the loop becomes a cheap copy)
+    new_outer_seqs = [outer_of[v]() for v in new_seq_inner]
+    placeholders = [v.type(f"pushed_{k}") for k, v in enumerate(new_seq_inner)]
+
+    from aesara_tpu.graph.ir import clone_replace
+
+    new_inner_outputs = clone_replace(
+        list(op.fgraph.outputs), replace=dict(zip(new_seq_inner, placeholders))
+    )
+    new_inner_inputs = (
+        list(seq_vars) + placeholders + list(inner_in[n_seqs:])
+    )
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_info = ScanInfo(
+        n_seqs=n_seqs + len(placeholders),
+        mit_sot_taps=info.mit_sot_taps,
+        n_sit_sot=info.n_sit_sot,
+        n_nit_sot=info.n_nit_sot,
+        n_shared=info.n_shared,
+        n_non_seqs=info.n_non_seqs,
+        as_while=info.as_while,
+        final_only=info.final_only,
+    )
+    new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
+    new_inputs = (
+        [node.inputs[0]] + list(outer_seqs) + new_outer_seqs
+        + list(node.inputs[1 + n_seqs:])
+    )
+    new_outs = new_op(*new_inputs, return_list=True)
+    replacements = {}
+    for old, new in zip(node.outputs, new_outs):
+        if fgraph.clients.get(old):
+            replacements[old] = new
+            copy_stack_trace(old, new)
+    return replacements or False
+
+
+optdb.register(
+    "scan_pushout_seqs", in2out(scan_pushout_seqs, name="scan_pushout_seqs"),
+    "fast_run", "scan", position=1.62,
+)
