@@ -119,18 +119,27 @@ def scan_pushout_non_seqs(fgraph, node):
     nonseq_vars = inner_in[n_loop_vars:]
     nonseq_set = set(nonseq_vars)
 
-    # classify inner nodes: invariant = no loop-var ancestor
+    # classify inner nodes: invariant = no loop-var ancestor.  Pure-
+    # constant subgraphs are NOT hoisted: XLA folds them inside the body
+    # for free, and hoisting them would ping-pong with the constant-
+    # folding done by scan_remove_constants_and_unused.
     invariant_vars = set(nonseq_set)
+    const_like = set()
     hoistable = []
     for inner_node in io_toposort(inner_in, op.fgraph.outputs):
         if getattr(inner_node.op, "jax_never_fold", False):
             continue  # collectives / RNG must stay put
+        ins = inner_node.inputs
         if all(
-            (i in invariant_vars) or isinstance(i, Constant)
-            for i in inner_node.inputs
+            (i in invariant_vars) or (i in const_like)
+            or isinstance(i, Constant)
+            for i in ins
         ):
-            hoistable.append(inner_node)
-            invariant_vars.update(inner_node.outputs)
+            if all((i in const_like) or isinstance(i, Constant) for i in ins):
+                const_like.update(inner_node.outputs)
+            else:
+                hoistable.append(inner_node)
+                invariant_vars.update(inner_node.outputs)
 
     if not hoistable:
         return False
@@ -539,4 +548,357 @@ def scan_pushout_seqs(fgraph, node):
 optdb.register(
     "scan_pushout_seqs", in2out(scan_pushout_seqs, name="scan_pushout_seqs"),
     "fast_run", "scan", position=1.62,
+)
+
+
+# ---------------------------------------------------------------------------
+# remove_constants_and_unused_inputs_scan
+# (reference scan/rewriting.py:75) — slim the loop signature: drop unused
+# sequences/non-sequences, substitute constant non-sequences into the body,
+# and merge duplicated sequence/non-sequence inputs.  Smaller carries and
+# fewer xs mean less HBM traffic per lax.scan step, and the cleanup exposes
+# further pushout opportunities.
+# ---------------------------------------------------------------------------
+
+def _scan_layout(info, node):
+    """(inner split, outer split) of a scan node's inputs."""
+    inner = node.op.fgraph.inputs
+    n_taps = sum(len(t) for t in info.mit_sot_taps)
+    p = 0
+    i_seqs = inner[p: p + info.n_seqs]; p += info.n_seqs
+    i_mid = inner[p: p + n_taps + info.n_sit_sot + info.n_shared]
+    p += n_taps + info.n_sit_sot + info.n_shared
+    i_nonseqs = inner[p:]
+    ins = node.inputs
+    p = 1
+    o_seqs = ins[p: p + info.n_seqs]; p += info.n_seqs
+    o_mid = ins[p: p + info.n_mit_sot + info.n_sit_sot + info.n_shared]
+    p += info.n_mit_sot + info.n_sit_sot + info.n_shared
+    o_nonseqs = ins[p:]
+    return i_seqs, i_mid, i_nonseqs, o_seqs, o_mid, o_nonseqs
+
+
+@node_rewriter([Scan])
+def scan_remove_constants_and_unused(fgraph, node):
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.graph.ir import Constant, clone_replace
+
+    op = node.op
+    info = op.info
+    i_seqs, i_mid, i_nonseqs, o_seqs, o_mid, o_nonseqs = _scan_layout(
+        info, node
+    )
+
+    inner_clients = op.fgraph.clients
+    replace = {}          # inner var -> inner replacement (Constant or kept)
+    keep_seq_i, keep_seq_o = [], []
+    seen_seq = {}         # outer seq var -> kept inner var
+    for iv, ov in zip(i_seqs, o_seqs):
+        if not inner_clients.get(iv):
+            continue  # unused sequence: drop
+        if ov in seen_seq:
+            replace[iv] = seen_seq[ov]
+            continue  # duplicate of an earlier sequence
+        seen_seq[ov] = iv
+        keep_seq_i.append(iv)
+        keep_seq_o.append(ov)
+
+    keep_ns_i, keep_ns_o = [], []
+    seen_ns = {}
+    for iv, ov in zip(i_nonseqs, o_nonseqs):
+        if not inner_clients.get(iv):
+            continue  # unused non-sequence
+        if isinstance(ov, Constant):
+            replace[iv] = Constant(iv.type, ov.data)
+            continue  # fold the outer constant into the body
+        if ov in seen_ns:
+            replace[iv] = seen_ns[ov]
+            continue
+        seen_ns[ov] = iv
+        keep_ns_i.append(iv)
+        keep_ns_o.append(ov)
+
+    n_dropped = (len(i_seqs) - len(keep_seq_i)) + (
+        len(i_nonseqs) - len(keep_ns_i)
+    )
+    if n_dropped == 0:
+        return False
+
+    new_inner_outputs = clone_replace(list(op.fgraph.outputs), replace=replace)
+    new_inner_inputs = keep_seq_i + list(i_mid) + keep_ns_i
+    new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs, clone=True)
+    new_info = ScanInfo(
+        n_seqs=len(keep_seq_i),
+        mit_sot_taps=info.mit_sot_taps,
+        n_sit_sot=info.n_sit_sot,
+        n_nit_sot=info.n_nit_sot,
+        n_shared=info.n_shared,
+        n_non_seqs=len(keep_ns_i),
+        as_while=info.as_while,
+        final_only=info.final_only,
+    )
+    new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
+    new_outs = new_op(
+        *([node.inputs[0]] + keep_seq_o + list(o_mid) + keep_ns_o),
+        return_list=True,
+    )
+    replacements = {}
+    for old, new in zip(node.outputs, new_outs):
+        if fgraph.clients.get(old):
+            replacements[old] = new
+            copy_stack_trace(old, new)
+    return replacements or False
+
+
+# reference scan_eqopt1 position 0.05; run again after the pushout band,
+# which leaves behind unused inputs
+optdb.register(
+    "scan_remove_constants_and_unused",
+    in2out(scan_remove_constants_and_unused,
+           name="scan_remove_constants_and_unused"),
+    "fast_run", "scan", position=0.05,
+)
+optdb.register(
+    "scan_remove_constants_and_unused_late",
+    in2out(scan_remove_constants_and_unused,
+           name="scan_remove_constants_and_unused_late"),
+    "fast_run", "scan", position=1.66,
+)
+
+
+# ---------------------------------------------------------------------------
+# scan_merge_inouts (reference scan/rewriting.py:1964) — duplicate OUTPUT
+# elimination: two nit-sots computing the same inner variable, or two
+# sit-sots with the same inner step AND the same initial state, stack the
+# same values; keep one buffer.
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Scan])
+def scan_merge_inouts(fgraph, node):
+    op = node.op
+    info = op.info
+    if info.as_while:
+        return False
+    inner_out = op.fgraph.outputs
+    n_mit, n_sit, n_nit = info.n_mit_sot, info.n_sit_sot, info.n_nit_sot
+    sit_in0 = 1 + info.n_seqs + n_mit  # outer index of first sit-sot init
+
+    # duplicate nit-sots: same inner output variable
+    seen = {}
+    dup_of = {}
+    for j in range(n_nit):
+        key = inner_out[n_mit + n_sit + j]
+        if key in seen:
+            dup_of[n_mit + n_sit + j] = n_mit + n_sit + seen[key]
+        else:
+            seen[key] = j
+    # duplicate sit-sots: same inner step var + same outer init + same flag
+    seen_sit = {}
+    for k in range(n_sit):
+        rec = n_mit + k
+        key = (inner_out[rec], node.inputs[sit_in0 + k],
+               info.is_final_only(rec))
+        if key in seen_sit:
+            dup_of[rec] = seen_sit[key]
+        else:
+            seen_sit[key] = rec
+    if not dup_of:
+        return False
+    replacements = {}
+    for dup_idx, keep_idx in dup_of.items():
+        old = node.outputs[dup_idx]
+        if fgraph.clients.get(old):
+            replacements[old] = node.outputs[keep_idx]
+            copy_stack_trace(old, node.outputs[keep_idx])
+    return replacements or False
+
+
+optdb.register(
+    "scan_merge_inouts", in2out(scan_merge_inouts, name="scan_merge_inouts"),
+    "fast_run", "scan", position=1.63,
+)
+
+
+# ---------------------------------------------------------------------------
+# push-out-SUM (reference push_out_add_scan:813 + push_out_dot1_scan:2167,
+# unified): a sit-sot that only ACCUMULATES — step = carry + expr_t with
+# expr_t independent of every recurrent/shared state — and whose stack is
+# consumed only through its final element, becomes a nit-sot stack of
+# expr_t plus an outer ``init + sum(stack, axis=0)``.  Gated on expr_t
+# containing a Dot: scan_pushout_seqs then batches the whole chain into
+# one big MXU contraction outside the loop (sum_t x_t@W == (sum_t x_t)@W
+# falls out of XLA's own reassociation once the gemm is batched).
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Scan])
+def scan_pushout_sum(fgraph, node):
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.graph.ir import ancestors
+    from aesara_tpu.tensor.elemwise import Elemwise
+    from aesara_tpu.tensor.math import Dot
+    from aesara_tpu.tensor.math import add as tadd
+    from aesara_tpu.tensor.math import sum as tsum
+
+    op = node.op
+    info = op.info
+    if info.as_while or info.n_sit_sot == 0:
+        return False
+    inner_in = op.fgraph.inputs
+    inner_out = op.fgraph.outputs
+    n_taps = sum(len(t) for t in info.mit_sot_taps)
+    sit_i0 = info.n_seqs + n_taps      # inner index of first sit-sot tap
+    state_vars = set(
+        inner_in[info.n_seqs: info.n_seqs + n_taps + info.n_sit_sot
+                 + info.n_shared]
+    )
+
+    for k in range(info.n_sit_sot):
+        rec = info.n_mit_sot + k
+        carry = inner_in[sit_i0 + k]
+        out_v = inner_out[rec]
+        o = out_v.owner
+        if o is None or not isinstance(o.op, Elemwise):
+            continue
+        if type(o.op.scalar_op).__name__ != "Add":
+            continue
+        if sum(1 for i in o.inputs if i is carry) != 1:
+            continue
+        rest = [i for i in o.inputs if i is not carry]
+        if not rest:
+            continue
+        expr = rest[0] if len(rest) == 1 else tadd(*rest)
+        # the carry may appear ONLY in this add
+        carry_clients = [c for c, _ in op.fgraph.clients.get(carry, [])]
+        if any(c != o and c != "output" for c in carry_clients):
+            continue
+        if out_v in op.fgraph.clients and any(
+            c != "output" for c, _ in op.fgraph.clients.get(out_v, [])
+        ):
+            continue  # next state feeds other inner computation
+        expr_anc = set(ancestors(rest))
+        if expr_anc & state_vars:
+            continue  # not batchable outside the loop
+        if not any(
+            v.owner is not None and isinstance(v.owner.op, Dot)
+            for v in expr_anc
+        ):
+            continue  # no MXU payoff; carry accumulation is cheaper
+        # stacked output must be consumed only at [-1] (or be final-only)
+        outer_out = node.outputs[rec]
+        clients = fgraph.clients.get(outer_out, [])
+        if not info.is_final_only(rec):
+            if any(
+                client == "output"
+                or not (isinstance(client.op, Subtensor)
+                        and _is_last_element_index(client.op.idx_list))
+                for client, _ in clients
+            ):
+                continue
+
+        # --- rebuild: drop sit-sot k, append expr as a nit-sot ------------
+        new_inner_inputs = [
+            v for i, v in enumerate(inner_in) if i != sit_i0 + k
+        ]
+        kept_out = [v for i, v in enumerate(inner_out) if i != rec]
+        nit_end = info.n_mit_sot + info.n_sit_sot + info.n_nit_sot - 1
+        new_inner_outputs = (
+            kept_out[:nit_end] + [expr] + kept_out[nit_end:]
+        )
+        new_final = [
+            f for i, f in enumerate(
+                info.final_only
+                or [False] * (info.n_mit_sot + info.n_sit_sot)
+            )
+            if i != rec
+        ]
+        new_info = ScanInfo(
+            n_seqs=info.n_seqs,
+            mit_sot_taps=info.mit_sot_taps,
+            n_sit_sot=info.n_sit_sot - 1,
+            n_nit_sot=info.n_nit_sot + 1,
+            n_shared=info.n_shared,
+            n_non_seqs=info.n_non_seqs,
+            as_while=False,
+            final_only=tuple(new_final) if any(new_final) else (),
+        )
+        new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs,
+                               clone=True)
+        new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient,
+                      op.mode)
+        outer_init_idx = 1 + info.n_seqs + info.n_mit_sot + k
+        init = node.inputs[outer_init_idx]
+        new_outer = [
+            v for i, v in enumerate(node.inputs) if i != outer_init_idx
+        ]
+        new_outs = new_op(*new_outer, return_list=True)
+        stacked_expr = new_outs[nit_end]
+        final = init + tsum(stacked_expr, axis=0)
+
+        replacements = {}
+        # outputs before rec map 1:1; outputs after rec shift down by one
+        old_order = [i for i in range(len(node.outputs)) if i != rec]
+        for new_i, old_i in enumerate(old_order):
+            # the appended nit-sot occupies slot nit_end in new_outs:
+            # shift the mapping past it
+            src = new_outs[new_i if new_i < nit_end else new_i + 1]
+            old = node.outputs[old_i]
+            if fgraph.clients.get(old):
+                replacements[old] = src
+                copy_stack_trace(old, src)
+        if info.is_final_only(rec):
+            if fgraph.clients.get(outer_out):
+                replacements[outer_out] = final
+                copy_stack_trace(outer_out, final)
+        else:
+            for client, _ in clients:
+                replacements[client.outputs[0]] = final
+                copy_stack_trace(client.outputs[0], final)
+        return replacements or False
+    return False
+
+
+optdb.register(
+    "scan_pushout_sum", in2out(scan_pushout_sum, name="scan_pushout_sum"),
+    "fast_run", "scan", position=1.615,
+)
+
+
+# ---------------------------------------------------------------------------
+# identity nit-sot elimination: a nit-sot whose inner value IS one of the
+# inner sequence slices stacks an exact copy of the (sliced) outer
+# sequence — return ``seq[:n_steps]`` instead and drop the buffer.  This
+# is the cleanup pass that lets a fully-pushed-out map DISSOLVE.
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Scan])
+def scan_identity_nitsot(fgraph, node):
+    op = node.op
+    info = op.info
+    if info.as_while or info.n_nit_sot == 0 or info.n_seqs == 0:
+        return False
+    inner_in = op.fgraph.inputs
+    inner_out = op.fgraph.outputs
+    seq_pos = {v: i for i, v in enumerate(inner_in[:info.n_seqs])}
+    n_steps = node.inputs[0]
+    outer_seqs = node.inputs[1: 1 + info.n_seqs]
+
+    replacements = {}
+    for j in range(info.n_nit_sot):
+        out_idx = info.n_mit_sot + info.n_sit_sot + j
+        iv = inner_out[out_idx]
+        if iv not in seq_pos:
+            continue
+        old = node.outputs[out_idx]
+        if not fgraph.clients.get(old):
+            continue
+        new = outer_seqs[seq_pos[iv]][:n_steps]
+        replacements[old] = new
+        copy_stack_trace(old, new)
+    return replacements or False
+
+
+optdb.register(
+    "scan_identity_nitsot",
+    in2out(scan_identity_nitsot, name="scan_identity_nitsot"),
+    "fast_run", "scan", position=1.65,
 )

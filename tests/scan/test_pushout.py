@@ -36,7 +36,9 @@ def test_seq_dot_hoisted_out_of_loop():
         m for m in scans[0].op.fgraph.apply_nodes if isinstance(m.op, Dot)
     ]
     assert len(inner_dots) == 1  # only h @ Wh remains
-    assert scans[0].op.info.n_seqs == 2  # the projected sequence was added
+    # the projected sequence replaced X entirely: remove-unused then
+    # dropped the original (now-dead) sequence input
+    assert scans[0].op.info.n_seqs == 1
 
     T, D, H = 7, 3, 4
     Xv = rng.normal(size=(T, D))
