@@ -878,18 +878,25 @@ def dense_dot(x, y):
 # exist so BLAS-era user code ports unchanged.
 
 def gemv(z, alpha, a, x, beta):
-    """z*beta + alpha*dot(a, x)"""
-    return add(mul(z, beta), mul(alpha, dot(a, x)))
+    """beta*z + alpha*dot(a, x) as one fused Gemv node (tensor/blas.py)."""
+    from aesara_tpu.tensor import blas
+
+    return blas.gemv(z, alpha, a, x, beta)
 
 
 def ger(z, alpha, x, y):
-    """rank-1 update: z + alpha*outer(x, y)"""
-    return add(z, mul(alpha, outer(x, y)))
+    """rank-1 update z + alpha*outer(x, y) as one fused Ger node."""
+    from aesara_tpu.tensor import blas
+
+    return blas.ger(z, alpha, x, y)
 
 
 def gemm(z, alpha, a, b, beta):
-    """z*beta + alpha*dot(a, b) — the canonical MXU fused form."""
-    return add(mul(z, beta), mul(alpha, dot(a, b)))
+    """beta*z + alpha*dot(a, b) as one fused Gemm node — the canonical
+    MXU multiply-accumulate (tensor/blas.py)."""
+    from aesara_tpu.tensor import blas
+
+    return blas.gemm(z, alpha, a, b, beta)
 
 
 def convolve(x, kernel, mode: str = "full"):

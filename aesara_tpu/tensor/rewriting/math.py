@@ -369,17 +369,6 @@ def local_mul_switch_sink(fgraph, node):
 register_specialize(local_mul_switch_sink)
 
 
-@node_rewriter([tm.Dot])
-def local_dot_to_batched_dot(fgraph, node):
-    """no-op placeholder keeping the reference's BlasOpt tag structure:
-    on TPU every Dot already lowers to MXU dot_general (SURVEY §2.11
-    item 4), so there is no gemm/gemv/ger specialization to do."""
-    return False
-
-
-register_specialize(local_dot_to_batched_dot, "BlasOpt")
-
-
 @node_rewriter([Elemwise])
 def local_flatten_add_mul(fgraph, node):
     """Flatten nested add/mul chains into one variadic node and fold the
