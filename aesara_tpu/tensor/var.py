@@ -35,6 +35,11 @@ def _coerce_other(other):
 class _tensor_operators:
     """Mixin with the operator overloads (reference ``var.py:25``)."""
 
+    #: make ndarray defer to our reflected dunders (reference var.py:786);
+    #: without this ``ndarray + variable`` builds an OBJECT ARRAY of
+    #: per-element graphs instead of one symbolic add
+    __array_priority__ = 1000
+
     # --- arithmetic ---
     def __add__(self, other):
         from aesara_tpu.tensor import math as tm
