@@ -88,7 +88,7 @@ def rebuild_collect_shared(
     (reference ``pfunc.py:18``)."""
     from aesara_tpu.graph.ir import clone_replace
 
-    single = isinstance(outputs, Variable)
+    single = isinstance(outputs, (Variable, Out))
     if outputs is None:
         output_list = []
     elif single:
@@ -99,8 +99,11 @@ def rebuild_collect_shared(
 
     updates = dict(updates or {})
     update_pairs = []
+    input_ids = {id(v) for v in inputs}
     for k, v in updates.items():
-        if not isinstance(k, SharedVariable):
+        # non-shared targets are only legal for explicit inputs carrying
+        # an In(update=...) spec (reference io.py:108)
+        if not isinstance(k, SharedVariable) and id(k) not in input_ids:
             raise TypeError(f"update target {k} is not a SharedVariable")
         v = k.type.filter_variable(v, allow_convert=True)
         update_pairs.append((k, v))
@@ -133,7 +136,7 @@ def rebuild_collect_shared(
     # update TARGETS are function state even when the graph never reads
     # them (write-only updates, e.g. logging a statistic into a shared)
     for k, _ in update_pairs:
-        if id(k) not in seen:
+        if isinstance(k, SharedVariable) and id(k) not in seen:
             seen.add(id(k))
             shared_vars.append(k)
 
@@ -197,6 +200,21 @@ def pfunc(
     if updates is not None and not isinstance(updates, dict):
         updates = dict(updates)
 
+    # In(x, update=expr): stateful explicit inputs (reference io.py:108) —
+    # merged into the updates dict so the exprs ride the same givens
+    # substitution + shared collection path
+    if any(s.update is not None for s in in_specs):
+        updates = dict(updates or {})
+        for s in in_specs:
+            if s.update is None:
+                continue
+            if any(k is s.variable for k in updates):
+                raise ValueError(
+                    f"input {s.variable} has both In(update=...) and an "
+                    "entry in `updates`"
+                )
+            updates[s.variable] = s.update
+
     out_vars, shared_vars, update_pairs, single = rebuild_collect_shared(
         outputs, inputs=[s.variable for s in in_specs], replace=givens,
         updates=updates, no_default_updates=no_default_updates,
@@ -235,8 +253,23 @@ def orig_function(
     explicit_inputs = [s.variable for s in in_specs]
     n_explicit = len(explicit_inputs)
     all_inputs = explicit_inputs + list(shared_vars)
+    # split shared updates (written into containers) from explicit-input
+    # updates (In(update=...): persistent per-function input state)
+    input_update_pairs = [
+        (k, e) for k, e in update_pairs if not isinstance(k, SharedVariable)
+    ]
+    update_pairs = [
+        (k, e) for k, e in update_pairs if isinstance(k, SharedVariable)
+    ]
     update_exprs = [e for _, e in update_pairs]
-    all_outputs = list(out_vars) + update_exprs
+    all_outputs = (list(out_vars) + update_exprs
+                   + [e for _, e in input_update_pairs])
+    input_update_info = []
+    for j, (k, _) in enumerate(input_update_pairs):
+        pos = next(i for i, v in enumerate(explicit_inputs) if v is k)
+        input_update_info.append(
+            (pos, len(out_vars) + len(update_exprs) + j)
+        )
 
     # unused-input check
     policy = on_unused_input or config.on_unused_input
@@ -360,6 +393,7 @@ def orig_function(
         maker_time=time.perf_counter() - t0,
         rewrite_time=rewrite_time,
         out_specs=out_specs,
+        input_update_info=input_update_info,
     )
     if profile:
         from aesara_tpu.compile.profiling import ProfileStats
@@ -380,7 +414,9 @@ def orig_function(
         "in_specs": in_specs,
         "out_vars": list(out_vars),
         "shared_vars": list(shared_vars),
-        "update_pairs": list(update_pairs),
+        # include In(update=...) pairs so copy()/pickle rebuilds keep the
+        # stateful-input semantics (orig_function re-splits them)
+        "update_pairs": list(update_pairs) + list(input_update_pairs),
         "single_output": single_output,
         "mode": mode,
         "name": name,
@@ -395,8 +431,13 @@ class Function:
         self, thunk, input_storage, output_storage, in_specs, shared_vars,
         update_pairs, n_user_outputs, single_output, fgraph, mode, name,
         maker_time=None, rewrite_time=None, out_specs=None,
+        input_update_info=None,
     ):
         self.out_specs = out_specs
+        #: [(input_pos, output_storage_idx)] for In(update=...) inputs;
+        #: the updated value becomes the input's default on the next call
+        self.input_update_info = list(input_update_info or [])
+        self._in_state = {}
         self.fn = thunk
         self.input_storage = input_storage
         self.output_storage = output_storage
@@ -442,7 +483,10 @@ class Function:
         for i, done in enumerate(filled):
             if not done:
                 spec = self.in_specs[i]
-                if spec.value is not None:
+                if i in self._in_state:
+                    # In(update=...): carried state from the last call
+                    self._set_input(i, self._in_state[i])
+                elif spec.value is not None:
                     self._set_input(i, spec.value)
                 else:
                     raise TypeError(f"missing input {spec.variable}")
@@ -457,6 +501,9 @@ class Function:
         for ui, (shared, _) in enumerate(self.update_pairs):
             new_val = self.output_storage[self.n_user_outputs + ui][0]
             shared.container.storage[0] = new_val
+        # In(update=...): the new value feeds the input on the next call
+        for pos, sidx in self.input_update_info:
+            self._in_state[pos] = self.output_storage[sidx][0]
 
         wanted = (set(output_subset) if output_subset is not None
                   else set(range(self.n_user_outputs)))
