@@ -44,13 +44,20 @@ from aesara_tpu.gradient import (
 )
 
 
-__all__ = ["jax_funcify", "jax_typify", "scalar_jax_impl"]
+__all__ = ["jax_funcify", "jax_typify", "scalar_jax_impl", "NoLoweringError"]
+
+
+class NoLoweringError(NotImplementedError):
+    """No XLA lowering registered for an op — the linker degrades such
+    graphs to the py path.  Deliberate compile-time errors from lowerings
+    (e.g. dynamic-shape boolean masks) raise plain NotImplementedError
+    and are NOT caught."""
 
 
 @singledispatch
 def jax_funcify(op: Op, node=None, **kwargs):
     """Return a jax-traceable callable implementing ``op``."""
-    raise NotImplementedError(
+    raise NoLoweringError(
         f"no XLA lowering registered for {type(op).__name__} ({op}); "
         f"register one with @jax_funcify.register"
     )

@@ -27,7 +27,7 @@ def fgraph_to_jax(fgraph) -> Callable:
     import jax
     import jax.numpy as jnp
 
-    from aesara_tpu.link.jax.dispatch import _jax_dtype, jax_funcify, jax_typify
+    from aesara_tpu.link.jax.dispatch import NoLoweringError, _jax_dtype, jax_funcify, jax_typify
     from aesara_tpu.utils import MethodNotDefined
 
     order = fgraph.toposort()
@@ -116,10 +116,42 @@ class JAXLinker(Linker):
     #: process-wide memo: canonical graph key → jitted callable
     _compiled_cache: dict = {}
 
+    def _py_fallback(self, input_storage, output_storage, storage_map, why):
+        """Degrade this graph to the py path (reference boundary: the
+        JAX backend cannot take scipy sparse containers across jit)."""
+        import warnings
+
+        from aesara_tpu.link.basic import PerformLinker
+
+        warnings.warn(
+            f"graph runs on the py path instead of XLA: {why}",
+            stacklevel=2,
+        )
+        sub = PerformLinker(allow_gc=self.allow_gc)
+        sub.fgraph = self.fgraph
+        return sub.make_thunk(input_storage, output_storage, storage_map)
+
     def make_thunk(self, input_storage=None, output_storage=None, storage_map=None):
         import jax
 
+        from aesara_tpu.link.jax.dispatch import NoLoweringError
+
         fgraph = self.fgraph
+
+        # sparse function inputs/outputs are scipy containers — not jax
+        # types; those graphs execute per-node in python (the reference's
+        # JAX backend has the same boundary)
+        from aesara_tpu.sparse.basic import SparseTensorType
+
+        sparse_io = [
+            v for v in list(fgraph.inputs) + list(fgraph.outputs)
+            if isinstance(v.type, SparseTensorType)
+        ]
+        if sparse_io:
+            return self._py_fallback(
+                input_storage, output_storage, storage_map,
+                f"sparse function inputs/outputs {[str(v) for v in sparse_io[:3]]}",
+            )
 
         use_jit = self.use_jit if self.use_jit is not None else config.jax_jit
         donate = (
@@ -149,12 +181,22 @@ class JAXLinker(Linker):
             if cache_key is not None and cache_key in self._compiled_cache:
                 compiled = self._compiled_cache[cache_key]
             else:
-                fn = fgraph_to_jax(fgraph)
+                try:
+                    fn = fgraph_to_jax(fgraph)
+                except NoLoweringError as e:
+                    return self._py_fallback(
+                        input_storage, output_storage, storage_map, str(e)
+                    )
                 compiled = jax.jit(fn, donate_argnums=donate_argnums)
                 if cache_key is not None:
                     self._compiled_cache[cache_key] = compiled
         else:
-            fn = fgraph_to_jax(fgraph)
+            try:
+                fn = fgraph_to_jax(fgraph)
+            except NoLoweringError as e:
+                return self._py_fallback(
+                    input_storage, output_storage, storage_map, str(e)
+                )
             compiled = fn
 
         if input_storage is None:

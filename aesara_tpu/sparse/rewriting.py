@@ -341,3 +341,206 @@ def local_dense_from_sparse_of_square_diagonal(fgraph, node):
 
 
 register_specialize(local_dense_from_sparse_of_square_diagonal)
+
+
+# ---------------------------------------------------------------------------
+# dense-graph entry points for the sparse elemwise specializations
+# (reference local_mul_s_d / local_mul_s_v / local_addsd /
+# local_sampling_dot_csr): when a densified sparse operand meets an
+# elemwise mul/add, push the computation back into the sparse domain so
+# only nnz-sized work rides the device.
+# ---------------------------------------------------------------------------
+
+def _densified(v, fgraph, require_single_client=True):
+    """The sparse variable behind DenseFromSparse(v), else None."""
+    n = v.owner
+    if n is None or not isinstance(n.op, DenseFromSparse):
+        return None
+    if require_single_client and len(fgraph.clients.get(v, ())) != 1:
+        return None  # the dense form is needed anyway: no win
+    return n.inputs[0]
+
+
+@node_rewriter([Elemwise])
+def local_mul_dense_from_sparse(fgraph, node):
+    """mul(DenseFromSparse(s), d) → DenseFromSparse(MulSD/MulSV/MulSS)."""
+    from aesara_tpu.sparse.basic import MulSD, MulSS, MulSV, dense_from_sparse
+    from aesara_tpu.tensor.elemwise import DimShuffle
+
+    if not isinstance(node.op.scalar_op, aes.ops.Mul) or len(node.inputs) != 2:
+        return False
+    out = node.outputs[0]
+    for i, j in ((0, 1), (1, 0)):
+        s = _densified(node.inputs[i], fgraph)
+        if s is None:
+            continue
+        other = node.inputs[j]
+        s2 = _densified(other, fgraph)
+        if s2 is not None:
+            res = dense_from_sparse(MulSS()(s, s2))
+        else:
+            on = other.owner
+            if (
+                on is not None
+                and isinstance(on.op, DimShuffle)
+                and tuple(on.op.new_order) == ("x", 0)
+            ):
+                # row-vector broadcast: pattern-preserving column scale
+                res = dense_from_sparse(MulSV()(s, on.inputs[0]))
+            elif other.type.ndim == 2 and all(
+                sh != 1 for sh in other.type.shape if sh is not None
+            ):
+                samp = _sampling_dot_operands(other, fgraph)
+                if samp is not None:
+                    # mul(DFS(p), dot(x, yT)): never materialize the full
+                    # (M,N) product — sample it at p's pattern
+                    from aesara_tpu.sparse.basic import SamplingDot
+
+                    x, y = samp
+                    res = dense_from_sparse(SamplingDot()(x, y, s))
+                else:
+                    res = dense_from_sparse(MulSD()(s, other))
+            else:
+                continue
+        res = _keep(out, res)
+        if res is not None:
+            return [res]
+    return False
+
+
+def _sampling_dot_operands(d, fgraph):
+    """(x, y) when d = dot(x, y.T) consumed only here, else None."""
+    from aesara_tpu.tensor.elemwise import DimShuffle
+    from aesara_tpu.tensor.math import Dot as TDot
+
+    dn = d.owner
+    if (
+        dn is None
+        or not isinstance(dn.op, TDot)
+        or len(fgraph.clients.get(d, ())) != 1
+    ):
+        return None
+    x, yt = dn.inputs
+    if x.type.ndim != 2 or yt.type.ndim != 2:
+        return None
+    ytn = yt.owner
+    if not (
+        ytn is not None
+        and isinstance(ytn.op, DimShuffle)
+        and tuple(ytn.op.new_order) == (1, 0)
+    ):
+        return None
+    return x, ytn.inputs[0]
+
+
+register_specialize(local_mul_dense_from_sparse)
+
+
+@node_rewriter([Elemwise])
+def local_add_dense_from_sparse(fgraph, node):
+    """add(DenseFromSparse(s), d) → AddSD(s, d); both-sparse → AddSS."""
+    from aesara_tpu.sparse.basic import AddSD, AddSS, dense_from_sparse
+
+    if not isinstance(node.op.scalar_op, aes.ops.Add) or len(node.inputs) != 2:
+        return False
+    out = node.outputs[0]
+    for i, j in ((0, 1), (1, 0)):
+        s = _densified(node.inputs[i], fgraph)
+        if s is None:
+            continue
+        other = node.inputs[j]
+        s2 = _densified(other, fgraph)
+        if s2 is not None:
+            res = dense_from_sparse(AddSS()(s, s2))
+        elif other.type.ndim == 2 and all(
+            sh != 1 for sh in other.type.shape if sh is not None
+        ):
+            res = AddSD()(s, other)
+        else:
+            continue
+        res = _keep(out, res)
+        if res is not None:
+            return [res]
+    return False
+
+
+register_specialize(local_add_dense_from_sparse)
+
+
+@node_rewriter([Elemwise])
+def local_sampling_dot(fgraph, node):
+    """mul(DenseFromSparse(p), dot(x, yᵀ)) → SamplingDot(x, y, p): never
+    materialize the full (M,N) product when only p's nonzero positions
+    are kept (reference local_sampling_dot_csr)."""
+    from aesara_tpu.sparse.basic import SamplingDot, dense_from_sparse
+    from aesara_tpu.tensor.elemwise import DimShuffle
+    from aesara_tpu.tensor.math import Dot as TDot
+
+    if not isinstance(node.op.scalar_op, aes.ops.Mul) or len(node.inputs) != 2:
+        return False
+    out = node.outputs[0]
+    for i, j in ((0, 1), (1, 0)):
+        p = _densified(node.inputs[i], fgraph)
+        if p is None:
+            continue
+        d = node.inputs[j]
+        dn = d.owner
+        if (
+            dn is None
+            or not isinstance(dn.op, TDot)
+            or len(fgraph.clients.get(d, ())) != 1
+        ):
+            continue
+        x, yt = dn.inputs
+        if x.type.ndim != 2 or yt.type.ndim != 2:
+            continue
+        ytn = yt.owner
+        if not (
+            ytn is not None
+            and isinstance(ytn.op, DimShuffle)
+            and tuple(ytn.op.new_order) == (1, 0)
+        ):
+            continue
+        y = ytn.inputs[0]
+        res = _keep(out, dense_from_sparse(SamplingDot()(x, y, p)))
+        if res is not None:
+            return [res]
+    return False
+
+
+register_specialize(local_sampling_dot)
+
+
+@node_rewriter([Elemwise])
+def local_sparse_add_cancel(fgraph, node):
+    """add(DFS(s), DFS(neg(s))) → zeros: the dense-side canonizer cannot
+    see through DenseFromSparse, so the sparse pack cancels it here."""
+    from aesara_tpu.sparse.basic import Neg as SNeg
+
+    if not isinstance(node.op.scalar_op, aes.ops.Add) or len(node.inputs) != 2:
+        return False
+    a = _densified(node.inputs[0], fgraph, require_single_client=False)
+    b = _densified(node.inputs[1], fgraph, require_single_client=False)
+    if a is None or b is None:
+        return False
+    for s, t in ((a, b), (b, a)):
+        tn = t.owner
+        if tn is not None and isinstance(tn.op, SNeg) and tn.inputs[0] is s:
+            from aesara_tpu.tensor.basic import zeros
+
+            out = node.outputs[0]
+            # shape must come from an INPUT (the densified operand), not
+            # from `out` itself — a self-referencing shape would keep the
+            # replaced add alive and re-trigger the rewrite forever
+            src = node.inputs[0]
+            shp = tuple(
+                dim if dim is not None else src.shape[k]
+                for k, dim in enumerate(out.type.shape)
+            )
+            res = _keep(out, zeros(shp, dtype=out.type.dtype))
+            if res is not None:
+                return [res]
+    return False
+
+
+register_canonicalize(local_sparse_add_cancel)

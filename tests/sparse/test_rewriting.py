@@ -205,3 +205,109 @@ def test_fast_run_pipeline_with_sparse_graph():
     l0 = float(np.asarray(f(yv)))
     l1 = float(np.asarray(f(yv)))
     assert l1 < l0
+
+
+# ---------------------------------------------------------------------------
+# dense-graph elemwise entry points (round-2 additions)
+# ---------------------------------------------------------------------------
+
+def _sparse_in(name="s", fmt="csr", dtype="float64"):
+    from aesara_tpu.sparse.basic import SparseTensorType
+
+    return SparseTensorType(fmt, dtype)(name)
+
+
+class TestElemwiseEntryPoints:
+    def test_mul_sd_specializes(self):
+        s = _sparse_in()
+        d = at.matrix("d", dtype="float64")
+        out = sb.dense_from_sparse(s) * d
+        f = function([s, d], out, mode="FAST_RUN")
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "MulSD" in ops, ops
+        sv = rand_csr(4, 5)
+        dv = rng.normal(size=(4, 5))
+        np.testing.assert_allclose(
+            np.asarray(f(sv, dv)), sv.toarray() * dv, rtol=1e-10
+        )
+
+    def test_mul_ss_specializes(self):
+        s1, s2 = _sparse_in("s1"), _sparse_in("s2")
+        out = sb.dense_from_sparse(s1) * sb.dense_from_sparse(s2)
+        f = function([s1, s2], out, mode="FAST_RUN")
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "MulSS" in ops, ops
+        a, b = rand_csr(4, 5), rand_csr(4, 5, density=0.5)
+        np.testing.assert_allclose(
+            np.asarray(f(a, b)), a.toarray() * b.toarray(), rtol=1e-10
+        )
+
+    def test_mul_sv_row_broadcast(self):
+        s = _sparse_in()
+        v = at.vector("v", dtype="float64")
+        out = sb.dense_from_sparse(s) * v.dimshuffle("x", 0)
+        f = function([s, v], out, mode="FAST_RUN")
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "MulSV" in ops, ops
+        sv = rand_csr(4, 5)
+        vv = rng.normal(size=5)
+        np.testing.assert_allclose(
+            np.asarray(f(sv, vv)), sv.toarray() * vv, rtol=1e-10
+        )
+
+    def test_add_sd_specializes(self):
+        s = _sparse_in()
+        d = at.matrix("d", dtype="float64")
+        out = sb.dense_from_sparse(s) + d
+        f = function([s, d], out, mode="FAST_RUN")
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "AddSD" in ops, ops
+        sv = rand_csr(4, 5)
+        dv = rng.normal(size=(4, 5))
+        np.testing.assert_allclose(
+            np.asarray(f(sv, dv)), sv.toarray() + dv, rtol=1e-10
+        )
+
+    def test_add_ss_specializes(self):
+        s1, s2 = _sparse_in("s1"), _sparse_in("s2")
+        out = sb.dense_from_sparse(s1) + sb.dense_from_sparse(s2)
+        f = function([s1, s2], out, mode="FAST_RUN")
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "AddSS" in ops, ops
+        a, b = rand_csr(4, 5), rand_csr(4, 5, density=0.5)
+        np.testing.assert_allclose(
+            np.asarray(f(a, b)), (a + b).toarray(), rtol=1e-10
+        )
+
+    def test_sampling_dot_recognized(self):
+        s = _sparse_in("p")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
+        out = sb.dense_from_sparse(s) * at.dot(x, y.T)
+        f = function([s, x, y], out, mode="FAST_RUN")
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "SamplingDot" in ops, ops
+        pv = rand_csr(4, 6)
+        xv, yv = rng.normal(size=(4, 3)), rng.normal(size=(6, 3))
+        np.testing.assert_allclose(
+            np.asarray(f(pv, xv, yv)),
+            pv.toarray() * (xv @ yv.T), rtol=1e-10,
+        )
+
+    def test_dense_needed_elsewhere_blocks_specialization(self):
+        """When the densified operand has another consumer, the dense
+        array exists anyway — don't add sparse work on top."""
+        s = _sparse_in()
+        d = at.matrix("d", dtype="float64")
+        dense = sb.dense_from_sparse(s)
+        out = [dense * d, at.exp(dense)]
+        f = function([s, d], out, mode="FAST_RUN")
+        ops = [type(n.op).__name__ for n in f.fgraph.apply_nodes]
+        assert "MulSD" not in ops, ops
+
+    def test_add_cancel_through_dfs(self):
+        s = _sparse_in()
+        out = sb.dense_from_sparse(s) + sb.dense_from_sparse(sb.neg(s))
+        f = function([s], out, mode="FAST_RUN", on_unused_input="ignore")
+        sv = rand_csr(4, 5)
+        np.testing.assert_allclose(np.asarray(f(sv)), np.zeros((4, 5)))
