@@ -67,15 +67,24 @@ def fgraph_to_jax(fgraph) -> Callable:
                 return const_val(var)
             raise ValueError(f"uncomputed variable {var}")
 
+        def _is_concrete(a):
+            # a BCOO (or any pytree container) wrapping Tracers is not a
+            # Tracer instance itself — check the leaves
+            return not any(
+                isinstance(leaf, jax.core.Tracer)
+                for leaf in jax.tree_util.tree_leaves(a)
+            )
+
         for node, fn, foldable in zip(order, node_fns, fold_ok):
             ins = [value_of(i) for i in node.inputs]
             vals = None
-            if foldable and not any(isinstance(a, jax.core.Tracer) for a in ins):
+            if foldable and all(_is_concrete(a) for a in ins):
                 storage = [[None] for _ in node.outputs]
                 try:
                     node.op.perform(node, [np.asarray(a) for a in ins], storage)
                     vals = tuple(s[0] for s in storage)
-                except (MethodNotDefined, NotImplementedError, TypeError, ValueError):
+                except (MethodNotDefined, NotImplementedError, TypeError,
+                        ValueError, AttributeError):
                     vals = None
             if vals is None:
                 vals = fn(*ins)

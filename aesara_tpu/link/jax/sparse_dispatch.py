@@ -72,9 +72,16 @@ def _jx_dense_from_sparse(op, node=None, **kw):
 @jax_funcify.register(sb.SparseFromDense)
 def _jx_sparse_from_dense(op, node=None, **kw):
     def sparse_from_dense(x):
+        import jax as _jax
         from jax.experimental import sparse as jsparse
 
-        return jsparse.BCOO.fromdense(jnp.asarray(x))
+        x = jnp.asarray(x)
+        if isinstance(x, _jax.core.Tracer):
+            # under jit the nonzero count is data-dependent; pin nse to
+            # the dense bound so the shape stays static (downstream nnz
+            # work degrades to size work, but the graph compiles)
+            return jsparse.BCOO.fromdense(x, nse=int(np.prod(x.shape)))
+        return jsparse.BCOO.fromdense(x)
 
     return sparse_from_dense
 
@@ -148,3 +155,115 @@ def _jx_sp_sum(op, node=None, **kw):
         return res
 
     return sp_sum
+
+
+@jax_funcify.register(sb.MulSD)
+def _jx_mul_sd(op, node=None, **kw):
+    def mul_sd(a, b):
+        from jax.experimental import sparse as jsparse
+
+        a = _to_bcoo(a)
+        b = jnp.asarray(b)
+        rows, cols = a.indices[:, 0], a.indices[:, 1]
+        return jsparse.BCOO(
+            ((a.data * b[rows, cols]).astype(a.data.dtype), a.indices),
+            shape=a.shape,
+        )
+
+    return mul_sd
+
+
+@jax_funcify.register(sb.MulSV)
+def _jx_mul_sv(op, node=None, **kw):
+    def mul_sv(a, v):
+        from jax.experimental import sparse as jsparse
+
+        a = _to_bcoo(a)
+        v = jnp.asarray(v)
+        cols = a.indices[:, 1]
+        return jsparse.BCOO(
+            ((a.data * v[cols]).astype(a.data.dtype), a.indices),
+            shape=a.shape,
+        )
+
+    return mul_sv
+
+
+@jax_funcify.register(sb.MulSS)
+def _jx_mul_ss(op, node=None, **kw):
+    def mul_ss(a, b):
+        from jax.experimental import sparse as jsparse
+
+        return jsparse.bcoo_multiply_sparse(_to_bcoo(a), _to_bcoo(b))
+
+    return mul_ss
+
+
+@jax_funcify.register(sb.AddSD)
+def _jx_add_sd(op, node=None, **kw):
+    def add_sd(a, b):
+        a = _to_bcoo(a)
+        b = jnp.asarray(b)
+        # nnz-sized scatter-add instead of densifying a first
+        rows, cols = a.indices[:, 0], a.indices[:, 1]
+        return b.astype(jnp.result_type(a.data.dtype, b.dtype)).at[
+            rows, cols
+        ].add(a.data)
+
+    return add_sd
+
+
+@jax_funcify.register(sb.AddSS)
+def _jx_add_ss(op, node=None, **kw):
+    def add_ss(a, b):
+        from jax.experimental import sparse as jsparse
+
+        a, b = _to_bcoo(a), _to_bcoo(b)
+        out = jsparse.BCOO(
+            (jnp.concatenate([a.data, b.data]),
+             jnp.concatenate([a.indices, b.indices])),
+            shape=a.shape,
+        )
+        # static nse bound = concatenated size (jit-safe)
+        return jsparse.bcoo_sum_duplicates(out, nse=out.data.shape[0])
+
+    return add_ss
+
+
+@jax_funcify.register(sb.SamplingDot)
+def _jx_sampling_dot(op, node=None, **kw):
+    def sampling_dot(x, y, p):
+        from jax.experimental import sparse as jsparse
+
+        p = _to_bcoo(p)
+        rows, cols = p.indices[:, 0], p.indices[:, 1]
+        # nnz × K work: gather the needed rows of x and y only
+        vals = jnp.sum(
+            jnp.asarray(x)[rows] * jnp.asarray(y)[cols], axis=-1
+        )
+        return jsparse.BCOO(
+            ((vals * p.data).astype(p.data.dtype), p.indices), shape=p.shape
+        )
+
+    return sampling_dot
+
+
+@jax_funcify.register(sb.StructuredDotGradA)
+def _jx_structured_dot_grad_a(op, node=None, **kw):
+    def structured_dot_grad_a(gz, b, a):
+        from jax.experimental import sparse as jsparse
+
+        a = _to_bcoo(a)
+        gz = jnp.asarray(gz)
+        b = jnp.asarray(b)
+        rows, cols = a.indices[:, 0], a.indices[:, 1]
+        # (gz @ b.T) sampled at a's pattern: nnz × K gathers, no (M,N)
+        if b.ndim == 1:
+            vals = gz[rows] * b[cols]
+        else:
+            vals = jnp.sum(gz[rows] * b[cols], axis=-1)
+        return jsparse.BCOO(
+            (vals.astype(a.data.dtype), a.indices), shape=a.shape
+        )
+
+    return structured_dot_grad_a
