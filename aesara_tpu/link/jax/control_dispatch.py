@@ -65,9 +65,36 @@ def _jx_op_from_graph(op, node=None, **kwargs):
     return op_from_graph
 
 
+def _backend_supports_callbacks() -> bool:
+    """Remote-tunnel PJRT plugins (axon) cannot do host send/recv
+    callbacks — jax.debug.print would abort the program at runtime."""
+    try:
+        import jax as _jax
+
+        dev = _jax.devices()[0]
+        version = getattr(dev.client, "platform_version", "")
+        return "axon" not in version
+    except Exception:
+        return True
+
+
 @jax_funcify.register(Print)
 def _jx_print(op, node=None, **kwargs):
     message = op.message
+
+    if not _backend_supports_callbacks():
+        import warnings
+
+        warnings.warn(
+            f"Print({op.message!r}): this backend does not support host "
+            "callbacks; the op passes values through unprinted (use "
+            'mode="PY" or a CPU run to see them)'
+        )
+
+        def print_op_passthrough(x):
+            return x
+
+        return print_op_passthrough
 
     def print_op(x):
         jax.debug.print(message + " {}", x)
