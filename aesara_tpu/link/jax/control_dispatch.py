@@ -65,17 +65,9 @@ def _jx_op_from_graph(op, node=None, **kwargs):
     return op_from_graph
 
 
-def _backend_supports_callbacks() -> bool:
-    """Remote-tunnel PJRT plugins (axon) cannot do host send/recv
-    callbacks — jax.debug.print would abort the program at runtime."""
-    try:
-        import jax as _jax
-
-        dev = _jax.devices()[0]
-        version = getattr(dev.client, "platform_version", "")
-        return "axon" not in version
-    except Exception:
-        return True
+from aesara_tpu.link.jax.dispatch import (
+    backend_supports_host_callbacks as _backend_supports_callbacks,
+)
 
 
 @jax_funcify.register(Print)

@@ -47,6 +47,18 @@ from aesara_tpu.gradient import (
 __all__ = ["jax_funcify", "jax_typify", "scalar_jax_impl", "NoLoweringError"]
 
 
+def backend_supports_host_callbacks() -> bool:
+    """Remote-tunnel PJRT plugins (axon) cannot do host send/recv
+    callbacks — jax.debug.print / pure_callback abort at runtime."""
+    try:
+        import jax as _jax
+
+        dev = _jax.devices()[0]
+        return "axon" not in getattr(dev.client, "platform_version", "")
+    except Exception:
+        return True
+
+
 class NoLoweringError(NotImplementedError):
     """No XLA lowering registered for an op — the linker degrades such
     graphs to the py path.  Deliberate compile-time errors from lowerings
@@ -928,6 +940,14 @@ def _jax_view(op, node=None, **kwargs):
 @jax_funcify.register(FromFunctionOp)
 def _jax_from_function(op, node=None, **kwargs):
     import jax as _jax
+
+    if not backend_supports_host_callbacks():
+        # pure_callback would abort at runtime on this backend; let the
+        # linker degrade the graph to the py path instead
+        raise NoLoweringError(
+            f"{op} is a host-python op (pure_callback) and this backend "
+            "does not support host callbacks"
+        )
 
     out_shapes = None
     if node is not None:
