@@ -7,7 +7,7 @@ import numpy as np
 
 from aesara_tpu.compile.mode import register_canonicalize, register_specialize
 from aesara_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
-from aesara_tpu.tensor.basic import Alloc, constant
+from aesara_tpu.tensor.basic import Alloc, Join, constant
 from aesara_tpu.tensor.elemwise import DimShuffle, Elemwise
 from aesara_tpu.tensor.subtensor import SYM, IncSubtensor, Subtensor
 
@@ -536,3 +536,171 @@ def local_subtensor_of_alloc_slice(fgraph, node):
 
 
 register_specialize(local_subtensor_of_alloc_slice)
+
+
+@node_rewriter([IncSubtensor])
+def local_set_to_inc_subtensor(fgraph, node):
+    """set_subtensor(x[idx], x[idx] + v) → inc_subtensor(x[idx], v)
+    (reference local_set_to_inc_subtensor:842) — one scatter-add instead
+    of gather + add + scatter-set."""
+    if not node.op.set_instead_of_inc:
+        return False
+    x, y = node.inputs[0], node.inputs[1]
+    yn = y.owner
+    if yn is None or not isinstance(yn.op, Elemwise):
+        return False
+    if type(yn.op.scalar_op).__name__ != "Add" or len(yn.inputs) != 2:
+        return False
+    sym_idx = tuple(node.inputs[2:])
+    for i, j in ((0, 1), (1, 0)):
+        g = yn.inputs[i]
+        gn = g.owner
+        if (
+            gn is not None
+            and isinstance(gn.op, Subtensor)
+            and gn.inputs[0] is x
+            and gn.op.idx_list == node.op.idx_list
+            and tuple(gn.inputs[1:]) == sym_idx
+        ):
+            v = yn.inputs[j]
+            res = IncSubtensor(node.op.idx_list)(x, v, *node.inputs[2:])
+            conv = node.outputs[0].type.convert_variable(res)
+            if conv is None:
+                return False
+            copy_stack_trace(node.outputs[0], conv)
+            return [conv]
+    return False
+
+
+register_canonicalize(local_set_to_inc_subtensor)
+
+
+@node_rewriter([Join])
+def local_join_subtensors(fgraph, node):
+    """join(axis, x[..:k], x[k:..]) → one slice of x (reference
+    local_join_subtensors:1651) — contiguous static slices of the same
+    base concatenate back to the base."""
+    axis_in, *parts = node.inputs
+    if len(parts) != 2:
+        return False
+    from aesara_tpu.tensor.basic import get_scalar_constant_value
+    from aesara_tpu.tensor.basic import NotScalarConstantError
+
+    try:
+        axis = int(get_scalar_constant_value(axis_in))
+    except NotScalarConstantError:
+        return False
+    a, b = parts
+    an, bn = a.owner, b.owner
+    if not (
+        an is not None and bn is not None
+        and isinstance(an.op, Subtensor) and isinstance(bn.op, Subtensor)
+        and an.inputs[0] is bn.inputs[0]
+        and not an.inputs[1:] and not bn.inputs[1:]
+    ):
+        return False
+    x = an.inputs[0]
+    ia, ib = list(an.op.idx_list), list(bn.op.idx_list)
+    if len(ia) != len(ib) or len(ia) <= axis:
+        return False
+    # all dims except `axis` must slice identically; `axis` must be
+    # contiguous forward slices (a.stop == b.start, steps 1)
+    for d, (ea, eb) in enumerate(zip(ia, ib)):
+        sa, sb = _static_slice(ea), _static_slice(eb)
+        if sa is None or sb is None:
+            return False
+        if not isinstance(sa, slice) or not isinstance(sb, slice):
+            return False
+        if d != axis:
+            if sa != sb:
+                return False
+            continue
+        if (sa.step not in (None, 1)) or (sb.step not in (None, 1)):
+            return False
+        if sa.stop is None or sb.start is None or sa.stop != sb.start:
+            return False
+        if (sa.stop is not None and sa.stop < 0) or (
+            sb.start is not None and sb.start < 0
+        ):
+            return False
+        merged = slice(sa.start, sb.stop, None)
+    new_idx = list(ia)
+    new_idx[axis] = merged
+    res = Subtensor(tuple(new_idx))(x)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_join_subtensors)
+
+
+@node_rewriter([IncSubtensor])
+def local_setsubtensor_of_constants(fgraph, node):
+    """set_subtensor(const_x[static idx], const_y) folds to one constant
+    (reference local_setsubtensor_of_constants:1354)."""
+    from aesara_tpu.graph.ir import Constant
+
+    if not node.op.set_instead_of_inc or node.inputs[2:]:
+        return False
+    x, y = node.inputs[0], node.inputs[1]
+    if not (isinstance(x, Constant) and isinstance(y, Constant)):
+        return False
+    idx = tuple(_static_slice(e) for e in node.op.idx_list)
+    if any(e is None for e in idx):
+        return False
+    data = np.array(x.data, copy=True)
+    try:
+        data[idx if len(idx) > 1 else idx[0]] = y.data
+    except Exception:
+        return False
+    res = constant(data.astype(node.outputs[0].type.dtype))
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_setsubtensor_of_constants)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_remove_broadcastable_index(fgraph, node):
+    """x[0] / x[-1] on a static-1 dim → DimShuffle dropping the dim
+    (reference local_subtensor_remove_broadcastable_index:546) — no
+    gather, just a layout view XLA removes entirely."""
+    x = node.inputs[0]
+    if node.inputs[1:]:
+        return False
+    idx = node.op.idx_list
+    keep_order = []
+    changed = False
+    pos = 0
+    for d, e in enumerate(idx):
+        se = _static_slice(e)
+        if se is None:
+            return False
+        if isinstance(se, slice):
+            if se != slice(None, None, None):
+                return False
+            keep_order.append(d)
+        else:
+            if x.type.shape[d] == 1 and se in (0, -1):
+                changed = True  # dropped broadcastable dim
+            else:
+                return False
+    if not changed:
+        return False
+    keep_order += list(range(len(idx), x.type.ndim))
+    res = DimShuffle(x.type.ndim, tuple(keep_order))(x)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_subtensor_remove_broadcastable_index)

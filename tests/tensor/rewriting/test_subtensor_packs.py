@@ -180,3 +180,96 @@ def test_grad_graphs_still_correct():
     np.testing.assert_allclose(
         np.asarray(f_fast(v)), np.asarray(f_py_raw(v)), rtol=1e-5
     )
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: set→inc, join-of-slices, constant folds, static-1 index
+# ---------------------------------------------------------------------------
+
+class TestSetToInc:
+    def test_topology_and_value(self):
+        x = at.matrix("x", dtype="float64")
+        v = at.matrix("v", dtype="float64")
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        expr = set_subtensor(x[1:3], x[1:3] + v)
+        f = function([x, v], expr, mode="FAST_RUN")
+        incs = [n.op for n in f.fgraph.apply_nodes
+                if isinstance(n.op, IncSubtensor)]
+        assert incs and not incs[0].set_instead_of_inc  # became inc
+        Xv = rng.normal(size=(5, 3))
+        Vv = rng.normal(size=(2, 3))
+        want = Xv.copy(); want[1:3] += Vv
+        np.testing.assert_allclose(np.asarray(f(Xv, Vv)), want, rtol=1e-12)
+
+    def test_no_fire_on_unrelated_add(self):
+        x = at.matrix("x", dtype="float64")
+        v = at.matrix("v", dtype="float64")
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        expr = set_subtensor(x[1:3], x[0:2] + v)  # different slice: keep set
+        f = function([x, v], expr, mode="FAST_RUN")
+        Xv = rng.normal(size=(5, 3))
+        Vv = rng.normal(size=(2, 3))
+        want = Xv.copy(); want[1:3] = Xv[0:2] + Vv
+        np.testing.assert_allclose(np.asarray(f(Xv, Vv)), want, rtol=1e-12)
+
+
+class TestJoinSubtensors:
+    def test_full_split_rejoins_to_base(self):
+        x = at.matrix("x", dtype="float64")
+        expr = at.concatenate([x[:2], x[2:5]], axis=0)
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+
+        res = rewrite_graph(expr, include=["canonicalize"])
+        # one subtensor of x (or x itself after useless-slice removal)
+        from aesara_tpu.tensor.basic import Join as JoinOp
+
+        assert not any(
+            isinstance(n.op, JoinOp)
+            for v in [res] if v.owner for n in [v.owner]
+        )
+        f = function([x], expr, mode="FAST_RUN")
+        Xv = rng.normal(size=(5, 3))
+        np.testing.assert_allclose(np.asarray(f(Xv)), Xv, rtol=1e-12)
+
+    def test_non_contiguous_stays(self):
+        x = at.matrix("x", dtype="float64")
+        expr = at.concatenate([x[:2], x[3:5]], axis=0)  # gap: keep join
+        f = function([x], expr, mode="FAST_RUN")
+        Xv = rng.normal(size=(5, 3))
+        np.testing.assert_allclose(
+            np.asarray(f(Xv)), np.concatenate([Xv[:2], Xv[3:5]]), rtol=1e-12
+        )
+
+
+class TestSetSubtensorOfConstants:
+    def test_folds_to_constant(self):
+        from aesara_tpu.graph.ir import Constant
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        cx = at.constant(np.zeros((3, 3)))
+        cy = at.constant(np.ones((3,)))
+        expr = set_subtensor(cx[1], cy)
+        res = rewrite_graph(expr, include=["canonicalize"])
+        assert isinstance(res, Constant)
+        want = np.zeros((3, 3)); want[1] = 1.0
+        np.testing.assert_array_equal(np.asarray(res.data), want)
+
+
+class TestRemoveBroadcastableIndex:
+    def test_static_one_dim_index_becomes_dimshuffle(self):
+        x = at.tensor("x", dtype="float64", shape=(1, 4))
+        f = function([x], x[0] * 2, mode="FAST_RUN")
+        assert not any(
+            isinstance(n.op, Subtensor) for n in f.fgraph.apply_nodes
+        )
+        v = rng.normal(size=(1, 4))
+        np.testing.assert_allclose(np.asarray(f(v)), v[0] * 2, rtol=1e-12)
+
+    def test_unknown_dim_keeps_subtensor(self):
+        x = at.matrix("x", dtype="float64")
+        f = function([x], x[0] * 2, mode="FAST_RUN")
+        v = rng.normal(size=(3, 4))
+        np.testing.assert_allclose(np.asarray(f(v)), v[0] * 2, rtol=1e-12)
