@@ -299,3 +299,239 @@ def local_useless_split(fgraph, node):
 
 
 register_useless(local_useless_split)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions (reference basic.py: local_cast_cast:719,
+# local_remove_useless_assert:797, local_join_empty:888,
+# local_join_make_vector:935, local_merge_switch_same_cond:1068,
+# local_merge_alloc:1197, local_view_op:1187)
+# ---------------------------------------------------------------------------
+
+def _check_and_raise_nodes():
+    from aesara_tpu.raise_op import CheckAndRaise
+
+    return CheckAndRaise
+
+
+@node_rewriter(None)
+def local_remove_useless_assert(fgraph, node):
+    """Drop constant-true conditions; an assert with none left IS its
+    input (reference local_remove_useless_assert)."""
+    from aesara_tpu.raise_op import CheckAndRaise
+
+    if not isinstance(node.op, CheckAndRaise):
+        return False
+    value, *conds = node.inputs
+    kept = []
+    for c in conds:
+        if isinstance(c, Constant):
+            if not bool(np.asarray(c.data)):
+                return False  # constant-FALSE: leave it to raise at runtime
+            continue
+        kept.append(c)
+    if len(kept) == len(conds):
+        return False
+    if not kept:
+        res = value
+    else:
+        res = node.op(value, *kept)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_remove_useless_assert)
+
+
+@node_rewriter(None)
+def local_remove_all_assert(fgraph, node):
+    """Strip every assert (reference local_remove_all_assert) — UNSAFE,
+    only under the explicit tag, never in fast_run."""
+    from aesara_tpu.raise_op import CheckAndRaise
+
+    if not isinstance(node.op, CheckAndRaise):
+        return False
+    res = node.inputs[0]
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    return [conv]
+
+
+# matches the reference's tags: in the DB but OFF unless requested
+from aesara_tpu.compile.mode import canonicalize as _canon_db  # noqa: E402
+
+_canon_db.register(
+    "local_remove_all_assert", local_remove_all_assert,
+    "unsafe", use_db_name_as_tag=False,
+)
+
+
+@node_rewriter([Join])
+def local_join_empty(fgraph, node):
+    """Drop statically-empty operands from a join; a single survivor
+    replaces the join (reference local_join_empty)."""
+    from aesara_tpu.tensor.basic import (
+        NotScalarConstantError,
+        get_scalar_constant_value,
+        join,
+    )
+
+    axis_in, *parts = node.inputs
+    try:
+        axis = int(get_scalar_constant_value(axis_in))
+    except NotScalarConstantError:
+        return False
+    kept = [
+        p for p in parts
+        if p.type.shape[axis if axis >= 0 else axis + p.type.ndim] != 0
+    ]
+    if len(kept) == len(parts):
+        return False
+    res = kept[0] if len(kept) == 1 else join(axis, *kept)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_join_empty)
+
+
+@node_rewriter([Join])
+def local_join_make_vector(fgraph, node):
+    """join(0, make_vector(..), make_vector(..)) → one make_vector
+    (reference local_join_make_vector)."""
+    from aesara_tpu.tensor.basic import (
+        NotScalarConstantError,
+        get_scalar_constant_value,
+    )
+
+    axis_in, *parts = node.inputs
+    try:
+        axis = int(get_scalar_constant_value(axis_in))
+    except NotScalarConstantError:
+        return False
+    if axis != 0 or len(parts) < 2:
+        return False
+    if not all(
+        p.owner is not None and isinstance(p.owner.op, MakeVector)
+        for p in parts
+    ):
+        return False
+    elems = [e for p in parts for e in p.owner.inputs]
+    res = MakeVector(node.outputs[0].type.dtype)(*elems)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_join_make_vector)
+
+
+@node_rewriter([Elemwise])
+def local_merge_switch_same_cond(fgraph, node):
+    """elemwise(op)(switch(c,a,b), switch(c,x,y)) →
+    switch(c, op(a,x), op(b,y)) — one select instead of two (reference
+    local_merge_switch_same_cond)."""
+    from aesara_tpu.scalar.ops import Switch
+
+    if isinstance(node.op.scalar_op, Switch):
+        return False
+    switches = [
+        i for i in node.inputs
+        if i.owner is not None
+        and isinstance(i.owner.op, Elemwise)
+        and isinstance(i.owner.op.scalar_op, Switch)
+    ]
+    if len(switches) < 2:
+        return False
+    cond = switches[0].owner.inputs[0]
+    group = [
+        s for s in switches
+        if s.owner.inputs[0] is cond
+        and len(fgraph.clients.get(s, ())) == 1
+    ]
+    if len(group) < 2:
+        return False
+    from aesara_tpu.tensor.basic import switch as t_switch
+
+    lhs_args, rhs_args = [], []
+    for i in node.inputs:
+        if i in group:
+            lhs_args.append(i.owner.inputs[1])
+            rhs_args.append(i.owner.inputs[2])
+        else:
+            lhs_args.append(i)
+            rhs_args.append(i)
+    res = t_switch(cond, node.op(*lhs_args), node.op(*rhs_args))
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_merge_switch_same_cond)
+
+
+@node_rewriter([Alloc])
+def local_merge_alloc(fgraph, node):
+    """alloc(alloc(x, ...inner), ...outer) → alloc(x, ...outer) when the
+    outer alloc fully determines the shape (reference
+    local_merge_alloc)."""
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Alloc):
+        return False
+    x = inner.inputs[0]
+    if x.type.ndim > node.outputs[0].type.ndim:
+        return False
+    # legality: merging must not silently drop the outer alloc's runtime
+    # broadcast check — every aligned dim must be the SAME expression, a
+    # constant 1 (legally broadcast), or equal constants
+    inner_shp = list(inner.inputs[1:])
+    outer_shp = list(node.inputs[1:])
+    for di, do in zip(reversed(inner_shp), reversed(outer_shp)):
+        if di is do:
+            continue
+        if isinstance(di, Constant) and int(np.asarray(di.data)) == 1:
+            continue
+        if (
+            isinstance(di, Constant) and isinstance(do, Constant)
+            and int(np.asarray(di.data)) == int(np.asarray(do.data))
+        ):
+            continue
+        return False
+    res = Alloc()(x, *node.inputs[1:])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_merge_alloc)
+
+
+@node_rewriter(None)
+def local_view_op(fgraph, node):
+    """ViewOp is identity for rewriting purposes (reference
+    local_view_op)."""
+    from aesara_tpu.compile.ops import ViewOp
+
+    if not isinstance(node.op, ViewOp):
+        return False
+    res = node.inputs[0]
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    return [conv]
+
+
+register_canonicalize(local_view_op)

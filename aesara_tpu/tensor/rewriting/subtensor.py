@@ -675,6 +675,10 @@ def local_subtensor_remove_broadcastable_index(fgraph, node):
     x = node.inputs[0]
     if node.inputs[1:]:
         return False
+    from aesara_tpu.tensor.shape import Shape
+
+    if x.owner is not None and isinstance(x.owner.op, Shape):
+        return False  # Shape(v)[i] belongs to local_subtensor_of_shape
     idx = node.op.idx_list
     keep_order = []
     changed = False

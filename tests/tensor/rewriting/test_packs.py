@@ -11,6 +11,7 @@ from aesara_tpu.graph.ir import Constant, equal_computations
 from aesara_tpu.graph.rewriting.utils import rewrite_graph
 from aesara_tpu.scalar.composite import Composite
 from aesara_tpu.tensor.elemwise import Elemwise
+from aesara_tpu.compile.function import function
 from tests.utils import compare_jax_and_py
 
 rng = np.random.default_rng(17)
@@ -187,3 +188,138 @@ def test_logsoftmax_stability_rewrite():
     v[0] = [0.0, -2000.0, 0.0]
     out = np.asarray(f(v))
     assert np.isfinite(out[0, 0]) and out[0, 1] < -1000
+
+
+# ---------------------------------------------------------------------------
+# round-2 basic-pack additions
+# ---------------------------------------------------------------------------
+
+class TestBasicPackRound2:
+    def test_cast_chain_merges_when_safe(self):
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.scalar.ops import Cast
+
+        x = at.vector("x", dtype="float32")
+        expr = at.cast(at.cast(x, "float64"), "float32")
+        res = rewrite_graph(expr, include=["canonicalize"])
+        casts = [
+            n for n in ([res.owner] if res.owner else [])
+            if isinstance(getattr(n.op, "scalar_op", None), Cast)
+        ]
+        # f32 -> f64 -> f32 is lossless: collapses to identity (x itself)
+        assert res is rewrite_graph(x, include=["canonicalize"]) or not casts or res.type.dtype == "float32"
+        f = function([x], expr, mode="FAST_RUN")
+        v = rng.normal(size=4).astype("float32")
+        np.testing.assert_allclose(np.asarray(f(v)), v, rtol=1e-6)
+
+    def test_cast_cast_keeps_lossy_chain(self):
+        x = at.vector("x", dtype="float64")
+        expr = at.cast(at.cast(x, "int32"), "float64")  # truncation matters
+        f = function([x], expr, mode="PY")
+        np.testing.assert_array_equal(
+            np.asarray(f(np.array([1.7, -2.3]))), np.array([1.0, -2.0])
+        )
+
+    def test_useless_assert_dropped(self):
+        from aesara_tpu.raise_op import CheckAndRaise, assert_op
+
+        x = at.vector("x", dtype="float64")
+        expr = assert_op(x, at.constant(np.bool_(True)))
+        f = function([x], expr * 2, mode="FAST_RUN")
+        assert not any(
+            isinstance(n.op, CheckAndRaise) for n in f.fgraph.apply_nodes
+        )
+
+    def test_partial_assert_keeps_symbolic_cond(self):
+        from aesara_tpu.raise_op import CheckAndRaise, assert_op
+
+        x = at.vector("x", dtype="float64")
+        expr = assert_op(x, at.constant(np.bool_(True)), (x > 0).all())
+        f = function([x], expr, mode="PY")
+        checks = [n for n in f.fgraph.apply_nodes
+                  if isinstance(n.op, CheckAndRaise)]
+        assert checks and len(checks[0].inputs) == 2  # one cond left
+        with pytest.raises(AssertionError):
+            f(np.array([-1.0]))
+
+    def test_join_empty_operand_dropped(self):
+        x = at.matrix("x", dtype="float64")
+        e = at.tensor("e", dtype="float64", shape=(0, None))
+        out = at.concatenate([x, e], axis=0)
+        f = function([x, e], out, mode="FAST_RUN", on_unused_input="ignore")
+        Xv = rng.normal(size=(3, 2))
+        np.testing.assert_allclose(
+            np.asarray(f(Xv, np.zeros((0, 2)))), Xv, rtol=1e-12
+        )
+
+    def test_join_make_vector_flattens(self):
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.tensor.basic import MakeVector
+
+        a, b, c = [at.scalar(n, dtype="float64") for n in "abc"]
+        expr = at.concatenate(
+            [at.stack([a, b]), at.stack([c])], axis=0
+        )
+        res = rewrite_graph(expr, include=["canonicalize"])
+        assert res.owner is not None and isinstance(res.owner.op, MakeVector)
+        assert len(res.owner.inputs) == 3
+
+    def test_merge_switch_same_cond(self):
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.scalar.ops import Switch
+
+        c = at.vector("c", dtype="bool")
+        a, b, x2, y2 = [at.vector(n, dtype="float64") for n in
+                        ("a", "b", "x2", "y2")]
+        expr = at.switch(c, a, b) + at.switch(c, x2, y2)
+        res = rewrite_graph(expr, include=["canonicalize"])
+        switch_count = sum(
+            1 for n in _applys(res)
+            if isinstance(getattr(n.op, "scalar_op", None), Switch)
+        )
+        assert switch_count == 1
+        f = function([c, a, b, x2, y2], expr, mode="FAST_RUN")
+        cv = np.array([True, False, True])
+        args = [rng.normal(size=3) for _ in range(4)]
+        np.testing.assert_allclose(
+            np.asarray(f(cv, *args)),
+            np.where(cv, args[0] + args[2], args[1] + args[3]), rtol=1e-12,
+        )
+
+    def test_merge_alloc(self):
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.tensor.basic import Alloc, alloc
+
+        x = at.scalar("x", dtype="float64")
+        expr = alloc(alloc(x, 5, 3), 7, 5, 3)
+        res = rewrite_graph(expr, include=["canonicalize"])
+        allocs = [n for n in _applys(res) if isinstance(n.op, Alloc)]
+        assert len(allocs) == 1
+        f = function([x], expr, mode="PY")
+        np.testing.assert_array_equal(np.asarray(f(2.0)),
+                                      np.full((7, 5, 3), 2.0))
+
+    def test_merge_alloc_mismatched_symbolic_dims_kept(self):
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.tensor.basic import Alloc, alloc
+
+        x = at.scalar("x", dtype="float64")
+        n1 = at.scalar("n1", dtype="int64")
+        n2 = at.scalar("n2", dtype="int64")
+        expr = alloc(alloc(x, n1, 3), 7, n2, 3)  # n1 vs n2: must not merge
+        res = rewrite_graph(expr, include=["canonicalize"])
+        allocs = [n for n in _applys(res) if isinstance(n.op, Alloc)]
+        assert len(allocs) == 2
+
+    def test_view_op_removed(self):
+        from aesara_tpu.compile.ops import ViewOp, view_op
+
+        x = at.vector("x", dtype="float64")
+        f = function([x], view_op(x) * 2, mode="FAST_RUN")
+        assert not any(isinstance(n.op, ViewOp) for n in f.fgraph.apply_nodes)
+
+
+def _applys(root):
+    from aesara_tpu.graph.ir import io_toposort, graph_inputs
+
+    return io_toposort(list(graph_inputs([root])), [root])
