@@ -729,6 +729,13 @@ def _jax_subtensor(op, node=None, **kwargs):
         idx = tst.indices_from_subtensor(
             [_maybe_int(i) for i in index_inputs], idx_list
         )
+        if isinstance(x, np.ndarray) and any(
+            isinstance(i, jax.core.Tracer)
+            for i in (index_inputs if index_inputs else ())
+        ):
+            # constant base + traced index: numpy's __getitem__ would
+            # try to concretize the tracer
+            x = jnp.asarray(x)
         return x[idx]
 
     return subtensor

@@ -1183,3 +1183,271 @@ def local_sum_of_alloc(fgraph, node):
 
 
 register_specialize(local_sum_of_alloc)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions (reference math.py: local_0_dot_x,
+# local_lift_transpose_through_dot, local_sumsqr2dot,
+# local_div_switch_sink, local_reduce_broadcastable, local_useless_reduce,
+# local_sum_prod_div_dimshuffle, local_reciprocal_1_plus_exp,
+# local_useless_conj)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([tm.Dot])
+def local_0_dot_x(fgraph, node):
+    """dot(0, x) / dot(x, 0) → zeros of the output shape."""
+    for i, other in ((0, 1), (1, 0)):
+        v = _const_val(node.inputs[i])
+        if v is not None and float(v) == 0.0:
+            out = node.outputs[0]
+            from aesara_tpu.tensor.basic import zeros
+
+            # build the shape from the INPUTS (never from `out` itself)
+            x_, y_ = node.inputs
+            if out.type.ndim == 2:
+                shp = (x_.shape[0], y_.shape[1])
+            elif out.type.ndim == 1:
+                shp = (x_.shape[0],) if x_.type.ndim == 2 else (y_.shape[1],)
+            else:
+                shp = ()
+            res = zeros(shp, dtype=out.type.dtype)
+            conv = out.type.convert_variable(res)
+            if conv is None:
+                return False
+            copy_stack_trace(out, conv)
+            return [conv]
+    return False
+
+
+register_canonicalize(local_0_dot_x)
+
+
+@node_rewriter([DimShuffle])
+def local_lift_transpose_through_dot(fgraph, node):
+    """dot(x, y).T → dot(y.T, x.T) (reference
+    local_lift_transpose_through_dot) — lets the transpose fuse into the
+    operands' dot_general layouts instead of materializing."""
+    if tuple(node.op.new_order) != (1, 0):
+        return False
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, tm.Dot):
+        return False
+    if len(fgraph.clients.get(inner_var, ())) != 1:
+        return False
+    x, y = inner.inputs
+    if x.type.ndim != 2 or y.type.ndim != 2:
+        return False
+    res = tm.dot(y.T, x.T)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_stabilize(local_lift_transpose_through_dot)
+register_specialize(local_lift_transpose_through_dot)
+
+
+@node_rewriter([tm.Sum])
+def local_sumsqr2dot(fgraph, node):
+    """sum(sqr(W * G), axis=(1,2)-style full-trailing) with 3D operands
+    → the reference rewires to one gemm; the load-bearing 2D case here:
+    sum(sqr(w * g), axis=1) → diag-free row dots = ((w*g)**2) @ ones —
+    XLA already fuses this; the case that PAYS is the full reduction
+    sum(sqr(x)) → dot(x.ravel(), x.ravel()) riding the MXU."""
+    if node.op.axis is not None:
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_elemwise(inner, aes.ops.Sqr):
+        return False
+    if len(fgraph.clients.get(node.inputs[0], ())) != 1:
+        return False
+    x = inner.inputs[0]
+    if x.type.dtype in discrete_dtypes or x.type.ndim == 0:
+        return False
+    flat = x.flatten()
+    res = tm.dot(flat, flat)
+    if res.type.dtype != node.outputs[0].type.dtype:
+        res = cast(res, node.outputs[0].type.dtype)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_sumsqr2dot)
+
+
+@node_rewriter([Elemwise])
+def local_div_switch_sink(fgraph, node):
+    """switch(c, a, b) / z → switch(c, a/z, b/z) when one branch is a
+    constant 0 (reference local_div_switch_sink) — keeps the zero exact
+    instead of 0/z (which could be nan for z=0 or inf)."""
+    if not isinstance(node.op.scalar_op, aes.ops.TrueDiv):
+        return False
+    num, den = node.inputs
+    sw = num.owner
+    if sw is None or not _is_elemwise(sw, aes.ops.Switch):
+        return False
+    if len(fgraph.clients.get(num, ())) != 1:
+        return False
+    c, a, b = sw.inputs
+    za = _const_val(a)
+    zb = _const_val(b)
+    if not ((za is not None and float(za) == 0.0)
+            or (zb is not None and float(zb) == 0.0)):
+        return False
+    from aesara_tpu.tensor.basic import switch as t_switch
+
+    res = t_switch(c, a / den if za is None or float(za) != 0.0 else a,
+                   b / den if zb is None or float(zb) != 0.0 else b)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_div_switch_sink)
+
+
+@node_rewriter([tm.Sum, tm.Prod])
+def local_reduce_broadcastable(fgraph, node):
+    """Drop static-1 axes from a reduction (reference
+    local_reduce_broadcastable): reducing a size-1 dim is a reshape."""
+    op = node.op
+    x = node.inputs[0]
+    axes = op._normalized_axes(x.type.ndim)
+    ones = [d for d in axes if x.type.shape[d] == 1]
+    if not ones:
+        return False
+    keep_axes = [d for d in axes if x.type.shape[d] != 1]
+    # squeeze the size-1 reduced dims first
+    order = [d for d in range(x.type.ndim) if d not in ones]
+    squeezed = DimShuffle(x.type.ndim, tuple(order))(x)
+    if keep_axes:
+        remap = {d: i for i, d in enumerate(order)}
+        new_axes = tuple(sorted(remap[d] for d in keep_axes))
+        res = type(op)(axis=new_axes, dtype=op.dtype,
+                       acc_dtype=op.acc_dtype)(squeezed)
+    else:
+        res = squeezed
+        if res.type.dtype != node.outputs[0].type.dtype:
+            res = cast(res, node.outputs[0].type.dtype)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_reduce_broadcastable)
+
+
+@node_rewriter([tm.Sum, tm.Prod])
+def local_useless_reduce(fgraph, node):
+    """Reduction over NO axes (axis=()) → x (reference
+    local_useless_reduce)."""
+    op = node.op
+    x = node.inputs[0]
+    if op.axis is None or tuple(op.axis) != ():
+        return False
+    res = x
+    if res.type.dtype != node.outputs[0].type.dtype:
+        res = cast(res, node.outputs[0].type.dtype)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_useless_reduce)
+
+
+@node_rewriter([tm.Sum])
+def local_sum_div_by_scalar(fgraph, node):
+    """Sum(x / bcast_scalar, axis) → Sum(x, axis) / scalar (reference
+    local_sum_prod_div_dimshuffle) — one divide instead of N."""
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not _is_elemwise(inner, aes.ops.TrueDiv):
+        return False
+    if len(fgraph.clients.get(inner_var, ())) > 1:
+        return False
+    num, den = inner.inputs
+    dn = den.owner
+    scalar = None
+    if (
+        dn is not None and isinstance(dn.op, DimShuffle)
+        and all(o == "x" for o in dn.op.new_order)
+        and dn.inputs[0].type.ndim == 0
+    ):
+        scalar = dn.inputs[0]
+    elif isinstance(den, Constant) and getattr(den.data, "size", 2) == 1:
+        scalar = constant(np.asarray(den.data).reshape(())[()])
+    if scalar is None:
+        return False
+    op = node.op
+    summed = tm.Sum(axis=op.axis, dtype=op.dtype, acc_dtype=op.acc_dtype)(num)
+    res = summed / scalar
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_sum_div_by_scalar)
+
+
+@node_rewriter([Elemwise])
+def local_reciprocal_1_plus_exp(fgraph, node):
+    """1 / (1 + exp(x)) → sigmoid(-x) (reference
+    local_reciprocal_1_plus_exp) — one fused transcendental, stable at
+    both tails."""
+    if not isinstance(node.op.scalar_op, aes.ops.Reciprocal):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_elemwise(inner, aes.ops.Add):
+        return False
+    if len(fgraph.clients.get(node.inputs[0], ())) > 1:
+        return False
+    if len(inner.inputs) != 2:
+        return False
+    for i, j in ((0, 1), (1, 0)):
+        one = _const_val(inner.inputs[i])
+        expn = inner.inputs[j].owner
+        if (
+            one is not None and float(one) == 1.0
+            and expn is not None and _is_elemwise(expn, aes.ops.Exp)
+        ):
+            from aesara_tpu.tensor.math import sigmoid
+
+            res = sigmoid(-expn.inputs[0])
+            conv = node.outputs[0].type.convert_variable(res)
+            if conv is None:
+                return False
+            copy_stack_trace(node.outputs[0], conv)
+            return [conv]
+    return False
+
+
+register_stabilize(local_reciprocal_1_plus_exp)
+
+
+@node_rewriter([Elemwise])
+def local_useless_conj(fgraph, node):
+    """conj(x) → x for real x (reference local_useless_conj)."""
+    if not isinstance(node.op.scalar_op, aes.ops.Conj):
+        return False
+    x = node.inputs[0]
+    if x.type.dtype.startswith("complex"):
+        return False
+    return [x]
+
+
+register_canonicalize(local_useless_conj)

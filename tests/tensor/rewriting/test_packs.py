@@ -323,3 +323,107 @@ def _applys(root):
     from aesara_tpu.graph.ir import io_toposort, graph_inputs
 
     return io_toposort(list(graph_inputs([root])), [root])
+
+
+class TestMathPackRound2:
+    def test_zero_dot(self):
+        from aesara_tpu.tensor.math import Dot
+
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
+        zero = at.constant(np.zeros((3, 4)))
+        f = function([y], at.math.dot(zero, y), mode="FAST_RUN")
+        assert not any(isinstance(n.op, Dot) for n in f.fgraph.apply_nodes)
+        np.testing.assert_array_equal(
+            np.asarray(f(rng.normal(size=(4, 2)))), np.zeros((3, 2))
+        )
+
+    def test_transpose_through_dot(self):
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.tensor.elemwise import DimShuffle
+
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
+        res = rewrite_graph(at.math.dot(x, y).T,
+                            include=["stabilize", "specialize"])
+        # the transpose moved onto the operands
+        assert res.owner is not None and not isinstance(res.owner.op, DimShuffle)
+        f = function([x, y], at.math.dot(x, y).T, mode="FAST_RUN")
+        Xv, Yv = rng.normal(size=(3, 4)), rng.normal(size=(4, 5))
+        np.testing.assert_allclose(np.asarray(f(Xv, Yv)), (Xv @ Yv).T,
+                                   rtol=1e-10)
+
+    def test_sumsqr_to_dot(self):
+        from aesara_tpu.tensor.math import Dot
+
+        x = at.matrix("x", dtype="float64")
+        f = function([x], (x ** 2).sum(), mode="FAST_RUN")
+        assert any(isinstance(n.op, Dot) for n in f.fgraph.apply_nodes)
+        v = rng.normal(size=(5, 3))
+        np.testing.assert_allclose(float(np.asarray(f(v))), (v ** 2).sum(),
+                                   rtol=1e-10)
+
+    def test_div_switch_sink_keeps_exact_zero(self):
+        x = at.vector("x", dtype="float64")
+        z = at.vector("z", dtype="float64")
+        expr = at.switch(x > 0, x, 0.0) / z
+        f = function([x, z], expr, mode="FAST_RUN")
+        xv = np.array([1.0, -1.0])
+        zv = np.array([2.0, 0.0])  # 0/0 would be nan without the sink
+        res = np.asarray(f(xv, zv))
+        assert res[0] == pytest.approx(0.5) and res[1] == 0.0
+
+    def test_reduce_broadcastable_drops_unit_axes(self):
+        x = at.tensor("x", dtype="float64", shape=(None, 1, None))
+        f = function([x], x.sum(axis=(1, 2)), mode="FAST_RUN")
+        v = rng.normal(size=(3, 1, 4))
+        np.testing.assert_allclose(np.asarray(f(v)), v.sum(axis=(1, 2)),
+                                   rtol=1e-10)
+        # all-unit-axes reduction has no CAReduce left
+        y = at.tensor("y", dtype="float64", shape=(None, 1))
+        from aesara_tpu.tensor.elemwise import CAReduce
+
+        g = function([y], y.sum(axis=1), mode="FAST_RUN")
+        assert not any(isinstance(n.op, CAReduce) for n in g.fgraph.apply_nodes)
+
+    def test_useless_reduce_empty_axis(self):
+        from aesara_tpu.tensor.math import Sum
+
+        x = at.matrix("x", dtype="float64")
+        f = function([x], Sum(axis=())(x), mode="PY")
+        v = rng.normal(size=(2, 3))
+        np.testing.assert_allclose(np.asarray(f(v)), v, rtol=1e-12)
+
+    def test_sum_div_by_scalar(self):
+        x = at.matrix("x", dtype="float64")
+        s = at.scalar("s", dtype="float64")
+        expr = (x / s).sum()
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+
+        f = function([x, s], expr, mode="FAST_RUN")
+        v = rng.normal(size=(3, 3))
+        np.testing.assert_allclose(float(np.asarray(f(v, 2.0))),
+                                   (v / 2.0).sum(), rtol=1e-10)
+
+    def test_reciprocal_1_plus_exp_to_sigmoid(self):
+        x = at.vector("x", dtype="float64")
+        expr = 1.0 / (1.0 + at.exp(x))
+        f = function([x], expr, mode="FAST_RUN")
+        has_sigmoid = any(
+            "igmoid" in type(getattr(n.op, "scalar_op", None)).__name__
+            or (hasattr(n.op, "scalar_op")
+                and "sigmoid" in str(n.op.scalar_op).lower())
+            for n in f.fgraph.apply_nodes
+        )
+        assert has_sigmoid, [str(n.op) for n in f.fgraph.apply_nodes]
+        # stability at the tail: exp overflow would give 0-division
+        big = np.array([750.0, -750.0])
+        res = np.asarray(f(big))
+        assert np.all(np.isfinite(res))
+        np.testing.assert_allclose(res, [0.0, 1.0], atol=1e-12)
+
+    def test_useless_conj_real(self):
+        x = at.vector("x", dtype="float64")
+        f = function([x], at.math.conj(x) * 2, mode="FAST_RUN")
+        v = rng.normal(size=3)
+        np.testing.assert_allclose(np.asarray(f(v)), 2 * v, rtol=1e-12)
