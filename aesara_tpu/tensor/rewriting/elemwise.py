@@ -163,3 +163,70 @@ class FusionOptimizer(GraphRewriter):
 
 optdb.register("elemwise_fusion", FusionOptimizer(), "fast_run", "fusion",
                position=49)
+
+
+# ---------------------------------------------------------------------------
+# composite/dimshuffle cleanups (reference elemwise.py:423,924)
+# ---------------------------------------------------------------------------
+
+from aesara_tpu.compile.mode import register_canonicalize, register_specialize
+from aesara_tpu.graph.rewriting.basic import node_rewriter
+from aesara_tpu.tensor.elemwise import DimShuffle
+
+
+@node_rewriter([Elemwise])
+def local_useless_composite(fgraph, node):
+    """Elemwise(Composite) with dead outputs → a composite computing only
+    the live ones (reference local_useless_composite:924) — dead scalar
+    subgraphs otherwise still trace and compile."""
+    if not isinstance(node.op.scalar_op, Composite) or len(node.outputs) < 2:
+        return False
+    comp = node.op.scalar_op
+    used = [
+        i
+        for i, out in enumerate(node.outputs)
+        if fgraph.clients.get(out) or out in fgraph.outputs
+    ]
+    if len(used) == len(node.outputs) or not used:
+        return False
+    new_comp = Composite(comp.inputs, [comp.outputs[i] for i in used])
+    new_outs = Elemwise(new_comp)(*node.inputs)
+    if not isinstance(new_outs, list):
+        new_outs = [new_outs]
+    repl = {}
+    for pos, i in enumerate(used):
+        conv = node.outputs[i].type.convert_variable(new_outs[pos])
+        if conv is None:
+            return False
+        copy_stack_trace(node.outputs[i], conv)
+        repl[node.outputs[i]] = conv
+    return repl
+
+
+register_specialize(local_useless_composite)
+
+
+@node_rewriter([DimShuffle])
+def local_useless_dimshuffle_makevector(fgraph, node):
+    """MakeVector(a).dimshuffle(()) → a — unpack the singleton instead of
+    packing then squeezing (reference
+    local_useless_dimshuffle_makevector:423)."""
+    from aesara_tpu.tensor.basic import MakeVector, as_tensor_variable, cast
+
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, MakeVector):
+        return False
+    if node.op.new_order != () or len(inner.inputs) != 1:
+        return False
+    res = as_tensor_variable(inner.inputs[0])
+    out = node.outputs[0]
+    if res.type.dtype != out.type.dtype:
+        res = cast(res, out.type.dtype)
+    conv = out.type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(out, conv)
+    return [conv]
+
+
+register_canonicalize(local_useless_dimshuffle_makevector)

@@ -708,3 +708,210 @@ def local_subtensor_remove_broadcastable_index(fgraph, node):
 
 
 register_canonicalize(local_subtensor_remove_broadcastable_index)
+
+
+# ---------------------------------------------------------------------------
+# advanced-index decomposition + gradient-accumulation serialization
+# (reference subtensor.py:211,240,1124,1457,1617; the uint-constant-index
+# rewrite at :1762 is C-allocator-oriented and has no TPU analogue —
+# XLA index dtypes are free)
+# ---------------------------------------------------------------------------
+
+from aesara_tpu.tensor.subtensor import (
+    ARRAY,
+    AdvancedIncSubtensor,
+    AdvancedSubtensor,
+)
+
+
+def _single_leading_int_vector(op, array_inputs):
+    """True when idx_list is one 'array' entry (optionally followed by
+    full slices) and the array is a 1-d non-bool integer vector."""
+    idx = op.idx_list
+    if not idx or idx[0] != ARRAY:
+        return False
+    if any(
+        not (isinstance(e, slice) and e == slice(None, None, None))
+        for e in idx[1:]
+    ):
+        return False
+    if len(array_inputs) != 1:
+        return False
+    ilist = array_inputs[0]
+    return ilist.type.ndim == 1 and ilist.type.dtype != "bool"
+
+
+@node_rewriter([AdvancedSubtensor])
+def local_replace_AdvancedSubtensor(fgraph, node):
+    """x[int_vector] (general fancy form) → AdvancedSubtensor1 — the
+    axis-0 gather the rest of the pack (adv_sub1-of-set, arange
+    elimination) and the donation pass understand (reference
+    local_replace_AdvancedSubtensor:211)."""
+    x, *idx_inputs = node.inputs
+    if not _single_leading_int_vector(node.op, idx_inputs):
+        return False
+    res = AdvancedSubtensor1()(x, idx_inputs[0])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_replace_AdvancedSubtensor)
+
+
+@node_rewriter([AdvancedIncSubtensor])
+def local_AdvancedIncSubtensor_to_AdvancedIncSubtensor1(fgraph, node):
+    """inc/set_subtensor(x[int_vector], y) in the general fancy form →
+    AdvancedIncSubtensor1 (reference :240).  ``ignore_duplicates`` inc
+    has no Adv1 equivalent (Adv1 inc always accumulates duplicates), so
+    that combination is left alone."""
+    if node.op.ignore_duplicates and not node.op.set_instead_of_inc:
+        return False
+    x, y, *idx_inputs = node.inputs
+    if not _single_leading_int_vector(node.op, idx_inputs):
+        return False
+    res = AdvancedIncSubtensor1(
+        set_instead_of_inc=node.op.set_instead_of_inc
+    )(x, y, idx_inputs[0])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_AdvancedIncSubtensor_to_AdvancedIncSubtensor1)
+
+
+@node_rewriter([IncSubtensor, AdvancedIncSubtensor1, AdvancedIncSubtensor])
+def local_useless_inc_subtensor_alloc(fgraph, node):
+    """inc/set_subtensor(x[idx], alloc(y, ...)) → inc/set_subtensor(
+    x[idx], y): the scatter broadcasts y itself, so materializing the
+    broadcast buffer first is a pure waste of HBM traffic (reference
+    local_useless_inc_subtensor_alloc:1457)."""
+    y = node.inputs[1]
+    yn = y.owner
+    if yn is None or not isinstance(yn.op, Alloc):
+        return False
+    v = yn.inputs[0]
+    # every alloc dim is a pure broadcast of v (Alloc validates that each
+    # value dim is 1 or equal), and the scatter broadcasts v the same way
+    # the materialized buffer would read — so dropping the Alloc is exact.
+    res = node.op(node.inputs[0], v, *node.inputs[2:])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_useless_inc_subtensor_alloc)
+register_specialize(local_useless_inc_subtensor_alloc)
+
+
+@node_rewriter([Elemwise])
+def local_IncSubtensor_serialize(fgraph, node):
+    """add(p, inc_subtensor(b1, c), inc_subtensor(b2, d)) →
+    inc_subtensor(inc_subtensor(add(p, b1, b2), c), d).
+
+    Gradient graphs of ``f(a[0], a[1], ...)`` build one full-size
+    zeros-based IncSubtensor per indexed use and then add them; chaining
+    the increments onto a single accumulator instead lets XLA run the
+    whole thing as in-place scatter-adds on one buffer (reference
+    local_IncSubtensor_serialize:1124)."""
+    from aesara_tpu.scalar.ops import Add as ScalarAdd
+
+    if not isinstance(node.op.scalar_op, ScalarAdd) or len(node.inputs) < 2:
+        return False
+    o_type = node.outputs[0].type
+
+    def movable(i):
+        return (
+            i.owner is not None
+            and isinstance(
+                i.owner.op,
+                (IncSubtensor, AdvancedIncSubtensor1, AdvancedIncSubtensor),
+            )
+            and not i.owner.op.set_instead_of_inc
+            and i.type.ndim == o_type.ndim
+            and i.type.dtype == o_type.dtype
+            and len(fgraph.clients.get(i, [])) == 1
+        )
+
+    movable_inputs = [i for i in node.inputs if movable(i)]
+    if not movable_inputs:
+        return False
+    fixed = [i for i in node.inputs if i not in movable_inputs]
+    bases = [mi.owner.inputs[0] for mi in movable_inputs]
+    terms = fixed + bases
+    if len(terms) == 0:
+        return False
+    if len(terms) == 1:
+        acc = terms[0]
+    else:
+        acc = Elemwise(node.op.scalar_op)(*terms)
+    if acc.type.dtype != o_type.dtype:
+        from aesara_tpu.tensor.basic import cast as tcast
+
+        acc = tcast(acc, o_type.dtype)
+    for mi in movable_inputs:
+        inner = mi.owner
+        acc = inner.op(acc, *inner.inputs[1:])
+    conv = o_type.convert_variable(acc)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_IncSubtensor_serialize)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_SpecifyShape_lift(fgraph, node):
+    """SpecifyShape(x, ...)[static ints / full slices] → SpecifyShape of
+    the sliced x with the surviving dim specs — indexing escapes the
+    assertion so the rest of the pack can see through it (reference
+    local_subtensor_SpecifyShape_lift:1617)."""
+    from aesara_tpu.tensor.shape import SpecifyShape, specify_shape
+
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if inner is None or not isinstance(inner.op, SpecifyShape):
+        return False
+    if node.inputs[1:]:
+        return False
+    idx = node.op.idx_list
+    full = slice(None, None, None)
+    for e in idx:
+        se = _static_slice(e)
+        if se is None:
+            return False
+        if isinstance(se, slice) and se != full:
+            return False
+    x = inner.inputs[0]
+    spec_vars = inner.inputs[1:]
+
+    def spec_entry(d):
+        sv = spec_vars[d]
+        if isinstance(sv, Constant) and int(np.asarray(sv.data)) == -1:
+            return None
+        return sv
+
+    kept = [
+        spec_entry(d) for d, e in enumerate(idx) if isinstance(e, slice)
+    ] + [spec_entry(d) for d in range(len(idx), x.type.ndim)]
+    sliced = Subtensor(idx)(x)
+    res = specify_shape(sliced, kept) if any(
+        k is not None for k in kept
+    ) else sliced
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_subtensor_SpecifyShape_lift)

@@ -427,3 +427,82 @@ class TestMathPackRound2:
         f = function([x], at.math.conj(x) * 2, mode="FAST_RUN")
         v = rng.normal(size=3)
         np.testing.assert_allclose(np.asarray(f(v)), 2 * v, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# elemwise pack round-2 additions
+# ---------------------------------------------------------------------------
+
+
+class TestUselessComposite:
+    def test_dead_output_pruned(self):
+        import numpy as np
+
+        import aesara_tpu.tensor as at
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.scalar.composite import Composite
+        from aesara_tpu.scalar.ops import ScalarType
+        from aesara_tpu.tensor.elemwise import Elemwise
+
+        sx = ScalarType("float64")()
+        sy = ScalarType("float64")()
+        comp = Composite([sx, sy], [sx + sy, sx * sy])
+        x = at.dvector("x")
+        y = at.dvector("y")
+        outs = Elemwise(comp)(x, y)
+        live = outs[0]  # product output is dead
+        res = rewrite_graph(live, include=["canonicalize", "specialize"])
+        node = res.owner
+        assert isinstance(node.op, Elemwise)
+        assert isinstance(node.op.scalar_op, Composite)
+        assert node.op.scalar_op.nout == 1
+        f = function([x, y], res, mode="PY")
+        rng = np.random.default_rng(0)
+        xv, yv = rng.normal(size=(2, 5))
+        np.testing.assert_allclose(np.asarray(f(xv, yv)), xv + yv)
+
+    def test_all_outputs_live_untouched(self):
+        import aesara_tpu.tensor as at
+        from aesara_tpu.graph.fg import FunctionGraph
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.scalar.composite import Composite
+        from aesara_tpu.scalar.ops import ScalarType
+        from aesara_tpu.tensor.elemwise import Elemwise
+
+        sx = ScalarType("float64")()
+        sy = ScalarType("float64")()
+        comp = Composite([sx, sy], [sx + sy, sx * sy])
+        x = at.dvector("x")
+        y = at.dvector("y")
+        outs = Elemwise(comp)(x, y)
+        fg = FunctionGraph([x, y], list(outs), clone=False)
+        rewrite_graph(fg, include=["canonicalize", "specialize"])
+        (node,) = [
+            n for n in fg.apply_nodes if isinstance(n.op, Elemwise)
+            and isinstance(n.op.scalar_op, Composite)
+        ]
+        assert node.op.scalar_op.nout == 2
+
+
+class TestUselessDimshuffleMakeVector:
+    def test_singleton_unpacks(self):
+        import numpy as np
+
+        import aesara_tpu.tensor as at
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.graph.ir import applys_between
+        from aesara_tpu.graph.rewriting.utils import rewrite_graph
+        from aesara_tpu.tensor.basic import MakeVector
+        from aesara_tpu.tensor.elemwise import DimShuffle
+
+        a = at.dscalar("a")
+        v = MakeVector("float64")(a)
+        out = DimShuffle(1, ())(v)
+        res = rewrite_graph(out)
+        assert not [
+            n for n in applys_between([a], [res])
+            if isinstance(n.op, (MakeVector, DimShuffle))
+        ]
+        f = function([a], res + 1.0, mode="PY")
+        assert float(f(2.0)) == 3.0

@@ -273,3 +273,181 @@ class TestRemoveBroadcastableIndex:
         f = function([x], x[0] * 2, mode="FAST_RUN")
         v = rng.normal(size=(3, 4))
         np.testing.assert_allclose(np.asarray(f(v)), v[0] * 2, rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions: advanced decomposition, alloc-increment removal,
+# IncSubtensor serialization, SpecifyShape lift
+# ---------------------------------------------------------------------------
+
+
+class TestReplaceAdvancedSubtensor:
+    def test_general_gather_becomes_adv1(self):
+        from aesara_tpu.tensor.subtensor import ARRAY, AdvancedSubtensor
+
+        x = at.matrix("x")
+        iv = at.lvector("i")
+        out = AdvancedSubtensor((ARRAY,))(x, iv)
+        res = rewrite_graph(out, include=["canonicalize"])
+        assert isinstance(res.owner.op, AdvancedSubtensor1)
+        Xv = rng.normal(size=(5, 3))
+        Iv = np.array([3, 0, 3])
+        check_values([x, iv], out, res, [Xv, Iv])
+
+    def test_trailing_full_slices_accepted(self):
+        from aesara_tpu.tensor.subtensor import ARRAY, AdvancedSubtensor
+
+        x = at.tensor3("x")
+        iv = at.lvector("i")
+        full = slice(None, None, None)
+        out = AdvancedSubtensor((ARRAY, full, full))(x, iv)
+        res = rewrite_graph(out, include=["canonicalize"])
+        assert isinstance(res.owner.op, AdvancedSubtensor1)
+
+    def test_matrix_index_stays_general(self):
+        from aesara_tpu.tensor.subtensor import ARRAY, AdvancedSubtensor
+
+        x = at.matrix("x")
+        im = at.lmatrix("i")
+        out = AdvancedSubtensor((ARRAY,))(x, im)
+        res = rewrite_graph(out, include=["canonicalize"])
+        assert isinstance(res.owner.op, AdvancedSubtensor)
+
+
+class TestAdvancedIncToAdv1:
+    @pytest.mark.parametrize("set_instead_of_inc", [False, True])
+    def test_decomposes(self, set_instead_of_inc):
+        from aesara_tpu.tensor.subtensor import ARRAY, AdvancedIncSubtensor
+
+        x = at.matrix("x")
+        y = at.matrix("y")
+        iv = at.lvector("i")
+        out = AdvancedIncSubtensor(
+            (ARRAY,), set_instead_of_inc=set_instead_of_inc
+        )(x, y, iv)
+        res = rewrite_graph(out, include=["canonicalize"])
+        assert isinstance(res.owner.op, AdvancedIncSubtensor1)
+        assert res.owner.op.set_instead_of_inc == set_instead_of_inc
+        Xv = rng.normal(size=(5, 3))
+        Yv = rng.normal(size=(2, 3))
+        Iv = np.array([1, 4])
+        check_values([x, y, iv], out, res, [Xv, Yv, Iv])
+
+    def test_ignore_duplicates_inc_stays(self):
+        from aesara_tpu.tensor.subtensor import ARRAY, AdvancedIncSubtensor
+
+        x = at.matrix("x")
+        y = at.matrix("y")
+        iv = at.lvector("i")
+        out = AdvancedIncSubtensor((ARRAY,), ignore_duplicates=True)(x, y, iv)
+        res = rewrite_graph(out, include=["canonicalize"])
+        from aesara_tpu.tensor.subtensor import AdvancedIncSubtensor as AIS
+
+        assert isinstance(res.owner.op, AIS)
+
+
+class TestUselessIncSubtensorAlloc:
+    def test_basic_set_drops_alloc(self):
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        x = at.matrix("x")
+        v = at.vector("v")
+        out = set_subtensor(x[0:2], at.alloc(v, 2, 3))
+        res = rewrite_graph(out)
+        allocs = [op for op in ops_in(res, x, v) if isinstance(op, Alloc)]
+        assert not allocs
+        Xv = rng.normal(size=(4, 3))
+        Vv = rng.normal(size=(3,))
+        check_values([x, v], out, res, [Xv, Vv])
+
+    def test_adv1_inc_drops_alloc(self):
+        from aesara_tpu.tensor.subtensor import inc_subtensor
+
+        x = at.matrix("x")
+        v = at.vector("v")
+        iv = at.lvector("i")
+        out = inc_subtensor(x[iv], at.alloc(v, 2, 3))
+        res = rewrite_graph(out)
+        allocs = [op for op in ops_in(res, x, v, iv) if isinstance(op, Alloc)]
+        assert not allocs
+        Xv = rng.normal(size=(4, 3))
+        Vv = rng.normal(size=(3,))
+        Iv = np.array([1, 1])  # duplicate: np.add.at semantics must hold
+        check_values([x, v, iv], out, res, [Xv, Vv, Iv])
+
+
+class TestIncSubtensorSerialize:
+    def test_grad_accumulation_chains(self):
+        x = at.matrix("x")
+        cost = (at.exp(x[0]).sum() + at.tanh(x[1]).sum() + (x[2] ** 2).sum())
+        g = atp.grad(cost, x)
+        res = rewrite_graph(g, include=["canonicalize"])
+        # the three zeros-based IncSubtensors must chain, not add
+        from aesara_tpu.scalar.ops import Add as ScalarAdd
+
+        adds = [
+            n
+            for n in applys_between([x], [res])
+            if isinstance(n.op, Elemwise)
+            and isinstance(n.op.scalar_op, ScalarAdd)
+            and any(
+                i.owner is not None and isinstance(i.owner.op, IncSubtensor)
+                for i in n.inputs
+            )
+        ]
+        assert not adds
+        incs = [
+            n for n in applys_between([x], [res])
+            if isinstance(n.op, IncSubtensor)
+        ]
+        assert len(incs) >= 3
+        f_raw = function([x], g, mode="PY")
+        f_opt = function([x], g, mode="FAST_RUN")
+        Xv = rng.normal(size=(4, 3))
+        np.testing.assert_allclose(
+            np.asarray(f_raw(Xv)), np.asarray(f_opt(Xv)), rtol=1e-6
+        )
+
+    def test_set_subtensor_not_moved(self):
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        x = at.matrix("x")
+        y = at.matrix("y")
+        a = set_subtensor(x[0], at.ones((3,)))
+        out = a + y
+        res = rewrite_graph(out, include=["canonicalize"])
+        Xv = rng.normal(size=(2, 3))
+        Yv = rng.normal(size=(2, 3))
+        check_values([x, y], out, res, [Xv, Yv])
+
+
+class TestSubtensorSpecifyShapeLift:
+    def test_int_index_lifts(self):
+        from aesara_tpu.tensor.shape import SpecifyShape, specify_shape
+
+        x = at.matrix("x")
+        out = specify_shape(x, (4, 3))[0]
+        res = rewrite_graph(out, include=["canonicalize"])
+        # the subtensor must now act on x directly (under the spec)
+        sub_nodes = [
+            n for n in applys_between([x], [res])
+            if isinstance(n.op, Subtensor)
+        ]
+        assert len(sub_nodes) == 1
+        assert sub_nodes[0].inputs[0] is x
+        check_values([x], out, res, [rng.normal(size=(4, 3))])
+        # surviving dim keeps its static info
+        assert res.type.shape == (3,)
+
+    def test_symbolic_index_stays(self):
+        from aesara_tpu.tensor.shape import SpecifyShape, specify_shape
+
+        x = at.matrix("x")
+        i = at.lscalar("i")
+        out = specify_shape(x, (4, 3))[i]
+        res = rewrite_graph(out, include=["canonicalize"])
+        specs = [
+            n for n in applys_between([x, i], [res])
+            if isinstance(n.op, SpecifyShape)
+        ]
+        assert specs  # not lifted
