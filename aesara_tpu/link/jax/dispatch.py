@@ -184,6 +184,124 @@ def _i1(x):
     return jax.scipy.special.i1(x)
 
 
+def _bessel_vx_series(v, x, sign, n_terms=80):
+    """Ascending series sum_k sign^k (x/2)^{v+2k} / (k! Γ(v+k+1)) in
+    log space; usable wherever terms decay before ``n_terms`` and (for
+    the alternating J case) cancellation stays within f64."""
+    from jax.scipy.special import gammaln
+
+    half_log = jnp.log(x / 2.0)
+
+    def body(k, acc):
+        kf = jnp.asarray(k, x.dtype)
+        log_t = (v + 2.0 * kf) * half_log - gammaln(kf + 1.0) - gammaln(
+            v + kf + 1.0
+        )
+        s = jnp.where(sign < 0, 1.0 - 2.0 * jnp.mod(kf, 2.0), 1.0)
+        return acc + s * jnp.exp(log_t)
+
+    return jax.lax.fori_loop(0, n_terms, body, jnp.zeros_like(v * x))
+
+
+def _bessel_switch(v):
+    """Hankel expansions need x >> v^2; below that, series/recurrence
+    carry the load."""
+    return jnp.maximum(20.0, 1.5 * v * v)
+
+
+def _jv_miller(v, x, order=300):
+    """J_v(x) by Miller's backward recurrence, stable for any real
+    order v >= 0 in the pre-asymptotic zone.
+
+    Downward j_{m-1} = (2(v+m)/x) j_m - j_{m+1} from trial values,
+    normalized with A&S 9.1.87:
+        (x/2)^v = sum_k (v+2k) Gamma(v+k)/k! * J_{v+2k}(x).
+    """
+    from jax.scipy.special import gammaln
+
+    big = 1e200
+
+    def body(i, carry):
+        j_next, j_cur, s = carry
+        m = jnp.asarray(order - i, x.dtype)
+        k = m / 2.0
+        is_even = jnp.mod(m, 2.0) == 0.0
+        # normalization coefficient (v+m)·Γ(v+k)/k! for even m >= 2;
+        # the m == 0 term is added after the loop (ν·Γ(ν) → Γ(ν+1))
+        c = (v + m) * jnp.exp(gammaln(v + k) - gammaln(k + 1.0))
+        s = jnp.where(is_even & (m > 0), s + c * j_cur, s)
+        j_prev = (2.0 * (v + m) / x) * j_cur - j_next
+        # periodic rescale keeps the unnormalized recurrents in range
+        over = jnp.abs(j_prev) > big
+        scale = jnp.where(over, 1.0 / big, 1.0)
+        return j_cur * scale, j_prev * scale, s * scale
+
+    zeros = jnp.zeros_like(v * x)
+    j1_, j0_, s = jax.lax.fori_loop(
+        0, order, body, (zeros, zeros + 1e-30, zeros)
+    )
+    s = s + jnp.exp(gammaln(v + 1.0)) * j0_
+    return j0_ * jnp.exp(v * jnp.log(x / 2.0)) / s
+
+
+def _jv_general(v, x):
+    """J_v(x) for real order v >= 0 on device: ascending series for
+    small x, Miller backward recurrence in the pre-asymptotic zone,
+    Hankel asymptotic expansion above x ≈ max(20, 1.5 v²) (domain
+    x > 0, like the scipy oracle's real branch; the py path stays the
+    scipy oracle)."""
+    dt = jnp.result_type(v, x, jnp.float32)
+    v = jnp.asarray(v, dt)
+    x = jnp.asarray(x, dt)
+    v, x = jnp.broadcast_arrays(v, x)
+    switch = _bessel_switch(v)
+    # clamp each branch's input into its own valid region so the unused
+    # branch can't generate inf/nan through the where (Erfcx pattern)
+    series = _bessel_vx_series(v, jnp.minimum(x, 12.0), -1.0)
+    miller = _jv_miller(v, jnp.clip(x, 8.0, switch + 5.0))
+    xa = jnp.maximum(x, switch - 5.0)
+    mu = 4.0 * v * v
+    x8 = 8.0 * xa
+    p = (
+        1.0
+        - (mu - 1.0) * (mu - 9.0) / (2.0 * x8**2)
+        + (mu - 1.0) * (mu - 9.0) * (mu - 25.0) * (mu - 49.0) / (24.0 * x8**4)
+    )
+    q = (mu - 1.0) / x8 - (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / (6.0 * x8**3)
+    chi = xa - (0.5 * v + 0.25) * jnp.pi
+    asym = jnp.sqrt(2.0 / (jnp.pi * xa)) * (
+        p * jnp.cos(chi) - q * jnp.sin(chi)
+    )
+    return jnp.where(
+        x > switch, asym, jnp.where(x > 10.0, miller, series)
+    )
+
+
+def _iv_general(v, x):
+    """I_v(x) for real order on device: ascending series below x≈20,
+    exponential asymptotic expansion above."""
+    dt = jnp.result_type(v, x, jnp.float32)
+    v = jnp.asarray(v, dt)
+    x = jnp.asarray(x, dt)
+    v, x = jnp.broadcast_arrays(v, x)
+    # the I series is all-positive (no cancellation), so it stays
+    # accurate to much larger x — push the asymptotic switch out
+    switch = jnp.maximum(20.0, 3.0 * v * v)
+    xs = jnp.minimum(x, switch + 5.0)
+    series = _bessel_vx_series(v, xs, 1.0, n_terms=140)
+    xa = jnp.maximum(x, switch - 5.0)
+    mu = 4.0 * v * v
+    x8 = 8.0 * xa
+    corr = (
+        1.0
+        - (mu - 1.0) / x8
+        + (mu - 1.0) * (mu - 9.0) / (2.0 * x8**2)
+        - (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / (6.0 * x8**3)
+    )
+    asym = jnp.exp(xa) / jnp.sqrt(2.0 * jnp.pi * xa) * corr
+    return jnp.where(x > switch, asym, series)
+
+
 def _hyp2f1(a, b, c, z):
     from jax.scipy.special import hyp2f1
 
@@ -304,6 +422,8 @@ _SCALAR_IMPLS = {
     aesm.J1: _j1,
     aesm.I0: _i0,
     aesm.I1: _i1,
+    aesm.Jv: _jv_general,
+    aesm.Iv: _iv_general,
     aesm.BetaInc: jax.scipy.special.betainc,
     aesm.Erfcx: lambda x: jnp.where(
         x < 8.0,

@@ -450,8 +450,13 @@ class Join(Op):
             static_axis = int(get_scalar_constant_value(as_tensor_variable(axis)))
         except NotScalarConstantError:
             static_axis = None
-        if static_axis is not None and static_axis < 0:
-            static_axis += ndim
+        if static_axis is not None:
+            if not (-ndim <= static_axis < max(ndim, 1)):
+                raise ValueError(
+                    f"Join axis {static_axis} out of range for ndim {ndim}"
+                )
+            if static_axis < 0:
+                static_axis += ndim
         out_shape = []
         for d in range(ndim):
             if static_axis is not None and d == static_axis:
