@@ -196,6 +196,12 @@ config.add("pallas_fusion", BoolParam(False,
                "sizes — see benchmarks/README.md crossover table)"))
 config.add("pallas_fusion_min_size", IntParam(8192,
            doc="min elements before a fused chain uses a Pallas kernel"))
+config.add("flash_attention", EnumStr("auto", ("on", "off"),
+           doc="FusedAttention lowering policy: 'auto' uses the Pallas "
+               "FlashAttention kernels on TPU where measured faster "
+               "(forward from T>=2048, backward from T>=1024 — see "
+               "benchmarks/README.md), 'on' forces them, 'off' keeps the "
+               "plain XLA composition"))
 config.add("context_parallel_axis", StrParam("",
            doc="mesh axis name; when set, FusedAttention graphs rewrite to "
                "sequence-parallel attention over this axis at compile time"))

@@ -148,6 +148,26 @@ def use_pallas_for(shape, dtype) -> bool:
     return n >= config.pallas_fusion_min_size
 
 
+def use_flash_for(shape, dtype, min_seqlen: int) -> bool:
+    """Gate for the FlashAttention kernels — independent of the elemwise
+    ``pallas_fusion`` opt-in, because attention is a MEASURED win
+    (benchmarks/README.md: forward 1.26–1.47x from T>=2048, backward
+    1.57–2.55x from T>=1024) and defaults ON for TPU ('auto')."""
+    from aesara_tpu.config import config
+
+    if config.flash_attention == "off":
+        return False
+    try:
+        on_tpu = jax.default_backend() != "cpu"
+    except Exception:
+        on_tpu = False
+    if str(np.dtype(dtype)) not in ("float32", "bfloat16"):
+        return False
+    if config.flash_attention == "on":
+        return True
+    return on_tpu and shape[1] >= min_seqlen
+
+
 def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
                     bf16_dots: bool = False):
     """Fused attention with online softmax — the (T, T) score matrix
@@ -177,7 +197,8 @@ def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
     qp, kp, vp = padp(q), padp(k), padp(v)
     nq = T_pad // BQ
     nk = T_pad // BK
-    dot_dtype = jnp.bfloat16 if bf16_dots else jnp.float32
+    dot_dtype = (jnp.bfloat16 if (bf16_dots or q.dtype == jnp.bfloat16)
+                 else jnp.float32)
 
     def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
         qi = pl.program_id(1)
@@ -245,3 +266,268 @@ def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
         ],
     )(qp, kp, vp)
     return out[:, :T, :D]
+
+
+def flash_attention_grads(q, k, v, do, causal: bool = False,
+                          scale: float | None = None,
+                          bf16_dots: bool = False):
+    """FlashAttention backward: (dq, dk, dv) without ever materializing
+    the (T, T) score matrix in HBM.
+
+    FlashAttention-2 structure: re-run the forward once keeping only the
+    per-row logsumexp, precompute D = rowsum(dO ⊙ O), then
+        S = scale·QKᵀ, P = exp(S − lse), dP = dO·Vᵀ,
+        dS = P ⊙ (dP − D), dQ = scale·dS·K, dK = scale·dSᵀ·Q, dV = Pᵀ·dO
+    with two sequential-accumulation kernels: dq over k tiles
+    (grid (BH, q_tiles, k_tiles)) and dk/dv over q tiles
+    (grid (BH, k_tiles, q_tiles)) — running accumulators live in VMEM
+    scratch across the innermost axis, like the forward.
+    """
+    pl, pltpu = _pl()
+    BH, T, D = q.shape
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    BQ = min(512, _round_up(T, 8))
+    BK = min(512, _round_up(T, 8))
+    T_pad = _round_up(T, max(BQ, BK))
+    D_pad = _round_up(D, 128)
+
+    def padp(a):
+        return jnp.pad(a, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
+
+    qp, kp, vp, dop = padp(q), padp(k), padp(v), padp(do.astype(q.dtype))
+    nq = T_pad // BQ
+    nk = T_pad // BK
+    dot_dtype = (jnp.bfloat16 if (bf16_dots or q.dtype == jnp.bfloat16)
+                 else jnp.float32)
+
+    # ---- pass 1: forward again, keeping O and the row logsumexp ----
+    def fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
+                   acc_ref):
+        qi = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full((BQ, 128), -jnp.inf, dtype=jnp.float32)
+            l_ref[:] = jnp.zeros((BQ, 128), dtype=jnp.float32)
+            acc_ref[:] = jnp.zeros((BQ, D_pad), dtype=jnp.float32)
+
+        qt = (q_ref[0] * scale).astype(dot_dtype)
+        s = jax.lax.dot_general(
+            qt, k_ref[0].astype(dot_dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        col = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+        valid = col < T
+        if causal:
+            row = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+            valid = jnp.logical_and(valid, col <= row)
+        s = jnp.where(valid, s, -jnp.inf)
+        m_prev = m_ref[:, :1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
+        p = jnp.where(valid, jnp.exp(s - m_safe), 0.0)
+        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
+        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(dot_dtype), v_ref[0].astype(dot_dtype),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        acc_ref[:] = alpha * acc_ref[:] + pv
+        m_ref[:] = jnp.broadcast_to(m_new, (BQ, 128))
+        l_ref[:] = jnp.broadcast_to(l_new, (BQ, 128))
+
+        @pl.when(j == nk - 1)
+        def _finish():
+            l_f = jnp.where(l_ref[:, :1] == 0.0, 1.0, l_ref[:, :1])
+            o_ref[0] = (acc_ref[:] / l_f).astype(o_ref.dtype)
+            m_fin = jnp.where(
+                jnp.isfinite(m_ref[:, :1]), m_ref[:, :1], 0.0
+            )
+            lse_ref[0] = jnp.broadcast_to(
+                m_fin + jnp.log(l_f), (BQ, 128)
+            ).astype(jnp.float32)
+
+    o_pad, lse = pl.pallas_call(
+        fwd_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T_pad, D_pad), q.dtype),
+            jax.ShapeDtypeStruct((BH, T_pad, 128), jnp.float32),
+        ),
+        grid=(BH, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BQ, 128), jnp.float32),
+            pltpu.VMEM((BQ, 128), jnp.float32),
+            pltpu.VMEM((BQ, D_pad), jnp.float32),
+        ],
+    )(qp, kp, vp)
+
+    # D_i = rowsum(dO ⊙ O), broadcast into the (…, 128) lane layout
+    dd = jnp.sum(dop.astype(jnp.float32) * o_pad.astype(jnp.float32),
+                 axis=-1)
+    dd = jnp.broadcast_to(dd[:, :, None], (BH, T_pad, 128))
+
+    # ---- pass 2: dQ, accumulating over k tiles ----
+    def dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, dd_ref, dq_ref,
+                  acc_ref):
+        qi = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros((BQ, D_pad), dtype=jnp.float32)
+
+        live = ((j * BK) <= (qi * BQ + BQ - 1)) if causal else (j >= 0)
+
+        @pl.when(live)
+        def _accum():
+            qt = (q_ref[0] * scale).astype(dot_dtype)
+            kt = k_ref[0].astype(dot_dtype)
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+            valid = col < T
+            if causal:
+                row = qi * BQ + jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ, BK), 0
+                )
+                valid = jnp.logical_and(valid, col <= row)
+            p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
+            dp = jax.lax.dot_general(
+                do_ref[0].astype(dot_dtype), v_ref[0].astype(dot_dtype),
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - dd_ref[0][:, :1])
+            acc_ref[:] += jax.lax.dot_general(
+                ds.astype(dot_dtype), kt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(j == nk - 1)
+        def _finish():
+            dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D_pad), q.dtype),
+        grid=(BH, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((BQ, D_pad), jnp.float32)],
+    )(qp, kp, vp, dop, lse, dd)
+
+    # ---- pass 3: dK and dV, accumulating over q tiles ----
+    def dkv_kernel(k_ref, v_ref, q_ref, do_ref, lse_ref, dd_ref,
+                   dk_ref, dv_ref, dk_acc, dv_acc):
+        ki = pl.program_id(1)
+        j = pl.program_id(2)
+
+        @pl.when(j == 0)
+        def _init():
+            dk_acc[:] = jnp.zeros((BK, D_pad), dtype=jnp.float32)
+            dv_acc[:] = jnp.zeros((BK, D_pad), dtype=jnp.float32)
+
+        live = ((j * BQ + BQ - 1) >= (ki * BK)) if causal else (j >= 0)
+
+        @pl.when(live)
+        def _accum():
+            qt = (q_ref[0] * scale).astype(dot_dtype)
+            kt = k_ref[0].astype(dot_dtype)
+            s = jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            col = ki * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
+            valid = col < T
+            row = j * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
+            valid = jnp.logical_and(valid, row < T)
+            if causal:
+                valid = jnp.logical_and(valid, col <= row)
+            p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
+            dot = do_ref[0].astype(dot_dtype)
+            dv_acc[:] += jax.lax.dot_general(
+                p.astype(dot_dtype), dot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dp = jax.lax.dot_general(
+                dot, v_ref[0].astype(dot_dtype), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - dd_ref[0][:, :1])
+            dk_acc[:] += jax.lax.dot_general(
+                ds.astype(dot_dtype), qt, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        @pl.when(j == nq - 1)
+        def _finish():
+            # dS already carries one factor of scale through qt; dK needs
+            # exactly one overall — qt folded it in, so none extra here
+            dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+            dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((BH, T_pad, D_pad), q.dtype),
+            jax.ShapeDtypeStruct((BH, T_pad, D_pad), q.dtype),
+        ),
+        grid=(BH, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((BK, D_pad), jnp.float32),
+            pltpu.VMEM((BK, D_pad), jnp.float32),
+        ],
+    )(kp, vp, qp, dop, lse, dd)
+
+    return dq[:, :T, :D], dk[:, :T, :D], dv[:, :T, :D]

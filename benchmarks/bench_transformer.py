@@ -1,0 +1,111 @@
+"""End-to-end transformer training throughput on one chip.
+
+The flagship demonstration: an N-layer encoder built entirely from the
+symbolic graph language (``models.TransformerEncoderLayer``), trained
+through the full pipeline — symbolic grads, rewrite pipeline, ONE XLA
+program per step with donated parameter buffers.  Reports tokens/s and
+model-FLOPs-utilization, the numbers a production deployment watches.
+
+Train FLOPs per token ≈ 6·params + attention quadratic term
+(2 matmuls of 2·T·d per token, ×3 for fwd+bwd).
+
+Run: python benchmarks/bench_transformer.py  (real chip, no overrides)
+"""
+
+import time
+
+import numpy as np
+
+
+def _sync(shared_var):
+    # block_until_ready is a no-op through the axon tunnel; materialize
+    # a scalar instead
+    return float(np.asarray(shared_var.get_value().ravel()[0]))
+
+
+def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype):
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+    from aesara_tpu.gradient import grad
+    from aesara_tpu.models import TransformerEncoderLayer
+    from aesara_tpu.models.optim import sgd
+    from aesara_tpu.tensor import math as tm
+
+    layers = [
+        TransformerEncoderLayer(d_model, n_heads, d_ff, seed=i)
+        for i in range(n_layers)
+    ]
+    rng = np.random.default_rng(0)
+    xv = (rng.normal(size=(batch, seqlen, d_model)) * 0.1).astype(dtype)
+    # device-resident batch: feeding 32 MB of activations per call would
+    # measure the axon tunnel, not the chip (a real input pipeline
+    # overlaps transfers; the tunnel cannot)
+    x = atp.shared(xv, name="x")
+    h = x
+    for layer in layers:
+        h = layer(h)
+    loss = tm.mean(tm.sqr(h))
+    params = [p for layer in layers for p in layer.params]
+    step = atp.function([], loss, updates=sgd(loss, params, lr=0.01),
+                        mode="FAST_RUN")
+    n_params = sum(int(np.prod(p.get_value().shape)) for p in params)
+    return step, params, n_params
+
+
+def run_variant(dtype, iters=20):
+    import aesara_tpu as atp
+
+    n_layers, batch, seqlen = 4, 8, 1024
+    d_model, n_heads, d_ff = 1024, 16, 4096
+
+    with atp.config.change_flags(floatX=dtype,
+                                 jax_default_matmul_precision="default"):
+        step, params, n_params = build_step(
+            n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype
+        )
+
+        step()  # compile + first run
+        _sync(params[0])
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            step()
+        _sync(params[0])
+        elapsed = time.perf_counter() - t0
+
+    tokens = batch * seqlen * iters
+    tokens_per_s = tokens / elapsed
+    # fwd+bwd ≈ 6·params FLOPs/token; attention scores+context add
+    # 2·(2·T·d_model) matmul FLOPs/token fwd, ×3 with backward
+    flops_per_token = 6.0 * n_params + 3.0 * 2.0 * 2.0 * seqlen * d_model
+    tflops = tokens_per_s * flops_per_token / 1e12
+    return (n_layers, d_model, d_ff, batch, seqlen, n_params,
+            tokens_per_s, tflops, elapsed / iters)
+
+
+def main():
+    hdr = None
+    for dtype, ceiling, label in [
+        # ceilings = this chip's MEASURED gemm rooflines
+        # (benchmarks/README.md): f32 true-accumulate chain 25.2 TF,
+        # bf16 chain 137-158 TF
+        ("float32", 25.2, "f32 roofline"),
+        ("bfloat16", 158.0, "bf16 roofline"),
+    ]:
+        try:
+            (nl, dm, dff, b, t, n_params, tok_s, tflops, ms) = run_variant(
+                dtype
+            )
+        except Exception as e:
+            print(f"  {dtype}: SKIPPED ({type(e).__name__}: {e})")
+            continue
+        if hdr is None:
+            hdr = True
+            print(f"transformer {nl}L d={dm} ff={dff} B={b} T={t} "
+                  f"({n_params/1e6:.1f}M params)")
+        print(f"  {dtype:9s} {tok_s:>9,.0f} tokens/s   {tflops:5.1f} "
+              f"TFLOP/s   {tflops/ceiling:6.1%} of {label}   "
+              f"({ms*1e3:.1f} ms/step)")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,3 +55,59 @@ def test_composite_pallas_kernel_cpu_interpret():
         res = np.asarray(fn(*[jax.numpy.asarray(a) for a in args]))
     expected = np.exp(xv) * (1 / (1 + np.exp(-yv))) + np.tanh(xv)
     np.testing.assert_allclose(res, expected, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize(
+    "shape,causal",
+    [((2, 96, 64), False), ((2, 96, 64), True), ((1, 160, 40), True),
+     ((1, 1100, 64), True)],
+    ids=["plain", "causal", "oddshape", "multitile-causal"],
+)
+def test_flash_attention_backward_cpu_interpret(shape, causal):
+    """FlashAttention-2 backward vs the XLA composition's vjp."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    from aesara_tpu.link.jax.pallas_kernels import flash_attention_grads
+    from aesara_tpu.tensor.nnet.attention import _attention_ref
+
+    BH, T, D = shape
+    q = rng.normal(size=shape).astype("float32") * 0.3
+    k = rng.normal(size=shape).astype("float32") * 0.3
+    v = rng.normal(size=shape).astype("float32")
+    do = rng.normal(size=shape).astype("float32")
+    scale = float(1.0 / np.sqrt(D))
+
+    def f(q_, k_, v_):
+        return _attention_ref(q_, k_, v_, causal, scale).astype(jnp.float32)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    refs = vjp(do)
+    with pltpu.force_tpu_interpret_mode():
+        gots = flash_attention_grads(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(do), causal=causal, scale=scale,
+        )
+    for name, got, want in zip(("dq", "dk", "dv"), gots, refs):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=5e-4, rtol=1e-3,
+            err_msg=f"{name} shape={shape} causal={causal}",
+        )
+
+
+def test_flash_gate_policy():
+    from aesara_tpu.config import config
+    from aesara_tpu.link.jax.pallas_kernels import use_flash_for
+
+    # 'off' always wins
+    with config.change_flags(flash_attention="off"):
+        assert not use_flash_for((4, 4096, 128), "float32", min_seqlen=1024)
+    # 'on' forces regardless of backend/size
+    with config.change_flags(flash_attention="on"):
+        assert use_flash_for((4, 128, 64), "float32", min_seqlen=1024)
+        assert not use_flash_for((4, 128, 64), "int32", min_seqlen=1024)
+    # 'auto' needs a non-cpu backend — on the CPU test platform it's off
+    with config.change_flags(flash_attention="auto"):
+        if jax.default_backend() == "cpu":
+            assert not use_flash_for((4, 4096, 128), "float32",
+                                     min_seqlen=1024)

@@ -52,6 +52,10 @@ def _public_functions(mod):
         names = [n for n in dir(mod) if not n.startswith("_")]
     out = []
     for n in names:
+        if "register" in n:
+            # registration entry points mutate the global rewrite DBs;
+            # calling them with dummy args would pollute every later test
+            continue
         obj = getattr(mod, n, None)
         if obj is None or inspect.ismodule(obj) or inspect.isclass(obj):
             continue
