@@ -74,8 +74,12 @@ def _jx_fused_attention(op, node=None, **kw):
 
         q = jnp.asarray(q)
         scale = 1.0 / float(_np.sqrt(q.shape[-1]))
-        # measured crossover on v5-lite: flash wins from T~2048 up
-        if use_flash_for(q.shape, q.dtype, min_seqlen=2048):
+        # measured crossovers on v5-lite: f32 flash fwd wins from
+        # T~2048; bf16 XLA keeps pace until ~4096 (its matmuls double in
+        # speed while the kernel's exp stays VPU-bound), where flash
+        # ties on time and wins on (T,T)-score memory
+        fwd_min = 4096 if q.dtype == jnp.bfloat16 else 2048
+        if use_flash_for(q.shape, q.dtype, min_seqlen=fwd_min):
             return flash_attention(q, jnp.asarray(k), jnp.asarray(v),
                                    causal=op.causal, scale=scale)
         return _attention_ref(q, jnp.asarray(k), jnp.asarray(v),
