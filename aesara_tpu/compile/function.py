@@ -361,7 +361,22 @@ def orig_function(
                 check=False,
             )
 
-    linker = mode.linker.clone()
+    profile_stats = None
+    if profile:
+        from aesara_tpu.compile.profiling import ProfileLinker, ProfileStats
+
+        profile_stats = (profile if isinstance(profile, ProfileStats)
+                         else ProfileStats(name=name))
+
+    if profile_stats is not None and isinstance(mode.linker, PerformLinker):
+        # per-Apply timing rides the py path (reference: the VM times
+        # thunks when profile=True); device modes get whole-program
+        # timing + xla_cost_analysis instead
+        from aesara_tpu.compile.profiling import ProfileLinker
+
+        linker = ProfileLinker(profile_stats)
+    else:
+        linker = mode.linker.clone()
     linker.accept(fgraph)
 
     # wire shared containers straight into the input storage
@@ -396,11 +411,7 @@ def orig_function(
         input_update_info=input_update_info,
     )
     if profile:
-        from aesara_tpu.compile.profiling import ProfileStats
-
-        stats = profile if isinstance(profile, ProfileStats) else ProfileStats(
-            name=name
-        )
+        stats = profile_stats
         stats.compile_time = fn.maker_time or 0.0
         stats.rewrite_time = rewrite_time or 0.0
         stats.rewriter_profile = getattr(fgraph, "_rewrite_stage_profile", None)

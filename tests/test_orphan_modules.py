@@ -274,3 +274,51 @@ class TestDestroyHandlerDirect:
         fg = FunctionGraph([x], [out], clone=True)
         fg.attach_feature(DestroyHandler())
         fg.validate() if hasattr(fg, "validate") else None
+
+
+class TestD3VizDeepFeatures:
+    def _scan_function(self, profile=False):
+        import aesara_tpu as atp
+        import aesara_tpu.tensor as at
+        from aesara_tpu.scan.basic import scan
+
+        X = at.tensor3("X")
+        h, _ = scan(lambda xt, htm1: at.tanh(htm1 + xt),
+                    sequences=[X],
+                    outputs_info=[at.zeros_like(X[0])])
+        return atp.function([X], (h[-1] ** 2).sum(), mode="PY",
+                            profile=profile)
+
+    def test_subgraph_nested_in_dict(self):
+        from aesara_tpu.d3viz.formatting import graph_to_dict
+
+        f = self._scan_function()
+        d = graph_to_dict(f)
+        scans = [n for n in d["nodes"] if "subgraph" in n]
+        assert scans, "Scan node should carry its inner graph"
+        inner = scans[0]["subgraph"]
+        assert inner["nodes"] and inner["edges"]
+
+    def test_profile_heat_in_dict_and_dot(self):
+        import numpy as np
+
+        from aesara_tpu.d3viz.formatting import PyDotFormatter, graph_to_dict
+
+        f = self._scan_function(profile=True)
+        f(np.ones((3, 2, 2), dtype="float32"))
+        d = graph_to_dict(f)
+        timed = [n for n in d["nodes"] if "time_frac" in n]
+        assert timed, "profiled function should carry time shares"
+        assert abs(sum(n["time_frac"] for n in timed) - 1.0) < 1e-6
+        dot = PyDotFormatter()(f)
+        assert "#ff" in dot  # heat ramp fill
+        assert "peripheries=2" in dot  # double border marks inner graphs
+
+    def test_html_has_navigation(self, tmp_path):
+        from aesara_tpu.d3viz.d3viz import d3viz
+
+        f = self._scan_function()
+        out = tmp_path / "g.html"
+        d3viz(f, str(out))
+        html = out.read_text()
+        assert "subgraph" in html and "back" in html
