@@ -205,11 +205,32 @@ def _bessel_vx_series(v, x, sign, n_terms=80):
 
 def _bessel_switch(v):
     """Hankel expansions need x >> v^2; below that, series/recurrence
-    carry the load."""
-    return jnp.maximum(20.0, 1.5 * v * v)
+    carry the load.  Capped at 400: Miller's recurrence (order 512)
+    is only trustworthy up to x ~ 450, so for very large orders
+    (|v| > ~16) the zone (400, 1.5 v^2) falls back to the Hankel form
+    early with degraded (but bounded) accuracy."""
+    return jnp.clip(1.5 * v * v, 20.0, 400.0)
 
 
-def _jv_miller(v, x, order=300):
+def _bessel_domain(core, v, x, at0_if_v0=1.0):
+    """Shared J/I domain handling: exact values at x=0, the parity
+    identity f_n(-x) = (-1)^n f_n(x) for integer orders, NaN for
+    negative x at non-integer order (scipy's real branch)."""
+    xa = jnp.abs(x)
+    res = core(jnp.where(xa == 0.0, 1.0, xa))
+    is_int = v == jnp.round(v)
+    # cos(pi*v) is exactly (-1)^v at integer v
+    neg_factor = jnp.where(
+        x < 0.0,
+        jnp.where(is_int, jnp.cos(jnp.pi * v), jnp.nan),
+        1.0,
+    )
+    at0 = jnp.where(v == 0.0, at0_if_v0,
+                    jnp.where(v > 0.0, 0.0, jnp.nan))
+    return jnp.where(xa == 0.0, at0, res * neg_factor)
+
+
+def _jv_miller(v, x, order=512):
     """J_v(x) by Miller's backward recurrence, stable for any real
     order v >= 0 in the pre-asymptotic zone.
 
@@ -245,21 +266,35 @@ def _jv_miller(v, x, order=300):
 
 
 def _jv_general(v, x):
-    """J_v(x) for real order v >= 0 on device: ascending series for
-    small x, Miller backward recurrence in the pre-asymptotic zone,
-    Hankel asymptotic expansion above x ≈ max(20, 1.5 v²) (domain
-    x > 0, like the scipy oracle's real branch; the py path stays the
-    scipy oracle)."""
+    """J_v(x) on device: ascending series for small x, Miller backward
+    recurrence (order 512) in the pre-asymptotic zone, Hankel expansion
+    above x ≈ clip(1.5 v², 20, 400).  Exact at x = 0; negative x uses
+    the integer-order parity identity (NaN at non-integer order, like
+    scipy's real branch).  Full f64 accuracy for |v| ≲ 13; very large
+    orders degrade (bounded) in the capped Hankel zone — the py path
+    stays the scipy oracle."""
     dt = jnp.result_type(v, x, jnp.float32)
     v = jnp.asarray(v, dt)
     x = jnp.asarray(x, dt)
     v, x = jnp.broadcast_arrays(v, x)
     switch = _bessel_switch(v)
-    # clamp each branch's input into its own valid region so the unused
-    # branch can't generate inf/nan through the where (Erfcx pattern)
-    series = _bessel_vx_series(v, jnp.minimum(x, 12.0), -1.0)
-    miller = _jv_miller(v, jnp.clip(x, 8.0, switch + 5.0))
-    xa = jnp.maximum(x, switch - 5.0)
+
+    def core(xp):
+        # clamp each branch's input into its own valid region so the
+        # unused branch can't generate inf/nan through the where
+        # (Erfcx pattern)
+        series = _bessel_vx_series(v, jnp.minimum(xp, 12.0), -1.0)
+        miller = _jv_miller(v, jnp.clip(xp, 8.0, switch + 5.0))
+        xh = jnp.maximum(xp, switch - 5.0)
+        asym = _jv_hankel(v, xh)
+        return jnp.where(
+            xp > switch, asym, jnp.where(xp > 10.0, miller, series)
+        )
+
+    return _bessel_domain(core, v, x)
+
+
+def _jv_hankel(v, xa):
     mu = 4.0 * v * v
     x8 = 8.0 * xa
     p = (
@@ -269,11 +304,8 @@ def _jv_general(v, x):
     )
     q = (mu - 1.0) / x8 - (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / (6.0 * x8**3)
     chi = xa - (0.5 * v + 0.25) * jnp.pi
-    asym = jnp.sqrt(2.0 / (jnp.pi * xa)) * (
+    return jnp.sqrt(2.0 / (jnp.pi * xa)) * (
         p * jnp.cos(chi) - q * jnp.sin(chi)
-    )
-    return jnp.where(
-        x > switch, asym, jnp.where(x > 10.0, miller, series)
     )
 
 
@@ -285,21 +317,28 @@ def _iv_general(v, x):
     x = jnp.asarray(x, dt)
     v, x = jnp.broadcast_arrays(v, x)
     # the I series is all-positive (no cancellation), so it stays
-    # accurate to much larger x — push the asymptotic switch out
-    switch = jnp.maximum(20.0, 3.0 * v * v)
-    xs = jnp.minimum(x, switch + 5.0)
-    series = _bessel_vx_series(v, xs, 1.0, n_terms=140)
-    xa = jnp.maximum(x, switch - 5.0)
-    mu = 4.0 * v * v
-    x8 = 8.0 * xa
-    corr = (
-        1.0
-        - (mu - 1.0) / x8
-        + (mu - 1.0) * (mu - 9.0) / (2.0 * x8**2)
-        - (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / (6.0 * x8**3)
-    )
-    asym = jnp.exp(xa) / jnp.sqrt(2.0 * jnp.pi * xa) * corr
-    return jnp.where(x > switch, asym, series)
+    # accurate to larger x — but the 200-term sum must still cover the
+    # dominant k ~ x/2 region, so the zone is capped at 250 (beyond
+    # that the exponential asymptotic takes over, with degraded-but-
+    # bounded accuracy for |v| > ~9)
+    switch = jnp.clip(3.0 * v * v, 20.0, 250.0)
+
+    def core(xp):
+        xs = jnp.minimum(xp, switch + 5.0)
+        series = _bessel_vx_series(v, xs, 1.0, n_terms=200)
+        xh = jnp.maximum(xp, switch - 5.0)
+        mu = 4.0 * v * v
+        x8 = 8.0 * xh
+        corr = (
+            1.0
+            - (mu - 1.0) / x8
+            + (mu - 1.0) * (mu - 9.0) / (2.0 * x8**2)
+            - (mu - 1.0) * (mu - 9.0) * (mu - 25.0) / (6.0 * x8**3)
+        )
+        asym = jnp.exp(xh) / jnp.sqrt(2.0 * jnp.pi * xh) * corr
+        return jnp.where(xp > switch, asym, series)
+
+    return _bessel_domain(core, v, x)
 
 
 def _hyp2f1(a, b, c, z):

@@ -168,39 +168,28 @@ def use_flash_for(shape, dtype, min_seqlen: int) -> bool:
     return on_tpu and shape[1] >= min_seqlen
 
 
-def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
-                    bf16_dots: bool = False):
-    """Fused attention with online softmax — the (T, T) score matrix
-    never touches HBM.
-
-    Canonical TPU grid structure: grid = (BH, q_tiles, k_tiles) with the
-    k axis innermost — TPU executes the grid sequentially over the last
-    axis, so the running max / denominator / accumulator live in VMEM
-    scratch across k steps while Pallas pipelines the next k/v tile's
-    HBM→VMEM copy under the current tile's compute.
-
-    q, k, v: (BH, T, D).  ``bf16_dots`` runs both MXU matmuls in
-    bfloat16 with f32 accumulation (the MXU's native mode).
-    """
-    pl, pltpu = _pl()
-    BH, T, D = q.shape
-    if scale is None:
-        scale = 1.0 / float(np.sqrt(D))
+def _flash_tiling(T, D):
     BQ = min(512, _round_up(T, 8))
     BK = min(512, _round_up(T, 8))
-    T_pad = _round_up(T, max(BQ, BK))
-    D_pad = _round_up(D, 128)
+    return BQ, BK, _round_up(T, max(BQ, BK)), _round_up(D, 128)
 
-    def padp(a):
-        return jnp.pad(a, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
 
-    qp, kp, vp = padp(q), padp(k), padp(v)
+def _flash_forward(qp, kp, vp, *, T, causal, scale, dot_dtype,
+                   BQ, BK, T_pad, D_pad, with_lse):
+    """The online-softmax forward pallas_call; single source of truth
+    for both the user-facing forward and the backward's recompute.
+    Returns out_pad or (out_pad, lse_pad)."""
+    pl, pltpu = _pl()
+    BH = qp.shape[0]
     nq = T_pad // BQ
     nk = T_pad // BK
-    dot_dtype = (jnp.bfloat16 if (bf16_dots or q.dtype == jnp.bfloat16)
-                 else jnp.float32)
 
-    def kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    def kernel(q_ref, k_ref, v_ref, *outs_and_scratch):
+        if with_lse:
+            o_ref, lse_ref, m_ref, l_ref, acc_ref = outs_and_scratch
+        else:
+            o_ref, m_ref, l_ref, acc_ref = outs_and_scratch
+            lse_ref = None
         qi = pl.program_id(1)
         j = pl.program_id(2)
 
@@ -241,13 +230,31 @@ def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
 
         @pl.when(j == nk - 1)
         def _finish():
-            l_f = l_ref[:, :1]
-            l_f = jnp.where(l_f == 0.0, 1.0, l_f)
+            l_f = jnp.where(l_ref[:, :1] == 0.0, 1.0, l_ref[:, :1])
             o_ref[0] = (acc_ref[:] / l_f).astype(o_ref.dtype)
+            if with_lse:
+                m_fin = jnp.where(
+                    jnp.isfinite(m_ref[:, :1]), m_ref[:, :1], 0.0
+                )
+                lse_ref[0] = jnp.broadcast_to(
+                    m_fin + jnp.log(l_f), (BQ, 128)
+                ).astype(jnp.float32)
 
-    out = pl.pallas_call(
+    out_shape = jax.ShapeDtypeStruct((BH, T_pad, D_pad), qp.dtype)
+    out_spec = pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
+                            memory_space=pltpu.VMEM)
+    if with_lse:
+        out_shapes = (out_shape,
+                      jax.ShapeDtypeStruct((BH, T_pad, 128), jnp.float32))
+        out_specs = (out_spec,
+                     pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, i, 0),
+                                  memory_space=pltpu.VMEM))
+    else:
+        out_shapes = out_shape
+        out_specs = out_spec
+    return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((BH, T_pad, D_pad), q.dtype),
+        out_shape=out_shapes,
         grid=(BH, nq, nk),
         in_specs=[
             pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
@@ -257,14 +264,45 @@ def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
             pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((BQ, 128), jnp.float32),
             pltpu.VMEM((BQ, 128), jnp.float32),
             pltpu.VMEM((BQ, D_pad), jnp.float32),
         ],
     )(qp, kp, vp)
+
+
+def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
+                    bf16_dots: bool = False):
+    """Fused attention with online softmax — the (T, T) score matrix
+    never touches HBM.
+
+    Canonical TPU grid structure: grid = (BH, q_tiles, k_tiles) with the
+    k axis innermost — TPU executes the grid sequentially over the last
+    axis, so the running max / denominator / accumulator live in VMEM
+    scratch across k steps while Pallas pipelines the next k/v tile's
+    HBM→VMEM copy under the current tile's compute.
+
+    q, k, v: (BH, T, D).  ``bf16_dots`` runs both MXU matmuls in
+    bfloat16 with f32 accumulation (the MXU's native mode); bf16 inputs
+    do so automatically.
+    """
+    BH, T, D = q.shape
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    BQ, BK, T_pad, D_pad = _flash_tiling(T, D)
+
+    def padp(a):
+        return jnp.pad(a, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
+
+    dot_dtype = (jnp.bfloat16 if (bf16_dots or q.dtype == jnp.bfloat16)
+                 else jnp.float32)
+    out = _flash_forward(
+        padp(q), padp(k), padp(v), T=T, causal=causal, scale=scale,
+        dot_dtype=dot_dtype, BQ=BQ, BK=BK, T_pad=T_pad, D_pad=D_pad,
+        with_lse=False,
+    )
     return out[:, :T, :D]
 
 
@@ -287,10 +325,7 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
     BH, T, D = q.shape
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
-    BQ = min(512, _round_up(T, 8))
-    BK = min(512, _round_up(T, 8))
-    T_pad = _round_up(T, max(BQ, BK))
-    D_pad = _round_up(D, 128)
+    BQ, BK, T_pad, D_pad = _flash_tiling(T, D)
 
     def padp(a):
         return jnp.pad(a, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
@@ -301,81 +336,11 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
     dot_dtype = (jnp.bfloat16 if (bf16_dots or q.dtype == jnp.bfloat16)
                  else jnp.float32)
 
-    # ---- pass 1: forward again, keeping O and the row logsumexp ----
-    def fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_ref, l_ref,
-                   acc_ref):
-        qi = pl.program_id(1)
-        j = pl.program_id(2)
-
-        @pl.when(j == 0)
-        def _init():
-            m_ref[:] = jnp.full((BQ, 128), -jnp.inf, dtype=jnp.float32)
-            l_ref[:] = jnp.zeros((BQ, 128), dtype=jnp.float32)
-            acc_ref[:] = jnp.zeros((BQ, D_pad), dtype=jnp.float32)
-
-        qt = (q_ref[0] * scale).astype(dot_dtype)
-        s = jax.lax.dot_general(
-            qt, k_ref[0].astype(dot_dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        col = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-        valid = col < T
-        if causal:
-            row = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-            valid = jnp.logical_and(valid, col <= row)
-        s = jnp.where(valid, s, -jnp.inf)
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-        p = jnp.where(valid, jnp.exp(s - m_safe), 0.0)
-        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(dot_dtype), v_ref[0].astype(dot_dtype),
-            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = alpha * acc_ref[:] + pv
-        m_ref[:] = jnp.broadcast_to(m_new, (BQ, 128))
-        l_ref[:] = jnp.broadcast_to(l_new, (BQ, 128))
-
-        @pl.when(j == nk - 1)
-        def _finish():
-            l_f = jnp.where(l_ref[:, :1] == 0.0, 1.0, l_ref[:, :1])
-            o_ref[0] = (acc_ref[:] / l_f).astype(o_ref.dtype)
-            m_fin = jnp.where(
-                jnp.isfinite(m_ref[:, :1]), m_ref[:, :1], 0.0
-            )
-            lse_ref[0] = jnp.broadcast_to(
-                m_fin + jnp.log(l_f), (BQ, 128)
-            ).astype(jnp.float32)
-
-    o_pad, lse = pl.pallas_call(
-        fwd_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((BH, T_pad, D_pad), q.dtype),
-            jax.ShapeDtypeStruct((BH, T_pad, 128), jnp.float32),
-        ),
-        grid=(BH, nq, nk),
-        in_specs=[
-            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((BQ, 128), jnp.float32),
-            pltpu.VMEM((BQ, 128), jnp.float32),
-            pltpu.VMEM((BQ, D_pad), jnp.float32),
-        ],
-    )(qp, kp, vp)
+    # ---- pass 1: the SAME forward kernel, keeping O + row logsumexp ----
+    o_pad, lse = _flash_forward(
+        qp, kp, vp, T=T, causal=causal, scale=scale, dot_dtype=dot_dtype,
+        BQ=BQ, BK=BK, T_pad=T_pad, D_pad=D_pad, with_lse=True,
+    )
 
     # D_i = rowsum(dO ⊙ O), broadcast into the (…, 128) lane layout
     dd = jnp.sum(dop.astype(jnp.float32) * o_pad.astype(jnp.float32),

@@ -785,20 +785,50 @@ def local_AdvancedIncSubtensor_to_AdvancedIncSubtensor1(fgraph, node):
 register_canonicalize(local_AdvancedIncSubtensor_to_AdvancedIncSubtensor1)
 
 
+def _static_region_shape(node):
+    """Static shape of the slice/gather region an inc/set writes to, or
+    None when it can't be built."""
+    x = node.inputs[0]
+    try:
+        if isinstance(node.op, IncSubtensor):
+            probe = Subtensor(node.op.idx_list).make_node(
+                x, *node.inputs[2:]
+            )
+        elif isinstance(node.op, AdvancedIncSubtensor1):
+            return (node.inputs[2].type.shape[0],) + tuple(x.type.shape[1:])
+        else:
+            probe = AdvancedSubtensor(node.op.idx_list).make_node(
+                x, *node.inputs[2:]
+            )
+        return tuple(probe.outputs[0].type.shape)
+    except Exception:
+        return None
+
+
 @node_rewriter([IncSubtensor, AdvancedIncSubtensor1, AdvancedIncSubtensor])
 def local_useless_inc_subtensor_alloc(fgraph, node):
     """inc/set_subtensor(x[idx], alloc(y, ...)) → inc/set_subtensor(
     x[idx], y): the scatter broadcasts y itself, so materializing the
     broadcast buffer first is a pure waste of HBM traffic (reference
-    local_useless_inc_subtensor_alloc:1457)."""
+    local_useless_inc_subtensor_alloc:1457).
+
+    Only fires when the alloc's static shape provably equals the target
+    region's — otherwise dropping the Alloc would also drop the runtime
+    shape error the original graph raises (the reference guards with
+    ``same_shape``/Assert for the same reason)."""
     y = node.inputs[1]
     yn = y.owner
     if yn is None or not isinstance(yn.op, Alloc):
         return False
     v = yn.inputs[0]
-    # every alloc dim is a pure broadcast of v (Alloc validates that each
-    # value dim is 1 or equal), and the scatter broadcasts v the same way
-    # the materialized buffer would read — so dropping the Alloc is exact.
+    region = _static_region_shape(node)
+    if region is None:
+        return False
+    if len(region) != y.type.ndim:
+        return False
+    for rd, yd in zip(region, y.type.shape):
+        if rd is None or yd is None or rd != yd:
+            return False
     res = node.op(node.inputs[0], v, *node.inputs[2:])
     conv = node.outputs[0].type.convert_variable(res)
     if conv is None:
@@ -828,6 +858,12 @@ def local_IncSubtensor_serialize(fgraph, node):
     o_type = node.outputs[0].type
 
     def movable(i):
+        # the inc result must have the output's exact static shape: if
+        # the add BROADCASTS it (e.g. a (1,3) inc into a (4,3) sum),
+        # chaining the increment onto the accumulator would scatter into
+        # one row instead of every broadcast copy (reference guards via
+        # i.type.is_super(o_type); static-only broadcasting makes tuple
+        # equality the precise condition here)
         return (
             i.owner is not None
             and isinstance(
@@ -837,6 +873,7 @@ def local_IncSubtensor_serialize(fgraph, node):
             and not i.owner.op.set_instead_of_inc
             and i.type.ndim == o_type.ndim
             and i.type.dtype == o_type.dtype
+            and i.type.shape == o_type.shape
             and len(fgraph.clients.get(i, [])) == 1
         )
 

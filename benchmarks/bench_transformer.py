@@ -75,8 +75,9 @@ def run_variant(dtype, iters=20):
     tokens = batch * seqlen * iters
     tokens_per_s = tokens / elapsed
     # fwd+bwd ≈ 6·params FLOPs/token; attention scores+context add
-    # 2·(2·T·d_model) matmul FLOPs/token fwd, ×3 with backward
-    flops_per_token = 6.0 * n_params + 3.0 * 2.0 * 2.0 * seqlen * d_model
+    # 2·(2·T·d_model) matmul FLOPs/token fwd PER LAYER, ×3 with backward
+    flops_per_token = (6.0 * n_params
+                       + n_layers * 3.0 * 2.0 * 2.0 * seqlen * d_model)
     tflops = tokens_per_s * flops_per_token / 1e12
     return (n_layers, d_model, d_ff, batch, seqlen, n_params,
             tokens_per_s, tflops, elapsed / iters)

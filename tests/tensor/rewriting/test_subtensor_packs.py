@@ -350,8 +350,8 @@ class TestUselessIncSubtensorAlloc:
     def test_basic_set_drops_alloc(self):
         from aesara_tpu.tensor.subtensor import set_subtensor
 
-        x = at.matrix("x")
-        v = at.vector("v")
+        x = at.tensor("x", dtype="float64", shape=(4, 3))
+        v = at.tensor("v", dtype="float64", shape=(3,))
         out = set_subtensor(x[0:2], at.alloc(v, 2, 3))
         res = rewrite_graph(out)
         allocs = [op for op in ops_in(res, x, v) if isinstance(op, Alloc)]
@@ -363,9 +363,9 @@ class TestUselessIncSubtensorAlloc:
     def test_adv1_inc_drops_alloc(self):
         from aesara_tpu.tensor.subtensor import inc_subtensor
 
-        x = at.matrix("x")
-        v = at.vector("v")
-        iv = at.lvector("i")
+        x = at.tensor("x", dtype="float64", shape=(4, 3))
+        v = at.tensor("v", dtype="float64", shape=(3,))
+        iv = at.tensor("i", dtype="int64", shape=(2,))
         out = inc_subtensor(x[iv], at.alloc(v, 2, 3))
         res = rewrite_graph(out)
         allocs = [op for op in ops_in(res, x, v, iv) if isinstance(op, Alloc)]
@@ -375,8 +375,49 @@ class TestUselessIncSubtensorAlloc:
         Iv = np.array([1, 1])  # duplicate: np.add.at semantics must hold
         check_values([x, v, iv], out, res, [Xv, Vv, Iv])
 
+    def test_mismatched_alloc_stays_and_still_errors(self):
+        # the guard must NOT swallow the runtime shape error the original
+        # graph raises (review finding: silent-broadcast hazard)
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        x = at.tensor("x", dtype="float64", shape=(4, 3))
+        v = at.tensor("v", dtype="float64", shape=(3,))
+        out = set_subtensor(x[0:2], at.alloc(v, 3, 3))  # (3,3) into (2,3)
+        res = rewrite_graph(out)
+        allocs = [op for op in ops_in(res, x, v) if isinstance(op, Alloc)]
+        assert allocs, "mismatched alloc must survive"
+        f = function([x, v], res, mode="PY")
+        with pytest.raises(Exception):
+            f(rng.normal(size=(4, 3)), rng.normal(size=(3,)))
+
+    def test_unknown_region_shape_stays(self):
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        x = at.matrix("x")  # unknown dims: region unprovable -> keep
+        v = at.vector("v")
+        out = set_subtensor(x[0:2], at.alloc(v, 2, 3))
+        res = rewrite_graph(out)
+        allocs = [op for op in ops_in(res, x, v) if isinstance(op, Alloc)]
+        assert allocs
+
 
 class TestIncSubtensorSerialize:
+    def test_broadcasting_inc_not_moved(self):
+        # review finding: a (1,3) inc result broadcast into a (4,3) add
+        # must NOT chain (it would scatter into one row instead of all)
+        from aesara_tpu.tensor.basic import zeros
+        from aesara_tpu.tensor.subtensor import inc_subtensor
+
+        a = at.tensor("a", dtype="float64", shape=(4, 3))
+        c = at.tensor("c", dtype="float64", shape=(3,))
+        out = a + inc_subtensor(zeros((1, 3), dtype="float64")[0], c)
+        res = rewrite_graph(out, include=["canonicalize"])
+        Av = rng.normal(size=(4, 3))
+        Cv = rng.normal(size=(3,))
+        check_values([a, c], out, res, [Av, Cv])
+        f = function([a, c], res, mode="PY")
+        np.testing.assert_allclose(np.asarray(f(Av, Cv)), Av + Cv)
+
     def test_grad_accumulation_chains(self):
         x = at.matrix("x")
         cost = (at.exp(x[0]).sum() + at.tanh(x[1]).sum() + (x[2] ** 2).sum())

@@ -481,3 +481,41 @@ class TestBadCases:
         f = function([x], tm.arccosh(x), mode=PY)
         res = np.asarray(f(np.full((2, 2), 0.5)))
         assert np.isnan(res).all()
+
+
+class TestBesselDeviceLowering:
+    """Regression pins for the device jv/iv approximations (review
+    findings: Miller depth, series truncation, x<=0 domain)."""
+
+    def _eval(self, fn, v, x):
+        import jax
+
+        from aesara_tpu.link.jax.dispatch import _iv_general, _jv_general
+
+        impl = {"jv": _jv_general, "iv": _iv_general}[fn]
+        return np.asarray(jax.jit(impl)(np.float64(v), np.asarray(x, "float64")))
+
+    @pytest.mark.parametrize("v,x", [(20.0, 400.0), (16.0, 350.0),
+                                     (12.0, 400.0), (10.0, 290.0),
+                                     (7.5, 100.0), (3.0, 50.0)])
+    def test_large_order_large_x(self, v, x):
+        got_j = self._eval("jv", v, [x])[0]
+        got_i = self._eval("iv", v, [x])[0]
+        np.testing.assert_allclose(got_j, scipy_special.jv(v, x),
+                                   rtol=2e-3, atol=1e-6)
+        np.testing.assert_allclose(got_i, scipy_special.iv(v, x), rtol=5e-3)
+
+    @pytest.mark.parametrize("v,x,expect_nan", [
+        (0.0, 0.0, False), (2.0, 0.0, False), (1.0, -5.0, False),
+        (2.0, -5.0, False), (1.5, -5.0, True),
+    ])
+    def test_domain_edges(self, v, x, expect_nan):
+        got_j = self._eval("jv", v, [x])[0]
+        got_i = self._eval("iv", v, [x])[0]
+        if expect_nan:
+            assert np.isnan(got_j) and np.isnan(got_i)
+        else:
+            np.testing.assert_allclose(got_j, scipy_special.jv(v, x),
+                                       rtol=1e-6, atol=1e-12)
+            np.testing.assert_allclose(got_i, scipy_special.iv(v, x),
+                                       rtol=1e-6, atol=1e-12)
