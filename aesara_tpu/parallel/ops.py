@@ -306,10 +306,22 @@ def shard_constraint(x, spec):
 
 # --- MPI-parity shims (reference tensor/io.py:265-290) -------------------------
 
-def send(var, dest: int, tag: int = 0, axis_name: str = "data"):
-    """Parity shim: point-to-point send becomes a ppermute edge."""
-    src = 0  # resolved per-shard at runtime by the collective itself
-    return ppermute(var, axis_name, [(s, dest) for s in [src]])
+def send(var, dest: int, tag: int = 0, axis_name: str = "data",
+         src: int | None = None):
+    """Parity shim: point-to-point send becomes a ppermute edge.
+
+    ppermute edges are STATIC (src, dst) pairs — there is no "current
+    rank" in an SPMD program, so the sender must be named explicitly
+    (review finding: a hardcoded src=0 silently delivered rank 0's shard
+    for every sender)."""
+    if src is None:
+        raise ValueError(
+            "send() on a device mesh needs an explicit src rank: SPMD "
+            "collectives are compiled once for all ranks, so the "
+            "(src, dest) edge must be static — send(x, dest=d, src=s). "
+            "For host-side MPI-style p2p use aesara_tpu.tensor.io.send."
+        )
+    return ppermute(var, axis_name, [(src, dest)])
 
 
 def recv(shape, dtype, source: int, tag: int = 0, axis_name: str = "data"):
@@ -320,7 +332,7 @@ def recv(shape, dtype, source: int, tag: int = 0, axis_name: str = "data"):
 
 
 def isend(var, dest, tag=0, **kwargs):
-    return send(var, dest, tag, **kwargs)
+    return send(var, dest, tag, **kwargs)  # same static-edge contract
 
 
 def irecv(shape, dtype, source, tag=0, **kwargs):

@@ -177,36 +177,13 @@ def scan(
 
     raw = fn(*fn_args)
 
-    # unpack (outputs, updates, until)
-    updates = OrderedDict()
-    condition = None
-    if (
-        isinstance(raw, tuple)
-        and len(raw) == 3
-        and isinstance(raw[1], (dict, OrderedDict, list))
-        and isinstance(raw[2], until)
-    ):
-        # (outputs, updates, until) — reference's full return form
-        raw_outputs, upd, cond_wrap = raw
-        updates = OrderedDict(upd if not isinstance(upd, list) else upd)
-        condition = cond_wrap.condition
-    elif isinstance(raw, tuple) and len(raw) == 2 and isinstance(raw[1], (dict, OrderedDict, list)):
-        raw_outputs, upd = raw
-        updates = OrderedDict(upd if not isinstance(upd, list) else upd)
-    elif isinstance(raw, (dict, OrderedDict)) and not isinstance(raw, until):
-        raw_outputs, updates = [], OrderedDict(raw)
-    else:
-        raw_outputs = raw
-    if isinstance(raw_outputs, until):
-        condition = raw_outputs.condition
-        raw_outputs = []
-    if isinstance(raw_outputs, tuple) and len(raw_outputs) and isinstance(raw_outputs[-1], until):
-        condition = raw_outputs[-1].condition
-        raw_outputs = list(raw_outputs[:-1])
-    user_outputs = (
-        [raw_outputs] if isinstance(raw_outputs, Variable) else list(raw_outputs)
-    )
-    user_outputs = [as_tensor_variable(o) for o in user_outputs]
+    # unpack (outputs, updates, until) — ONE implementation, shared with
+    # the public utils.get_updates_and_outputs helper
+    from aesara_tpu.scan.utils import get_updates_and_outputs
+
+    raw_outputs, updates, condition = get_updates_and_outputs(raw)
+    updates = OrderedDict(updates)
+    user_outputs = [as_tensor_variable(o) for o in raw_outputs]
 
     if outs_info is None:
         kinds = ["nit"] * len(user_outputs)
@@ -305,10 +282,15 @@ def scan(
             continue
         if v not in outer_captured:
             outer_captured.append(v)
-    # user-declared non-sequences first (dedup), then implicit captures
+    # user-declared non-sequences first (dedup), then implicit captures;
+    # an UPDATED shared passed via non_sequences rides the carry — adding
+    # it here too would overwrite its carry replacement below and freeze
+    # the body at the initial value (review finding)
     non_seq_outer: List[Variable] = []
     for v in non_sequences_user:
         v = v if isinstance(v, Variable) else as_tensor_variable(v)
+        if v in shared_updated:
+            continue
         if v not in non_seq_outer:
             non_seq_outer.append(v)
     for v in outer_captured:
@@ -375,13 +357,13 @@ def scan(
     if n_steps is None:
         if not seq_vars:
             raise ValueError("scan needs n_steps when there are no sequences")
-        lengths = []
-        for s in seq_vars:
-            if s.type.shape[0] is not None:
-                lengths.append(s.type.shape[0])
-        if lengths:
-            n_steps_var = as_tensor_variable(int(min(lengths)))
+        static = [s.type.shape[0] for s in seq_vars]
+        if all(d is not None for d in static):
+            n_steps_var = as_tensor_variable(int(min(static)))
         else:
+            # runtime minimum over ALL sequences — a dynamic-length
+            # sequence may be the shortest (review finding); static dims
+            # participate as constants and fold
             n_steps_var = tshape_i(seq_vars[0], 0)
             for s in seq_vars[1:]:
                 n_steps_var = tm.minimum(n_steps_var, tshape_i(s, 0))

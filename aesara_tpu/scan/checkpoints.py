@@ -55,14 +55,13 @@ def scan_checkpoints(
     from aesara_tpu.tensor.shape import reshape
 
     N = int(save_every_N)
+    n_padded = cast(tm.int_div(n_steps + N - 1, N) * N, "int64")
     if padding and sequences:
         # pad sequences so their length is a multiple of N
         from aesara_tpu.tensor.basic import join, zeros
 
         def pad(s):
-            extra = (
-                cast(tm.int_div(n_steps + N - 1, N) * N, "int64") - n_steps
-            )
+            extra = n_padded - n_steps
             pad_shape = [extra] + [s.shape[i] for i in range(1, s.type.ndim)]
             return join(0, s, zeros(tuple(pad_shape), dtype=s.type.dtype))
 
@@ -80,12 +79,38 @@ def scan_checkpoints(
         ]
         chunked.append(reshape(s, new_shape, ndim=s.type.ndim + 1))
 
+    # validity mask over the padded step range: the reference hands the
+    # last inner scan a smaller dynamic trip count (Cython driver); under
+    # XLA trip counts are static, so every chunk runs N steps and padded
+    # steps FREEZE the state instead of running fn on fabricated zeros
+    from aesara_tpu.tensor.basic import arange
+
+    valid = cast(
+        tm.lt(arange(n_outer * N, dtype="int64"), cast(n_steps, "int64")),
+        "int8",
+    )
+    valid_chunks = reshape(valid, [n_outer, as_tensor_variable(N)], ndim=2)
+    n_seq_user = len(chunked)
+
+    def inner_fn(*args):
+        xs = args[:n_seq_user]
+        valid_t = args[n_seq_user]
+        state = args[n_seq_user + 1]
+        nonseqs = args[n_seq_user + 2:]
+        res = fn(*xs, state, *nonseqs)
+        if isinstance(res, (tuple, list, dict)):
+            raise NotImplementedError(
+                "scan_checkpoints supports a single recurrent output with "
+                "no updates/until in fn"
+            )
+        return switch(tm.neq(valid_t, 0), res, state)
+
     def outer_step(*args):
-        segs = list(args[: len(chunked)])
-        state = args[len(chunked)]
-        nonseqs = list(args[len(chunked) + 1:])
+        segs = list(args[: n_seq_user + 1])  # user chunks + valid chunk
+        state = args[n_seq_user + 1]
+        nonseqs = list(args[n_seq_user + 2:])
         inner_out, inner_updates = scan(
-            fn,
+            inner_fn,
             sequences=segs,
             outputs_info=state,
             non_sequences=nonseqs,
@@ -99,7 +124,7 @@ def scan_checkpoints(
 
     outs, updates = scan(
         outer_step,
-        sequences=chunked,
+        sequences=chunked + [valid_chunks],
         outputs_info=out_info,
         non_sequences=list(non_sequences),
         name=name,

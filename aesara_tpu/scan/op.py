@@ -159,11 +159,10 @@ class Scan(Op, HasInnerGraph):
 
             static_len = int(get_scalar_constant_value(n_steps))
         except Exception:
+            # a symbolic n_steps may be SMALLER than any sequence's static
+            # length (scan truncates sequences to the trip count), so no
+            # sequence-based fallback is sound here (review finding)
             static_len = None
-            for s in seqs:
-                if s.type.shape[0] is not None:
-                    static_len = s.type.shape[0]
-                    break
         if info.as_while:
             static_len = None  # actual trip count is data-dependent
 
@@ -548,7 +547,11 @@ class Scan(Op, HasInnerGraph):
                 og = tb.zeros_like(nit_outs[i])
             g_nit_out.append(rev_trunc(og))
 
-        rev_seqs = [rev_trunc(s[:T] if s.type.shape[0] is None else s) for s in seqs] \
+        # ALWAYS truncate to the trip count first: a sequence longer than
+        # n_steps would otherwise reverse from its far end and misalign
+        # every backward step (review finding); when the slice provably
+        # covers, local_useless_subtensor removes it
+        rev_seqs = [rev_trunc(s[:T]) for s in seqs] \
             + tap_seqs + g_rec_out + g_nit_out
 
         # carries: pending-gradient window per recurrent output; gw per
@@ -660,6 +663,18 @@ class Scan(Op, HasInnerGraph):
                 pad_len = tb.cast(T, "int64") - n_back
                 pad = tb.zeros_like(inp[: pad_len])
                 g = tb.join(0, pad, g)
+            # the sequence may be LONGER than the trip count (explicit
+            # n_steps or a shorter co-sequence): unused tail rows get
+            # zero gradient so g matches the input's length
+            try:
+                from aesara_tpu.tensor.basic import get_scalar_constant_value
+
+                t_static = int(get_scalar_constant_value(T))
+            except Exception:
+                t_static = None
+            if not (t_static is not None and inp.type.shape[0] == t_static):
+                tail = tb.zeros_like(inp[tb.cast(T, "int64"):])
+                g = tb.join(0, g, tail)
             rval.append(g)
         # grads wrt initial tap buffers: final pending window; zero when
         # truncation stopped the reverse sweep before reaching t=1.  When

@@ -767,9 +767,11 @@ def scan_pushout_sum(fgraph, node):
         if not rest:
             continue
         expr = rest[0] if len(rest) == 1 else tadd(*rest)
-        # the carry may appear ONLY in this add
+        # the carry may appear ONLY in this add — including not as an
+        # inner OUTPUT: dropping the carry input while an output still
+        # references it would leave a dangling variable (review finding)
         carry_clients = [c for c, _ in op.fgraph.clients.get(carry, [])]
-        if any(c != o and c != "output" for c in carry_clients):
+        if any(c != o for c in carry_clients):
             continue
         if out_v in op.fgraph.clients and any(
             c != "output" for c, _ in op.fgraph.clients.get(out_v, [])

@@ -282,7 +282,14 @@ def get_updates_and_outputs(ls):
     updates = OrderedDict()
     condition = None
     raw = ls
-    if (isinstance(raw, tuple) and len(raw) == 2
+    if (isinstance(raw, tuple) and len(raw) == 3
+            and isinstance(raw[1], (dict, OrderedDict, list))
+            and isinstance(raw[2], until)):
+        # (outputs, updates, until) — the reference's full return form
+        raw, upd, cond_wrap = raw
+        updates = OrderedDict(upd)
+        condition = cond_wrap.condition
+    elif (isinstance(raw, tuple) and len(raw) == 2
             and isinstance(raw[1], (dict, OrderedDict, list))):
         raw, upd = raw
         updates = OrderedDict(upd)
@@ -291,6 +298,8 @@ def get_updates_and_outputs(ls):
     if isinstance(raw, until):
         return [], updates, raw.condition
     if isinstance(raw, tuple) and raw and isinstance(raw[-1], until):
+        if condition is not None:
+            raise ValueError("scan fn returned two until() conditions")
         condition = raw[-1].condition
         raw = list(raw[:-1])
     outputs = [raw] if isinstance(raw, Variable) else list(raw)
