@@ -9,11 +9,19 @@ from aesara_tpu.sparse import basic as sharedvar  # noqa: F401  (reference keeps
 
 
 def sparse_grad(var):
-    """Mark a dense-gradient RV so its grad stays sparse (reference
-    ``sparse/__init__.py sparse_grad``): flips the sp_sum-style flag on
-    the variable's tag; ops consult it via structured gradients."""
-    var.tag.sparse_grad = True
-    return var
+    """Return a new variable whose gradient is stored sparse (reference
+    ``sparse/__init__.py sparse_grad``): supported for
+    ``a_tensor[int_vector]`` (AdvancedSubtensor1) — the grad becomes a
+    sparse matrix of the gathered rows instead of dense zeros+scatter."""
+    from aesara_tpu.tensor.subtensor import AdvancedSubtensor1
+
+    if var.owner is None or not isinstance(var.owner.op, AdvancedSubtensor1):
+        raise TypeError(
+            "sparse_grad is only implemented for AdvancedSubtensor1 "
+            "(a_tensor[an_int_vector])"
+        )
+    x, ilist = var.owner.inputs
+    return AdvancedSubtensor1(sparse_grad=True)(x, ilist)
 
 
 def __getattr__(name):

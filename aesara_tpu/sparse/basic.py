@@ -49,8 +49,17 @@ class SparseVariable(TensorVariable):
 
 class SparseConstant(SparseVariable, Constant):
     def signature(self):
+        # values AND structure must participate: two matrices holding the
+        # same values at different positions are different constants
+        # (review finding: merge unified them)
+        import hashlib
+
         d = self.data
-        return (self.type, d.shape, d.nnz, d.data.tobytes() if d.nnz < 10000 else d.nnz)
+        h = hashlib.sha256()
+        h.update(np.ascontiguousarray(d.data).tobytes())
+        h.update(np.ascontiguousarray(d.indices).tobytes())
+        h.update(np.ascontiguousarray(d.indptr).tobytes())
+        return (self.type, d.shape, d.nnz, h.hexdigest())
 
 
 SparseTensorType.variable_type = SparseVariable
@@ -144,9 +153,113 @@ class CSM(Op):
     def grad(self, inputs, output_grads):
         from aesara_tpu.gradient import DisconnectedType
 
+        data, indices, indptr, shape = inputs
         (gz,) = output_grads
-        return [csm_data(gz), DisconnectedType()(), DisconnectedType()(),
+        # gz may have a DIFFERENT sparsity pattern (e.g. a union pattern
+        # from sparse addition): gather its entries at THIS op's
+        # positions, in this op's storage order (reference CSMGrad;
+        # review finding: raw csm_data(gz) misaligned/mis-sized)
+        g_data = CSMGrad(self.format)(indices, indptr, shape, gz)
+        return [g_data, DisconnectedType()(), DisconnectedType()(),
                 DisconnectedType()()]
+
+
+class CSMGrad(Op):
+    """Gather gz[row_k, col_k] for every position k of a CSM's pattern
+    (reference ``sparse/basic.py`` CSMGrad)."""
+
+    __props__ = ("format",)
+
+    def __init__(self, format):
+        self.format = format
+
+    def make_node(self, indices, indptr, shape, gz):
+        indices = as_tensor_variable(indices)
+        indptr = as_tensor_variable(indptr)
+        shape = as_tensor_variable(shape)
+        gz = as_sparse_variable(gz)
+        return Apply(
+            self, [indices, indptr, shape, gz],
+            [TensorType(gz.type.dtype, (None,))()],
+        )
+
+    def perform(self, node, inputs, output_storage):
+        indices, indptr, shape, gz = inputs
+        indices = np.asarray(indices, dtype=np.int64)
+        indptr = np.asarray(indptr, dtype=np.int64)
+        # expand indptr into the major-axis coordinate per entry
+        major = np.repeat(np.arange(len(indptr) - 1), np.diff(indptr))
+        gz = gz.tocsr() if self.format == "csr" else gz.tocsc()
+        if self.format == "csr":
+            rows, cols = major, indices
+        else:
+            rows, cols = indices, major
+        vals = np.asarray(gz.tocsr()[rows, cols]).ravel()
+        output_storage[0][0] = vals.astype(node.outputs[0].type.dtype)
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+
+class ConstructSparseFromList(Op):
+    """Scatter dense rows into a sparse matrix: out[ilist[k], :] +=
+    values[k, :] with x supplying the shape (reference
+    ``sparse/basic.py construct_sparse_from_list`` — the sparse gradient
+    of row gathering)."""
+
+    __props__ = ()
+
+    def make_node(self, x, values, ilist):
+        x = as_tensor_variable(x)
+        values = as_tensor_variable(values)
+        ilist = as_tensor_variable(ilist)
+        if x.type.ndim != 2 or values.type.ndim != 2:
+            raise TypeError("ConstructSparseFromList needs matrices")
+        if ilist.type.ndim != 1:
+            raise TypeError("index list must be a vector")
+        return Apply(
+            self, [x, values, ilist],
+            [SparseTensorType("csr", values.type.dtype)()],
+        )
+
+    def perform(self, node, inputs, output_storage):
+        x, values, ilist = inputs
+        rows = np.asarray(ilist, dtype=np.int64)
+        n_rows = x.shape[0]
+        indptr = np.zeros(len(rows) + 1, dtype=np.int64)
+        indptr[1:] = x.shape[1]
+        np.cumsum(indptr, out=indptr)
+        cols = np.tile(np.arange(x.shape[1], dtype=np.int64), len(rows))
+        m = sp.csr_matrix(
+            (np.asarray(values).ravel(), cols, indptr),
+            shape=(len(rows), x.shape[1]),
+        )
+        # scatter the gathered rows back: duplicate indices accumulate
+        onehot = sp.csr_matrix(
+            (np.ones(len(rows), dtype=values.dtype),
+             (rows, np.arange(len(rows)))),
+            shape=(n_rows, len(rows)),
+        )
+        output_storage[0][0] = (onehot @ m).asformat("csr")
+
+    def connection_pattern(self, node):
+        return [[False], [True], [False]]
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType
+        from aesara_tpu.tensor.subtensor import AdvancedSubtensor1
+
+        x, values, ilist = inputs
+        (gz,) = output_grads
+        g_values = AdvancedSubtensor1()(dense_from_sparse(gz), ilist)
+        return [DisconnectedType()(), g_values, DisconnectedType()()]
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+
+def construct_sparse_from_list(x, values, ilist):
+    return ConstructSparseFromList()(x, values, ilist)
 
 
 class CSMProperties(Op):
@@ -422,27 +535,25 @@ class Dot(Op):
         output_storage[0][0] = np.asarray(res, dtype=node.outputs[0].type.dtype)
 
     def grad(self, inputs, output_grads):
+        # true dot: FULL (unstructured) grads on both sides (reference
+        # TrueDot semantics; review finding: the left-sparse grad was
+        # pattern-projected and the right-sparse grad unimplemented)
+        import aesara_tpu.tensor.math as tm
+
         a, b = inputs
         (gz,) = output_grads
-        rval = []
-        for wrt, other, left in ((a, b, True), (b, a, False)):
-            if isinstance(wrt.type, SparseTensorType):
-                if left:
-                    rval.append(StructuredDotGradA()(gz, dense_from_sparse(other) if isinstance(other.type, SparseTensorType) else other, wrt))
-                else:
-                    from aesara_tpu.gradient import grad_not_implemented
 
-                    rval.append(grad_not_implemented(self, 1, wrt))
-            else:
-                import aesara_tpu.tensor.math as tm
+        def dense(v):
+            return (dense_from_sparse(v)
+                    if isinstance(v.type, SparseTensorType) else v)
 
-                if left:
-                    other_d = dense_from_sparse(other) if isinstance(other.type, SparseTensorType) else other
-                    rval.append(tm.dot(gz, other_d.T))
-                else:
-                    other_d = dense_from_sparse(other) if isinstance(other.type, SparseTensorType) else other
-                    rval.append(tm.dot(other_d.T, gz))
-        return rval
+        ga = tm.dot(gz, dense(b).T)
+        gb = tm.dot(dense(a).T, gz)
+        if isinstance(a.type, SparseTensorType):
+            ga = SparseFromDense(a.type.format)(ga)
+        if isinstance(b.type, SparseTensorType):
+            gb = SparseFromDense(b.type.format)(gb)
+        return [ga, gb]
 
 
 _dense_dot = Dot()
@@ -621,8 +732,19 @@ class AddSD(Op):
     def make_node(self, a, b):
         a = as_sparse_variable(a)
         b = as_tensor_variable(b)
+        if b.type.ndim != 2:
+            raise TypeError(
+                f"AddSD needs a 2-d dense operand, got ndim {b.type.ndim} "
+                f"(scipy would broadcast, leaving the node mistyped)"
+            )
         dtype = upcast(a.type.dtype, b.type.dtype)
-        return Apply(self, [a, b], [TensorType(dtype, b.type.shape)()])
+        # the result broadcasts b against the sparse (M, N): a dim of b
+        # that is statically 1 contributes no size information
+        out_shape = tuple(
+            ad if ad is not None else (bd if bd not in (1, None) else None)
+            for ad, bd in zip(a.type.shape, b.type.shape)
+        )
+        return Apply(self, [a, b], [TensorType(dtype, out_shape)()])
 
     def perform(self, node, inputs, output_storage):
         a, b = inputs
@@ -760,25 +882,27 @@ class SpSum(Op):
             output_storage[0][0] = np.asarray(x.sum(self.axis)).ravel().astype(x.dtype)
 
     def grad(self, inputs, output_grads):
+        from aesara_tpu.tensor.basic import fill as tfill
+        from aesara_tpu.tensor.shape import shape_padleft, shape_padright
+
         (x,) = inputs
         (gz,) = output_grads
         if self.axis is None:
-            from aesara_tpu.tensor.basic import fill as tfill
-
-            g_dense = gz  # scalar broadcasts
-            return [sp_structured_like(
-                tfill(dense_from_sparse(x), gz), x
-            )]
-        from aesara_tpu.tensor.shape import shape_padleft, shape_padright
-
-        if self.axis == 0:
+            g_dense = tfill(dense_from_sparse(x), gz)
+        elif self.axis == 0:
             g_dense = shape_padleft(gz, 1) + dense_from_sparse(x) * 0
         else:
             g_dense = shape_padright(gz, 1) + dense_from_sparse(x) * 0
-        return [sp_structured_like(g_dense, x)]
+        if self.structured:
+            # structured: gradient only at stored positions
+            return [sp_structured_like(g_dense, x)]
+        # unstructured (reference default): every cell contributes —
+        # the dense fill rides back in a sparse container
+        return [SparseFromDense(x.type.format)(g_dense)]
 
 
-def sp_sum(x, axis=None, sparse_grad=True):
+def sp_sum(x, axis=None, sparse_grad=False):
+    # reference default: UNSTRUCTURED gradient (sparse/basic.py:1802)
     return SpSum(axis, sparse_grad)(x)
 
 
@@ -1356,10 +1480,13 @@ class StructuredAddSV(Op):
         (gz,) = output_grads
         from aesara_tpu.tensor.math import sum as t_sum
 
-        # z.data = x.data + v[col]:  dx = gz (same pattern),
-        # dv_j = sum of gz's stored entries in column j
-        return [MulSS()(gz, sp_ones_like(x)),
-                t_sum(dense_from_sparse(gz), axis=0)]
+        # z.data = x.data + v[col]:  dx = gz projected onto x's pattern,
+        # dv_j = sum over x's STORED positions of gz — gz must be
+        # projected first because an unstructured upstream gradient
+        # (e.g. sp_sum(..., sparse_grad=False)) covers every cell
+        gz_on_pattern = MulSS()(gz, sp_ones_like(x))
+        return [gz_on_pattern,
+                t_sum(dense_from_sparse(gz_on_pattern), axis=0)]
 
     def infer_shape(self, fgraph, node, shapes):
         return [shapes[0]]
@@ -1483,33 +1610,6 @@ def get_item_list(x, idx):
 
 def get_item_2lists(x, rows, cols):
     return GetItem2Lists()(x, rows, cols)
-
-
-class ConstructSparseFromList(Op):
-    """Build a sparse matrix whose rows (selected by ``idx``) come from a
-    dense matrix — the gradient of dense row-gather through a sparse
-    intermediate (ref ``ConstructSparseFromList:4100``)."""
-
-    __props__ = ()
-
-    def make_node(self, idx, values, xshape):
-        idx = as_tensor_variable(idx)
-        values = as_tensor_variable(values)
-        xshape = as_tensor_variable(xshape)
-        return Apply(self, [idx, values, xshape],
-                     [SparseTensorType("csr", values.type.dtype)()])
-
-    def perform(self, node, inputs, output_storage):
-        idx, values, xshape = inputs
-        out = sp.lil_matrix(tuple(int(s) for s in xshape),
-                            dtype=node.outputs[0].type.dtype)
-        for k, row in enumerate(np.asarray(idx, dtype="int64")):
-            out[row] = out[row] + values[k]
-        output_storage[0][0] = out.tocsr()
-
-
-def construct_sparse_from_list(idx, values, xshape):
-    return ConstructSparseFromList()(idx, values, xshape)
 
 
 class _PatternSampler(Op):

@@ -471,10 +471,10 @@ register_specialize(local_add_dense_from_sparse)
 def local_sampling_dot(fgraph, node):
     """mul(DenseFromSparse(p), dot(x, yᵀ)) → SamplingDot(x, y, p): never
     materialize the full (M,N) product when only p's nonzero positions
-    are kept (reference local_sampling_dot_csr)."""
+    are kept (reference local_sampling_dot_csr).  The pattern match is
+    shared with local_mul_dense_from_sparse via
+    ``_sampling_dot_operands`` (single source of truth)."""
     from aesara_tpu.sparse.basic import SamplingDot, dense_from_sparse
-    from aesara_tpu.tensor.elemwise import DimShuffle
-    from aesara_tpu.tensor.math import Dot as TDot
 
     if not isinstance(node.op.scalar_op, aes.ops.Mul) or len(node.inputs) != 2:
         return False
@@ -483,25 +483,10 @@ def local_sampling_dot(fgraph, node):
         p = _densified(node.inputs[i], fgraph)
         if p is None:
             continue
-        d = node.inputs[j]
-        dn = d.owner
-        if (
-            dn is None
-            or not isinstance(dn.op, TDot)
-            or len(fgraph.clients.get(d, ())) != 1
-        ):
+        samp = _sampling_dot_operands(node.inputs[j], fgraph)
+        if samp is None:
             continue
-        x, yt = dn.inputs
-        if x.type.ndim != 2 or yt.type.ndim != 2:
-            continue
-        ytn = yt.owner
-        if not (
-            ytn is not None
-            and isinstance(ytn.op, DimShuffle)
-            and tuple(ytn.op.new_order) == (1, 0)
-        ):
-            continue
-        y = ytn.inputs[0]
+        x, y = samp
         res = _keep(out, dense_from_sparse(SamplingDot()(x, y, p)))
         if res is not None:
             return [res]

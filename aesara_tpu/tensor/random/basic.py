@@ -346,26 +346,40 @@ class CategoricalRV(RandomVariable):
 
 
 class ChoiceRV(RandomVariable):
-    def __init__(self):
+    __props__ = RandomVariable.__props__ + ("replace",)
+
+    def __init__(self, replace: bool = True):
         super().__init__("choice", 0, (1,), None)
+        self.replace = bool(replace)
+
+    def __call__(self, *dist_params, replace=None, **kwargs):
+        if replace is not None and bool(replace) != self.replace:
+            return ChoiceRV(replace=replace)(*dist_params, **kwargs)
+        return super().__call__(*dist_params, **kwargs)
 
     def make_node(self, rng, size, a, *rest):
         from aesara_tpu.tensor.basic import as_tensor_variable
 
         a = as_tensor_variable(a)
-        op = ChoiceRV()
+        op = ChoiceRV(replace=self.replace)
         op.dtype = a.type.dtype
         return RandomVariable.make_node(op, rng, size, a, *rest)
 
     def rng_fn(self, key, size, a, p=None):
-        # formulated as randint/categorical + gather instead of
-        # jax.random.choice: a scalar ``a`` stays traced-safe under jit
-        # (jr.choice needs a concrete population size)
         import jax.numpy as jnp
         import jax.random as jr
 
         shape = tuple(size) if size is not None else ()
         a = _jnp(a)
+        if not self.replace:
+            # without replacement needs the whole population ordering —
+            # jr.choice(replace=False); a concrete population size is
+            # required (as in the reference's Generator.choice)
+            return jr.choice(key, a if a.ndim else int(a), shape=shape,
+                             replace=False,
+                             p=None if p is None else _jnp(p))
+        # with replacement: randint/categorical + gather keeps a scalar
+        # ``a`` traced-safe under jit (jr.choice needs a concrete size)
         if p is None:
             if a.ndim == 0:
                 return jr.randint(key, shape, 0, a)
@@ -404,7 +418,10 @@ class PermutationRV(RandomVariable):
         return RandomVariable.make_node(op, rng, size, x)
 
     def _supp_shape_from_params(self, dist_params, param_shapes=None):
-        return (dist_params[0].type.shape[0],)
+        # the support is the LAST axis (review finding: shape[0] was
+        # wrong for ndim > 1 inputs — permutation shuffles axis 0 but
+        # batch dims come first in the output type)
+        return (dist_params[0].type.shape[-1],)
 
     def rng_fn(self, key, size, x):
         import jax.random as jr

@@ -11,6 +11,7 @@ host so py-mode and XLA-mode draws are bit-identical.
 
 from __future__ import annotations
 
+import itertools
 from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
@@ -58,13 +59,27 @@ RandomStateType = RandomGeneratorType
 random_generator_type = RandomGeneratorType()
 
 
+_implicit_rng_counter = itertools.count()
+
+
 def default_rng(seed: Optional[int] = None):
-    """Fresh key data from a seed (the reference returns np.random.default_rng)."""
-    if seed is None:
-        seed = config.seed
+    """Fresh key data from a seed (the reference returns np.random.default_rng).
+
+    With no explicit seed, each call folds a process-unique counter into
+    the configured base seed: every implicitly-seeded RandomVariable node
+    gets an INDEPENDENT key (the reference creates a fresh Generator per
+    make_node).  Identical constant keys would make supposedly
+    independent draws bit-equal — and MergeOptimizer would unify the
+    nodes outright (review finding)."""
     import jax.random as jr
 
-    return np.asarray(jr.key_data(jr.PRNGKey(seed)), dtype=np.uint32)
+    if seed is None:
+        key = jr.fold_in(
+            jr.PRNGKey(config.seed), next(_implicit_rng_counter)
+        )
+    else:
+        key = jr.PRNGKey(seed)
+    return np.asarray(jr.key_data(key), dtype=np.uint32)
 
 
 class RandomVariable(Op):
@@ -225,4 +240,11 @@ def normalize_size_param(size) -> Variable:
         return cast(size, "int64")
     if isinstance(size, (int, np.integer)):
         return constant(np.asarray([int(size)], dtype="int64"))
+    if any(isinstance(s, Variable) for s in size):
+        # size=(x.shape[0], 3) — the mainstream reference idiom: stack
+        # symbolic dims into an int64 vector (review finding: int()
+        # crashed on Variables)
+        from aesara_tpu.tensor.basic import stack
+
+        return stack([cast(as_tensor_variable(s), "int64") for s in size])
     return constant(np.asarray([int(s) for s in size], dtype="int64"))

@@ -122,9 +122,10 @@ class RandomStream:
         return self.gen(rb.categorical, p, size=size, **kw)
 
     def choice(self, a, size=None, replace=True, p=None, **kw):
+        op = rb.choice if replace else rb.ChoiceRV(replace=False)
         if p is not None:
-            return self.gen(rb.choice, a, p, size=size, **kw)
-        return self.gen(rb.choice, a, size=size, **kw)
+            return self.gen(op, a, p, size=size, **kw)
+        return self.gen(op, a, size=size, **kw)
 
     def permutation(self, x, size=None, **kw):
         return self.gen(rb.permutation, x, size=size, **kw)

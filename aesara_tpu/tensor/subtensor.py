@@ -383,9 +383,16 @@ def inc_subtensor(x, y, inplace=False, set_instead_of_inc=False,
 # ---------------------------------------------------------------------------
 
 class AdvancedSubtensor1(Op):
-    """x[int_vector] along axis 0 (reference ``subtensor.py:1925``)."""
+    """x[int_vector] along axis 0 (reference ``subtensor.py:1925``).
 
-    __props__ = ()
+    ``sparse_grad=True`` (set via ``aesara_tpu.sparse.sparse_grad``)
+    makes the gradient a sparse matrix of the gathered rows instead of a
+    dense zeros + scatter (reference sparse/__init__.py sparse_grad)."""
+
+    __props__ = ("sparse_grad",)
+
+    def __init__(self, sparse_grad: bool = False):
+        self.sparse_grad = bool(sparse_grad)
 
     def make_node(self, x, ilist):
         x = as_tensor_variable(x)
@@ -414,7 +421,12 @@ class AdvancedSubtensor1(Op):
 
         x, ilist = inputs
         (gz,) = output_grads
-        gx = AdvancedIncSubtensor1()(zeros_like(x), gz, ilist)
+        if self.sparse_grad and x.type.ndim == 2:
+            from aesara_tpu.sparse.basic import ConstructSparseFromList
+
+            gx = ConstructSparseFromList()(x, gz, ilist)
+        else:
+            gx = AdvancedIncSubtensor1()(zeros_like(x), gz, ilist)
         return [gx, DisconnectedType()()]
 
     def __str__(self):

@@ -173,8 +173,10 @@ def test_get_item_2lists_and_construct(mats):
 
     vals = at.tensor.matrix("vals")
     idx = at.tensor.as_tensor_variable(np.array([2, 0, 2], dtype="int64"))
+    # reference signature: (x supplying the shape, values, ilist)
     cs = spb.construct_sparse_from_list(
-        idx, vals, at.tensor.as_tensor_variable(np.array([5, 7], dtype="int64")))
+        at.tensor.as_tensor_variable(np.zeros((5, 7), dtype="float32")),
+        vals, idx)
     f5 = function([vals], spb.dense_from_sparse(cs), mode="PY")
     vv2 = np.ones((3, 7), dtype="float32")
     exp = np.zeros((5, 7))

@@ -171,3 +171,60 @@ def test_distribution_inventory_bit_identity():
             draws[0].astype("float64"), draws[1].astype("float64"),
             rtol=1e-6, err_msg=name,
         )
+
+
+class TestReviewRegressions:
+    def test_implicit_rngs_are_independent(self):
+        # two anonymous draws must not be bit-identical (and must not
+        # merge into one node)
+        import aesara_tpu as atp
+        from aesara_tpu.tensor.random.basic import normal
+
+        x = normal(0.0, 1.0, size=(100,))
+        y = normal(0.0, 1.0, size=(100,))
+        f = atp.function([], [x, y, x + y], mode="FAST_RUN")
+        xv, yv, sv = (np.asarray(a) for a in f())
+        assert not np.allclose(xv, yv), "independent draws were identical"
+        np.testing.assert_allclose(sv, xv + yv, rtol=1e-6)
+        # two RandomVariable applies must survive in the compiled graph
+        from aesara_tpu.tensor.random.op import RandomVariable
+
+        rv_nodes = [n for n in f.fgraph.apply_nodes
+                    if isinstance(n.op, RandomVariable)]
+        assert len(rv_nodes) == 2
+
+    def test_symbolic_size_tuple(self):
+        import aesara_tpu as atp
+        import aesara_tpu.tensor as at
+        from aesara_tpu.tensor.random.utils import RandomStream
+
+        srng = RandomStream(seed=7)
+        x = at.matrix("x")
+        draw = srng.normal(0.0, 1.0, size=(x.shape[0], 3))
+        f = atp.function([x], draw, mode="PY")
+        res = np.asarray(f(np.zeros((5, 2), dtype="float32")))
+        assert res.shape == (5, 3)
+
+    def test_choice_without_replacement(self):
+        import aesara_tpu as atp
+        from aesara_tpu.tensor.random.utils import RandomStream
+
+        srng = RandomStream(seed=11)
+        draw = srng.choice(10, size=(10,), replace=False)
+        f = atp.function([], draw, mode="PY")
+        res = np.asarray(f())
+        assert sorted(res.tolist()) == list(range(10)), res
+
+    def test_permutation_matrix_support_dim(self):
+        import aesara_tpu as atp
+        from aesara_tpu.tensor.random.utils import RandomStream
+
+        srng = RandomStream(seed=3)
+        m = np.arange(15, dtype="float64").reshape(3, 5)
+        draw = srng.permutation(m)
+        assert draw.type.shape[-1] == 5
+        f = atp.function([], draw, mode="PY")
+        res = np.asarray(f())
+        assert res.shape == (3, 5)
+        # row shuffle: the set of rows is preserved
+        assert sorted(map(tuple, res)) == sorted(map(tuple, m))
