@@ -43,12 +43,8 @@ from aesara_tpu.compile.nanguardmode import NanGuardMode  # noqa: F401
 from aesara_tpu.compile.monitormode import MonitorMode  # noqa: F401
 
 from aesara_tpu.compile.function import rebuild_collect_shared  # noqa: F401
-from aesara_tpu.compile.mode import uncanonicalize as local_useless  # noqa: F401  (reference: the 'useless' EquilibriumDB)
-
-
-class UnusedInputError(Exception):
-    """An input was provided that the graph doesn't use and
-    ``on_unused_input='raise'`` (reference ``function/types.py``)."""
+from aesara_tpu.compile.mode import local_useless  # noqa: F401  (the 'useless' pass DB at position 0.6)
+from aesara_tpu.compile.function import UnusedInputError  # noqa: F401  (the class orig_function actually raises)
 
 
 #: internal-but-exported reference helpers, given real equivalents here

@@ -180,11 +180,16 @@ class DebugLinker(LocalLinker):
                 snap = node._dbg_snapshots[j]
                 if snap is not None:
                     storage_map[inp][0] = np.array(snap, copy=True)
-            for o, s in zip(node.outputs, saved):
-                poison = _poison_like(s)
-                if poison is None:
-                    return
-                storage_map[o][0] = poison
+            poisons = [_poison_like(s) for s in saved]
+            if any(p is None for p in poisons):
+                # can't poison every output: restore and skip the check —
+                # returning after poisoning SOME outputs would leave NaN
+                # garbage in live storage (review finding)
+                for o, s in zip(node.outputs, saved):
+                    storage_map[o][0] = s
+                return
+            for o, p_ in zip(node.outputs, poisons):
+                storage_map[o][0] = p_
             py_thunk()
             for i, (o, s) in enumerate(zip(node.outputs, saved)):
                 if not check_eq(o, storage_map[o][0], s):

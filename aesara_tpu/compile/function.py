@@ -110,11 +110,7 @@ def rebuild_collect_shared(
 
     replace_pairs = []
     for k, v in dict(replace or {}).items():
-        if not isinstance(v, Variable):
-            v = k.type.filter_variable(v, allow_convert=True)
-        else:
-            v = k.type.filter_variable(v, allow_convert=True)
-        replace_pairs.append((k, v))
+        replace_pairs.append((k, k.type.filter_variable(v, allow_convert=True)))
 
     # substitute givens
     if replace_pairs:
@@ -528,7 +524,10 @@ class Function:
         self.call_time += time.perf_counter() - t0
         self.n_calls += 1
         if self.profile is not None:
-            self.profile.fct_callcount += 1
+            # ProfileLinker.run already counts calls on the per-node py
+            # path; only count here when some other linker ran
+            if self.profile.fct_callcount < self.n_calls:
+                self.profile.fct_callcount += 1
             self.profile.fct_call_time = self.call_time
         if output_subset is not None:
             # reference semantics: return only the requested outputs

@@ -119,7 +119,13 @@ def _tensor_shared(value, name=None, strict=False, allow_downcast=None,
     from aesara_tpu.tensor.type import TensorType
     from aesara_tpu.tensor.var import TensorConstant, _tensor_operators
 
-    arr = np.asarray(value) if not isinstance(value, np.ndarray) or not borrow else value
+    if isinstance(value, np.ndarray):
+        # reference semantics: the shared container OWNS its buffer —
+        # copy unless the caller explicitly lends it with borrow=True
+        # (review finding: external mutation silently changed state)
+        arr = value if borrow else value.copy()
+    else:
+        arr = np.asarray(value)
     if isinstance(value, (bool, int, float, complex)) and not isinstance(
         value, (np.ndarray, np.generic)
     ):

@@ -226,6 +226,12 @@ def grad(
             continue
         ograds = []
         for o in node.outputs:
+            if o in cc:
+                # consider_constant: the var still RECEIVES gradient
+                # (it may be in wrt — subgraph_grad relies on this), but
+                # nothing flows THROUGH it to the node's inputs
+                ograds.append(disconnected_type())
+                continue
             g = grad_dict.get(o)
             if g is None:
                 # structurally unused output: zero (continuous) / disconnected
@@ -260,9 +266,7 @@ def grad(
         for inp, ig in zip(node.inputs, igrads):
             if ig is None or _is_disconnected(ig):
                 continue
-            if inp in cc:
-                continue
-            if inp not in influences:
+            if inp not in influences and inp not in cc:
                 continue
             dt = getattr(inp.type, "dtype", None)
             if dt is not None:
@@ -350,6 +354,10 @@ def Rop(f, wrt, eval_points, disconnected_outputs="raise"):
     evs = [eval_points] if not isinstance(eval_points, (list, tuple)) else list(eval_points)
 
     # dummy cotangents u, one per output
+    if len(evs) != len(wrts):
+        raise ValueError(
+            f"Rop: {len(wrts)} wrt variables but {len(evs)} eval points"
+        )
     us = []
     for fi in fs:
         u = fi.type()
@@ -388,20 +396,44 @@ def Rop(f, wrt, eval_points, disconnected_outputs="raise"):
 
 
 def subgraph_grad(wrt, end, start=None, cost=None, details=False):
-    """Gradient of a subgraph segment (reference ``gradient.py:652``)."""
+    """Gradient of a subgraph segment (reference ``gradient.py:652``):
+    both the start-seeded and the cost paths are CUT at ``end`` via
+    consider_constant — a single uncut grad call would double-count any
+    path flowing through ``end`` (review finding)."""
     if cost is None and start is None:
         raise ValueError("need cost and/or start")
-    params = list(set(wrt) - set(end))
+    if not isinstance(end, list):
+        raise TypeError("`end` must be a list")
+    if not isinstance(wrt, list):
+        raise TypeError("`wrt` must be a list")
+    if start is not None and not isinstance(start, dict):
+        raise TypeError("`start` must be a dictionary")
+
+    params = list(dict.fromkeys(list(wrt) + list(end)))
     start_grads = None
+    cost_grads = None
     if start is not None:
-        start_grads = list(start.values()) if isinstance(start, dict) else None
-    known = dict(start) if start else {}
-    grad_end = grad(
-        cost=cost, wrt=list(wrt) + list(end), known_grads=known or None,
-        disconnected_inputs="ignore",
-    )
-    n = len(wrt)
-    return grad_end[:n], dict(zip(end, grad_end[n:]))
+        start_grads = list(grad(
+            cost=None, wrt=params, known_grads=start,
+            consider_constant=end, disconnected_inputs="ignore",
+        ))
+    if cost is not None:
+        cost_grads = list(grad(
+            cost=cost, wrt=params,
+            consider_constant=end, disconnected_inputs="ignore",
+        ))
+    if start is None:
+        grads = cost_grads
+    else:
+        grads = start_grads
+        if cost_grads is not None:
+            grads = [g + cg for g, cg in zip(grads, cost_grads)]
+    pgrads = dict(zip(params, grads))
+    wrt_grads = [pgrads[k] for k in wrt]
+    end_grads = [pgrads[k] for k in end]
+    if details:
+        return wrt_grads, end_grads, start_grads, cost_grads
+    return wrt_grads, end_grads
 
 
 # ---------------------------------------------------------------------------
@@ -472,14 +504,18 @@ class numeric_grad:
 
     def __init__(self, f, pt, eps=None):
         self.f = f
-        self.pt = [np.asarray(p) for p in pt]
+        # C-ordered owned copies: the perturbation loop writes through
+        # reshape(-1) views, which silently COPY for non-contiguous
+        # arrays (review finding: transposed inputs produced all-zero
+        # numeric gradients).  np.array(order="C") keeps 0-d arrays 0-d
+        # (ascontiguousarray would promote them to 1-d).
+        self.pt = [np.array(p, order="C") for p in pt]
         dtypes = {p.dtype for p in self.pt if p.dtype.kind == "f"}
         smallest = min((np.finfo(dt).eps for dt in dtypes), default=np.finfo(np.float64).eps)
         if eps is None:
             eps = max(smallest * 1e4, 1e-7)
         self.eps = eps
         self.gf = [np.zeros_like(p, dtype=np.float64) for p in self.pt]
-        f0 = np.asarray(f(*self.pt), dtype=np.float64)
         for argi, p in enumerate(self.pt):
             if p.dtype.kind != "f":
                 continue

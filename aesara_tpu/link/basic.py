@@ -273,8 +273,7 @@ class WrapLinkerMany(WrapLinker):
             for w in wrappers:
                 w(*args, **kwargs)
 
-        super().__init__(linkers[0] if len(linkers) == 1 else linkers,
-                         composed)
+        super().__init__(list(linkers), composed)
 
 
 def gc_helper(node_list):

@@ -43,7 +43,17 @@ def fgraph_key(fgraph) -> str:
         for out in node.outputs:
             h.update(f"->{vid(out)}:{out.type}".encode())
     for i, out in enumerate(fgraph.outputs):
-        h.update(f"out{i}:{vid(out)}".encode())
+        if isinstance(out, Constant):
+            # a Constant appearing DIRECTLY as an output never passes
+            # through the node-input hashing above — without its payload
+            # two graphs differing only in such a constant collide
+            # (review finding: update values crossed between functions)
+            h.update(f"out{i}:const:{out.type}:".encode())
+            data = np.asarray(out.data)
+            h.update(data.tobytes() if data.size <= 65536
+                     else str(data.shape).encode() + data.tobytes()[:65536])
+        else:
+            h.update(f"out{i}:{vid(out)}".encode())
     return h.hexdigest()
 
 

@@ -1134,12 +1134,11 @@ def _jax_from_function(op, node=None, **kwargs):
                 f"run under XLA via pure_callback; add an infer_shape or "
                 f"run in py mode"
             )
-        fn = lambda *a: tuple(
-            np.asarray(r)
-            for r in (
-                op._fn(*a) if isinstance(op._fn(*a), (tuple, list)) else (op._fn(*a),)
-            )
-        )
+        def fn(*a):
+            res = op._fn(*a)  # ONE call: stateful host fns must see one
+            if not isinstance(res, (tuple, list)):
+                res = (res,)
+            return tuple(np.asarray(r) for r in res)
         res = _jax.pure_callback(fn, tuple(out_shapes), *args)
         return res if len(res) > 1 else res[0]
 
