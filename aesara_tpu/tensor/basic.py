@@ -239,9 +239,21 @@ class Alloc(Op):
 
     def perform(self, node, inputs, output_storage):
         value, *shape = inputs
-        output_storage[0][0] = np.broadcast_to(
-            value, tuple(int(s) for s in shape)
-        ).copy()
+        target = tuple(int(s) for s in shape)
+        # static-only broadcasting (the Elemwise contract): a runtime-1
+        # dim whose STATIC size is unknown must not silently broadcast —
+        # the gradient only sums over static-1 dims (review finding)
+        vstatic = node.inputs[0].type.shape
+        off = len(target) - np.ndim(value)
+        for d in range(np.ndim(value)):
+            vs = np.shape(value)[d]
+            if vs != target[off + d] and not (vs == 1 and vstatic[d] == 1):
+                raise ValueError(
+                    f"Alloc: value dim {d} (size {vs}) cannot broadcast to "
+                    f"{target[off + d]}: declare the dim statically 1 "
+                    f"(static-only broadcasting)"
+                )
+        output_storage[0][0] = np.broadcast_to(value, target).copy()
 
     def infer_shape(self, fgraph, node, input_shapes):
         return [tuple(node.inputs[1:])]
@@ -458,19 +470,25 @@ class Join(Op):
             if static_axis < 0:
                 static_axis += ndim
         out_shape = []
-        for d in range(ndim):
-            if static_axis is not None and d == static_axis:
-                sizes = [t.type.shape[d] for t in tensors]
-                out_shape.append(
-                    sum(sizes) if all(s is not None for s in sizes) else None
-                )
-            else:
-                dims = {t.type.shape[d] for t in tensors if t.type.shape[d] is not None}
-                if len(dims) > 1 and (static_axis is not None):
-                    raise TypeError(
-                        f"Join inputs disagree on dim {d}: {dims}"
+        if static_axis is None:
+            # ANY dim may be the concatenated one — no static size can
+            # be claimed (review finding: keeping per-dim sizes typed
+            # the output smaller than the runtime result)
+            out_shape = [None] * ndim
+        else:
+            for d in range(ndim):
+                if d == static_axis:
+                    sizes = [t.type.shape[d] for t in tensors]
+                    out_shape.append(
+                        sum(sizes) if all(s is not None for s in sizes) else None
                     )
-                out_shape.append(next(iter(dims)) if len(dims) == 1 else None)
+                else:
+                    dims = {t.type.shape[d] for t in tensors if t.type.shape[d] is not None}
+                    if len(dims) > 1:
+                        raise TypeError(
+                            f"Join inputs disagree on dim {d}: {dims}"
+                        )
+                    out_shape.append(next(iter(dims)) if len(dims) == 1 else None)
         axis_var = cast(as_tensor_variable(axis), "int64")
         return Apply(
             self, [axis_var] + tensors, [TensorType(out_dtype, tuple(out_shape))()]
@@ -900,13 +918,22 @@ class ExtractDiag(Op):
         (gz,) = output_grads
         if x.type.ndim != 2:
             raise NotImplementedError("ExtractDiag grad only for matrices")
-        from aesara_tpu.tensor.subtensor import set_subtensor
         from aesara_tpu.tensor.shape import shape as tshape
-
-        zero = zeros(tuple(tshape(x)[i] for i in range(2)), dtype=gz.type.dtype)
         from aesara_tpu.tensor.extra_ops import fill_diagonal_offset
 
-        return [cast(fill_diagonal_offset(zero, gz, self.offset), x.type.dtype)]
+        ax1, ax2 = self.axis1 % 2, self.axis2 % 2
+        swapped = (ax1, ax2) == (1, 0)
+        # diagonal(x, off, 1, 0) == diagonal(x.T, off): scatter into the
+        # transposed frame and transpose back (review finding: the grad
+        # ignored the axis order and filled the wrong diagonal)
+        sh = tshape(x)
+        if swapped:
+            zero = zeros((sh[1], sh[0]), dtype=gz.type.dtype)
+            g = fill_diagonal_offset(zero, gz, self.offset).T
+        else:
+            zero = zeros((sh[0], sh[1]), dtype=gz.type.dtype)
+            g = fill_diagonal_offset(zero, gz, self.offset)
+        return [cast(g, x.type.dtype)]
 
 
 def diagonal(x, offset=0, axis1=0, axis2=1):

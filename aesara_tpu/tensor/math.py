@@ -186,7 +186,6 @@ def isclose(a, b, rtol=1e-5, atol=1e-8, equal_nan=False):
     diff = abs(sub(a, b))
     tol = add(constant(atol), mul(constant(rtol), abs(b)))
     close = le(diff, tol)
-    both_fin = and_(invert_bool(isnan(a)), invert_bool(isnan(b)))
     res = and_(close, and_(invert_bool(isinf(a)), invert_bool(isinf(b))))
     res = or_(res, and_(isinf(a), and_(isinf(b), eq(sgn(a), sgn(b)))))
     if equal_nan:
@@ -295,10 +294,33 @@ class Prod(CAReduce):
                 new_order[d] = counter
                 counter += 1
         gz_pad = DimShuffle(gz.type.ndim, tuple(new_order))(gz)
-        prod_pad = DimShuffle(gz.type.ndim, tuple(new_order))(
-            Prod(axis=self.axis, dtype=self.dtype, acc_dtype=self.acc_dtype)(x)
+        # d prod/dx_i = prod_{j != i} x_j — computed WITHOUT dividing by
+        # x_i so zeros don't produce NaN (review finding; reference has
+        # the same zero-handling branch):
+        #   z  = #zeros along the axis; pnz = prod of nonzero entries
+        #   z == 0           -> pnz / x_i  (x_i != 0 there)
+        #   z == 1 at a zero -> pnz
+        #   otherwise        -> 0
+        is_zero = eq(x, tb.constant(0, dtype=x.type.dtype))
+        ones = tb.ones_like(x)
+        x_safe = tb.switch(is_zero, ones, x)
+        red = lambda v, op_cls: DimShuffle(gz.type.ndim, tuple(new_order))(
+            op_cls(v)
         )
-        gx = mul(tb.fill(x, gz_pad), true_div(tb.fill(x, prod_pad), x))
+        pnz_pad = red(x_safe, Prod(axis=self.axis, dtype=self.dtype,
+                                   acc_dtype=self.acc_dtype))
+        z_pad = DimShuffle(gz.type.ndim, tuple(new_order))(
+            Sum(axis=self.axis)(cast(is_zero, "int64"))
+        )
+        zf = tb.fill(x, z_pad)
+        pnzf = tb.fill(x, pnz_pad)
+        prod_others = tb.switch(
+            eq(zf, 0),
+            true_div(pnzf, x_safe),
+            tb.switch(and_(eq(zf, 1), is_zero), pnzf,
+                      tb.zeros_like(x)),
+        )
+        gx = mul(tb.fill(x, gz_pad), prod_others)
         if gx.type.dtype != x.type.dtype:
             gx = cast(gx, x.type.dtype)
         return [gx]
@@ -519,6 +541,11 @@ class Argmax(Op):
     def _axes(self, ndim):
         if self.axis is None:
             return tuple(range(ndim))
+        for a in self.axis:
+            if not (-ndim <= a < ndim):
+                raise ValueError(
+                    f"axis {a} out of range for ndim {ndim}"
+                )
         return tuple(sorted(a % ndim for a in self.axis))
 
     def make_node(self, x):
@@ -574,7 +601,14 @@ def argmax(x, axis=None, keepdims=False):
 
 
 def argmin(x, axis=None, keepdims=False):
-    return argmax(neg(as_tensor_variable(x)), axis=axis, keepdims=keepdims)
+    x = as_tensor_variable(x)
+    dt = x.type.dtype
+    if dt == "bool" or dt.startswith(("int", "uint")):
+        # ~x = -x-1 (signed) / MAX-x (unsigned): exactly monotone-
+        # reversed with NO overflow — neg wraps for uints and INT_MIN
+        # (review finding: argmin(uint8 [0,1,2]) returned 1)
+        return argmax(invert(x), axis=axis, keepdims=keepdims)
+    return argmax(neg(x), axis=axis, keepdims=keepdims)
 
 
 def max_and_argmax(x, axis=None, keepdims=False):
@@ -825,9 +859,13 @@ def tensordot(a, b, axes=2):
 def _tensordot_as_dot(a, b, axes, batched: bool):
     a, b = as_tensor_variable(a), as_tensor_variable(b)
     if isinstance(axes, (int, np.integer)):
-        axes = [list(range(a.type.ndim - axes, a.type.ndim)), list(range(axes))]
-        if batched:
-            axes = [[ax + 1 for ax in axes[0]], [ax + 1 for ax in axes[1]]]
+        n = int(axes)
+        # a's contraction axes are its LAST n dims (already full-ndim
+        # coordinates — shifting them past the end wrapped onto the
+        # batch axis, review finding); b's are its first n NON-batch dims
+        a_last = list(range(a.type.ndim - n, a.type.ndim))
+        b_first = list(range(1, 1 + n)) if batched else list(range(n))
+        axes = [a_last, b_first]
     a_axes = [int(ax) % a.type.ndim for ax in np.atleast_1d(axes[0])]
     b_axes = [int(ax) % b.type.ndim for ax in np.atleast_1d(axes[1])]
     if len(a_axes) != len(b_axes):

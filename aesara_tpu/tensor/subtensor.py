@@ -124,13 +124,9 @@ def _static_slice_len(length, sl: slice):
     if any(e is SYM for e in (start, stop, step)):
         return None
     if length is None:
-        # only fully-determined nonnegative slices can be resolved
-        if (
-            isinstance(start, int) and start >= 0
-            and isinstance(stop, int) and stop >= 0
-            and (step is None or (isinstance(step, int) and step > 0))
-        ):
-            return len(range(start, stop, step or 1))
+        # numpy/XLA CLAMP slices to the runtime extent, so a bounded
+        # slice over an unknown dim has no static length — x[0:5] on a
+        # length-3 input yields 3, not 5 (review finding)
         return None
     return len(range(*sl.indices(length)))
 
@@ -675,8 +671,13 @@ def take_slice(x, args):
     if not isinstance(args, tuple):
         args = (args,)
 
-    # expand Ellipsis
-    n_real = sum(1 for a in args if a is not None and a is not Ellipsis)
+    # expand Ellipsis — a rank-k boolean mask consumes k input dims
+    # (review finding: counting it as 1 made '...' over-expand)
+    n_real = sum(
+        (_bool_ndim(a) if _is_bool_array(a) else 1)
+        for a in args
+        if a is not None and a is not Ellipsis
+    )
     new_args = []
     for a in args:
         if a is Ellipsis:

@@ -519,3 +519,100 @@ class TestBesselDeviceLowering:
                                        rtol=1e-6, atol=1e-12)
             np.testing.assert_allclose(got_i, scipy_special.iv(v, x),
                                        rtol=1e-6, atol=1e-12)
+
+
+class TestTensorCoreReviewRegressions:
+    def test_slice_over_unknown_dim_has_no_static_len(self):
+        x = at.vector("x", dtype="float64")
+        assert x[0:5].type.shape == (None,)
+        f = function([x], x[0:5], mode=PY)
+        assert np.asarray(f(np.arange(3.0))).shape == (3,)
+
+    def test_join_symbolic_axis_all_none(self):
+        a = at.tensor("a", dtype="float64", shape=(3, 4))
+        b = at.tensor("b", dtype="float64", shape=(3, 4))
+        ax = at.lscalar("ax")
+        out = at.join(ax, a, b)
+        assert out.type.shape == (None, None)
+        f = function([ax, a, b], out, mode=PY)
+        assert np.asarray(f(0, d(3, 4), d(3, 4))).shape == (6, 4)
+
+    def test_batched_tensordot_int_axes(self):
+        a = at.tensor3("a", dtype="float64")
+        b = at.tensor3("b", dtype="float64")
+        out = tm.batched_tensordot(a, b, axes=1)
+        f = function([a, b], out, mode=PY)
+        av, bv = d(2, 3, 4), d(2, 4, 5)
+        np.testing.assert_allclose(
+            np.asarray(f(av, bv)), np.einsum("bij,bjk->bik", av, bv)
+        )
+
+    def test_ellipsis_with_matrix_bool_mask(self):
+        x = at.tensor3("x", dtype="float64")
+        m = np.zeros((3, 4), dtype=bool)
+        m[1, 2] = m[0, 0] = True
+        out = x[..., m]
+        f = function([x], out, mode=PY)
+        xv = d(2, 3, 4)
+        np.testing.assert_allclose(np.asarray(f(xv)), xv[..., m])
+
+    def test_argmin_unsigned(self):
+        x = at.tensor("x", dtype="uint8", shape=(None,))
+        f = function([x], tm.argmin(x), mode=PY)
+        assert int(f(np.array([3, 0, 2], dtype="uint8"))) == 1
+        assert int(f(np.array([0, 1, 2], dtype="uint8"))) == 0
+        f2 = function([x], tm.argmin(x), mode=JAX)
+        assert int(f2(np.array([0, 1, 2], dtype="uint8"))) == 0
+
+    def test_prod_grad_with_zeros(self):
+        import aesara_tpu as atp
+
+        x = at.vector("x", dtype="float64")
+        g = atp.grad(at.prod(x), x)
+        f = function([x], g, mode=PY)
+        np.testing.assert_allclose(
+            np.asarray(f(np.array([2.0, 0.0, 3.0]))), [0.0, 6.0, 0.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(f(np.array([2.0, 0.0, 0.0]))), [0.0, 0.0, 0.0]
+        )
+        np.testing.assert_allclose(
+            np.asarray(f(np.array([2.0, 4.0, 3.0]))), [12.0, 6.0, 8.0]
+        )
+
+    def test_extract_diag_grad_swapped_axes(self):
+        import aesara_tpu as atp
+
+        x = at.matrix("x", dtype="float64")
+        cost = at.diagonal(x, offset=1, axis1=1, axis2=0).sum()
+        g = atp.grad(cost, x)
+        f = function([x], g, mode=PY)
+        got = np.asarray(f(d(4, 4)))
+        # reads x[i+1, i]: gradient on the SUB-diagonal
+        want = np.zeros((4, 4))
+        for i in range(3):
+            want[i + 1, i] = 1.0
+        np.testing.assert_array_equal(got, want)
+
+    def test_alloc_static_only_broadcast(self):
+        v = at.vector("v", dtype="float64")  # unknown length
+        out = at.alloc(v, 5)
+        f = function([v], out, mode=PY)
+        with pytest.raises(Exception):
+            f(np.ones(1))  # runtime-1 over a None dim must NOT broadcast
+
+    def test_argmax_axis_out_of_range(self):
+        x = at.matrix("x", dtype="float64")
+        with pytest.raises(ValueError):
+            tm.argmax(x, axis=2)
+
+    def test_isclose_inf_nan(self):
+        a = at.vector("a", dtype="float64")
+        b = at.vector("b", dtype="float64")
+        f = function([a, b], tm.isclose(a, b, equal_nan=True), mode=PY)
+        av = np.array([1.0, np.inf, -np.inf, np.nan])
+        bv = np.array([1.0, np.inf, np.inf, np.nan])
+        np.testing.assert_array_equal(
+            np.asarray(f(av, bv)).astype(bool),
+            np.isclose(av, bv, equal_nan=True),
+        )
