@@ -110,14 +110,7 @@ class Validator(Feature):
         del fgraph.consistent
 
     def validate_(self, fgraph):
-        try:
-            return fgraph.execute_callbacks("validate")
-        except Exception as e:
-            from aesara_tpu.config import config
-
-            if config.exception_verbosity == "high":
-                raise
-            raise
+        return fgraph.execute_callbacks("validate")
 
     def consistent_(self, fgraph) -> bool:
         try:
@@ -239,9 +232,7 @@ class NoOutputFromInplace(Feature):
             if out.owner is None:
                 continue
             node = out.owner
-            if node.op.destroy_map and out.index in {
-                o for outs in node.op.destroy_map for o in [outs]
-            }:
+            if node.op.destroy_map and out.index in node.op.destroy_map:
                 raise BadOptimization(f"protected output {out} produced in-place")
 
 

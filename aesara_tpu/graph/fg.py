@@ -27,25 +27,11 @@ from aesara_tpu.graph.ir import (
 from aesara_tpu.graph.features import AlreadyThere, Feature, ReplaceValidate
 
 
-__all__ = ["FunctionGraph", "MissingInputError", "Output"]
+__all__ = ["FunctionGraph", "MissingInputError"]
 
 
 class MissingInputError(Exception):
     """A needed graph input is not among fgraph.inputs."""
-
-
-class Output:
-    """Sentinel pseudo-op marking fgraph outputs in the clients index.
-
-    The reference uses the string "output" as client marker
-    (``fg.py:135``); we keep a tiny op-like object per output index so the
-    clients list is uniformly [(Apply-or-Output, index)].
-    """
-
-    __slots__ = ()
-
-    def __repr__(self):
-        return "output"
 
 
 OUTPUT = "output"  # client marker, matching the reference's convention
@@ -382,8 +368,11 @@ class FunctionGraph:
             excess = self.apply_nodes - nodes
             raise Exception(f"apply_nodes inconsistent: missing={missing} excess={excess}")
         expected_vars = set(vars_between(self.inputs, self.outputs)) | set(self.inputs)
-        if self.variables < expected_vars:
-            raise Exception(f"variables missing: {expected_vars - self.variables}")
+        missing_vars = expected_vars - self.variables
+        if missing_vars:
+            # a proper-subset test misses this whenever stale EXTRA
+            # variables are present (review finding)
+            raise Exception(f"variables missing: {missing_vars}")
         for var, clients in self.clients.items():
             for client, idx in clients:
                 if client == OUTPUT:

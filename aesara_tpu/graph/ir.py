@@ -555,8 +555,7 @@ def truncated_graph_inputs(
             if v not in truncated:
                 truncated.append(v)
         else:
-            anc = set(ancestors([v]))
-            if anc & include:
+            if _reaches_include(v):
                 q.extend(v.owner.inputs)
             else:
                 if v not in truncated:

@@ -410,19 +410,23 @@ class WalkingGraphRewriter(NodeProcessingGraphRewriter):
         t0 = time.perf_counter()
         q = deque(io_toposort(fgraph.inputs, start_from or fgraph.outputs))
         if self.order == "out_to_in":
+            # reversed queue + popleft = consumers before producers;
+            # (reversing AND popping from the far end double-negated the
+            # direction — review finding: local_useless at
+            # compile/mode.py ran in-to-out)
             q.reverse()
 
         importer = None
         if not self.ignore_newtrees:
             def importer(node):
                 if node is not current_node[0]:
-                    q.append(node) if self.order == "in_to_out" else q.appendleft(node)
+                    q.appendleft(node)
 
         current_node = [None]
         u = self.attach_updater(fgraph, importer, None, name=str(self))
         try:
             while q:
-                node = q.popleft() if self.order == "in_to_out" else q.pop()
+                node = q.popleft()
                 if node not in fgraph.apply_nodes:
                     continue
                 current_node[0] = node
@@ -757,9 +761,13 @@ class EquilibriumGraphRewriter(NodeProcessingGraphRewriter):
 
             for grw in self.global_rewriters:
                 try:
-                    before = len(fgraph.apply_nodes)
+                    before_nodes = set(fgraph.apply_nodes)
                     grw.apply(fgraph)
-                    # global rewriters report change only through structure
+                    if set(fgraph.apply_nodes) != before_nodes:
+                        # a structural change by a global rewriter must
+                        # keep the equilibrium iterating (review finding:
+                        # it could exit before the fixed point)
+                        changed = True
                 except Exception as e:
                     if self.failure_callback is not None:
                         self.failure_callback(e, self, [], grw, None)
@@ -912,6 +920,23 @@ class MergeOptimizer(GraphRewriter):
 
     def apply(self, fgraph):
         n_merged = 0
+        # 0. incremental fast path: constants the attached MergeFeature
+        # queued since the last pass (review finding: the queue was
+        # produced but never consumed)
+        feature = getattr(fgraph, "merge_feature", None)
+        if feature is not None and feature.scheduled:
+            for group in feature.scheduled:
+                for pairs in group:
+                    for c, other in pairs:
+                        if c in fgraph.variables and other in fgraph.variables:
+                            try:
+                                fgraph.replace_all_validate(
+                                    [(c, other)], reason="MergeOptimizer"
+                                )
+                                n_merged += 1
+                            except Exception:
+                                pass
+            feature.scheduled.clear()
         # 1. constants
         sig_map: dict = {}
         for var in list(fgraph.variables):
@@ -1090,9 +1115,11 @@ def check_stack_trace(f_or_fgraph, ops_to_check="last", bug_print="raise"):
     elif ops_to_check == "all":
         nodes = order
     elif isinstance(ops_to_check, (tuple, list)):
+        classes = tuple(o for o in ops_to_check if isinstance(o, type))
+        instances = [o for o in ops_to_check if not isinstance(o, type)]
         nodes = [n for n in order
-                 if isinstance(n.op, tuple(ops_to_check))
-                 or n.op in ops_to_check]
+                 if (classes and isinstance(n.op, classes))
+                 or n.op in instances]
     elif callable(ops_to_check):
         nodes = [n for n in order if ops_to_check(n)]
     else:

@@ -6,21 +6,9 @@ from aesara_tpu.utils import *  # noqa: F401,F403
 from aesara_tpu.utils import Scratchpad, add_tag_trace  # noqa: F401
 
 
-class MethodNotDefined(Exception):
-    """An optional Op method isn't implemented (reference name — used by
-    the C machinery; kept for except-clauses in ported code)."""
-
-
-class TestValueError(Exception):
-    """A test value is missing or inconsistent (reference name)."""
-
-
-class InconsistencyError(Exception):
-    """FunctionGraph state violated an invariant (reference name)."""
-
-
-class MissingInputError(Exception):
-    """(re-export point; the live class is graph.fg.MissingInputError)"""
-
-
-from aesara_tpu.graph.fg import MissingInputError  # noqa: E402,F401,F811
+# the classes BELOW must be the very objects the rest of the package
+# raises — re-defining them here would make except-clauses silently
+# miss (review finding)
+from aesara_tpu.utils import MethodNotDefined, TestValueError  # noqa: F401,F811
+from aesara_tpu.graph.destroyhandler import InconsistencyError  # noqa: F401
+from aesara_tpu.graph.fg import MissingInputError  # noqa: F401

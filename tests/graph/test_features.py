@@ -152,3 +152,110 @@ class TestLifecycle:
                    ][0].outputs[0]
         fg.replace(exp_out, at.tanh(x), reason="t")
         assert h.history.get(fg) in (None, [])
+
+
+class TestReviewRegressions:
+    def test_walking_out_to_in_visits_consumers_first(self):
+        import aesara_tpu.tensor as at
+        from aesara_tpu.graph.fg import FunctionGraph
+        from aesara_tpu.graph.rewriting.basic import (
+            WalkingGraphRewriter,
+            node_rewriter,
+        )
+
+        seen = []
+
+        @node_rewriter(None)
+        def recorder(fgraph, node):
+            seen.append(node)
+            return False
+
+        x = at.vector("x", dtype="float64")
+        out = at.exp(at.tanh(x))  # tanh feeds exp
+        fg = FunctionGraph([x], [out], clone=True)
+        WalkingGraphRewriter(recorder, order="out_to_in").apply(fg)
+        names = [type(n.op.scalar_op).__name__ for n in seen]
+        assert names.index("Exp") < names.index("Tanh"), names
+
+    def test_equilibrium_registers_global_rewriter_changes(self):
+        import aesara_tpu.tensor as at
+        from aesara_tpu.graph.fg import FunctionGraph
+        from aesara_tpu.graph.rewriting.basic import (
+            EquilibriumGraphRewriter,
+            GraphRewriter,
+        )
+
+        class OneShotSimplifier(GraphRewriter):
+            """Replaces exp(x) output by x once — a pure global rewriter."""
+
+            def __init__(self):
+                self.fired = 0
+
+            def add_requirements(self, fgraph):
+                from aesara_tpu.graph.features import ReplaceValidate
+
+                if not hasattr(fgraph, "replace_all_validate"):
+                    fgraph.attach_feature(ReplaceValidate())
+
+            def apply(self, fgraph):
+                if self.fired:
+                    return 0
+                for node in list(fgraph.apply_nodes):
+                    if type(getattr(node.op, "scalar_op", None)).__name__ == "Exp":
+                        fgraph.replace_all_validate(
+                            [(node.outputs[0], node.inputs[0])], reason="t"
+                        )
+                        self.fired += 1
+                        return 1
+                return 0
+
+        from aesara_tpu.graph.features import ReplaceValidate
+
+        x = at.vector("x", dtype="float64")
+        fg = FunctionGraph([x], [at.exp(x)], clone=True)
+        fg.attach_feature(ReplaceValidate())
+        rw = OneShotSimplifier()
+        eq = EquilibriumGraphRewriter([rw], max_use_ratio=10)
+        eq.apply(fg)
+        assert rw.fired == 1
+        assert fg.outputs[0].owner is None  # simplified to the input
+
+    def test_check_stack_trace_accepts_instances(self):
+        import aesara_tpu.tensor as at
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.graph.rewriting.basic import check_stack_trace
+        from aesara_tpu.tensor.math import Dot
+
+        x = at.matrix("x", dtype="float64")
+        f = function([x], at.dot(x, x.T), mode="PY")
+        # both an Op CLASS and an Op INSTANCE must work
+        check_stack_trace(f.fgraph, ops_to_check=[Dot])
+        check_stack_trace(f.fgraph, ops_to_check=[Dot()])
+
+    def test_check_integrity_detects_missing_with_stale_present(self):
+        import aesara_tpu.tensor as at
+        from aesara_tpu.graph.fg import FunctionGraph
+
+        x = at.vector("x", dtype="float64")
+        out = at.exp(x)
+        fg = FunctionGraph([x], [out], clone=False)
+        stale = at.vector("stale", dtype="float64")
+        fg.variables.add(stale)       # stale extra entry
+        fg.variables.discard(out)     # required var missing
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="missing"):
+            fg.check_integrity()
+
+    def test_exception_classes_are_shared(self):
+        from aesara_tpu.graph.utils import (
+            InconsistencyError,
+            MethodNotDefined,
+        )
+        from aesara_tpu.graph.destroyhandler import (
+            InconsistencyError as DhInconsistency,
+        )
+        from aesara_tpu.utils import MethodNotDefined as UtilsMethodNotDefined
+
+        assert MethodNotDefined is UtilsMethodNotDefined
+        assert InconsistencyError is DhInconsistency
