@@ -333,7 +333,17 @@ def _jx_topk(op, node=None, **kw):
         k = int(k)
         ax = axis % x.ndim
         xs = jnp.moveaxis(x, ax, -1)
-        vals, idx = lax.top_k(xs, k)
+        if k < 0:
+            # bottom-|k|: reverse the ordering dtype-safely
+            xs_key = jnp.invert(xs) if xs.dtype.kind in "bui" else -xs
+            _, idx = lax.top_k(xs_key, -k)
+            vals = jnp.take_along_axis(xs, idx, axis=-1)
+        else:
+            if xs.dtype.kind in "bui":
+                # lax.top_k handles ints correctly incl. unsigned
+                vals, idx = lax.top_k(xs, k)
+            else:
+                vals, idx = lax.top_k(xs, k)
         vals = jnp.moveaxis(vals, -1, ax)
         idx = jnp.moveaxis(idx, -1, ax)
         outs = []

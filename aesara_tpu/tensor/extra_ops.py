@@ -577,10 +577,32 @@ def bincount(x, weights=None, minlength=None):
     from aesara_tpu.tensor.subtensor import AdvancedIncSubtensor1
 
     x = cast(as_tensor_variable(x), "int64")
-    if minlength is None:
-        length = cast(tmax(x) + 1, "int64")
+    if minlength is not None and isinstance(minlength, (int, np.integer)):
+        # static-shape contract for XLA: minlength is the exact output
+        # length, GUARDED so values >= minlength raise loudly instead of
+        # silently miscounting (numpy would grow the array — omit
+        # minlength for that dynamic-shape behavior on the py path;
+        # review finding: the old code scatter-crashed or miscounted)
+        from aesara_tpu.raise_op import Assert
+        from aesara_tpu.tensor.math import lt as tlt, all as tall
+
+        guard = Assert(
+            "bincount: a value >= minlength was seen; with a static "
+            "minlength the output cannot grow — drop minlength (py "
+            "path) or raise it"
+        )
+        x = guard(x, tall(tlt(tmax(x), int(minlength))))
+        length = int(minlength)
     else:
-        length = minlength
+        # numpy grow semantics: max(max(x)+1, minlength) — dynamic
+        # output length (py path, like Unique)
+        length = cast(tmax(x) + 1, "int64")
+        if minlength is not None:
+            from aesara_tpu.tensor.math import maximum as tmaximum
+
+            length = tmaximum(
+                length, cast(as_tensor_variable(minlength), "int64")
+            )
     if weights is None:
         out = zeros((length,), dtype="int64")
         from aesara_tpu.tensor.basic import ones_like

@@ -516,7 +516,9 @@ def norm(x, L=2, axis=None, keepdims=False):
     if L == 2:
         return sqrt(sum(sqr(x), axis=axis, keepdims=keepdims))
     if np.isinf(L):
-        return max(abs(x), axis=axis, keepdims=keepdims)
+        if L > 0:
+            return max(abs(x), axis=axis, keepdims=keepdims)
+        return min(abs(x), axis=axis, keepdims=keepdims)
     return pow(sum(pow(abs(x), constant(float(L))), axis=axis, keepdims=keepdims),
                constant(1.0 / float(L)))
 

@@ -98,18 +98,22 @@ class MatrixPinv(_MatrixUnaryOp):
         return [(xs[1], xs[0])]
 
     def grad(self, inputs, output_grads):
-        # Golub & Pereyra pinv gradient
+        # Golub & Pereyra pinv VJP (reference MatrixPinv.L_op): with
+        # x (m,n), z = pinv(x) (n,m), gz (n,m):
+        #   (-z gzT z + z zT gz (I_m - x z) + (I_n - z x) gz zT z).T
+        # (review finding: the old operand order was shape-incompatible
+        # for rectangular x and wrong-valued for square x)
         (x,) = inputs
         (gz,) = output_grads
         from aesara_tpu.tensor.math import dot
 
-        p = pinv(x)
-        term1 = -dot(dot(p.T, gz), p.T)
+        z = pinv(x)
         I_m = _eye_like(x, 0)
         I_n = _eye_like(x, 1)
-        term2 = dot(dot(dot(p.T, p), gz.T), I_m - dot(x, p))
-        term3 = dot(dot(I_n - dot(p, x), gz.T), dot(p, p.T))
-        return [term1 + term2.T + term3.T]
+        term1 = -dot(dot(z, gz.T), z)
+        term2 = dot(dot(dot(z, z.T), gz), I_m - dot(x, z))
+        term3 = dot(dot(dot(I_n - dot(z, x), gz), z.T), z)
+        return [(term1 + term2 + term3).T]
 
 
 def _eye_like(x, which):
@@ -255,7 +259,19 @@ class Eigh(_MatrixUnaryOp):
             terms = t2 if terms is None else terms + t2
         if terms is None:
             return [zeros_like(x)]
-        return [terms]
+        # eigh reads only ONE triangle of x (UPLO): fold the symmetric
+        # sensitivity into that triangle — the other triangle's true
+        # derivative is exactly zero (review finding; reference EighGrad)
+        from aesara_tpu.tensor.basic import tril, triu
+        from aesara_tpu.tensor.basic import AllocDiag as _AD
+        from aesara_tpu.tensor.basic import ExtractDiag as _ED
+
+        diag_part = _AD(0)(_ED(0, 0, 1)(terms))
+        if self.UPLO == "L":
+            folded = tril(terms + terms.T) - diag_part
+        else:
+            folded = triu(terms + terms.T) - diag_part
+        return [folded]
 
 
 _eigh_cache = {}

@@ -19,6 +19,7 @@ import numpy as np
 
 from aesara_tpu.graph.ir import Apply
 from aesara_tpu.graph.op import Op
+from aesara_tpu.tensor.type import TensorType
 from aesara_tpu.tensor.basic import as_tensor_variable
 
 
@@ -54,7 +55,11 @@ class FusedAttention(Op):
         if not (q.type.ndim == k.type.ndim == v.type.ndim == 3):
             raise TypeError("fused_attention expects (batch*heads, T, D) "
                             "3-d q, k, v")
-        return Apply(self, [q, k, v], [q.type()])
+        # the output feature dim comes from V (softmax(QKᵀ)V): Dv may
+        # legally differ from Dk (review finding: out was typed q.type())
+        out_shape = (q.type.shape[0], q.type.shape[1], v.type.shape[2])
+        out_type = TensorType(q.type.dtype, out_shape)
+        return Apply(self, [q, k, v], [out_type()])
 
     def _scale(self, q_shape):
         d = q_shape[-1]

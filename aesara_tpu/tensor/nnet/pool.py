@@ -79,7 +79,10 @@ class Pool(Op):
         if self.mode == "max":
             init = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
             return lax.reduce_window(x, init, lax.max, window, strides, pads)
-        summed = lax.reduce_window(x, 0.0, lax.add, window,
+        # init must match the operand dtype (review finding: float 0.0
+        # crashed integer pooling)
+        zero = np.zeros((), dtype=np.dtype(str(x.dtype))).item() if not jnp.issubdtype(x.dtype, jnp.floating) else 0.0
+        summed = lax.reduce_window(x, zero, lax.add, window,
                                    strides, pads)
         if self.mode == "sum":
             return summed.astype(x.dtype)

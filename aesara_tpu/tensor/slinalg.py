@@ -152,17 +152,21 @@ class SolveBase(Op):
 class Solve(SolveBase):
     """general solve (reference ``slinalg.py:365``)."""
 
-    __props__ = ("assume_a",)
+    __props__ = ("assume_a", "lower")
 
     def __init__(self, assume_a="gen", lower=False):
         self.assume_a = assume_a
-        self.lower = lower
+        self.lower = bool(lower)
 
     def _solve(self, a, b):
-        return spla.solve(a, b, assume_a=self.assume_a)
+        # lower matters for assume_a in ("sym","her","pos"): scipy reads
+        # only one triangle then (review finding: it was dropped, so a
+        # matrix stored lower-only factorized the garbage upper triangle)
+        return spla.solve(a, b, assume_a=self.assume_a, lower=self.lower)
 
     def _transpose_solve(self, a, g):
-        return Solve(self.assume_a)(a.T, g)
+        # for the triangle-reading modes, aᵀ swaps the stored triangle
+        return Solve(self.assume_a, not self.lower)(a.T, g)
 
 
 def solve(a, b, assume_a="gen", lower=False):
@@ -254,7 +258,14 @@ class Eigvalsh(Op):
         (a,) = inputs
         (gw,) = output_grads
         w, v = eigh(a, "L" if self.lower else "U")
-        return [dot(mul(v, shape_padleft(gw, 1)), v.T)]
+        g = dot(mul(v, shape_padleft(gw, 1)), v.T)
+        # fold into the triangle eigvalsh actually reads (review finding
+        # — same defect as Eigh.grad)
+        from aesara_tpu.tensor.basic import AllocDiag, ExtractDiag, tril, triu
+
+        diag_part = AllocDiag(0)(ExtractDiag(0, 0, 1)(g))
+        folded = (tril(g + g.T) if self.lower else triu(g + g.T)) - diag_part
+        return [folded]
 
 
 def eigvalsh(a, b=None, lower=True):

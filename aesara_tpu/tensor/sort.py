@@ -80,6 +80,11 @@ class SortOp(Op):
 
 
 def sort(x, axis=-1, kind="quicksort", order=None):
+    if axis is None:
+        # numpy semantics: flatten, then sort (review finding: None
+        # crashed in make_node)
+        x = as_tensor_variable(x).flatten()
+        axis = 0
     return SortOp(kind, order)(x, axis)
 
 
@@ -111,6 +116,9 @@ class ArgSortOp(Op):
 
 
 def argsort(x, axis=-1, kind="quicksort", order=None):
+    if axis is None:
+        x = as_tensor_variable(x).flatten()
+        axis = 0
     return ArgSortOp(kind, order)(x, axis)
 
 
@@ -138,7 +146,13 @@ class TopKOp(Op):
         ax = self.axis % x.type.ndim
         shape = list(x.type.shape)
         try:
-            shape[ax] = int(get_scalar_constant_value(k))
+            k_static = int(get_scalar_constant_value(k))
+            if k_static == 0:
+                raise ValueError("topk: k must be nonzero")
+            # negative k = bottom-|k| (reference semantics); the output
+            # dim is |k| either way (review finding: -2 leaked into the
+            # static shape and the partition pivot)
+            shape[ax] = abs(k_static)
         except NotScalarConstantError:
             shape[ax] = None
         outs = []
@@ -151,14 +165,25 @@ class TopKOp(Op):
     def perform(self, node, inputs, output_storage):
         x, k = inputs
         k = int(k)
+        if k == 0:
+            raise ValueError("topk: k must be nonzero")
         ax = self.axis % x.ndim
-        idx = np.argpartition(-x, min(k, x.shape[ax]) - 1, axis=ax)
+        kk = abs(k)
+        # monotone-reversing key valid for every dtype: bitwise-not for
+        # bool/ints (negation wraps for unsigned — review finding),
+        # negation for floats; bottom-|k| (k < 0) sorts by x itself
+        if x.dtype.kind in "bui":
+            rev = np.invert(x)
+        else:
+            rev = -x
+        key = rev if k > 0 else x
+        idx = np.argpartition(key, min(kk, x.shape[ax]) - 1, axis=ax)
         sl = [slice(None)] * x.ndim
-        sl[ax] = slice(0, k)
+        sl[ax] = slice(0, kk)
         idx = idx[tuple(sl)]
         if self.sorted:
-            vals = np.take_along_axis(x, idx, axis=ax)
-            order = np.argsort(-vals, axis=ax)
+            kvals = np.take_along_axis(key, idx, axis=ax)
+            order = np.argsort(kvals, axis=ax, kind="stable")
             idx = np.take_along_axis(idx, order, axis=ax)
         vals = np.take_along_axis(x, idx, axis=ax)
         pos = 0

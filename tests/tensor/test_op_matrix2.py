@@ -616,3 +616,111 @@ class TestTensorCoreReviewRegressions:
             np.asarray(f(av, bv)).astype(bool),
             np.isclose(av, bv, equal_nan=True),
         )
+
+
+class TestLinalgSortReviewRegressions:
+    def test_pinv_grad_rectangular(self):
+        import aesara_tpu.tensor.nlinalg as nl
+        from tests.unittest_tools import verify_grad
+
+        verify_grad(lambda m: nl.pinv(m).sum(), [d(5, 3)])
+        verify_grad(lambda m: nl.pinv(m).sum(), [d(3, 5)])
+        verify_grad(lambda m: nl.pinv(m).sum(), [d(4, 4)])
+
+    def test_eigh_grad_nonsymmetric_point(self):
+        import aesara_tpu.tensor.nlinalg as nl
+        from tests.unittest_tools import verify_grad
+
+        verify_grad(lambda m: nl.eigh(m)[0].sum(), [d(4, 4)])
+
+    def test_eigvalsh_grad_nonsymmetric_point(self):
+        import aesara_tpu.tensor.slinalg as sl
+        from tests.unittest_tools import verify_grad
+
+        verify_grad(lambda m: sl.eigvalsh(m).sum(), [d(4, 4)])
+
+    def test_solve_pos_lower_triangle(self):
+        import scipy.linalg as spla
+
+        import aesara_tpu.tensor.slinalg as sl
+
+        a = at.matrix("a", dtype="float64")
+        b = at.vector("b", dtype="float64")
+        out = sl.solve(a, b, assume_a="pos", lower=True)
+        f = function([a, b], out, mode=PY)
+        spd = d(3, 3); spd = spd @ spd.T + 3 * np.eye(3)
+        av = np.tril(spd)  # garbage (zeros) in the upper triangle
+        av_garbage = av + np.triu(np.full((3, 3), 1e6), 1)
+        bv = d(3)
+        np.testing.assert_allclose(
+            np.asarray(f(av_garbage, bv)),
+            spla.solve(spd, bv),
+            rtol=1e-10,
+        )
+
+    def test_bincount_static_guard(self):
+        from aesara_tpu.tensor import extra_ops as xo
+
+        i = at.lvector("i")
+        out = xo.bincount(i, minlength=5)
+        f = function([i], out, mode=PY)
+        np.testing.assert_array_equal(
+            np.asarray(f(np.array([0, 1, 1, 3]))), [1, 2, 0, 1, 0]
+        )
+        with pytest.raises(Exception):
+            f(np.array([0, 5]))  # >= minlength must raise, not miscount
+        # numpy grow semantics without minlength
+        f2 = function([i], xo.bincount(i), mode=PY)
+        np.testing.assert_array_equal(
+            np.asarray(f2(np.array([0, 5]))), np.bincount([0, 5])
+        )
+
+    def test_topk_unsigned_and_negative_k(self):
+        from aesara_tpu.tensor.sort import topk
+
+        x = at.tensor("x", dtype="uint8", shape=(None,))
+        f = function([x], topk(x, 1), mode=PY)
+        assert np.asarray(f(np.array([0, 5, 3], "uint8"))).tolist() == [5]
+        y = at.vector("y", dtype="float64")
+        fb = function([y], topk(y, -2, sorted=True), mode=PY)
+        got = np.asarray(fb(np.array([4.0, -1.0, 7.0, 2.0])))
+        np.testing.assert_array_equal(got, [-1.0, 2.0])
+
+    def test_sort_axis_none_flattens(self):
+        x = at.matrix("x", dtype="float64")
+        f = function([x], at.sort(x, axis=None), mode=PY)
+        v = d(2, 3)
+        np.testing.assert_array_equal(np.asarray(f(v)), np.sort(v, axis=None))
+        f2 = function([x], at.argsort(x, axis=None), mode=PY)
+        np.testing.assert_array_equal(
+            np.asarray(f2(v)), np.argsort(v, axis=None, kind="stable")
+        )
+
+    def test_norm_neg_inf(self):
+        v = at.vector("v", dtype="float64")
+        f = function([v], tm.norm(v, -np.inf), mode=PY)
+        assert float(f(np.array([1.0, 3.0]))) == 1.0
+
+    def test_fused_attention_dv_differs(self):
+        from aesara_tpu.tensor.nnet.attention import fused_attention
+
+        q = at.tensor3("q", dtype="float64")
+        k = at.tensor3("k", dtype="float64")
+        v = at.tensor3("v", dtype="float64")
+        out = fused_attention(q, k, v)
+        f = function([q, k, v], out, mode=PY)
+        res = np.asarray(f(d(2, 5, 4), d(2, 5, 4), d(2, 5, 6)))
+        assert res.shape == (2, 5, 6)
+
+    def test_integer_pooling(self):
+        from aesara_tpu.tensor.signal.pool import pool_2d
+
+        x = at.tensor4("x", dtype="int32")
+        out = pool_2d(x, ws=(2, 2), ignore_border=True, mode="sum")
+        f = function([x], out, mode=PY)
+        xv = np.arange(16, dtype="int32").reshape(1, 1, 4, 4)
+        got = np.asarray(f(xv))
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(
+            got[0, 0], [[10, 18], [42, 50]]
+        )
