@@ -127,10 +127,21 @@ def _jx_chol(op, node=None, **kw):
 @jax_funcify.register(sl.Solve)
 def _jx_solve(op, node=None, **kw):
     assume_a = op.assume_a
+    lower = getattr(op, "lower", False)
 
     def solve(a, b):
         if assume_a in ("sym", "pos", "her"):
-            return jax.scipy.linalg.solve(a, b, assume_a=assume_a)
+            # jax.scipy.linalg.solve has no lower kwarg: symmetrize from
+            # the declared triangle so only that triangle is read
+            at_ = jnp.tril(a) if lower else jnp.triu(a)
+            sym = at_ + jnp.swapaxes(at_, -1, -2) - (
+                at_ * jnp.eye(a.shape[-1], dtype=a.dtype)
+            )
+            if assume_a == "her":
+                sym = jnp.conj(jnp.swapaxes(at_, -1, -2)) + at_ - (
+                    at_ * jnp.eye(a.shape[-1], dtype=a.dtype)
+                )
+            return jax.scipy.linalg.solve(sym, b, assume_a=assume_a)
         return jnp.linalg.solve(a, b)
 
     return solve
