@@ -110,11 +110,12 @@ class _Config:
     def change_flags(self, **kwargs):
         """Temporarily override flags (reference ``configparser.py:33``).
         Usable as context manager or decorator via ``.change_flags(...)``."""
+        for k in kwargs:
+            if k not in self._params:
+                raise AttributeError(f"unknown config flag {k!r}")
         old = {k: self._values[k] for k in kwargs}
         try:
             for k, v in kwargs.items():
-                if k not in self._params:
-                    raise AttributeError(f"unknown config flag {k!r}")
                 self._set_unchecked(k, v)
             yield
         finally:
@@ -238,6 +239,9 @@ def _load_rc_files() -> None:
         os.environ.get("AESARA_TPU_RC", ""),
     ]
     cp = _ini.ConfigParser()
+    # preserve case: ConfigParser lowercases option names by default,
+    # silently dropping flags like floatX (review finding)
+    cp.optionxform = str
     cp.read([p for p in paths if p])
     for section in cp.sections():
         for key, val in cp.items(section):
@@ -245,8 +249,10 @@ def _load_rc_files() -> None:
             if name in config._params:
                 try:
                     config._set_unchecked(name, val)
-                except ValueError:
-                    pass
+                except ValueError as e:
+                    warnings.warn(f"rc file: invalid value for {name}: {e}")
+            else:
+                warnings.warn(f"rc file: unknown config flag {name!r}")
 
 
 def _load_env_flags() -> None:

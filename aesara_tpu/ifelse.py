@@ -207,14 +207,25 @@ def cond_merge_ifs_true(fgraph, node):
     """Merge two IfElse nodes sharing the same condition: route the
     second's outputs through the first (reference ``cond_merge_ifs_*``).
     One unified pass here since branches are symmetric under lax.cond."""
+    from aesara_tpu.graph.ir import ancestors
+
     cond = node.inputs[0]
     for other_out, _ in list(fgraph.clients.get(cond, [])):
         if other_out == "output" or other_out is node:
             continue
         other = other_out
-        if (isinstance(getattr(other, "op", None), IfElse)
-                and other.inputs[0] is cond and other is not node
-                and not any(o in fgraph.outputs for o in ())):
+        if not (isinstance(getattr(other, "op", None), IfElse)
+                and other.inputs[0] is cond and other is not node):
+            continue
+        # the two nodes must be data-INDEPENDENT: if either consumes the
+        # other's outputs, merging creates a cycle (review finding —
+        # the old guard iterated an empty tuple and was vacuously true)
+        node_outs = set(node.outputs)
+        other_outs = set(other.outputs)
+        if (node_outs & set(ancestors(list(other.inputs)))
+                or other_outs & set(ancestors(list(node.inputs)))):
+            continue
+        if True:
             n1, n2 = node.op.n_outs, other.op.n_outs
             new_op = IfElse(n1 + n2)
             new_ins = ([cond] + node.inputs[1:1 + n1] + other.inputs[1:1 + n2]

@@ -32,6 +32,7 @@ def debugprint(
     print_destroy_map: bool = False,
     print_view_map: bool = False,
     print_fgraph_inputs: bool = False,
+    _ids_out=None,
 ):
     """Text dump of a graph, one line per Apply/Variable, children indented
     (reference ``printing.py:116``)."""
@@ -61,7 +62,7 @@ def debugprint(
 
     _file = file if file not in (None, "str") else (sys.stdout if file is None else None)
     lines: list = []
-    ids: dict = {}
+    ids: dict = {} if _ids_out is None else _ids_out
 
     def get_id(obj) -> str:
         if id_type == "":
@@ -156,16 +157,18 @@ dprint = debugprint
 
 
 def char_from_number(number: int) -> str:
-    """0→A, 1→B, ..., 26→AA (reference helper)."""
+    """0→A, 1→B, ..., 26→AB (the reference appends least-significant
+    digit FIRST — ``aesara/printing.py char_from_number``; review
+    finding: the reversed order diverged from the 27th id onward)."""
     base = 26
-    digits = []
     number = int(number)
-    while True:
+    if number == 0:
+        return "A"
+    rval = ""
+    while number != 0:
         number, rem = divmod(number, base)
-        digits.append(chr(ord("A") + rem))
-        if number == 0:
-            break
-    return "".join(reversed(digits))
+        rval = rval + chr(ord("A") + rem)
+    return rval
 
 
 # ---------------------------------------------------------------------------
@@ -461,16 +464,23 @@ def min_informative_str(obj, indent_level: int = 0, _prev=None) -> str:
 
 
 def get_node_by_id(f_or_fgraph, node_id: str):
-    """Find a node by its debugprint id (reference ``get_node_by_id``)."""
+    """Find the object labeled ``[id <node_id>]`` by debugprint.
+
+    Ids are assigned in debugprint's own render order (review finding:
+    a toposort-order lookup returned the wrong node), so this re-runs
+    the same walk and matches the label exactly.  Returns the Apply
+    node that produces the labeled variable (or the variable itself for
+    graph inputs)."""
     fgraph = getattr(getattr(f_or_fgraph, "maker", None), "fgraph", f_or_fgraph)
-    for i, node in enumerate(fgraph.toposort()):
-        if _letter_id(i) == node_id or str(i) == str(node_id):
-            return node
+    roots = getattr(fgraph, "outputs", fgraph)
+    ids: dict = {}
+    debugprint(roots, file="str", _ids_out=ids)
+    targets = (f" [id {node_id}]",)
+    for obj, tag in ids.items():
+        if tag in targets:
+            owner = getattr(obj, "owner", None)
+            return owner if owner is not None else obj
     return None
-
-
-def _letter_id(i):
-    return char_from_number(i)
 
 
 def op_debug_information(op, node) -> str:

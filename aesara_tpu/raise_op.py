@@ -34,9 +34,8 @@ class CheckAndRaise(Op):
     def make_node(self, value, *conds):
         value = as_tensor_variable(value)
         conds = [as_tensor_variable(c) for c in conds]
-        for c in conds:
-            if c.type.ndim != 0:
-                raise TypeError("assert conditions must be scalars")
+        # array conditions reduce with all() — reference semantics
+        # (review finding: non-scalars were rejected at build time)
         return Apply(self, [value] + conds, [value.type()])
 
     def perform(self, node, inputs, output_storage):

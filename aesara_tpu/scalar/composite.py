@@ -139,21 +139,43 @@ class Compositef32(Composite):
 
     @classmethod
     def from_composite(cls, comp: "Composite") -> "Compositef32":
-        from aesara_tpu.graph.ir import clone_replace
-        from aesara_tpu.scalar.ops import ScalarType, cast_to
+        """Rebuild the inner graph so the MATH runs in float32 — the ops
+        are re-applied on narrowed inputs and re-infer f32 output dtypes
+        (review finding: substituting inputs and casting back up kept
+        every inner op in float64)."""
+        import numpy as np
 
-        new_inputs = [
-            ScalarType("float32")() if i.type.dtype == "float64" else i.clone()
-            for i in comp.inputs
-        ]
-        replace = {
-            old: (cast_to(new, "float64") if old.type.dtype == "float64"
-                  and new.type.dtype == "float32" else new)
-            for old, new in zip(comp.inputs, new_inputs)
-        }
-        new_outputs = clone_replace(comp.outputs, replace=replace)
-        new_outputs = [
-            cast_to(o, "float32") if o.type.dtype == "float64" else o
-            for o in new_outputs
-        ]
+        from aesara_tpu import scalar as aes
+        from aesara_tpu.graph.ir import Constant, io_toposort
+        from aesara_tpu.scalar.ops import ScalarConstant, ScalarType
+
+        mapping: dict = {}
+        new_inputs = []
+        for i in comp.inputs:
+            ni = (ScalarType("float32")() if i.type.dtype == "float64"
+                  else i.clone())
+            mapping[i] = ni
+            new_inputs.append(ni)
+        for node in io_toposort(comp.inputs, comp.outputs):
+            args = []
+            for inp in node.inputs:
+                if inp in mapping:
+                    args.append(mapping[inp])
+                elif isinstance(inp, Constant):
+                    if inp.type.dtype == "float64":
+                        args.append(ScalarConstant(
+                            ScalarType("float32"), np.float32(inp.data)
+                        ))
+                    else:
+                        args.append(inp)
+                else:
+                    args.append(inp)
+            op = node.op
+            if isinstance(op, aes.ops.Cast) and op.o_type.dtype == "float64":
+                op = aes.ops.Cast(ScalarType("float32"))
+            res = op(*args)
+            res_list = res if isinstance(res, list) else [res]
+            for old, new in zip(node.outputs, res_list):
+                mapping[old] = new
+        new_outputs = [mapping[o] for o in comp.outputs]
         return cls(new_inputs, new_outputs, name=comp.name + "_f32")

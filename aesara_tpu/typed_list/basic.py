@@ -23,19 +23,36 @@ def _as_list_variable(x):
 class GetItem(Op):
     __props__ = ()
     view_map = {0: [0]}
+    __props__ = ("static_slice",)
 
-    def make_node(self, x, index):
+    def __init__(self, static_slice=None):
+        # (start, stop, step) of a python slice, or None for int indexing
+        self.static_slice = static_slice
+
+    def make_node(self, x, index=None):
         x = _as_list_variable(x)
         from aesara_tpu.tensor.basic import as_tensor_variable, cast
 
         if isinstance(index, slice):
-            return Apply(self, [x], [x.type()])  # static full slice only
+            for part in (index.start, index.stop, index.step):
+                if part is not None and not isinstance(part, (int,)):
+                    raise TypeError(
+                        "typed-list slices must have static int bounds"
+                    )
+            op = GetItem(
+                static_slice=(index.start, index.stop, index.step)
+            )
+            return Apply(op, [x], [x.type()])
+        if self.static_slice is not None and index is None:
+            return Apply(self, [x], [x.type()])
         index = cast(as_tensor_variable(index), "int64")
         return Apply(self, [x, index], [x.type.ttype()])
 
     def perform(self, node, inputs, output_storage):
         if len(inputs) == 1:
-            output_storage[0][0] = list(inputs[0])
+            # review finding: slice bounds were discarded (every sliced
+            # read returned the whole list)
+            output_storage[0][0] = list(inputs[0])[slice(*self.static_slice)]
         else:
             output_storage[0][0] = inputs[0][int(inputs[1])]
 
@@ -204,39 +221,10 @@ def make_list(elems):
     return MakeList()(*elems)
 
 
-class TypedListVariable(Variable):
-    """Variable of a TypedListType (reference name; operator sugar)."""
-
-    def __getitem__(self, index):
-        return getitem(self, index)
-
-    def __len__(self):
-        raise TypeError("use typed_list.length(x) for the symbolic length")
-
-    def append(self, new):
-        return append(self, new)
-
-    def extend(self, other):
-        return extend(self, other)
-
-    def insert(self, index, new):
-        return insert(self, index, new)
-
-    def remove(self, v):
-        return remove(self, v)
-
-    def reverse(self):
-        return reverse(self)
-
-    def count(self, v):
-        return count(self, v)
-
-    def index(self, v):
-        return index_(self, v)
-
-
-class TypedListConstant(TypedListVariable, Constant):
-    pass
+from aesara_tpu.typed_list.type import (  # noqa: E402  (single definition)
+    TypedListConstant,
+    TypedListVariable,
+)
 
 
 class Index(Op):
@@ -248,6 +236,7 @@ class Index(Op):
         from aesara_tpu.tensor.type import TensorType
 
         lst = _as_list_variable(lst)
+        e = lst.type.ttype.filter_variable(e, allow_convert=True)
         return Apply(self, [lst, e], [TensorType("int64", ())()])
 
     def perform(self, node, inputs, output_storage):
@@ -263,11 +252,7 @@ def index_(x, elem):
     return Index()(x, elem)
 
 
-# wire variable/constant types onto TypedListType
-from aesara_tpu.typed_list.type import TypedListType as _TLT  # noqa: E402
 
-_TLT.variable_type = TypedListVariable
-_TLT.constant_type = TypedListConstant
 
 
 #: reference helper name

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from aesara_tpu.graph.ir import Type, Variable
+from aesara_tpu.graph.ir import Constant, Type, Variable
 
 
 class TypedListType(Type):
@@ -39,10 +39,19 @@ class TypedListType(Type):
 
 
 class TypedListVariable(Variable):
+    """Variable of a TypedListType (reference name; full operator
+    sugar).  Method bodies lazy-import the ops to avoid the
+    type↔ops circular import — this is the ONE definition; basic.py
+    re-exports it (review finding: a weaker duplicate used to be
+    silently shadowed depending on import order)."""
+
     def __getitem__(self, index):
         from aesara_tpu.typed_list.basic import getitem
 
         return getitem(self, index)
+
+    def __len__(self):
+        raise TypeError("use typed_list.length(x) for the symbolic length")
 
     def append(self, elem):
         from aesara_tpu.typed_list.basic import append
@@ -54,5 +63,35 @@ class TypedListVariable(Variable):
 
         return extend(self, other)
 
+    def insert(self, index, new):
+        from aesara_tpu.typed_list.basic import insert
+
+        return insert(self, index, new)
+
+    def remove(self, v):
+        from aesara_tpu.typed_list.basic import remove
+
+        return remove(self, v)
+
+    def reverse(self):
+        from aesara_tpu.typed_list.basic import reverse
+
+        return reverse(self)
+
+    def count(self, v):
+        from aesara_tpu.typed_list.basic import count
+
+        return count(self, v)
+
+    def index(self, v):
+        from aesara_tpu.typed_list.basic import index_
+
+        return index_(self, v)
+
+
+class TypedListConstant(TypedListVariable, Constant):
+    pass
+
 
 TypedListType.variable_type = TypedListVariable
+TypedListType.constant_type = TypedListConstant
