@@ -344,16 +344,20 @@ def _make_prefixed():
             "row": None, "col": None}
     for prefix, dt in _prefix_dtypes.items():
         for bname, nd in base.items():
-            def ctor(name=None, *, _dt=dt, _nd=nd, _bn=bname):
-                if _bn == "row":
-                    return TensorType(_dt, (1, None))(name)
-                if _bn == "col":
-                    return TensorType(_dt, (None, 1))(name)
-                return TensorType(_dt, (None,) * _nd)(name)
+            # reference parity: the prefixed constructors (dvector,
+            # fmatrix, iscalar, ...) are TensorType INSTANCES — calling
+            # one makes a variable (Type.__call__), and they double as
+            # type objects for as_op(itypes=[at.dvector]) etc.
+            if bname == "row":
+                inst = TensorType(dt, (1, None))
+            elif bname == "col":
+                inst = TensorType(dt, (None, 1))
+            else:
+                inst = TensorType(dt, (None,) * nd)
 
             plural = f"{bname[:-1]}ces" if bname == "matrix" else f"{bname}s"
-            g[f"{prefix}{bname}"] = ctor
-            g[f"{prefix}{plural}"] = _multi(ctor)
+            g[f"{prefix}{bname}"] = inst
+            g[f"{prefix}{plural}"] = _multi(inst)
             __all__.extend([f"{prefix}{bname}", f"{prefix}{plural}"])
     # plural forms of the plain constructors
     for bname in ("tensor3", "tensor4", "tensor5"):

@@ -168,3 +168,39 @@ class TestSharding:
         assert c.sharding == ("data", None)
         c2 = t.clone(sharding=(None, "model"))
         assert c2.sharding == (None, "model")
+
+
+class TestPrefixedConstructorsAreTypes:
+    def test_instances_are_types_and_callable(self):
+        import aesara_tpu.tensor as at
+        from aesara_tpu.tensor.type import TensorType
+
+        # reference parity: at.dvector IS a TensorType instance
+        assert isinstance(at.dvector, TensorType)
+        assert at.dvector.dtype == "float64" and at.dvector.ndim == 1
+        v = at.dvector("v")
+        assert v.type == at.dvector
+        assert at.fmatrix.dtype == "float32" and at.fmatrix.ndim == 2
+        assert at.drow.shape == (1, None)
+        assert at.dcol.shape == (None, 1)
+
+    def test_as_op_accepts_them_directly(self):
+        import numpy as np
+
+        import aesara_tpu as atp
+        import aesara_tpu.tensor as at
+        from aesara_tpu.compile.ops import as_op
+
+        @as_op(itypes=[at.dvector], otypes=[at.dvector])
+        def double(v):
+            return np.asarray(v) * 2
+
+        x = at.dvector("x")
+        f = atp.function([x], double(x), mode="PY")
+        np.testing.assert_allclose(np.asarray(f(np.ones(3))), 2.0)
+
+    def test_plurals_still_build_lists(self):
+        import aesara_tpu.tensor as at
+
+        a, b = at.dvectors("a", "b")
+        assert a.name == "a" and b.type.dtype == "float64"
