@@ -344,20 +344,71 @@ def Lop(f, wrt, eval_points, consider_constant=None, disconnected_inputs="raise"
     )
 
 
-def Rop(f, wrt, eval_points, disconnected_outputs="raise"):
-    """R-operator: (df/dx) v via the Lop-of-Lop construction
-    (reference ``gradient.py:160`` uses per-op R_op; the double-backward
-    trick is algebraically identical and needs no per-op forward rules)."""
+def _rop_via_op_rop(fs, wrts, evs):
+    """Forward-mode traversal calling each ``Op.R_op`` (the reference's
+    Rop mechanism, ``gradient.py:160``): walk input→output propagating
+    tangents; ops touched by no tangent are skipped."""
+    tangents: dict = {}
+    for w, ev in zip(wrts, evs):
+        if not (isinstance(ev, Variable) and ev.type == w.type):
+            ev = w.type.filter_variable(ev, allow_convert=True)
+        tangents[w] = ev
+    for node in io_toposort(graph_inputs(fs), fs):
+        if not any(i in tangents for i in node.inputs):
+            continue
+        eval_points = [tangents.get(i) for i in node.inputs]
+        try:
+            rops = node.op.R_op(node.inputs, eval_points)
+        except NotImplementedError as e:
+            raise NotImplementedError(
+                f"{node.op} has no R_op rule (forward mode); use the "
+                f"default double-backward Rop (use_op_rop=False)"
+            ) from e
+        for out, r in zip(node.outputs, rops):
+            if r is not None:
+                tangents[out] = out.type.filter_variable(
+                    r, allow_convert=True
+                )
+    return [tangents.get(f) for f in fs]  # None = disconnected
+
+
+def Rop(f, wrt, eval_points, disconnected_outputs="raise",
+        use_op_rop=False):
+    """R-operator: (df/dx) v.
+
+    Default: the Lop-of-Lop ("double-backward") construction — it is
+    algebraically identical to forward mode and needs no per-op rules.
+    ``use_op_rop=True`` instead walks the graph forward calling each
+    ``Op.R_op`` (the reference's mechanism), including a native
+    forward-mode Scan."""
     single = not isinstance(f, (list, tuple))
     fs = [f] if single else list(f)
     wrts = [wrt] if not isinstance(wrt, (list, tuple)) else list(wrt)
     evs = [eval_points] if not isinstance(eval_points, (list, tuple)) else list(eval_points)
 
-    # dummy cotangents u, one per output
     if len(evs) != len(wrts):
         raise ValueError(
             f"Rop: {len(wrts)} wrt variables but {len(evs)} eval points"
         )
+
+    if use_op_rop:
+        results = _rop_via_op_rop(fs, wrts, evs)
+        for i, (fi, r) in enumerate(zip(fs, results)):
+            if r is None:  # output untouched by any tangent
+                if disconnected_outputs == "raise":
+                    raise DisconnectedInputError(
+                        f"Rop: output {fi} is not connected to any wrt"
+                    )
+                if disconnected_outputs == "warn":
+                    warnings.warn(
+                        f"Rop: output {fi} is not connected to any wrt"
+                    )
+                from aesara_tpu.tensor.basic import zeros_like as _zl
+
+                results[i] = _zl(fi)
+        return results[0] if single else results
+
+    # dummy cotangents u, one per output
     us = []
     for fi in fs:
         u = fi.type()

@@ -286,6 +286,11 @@ class Alloc(Op):
             gv = specify_shape(gv, value.type.shape)
         return [gv] + grads
 
+
+    def R_op(self, inputs, eval_points):
+        if eval_points[0] is None:
+            return [None]
+        return [self.make_node(eval_points[0], *inputs[1:]).outputs[0]]
     def do_constant_folding(self, fgraph, node):
         # folding Allocs materializes big arrays; only fold when consumed
         # by ops that need the value (reference heuristic)
@@ -546,6 +551,17 @@ class Join(Op):
         return rval + out
 
 
+    def R_op(self, inputs, eval_points):
+        # linear in every tensor input: join the tangents
+        from aesara_tpu.tensor.basic import zeros_like
+
+        evs = eval_points[1:]
+        if all(e is None for e in evs):
+            return [None]
+        evs = [zeros_like(t) if e is None else e
+               for e, t in zip(evs, inputs[1:])]
+        return [self.make_node(inputs[0], *evs).outputs[0]]
+
 join_ = Join()
 
 
@@ -666,6 +682,11 @@ class Split(Op):
             DisconnectedType()(),
         ]
 
+
+    def R_op(self, inputs, eval_points):
+        if eval_points[0] is None:
+            return [None] * self.len_splits
+        return self.make_node(eval_points[0], *inputs[1:]).outputs
     def connection_pattern(self, node):
         return [[True] * self.len_splits, [False] * self.len_splits,
                 [False] * self.len_splits]

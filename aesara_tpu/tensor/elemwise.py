@@ -356,6 +356,35 @@ class Elemwise(Op):
         return True
 
 
+    def R_op(self, inputs, eval_points):
+        """JVP of a pointwise op: sum_i (df/dx_i) * t_i, with the
+        partials obtained from L_op under a unit cotangent."""
+        if all(ev is None for ev in eval_points):
+            return [None] * len(self(*inputs, return_list=True))
+        outputs = self(*inputs, return_list=True)
+        if len(outputs) != 1:
+            raise NotImplementedError(
+                "R_op for multi-output Elemwise is not implemented"
+            )
+        from aesara_tpu.tensor.basic import ones_like
+
+        partials = self.L_op(inputs, outputs, [ones_like(outputs[0])])
+        total = None
+        for pd, ev in zip(partials, eval_points):
+            if ev is None or pd is None:
+                continue
+            tname = type(getattr(pd, "type", None)).__name__
+            if tname in ("DisconnectedType",):
+                continue
+            if tname in ("NullType",):
+                raise NotImplementedError(
+                    f"R_op through non-differentiable input of {self}"
+                )
+            term = pd * ev
+            total = term if total is None else total + term
+        return [total]
+
+
 class CAReduce(Op):
     """Reduce along axes with a commutative/associative ScalarOp
     (reference ``elemwise.py:1221``).  Sum/Prod/Max/Min/All/Any are built

@@ -49,6 +49,9 @@ class Shape(Op):
         return [DisconnectedType()()]
 
 
+    def R_op(self, inputs, eval_points):
+        return [None]  # integer output: no tangent
+
 _shape_op = Shape()
 
 
@@ -101,6 +104,9 @@ class Shape_i(Op):
 
         return [DisconnectedType()()]
 
+
+    def R_op(self, inputs, eval_points):
+        return [None]  # integer output: no tangent
     def __str__(self):
         return f"Shape_i{{{self.i}}}"
 
@@ -195,6 +201,12 @@ class SpecifyShape(Op):
         (gz,) = output_grads
         return [gz] + [DisconnectedType()() for _ in inputs[1:]]
 
+
+    def R_op(self, inputs, eval_points):
+        # linear in the data input: re-apply on the tangent
+        if eval_points[0] is None:
+            return [None]
+        return self.make_node(eval_points[0], *inputs[1:]).outputs
 
 _specify_shape = SpecifyShape()
 
@@ -297,6 +309,12 @@ class Reshape(Op):
         (gz,) = output_grads
         return [reshape(gz, shape(x), ndim=x.type.ndim), DisconnectedType()()]
 
+
+    def R_op(self, inputs, eval_points):
+        # linear in the data input: re-apply on the tangent
+        if eval_points[0] is None:
+            return [None]
+        return self.make_node(eval_points[0], *inputs[1:]).outputs
     def __str__(self):
         return f"Reshape{{{self.ndim}}}"
 
@@ -374,6 +392,11 @@ class Unbroadcast(Op):
         (gz,) = output_grads
         return [specify_shape(gz, x.type.shape)]
 
+
+    def R_op(self, inputs, eval_points):
+        if eval_points[0] is None:
+            return [None]
+        return self.make_node(eval_points[0]).outputs
 
 def unbroadcast(x, *axes):
     from aesara_tpu.tensor.basic import as_tensor_variable

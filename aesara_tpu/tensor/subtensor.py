@@ -191,6 +191,12 @@ class Subtensor(Op):
         gx = IncSubtensor(self.idx_list)(zeros_like(x), gz, *index_inputs)
         return [gx] + rest
 
+
+    def R_op(self, inputs, eval_points):
+        # gather is linear: gather the tangent
+        if eval_points[0] is None:
+            return [None]
+        return self.make_node(eval_points[0], *inputs[1:]).outputs
     def __str__(self):
         parts = []
         for e in self.idx_list:
@@ -298,6 +304,17 @@ class IncSubtensor(Op):
             gx = gz
         return [gx, gy] + rest
 
+
+    def R_op(self, inputs, eval_points):
+        # linear in (x, y): apply to the tangents (None -> zeros)
+        from aesara_tpu.tensor.basic import zeros_like
+
+        ex, ey = eval_points[0], eval_points[1]
+        if ex is None and ey is None:
+            return [None]
+        ex = zeros_like(inputs[0]) if ex is None else ex
+        ey = zeros_like(inputs[1]) if ey is None else ey
+        return [self.make_node(ex, ey, *inputs[2:]).outputs[0]]
     def __str__(self):
         verb = "Set" if self.set_instead_of_inc else "Inc"
         inner = Subtensor(self.idx_list).__str__()
@@ -425,6 +442,12 @@ class AdvancedSubtensor1(Op):
             gx = AdvancedIncSubtensor1()(zeros_like(x), gz, ilist)
         return [gx, DisconnectedType()()]
 
+
+    def R_op(self, inputs, eval_points):
+        # gather is linear: gather the tangent
+        if eval_points[0] is None:
+            return [None]
+        return self.make_node(eval_points[0], *inputs[1:]).outputs
     def __str__(self):
         return "AdvancedSubtensor1"
 
@@ -480,6 +503,17 @@ class AdvancedIncSubtensor1(Op):
             gx = gz
         return [gx, gy, DisconnectedType()()]
 
+
+    def R_op(self, inputs, eval_points):
+        # linear in (x, y): apply to the tangents (None -> zeros)
+        from aesara_tpu.tensor.basic import zeros_like
+
+        ex, ey = eval_points[0], eval_points[1]
+        if ex is None and ey is None:
+            return [None]
+        ex = zeros_like(inputs[0]) if ex is None else ex
+        ey = zeros_like(inputs[1]) if ey is None else ey
+        return [self.make_node(ex, ey, *inputs[2:]).outputs[0]]
     def __str__(self):
         verb = "Set" if self.set_instead_of_inc else "Inc"
         return f"Advanced{verb}Subtensor1"
@@ -531,6 +565,12 @@ class AdvancedSubtensor(Op):
         gx = AdvancedIncSubtensor(self.idx_list)(zeros_like(x), gz, *idx_inputs)
         return [gx] + [DisconnectedType()() for _ in idx_inputs]
 
+
+    def R_op(self, inputs, eval_points):
+        # gather is linear: gather the tangent
+        if eval_points[0] is None:
+            return [None]
+        return self.make_node(eval_points[0], *inputs[1:]).outputs
     def __str__(self):
         return "AdvancedSubtensor"
 

@@ -214,3 +214,92 @@ def test_numeric_grad_max_err_contract():
     assert abs_err > 1.0 and rel_err > 0.1
     with pytest.raises(ValueError):
         ng.max_err([good[0]], 1e-5, 1e-5)
+
+
+class TestOpLevelRop:
+    """``Rop(..., use_op_rop=True)`` — the reference's per-op forward-mode
+    traversal (ref ``gradient.py:160`` Rop / ``scan/op.py:3131`` Scan.R_op)
+    must agree with the default double-backward construction."""
+
+    def _agree(self, out, wrt, ins, vals):
+        import aesara_tpu as atp
+
+        v = [w.type() for w in ([wrt] if not isinstance(wrt, list) else wrt)]
+        wrts = [wrt] if not isinstance(wrt, list) else wrt
+        r1 = Rop(out, wrts if len(wrts) > 1 else wrts[0],
+                 v if len(v) > 1 else v[0])
+        r2 = Rop(out, wrts if len(wrts) > 1 else wrts[0],
+                 v if len(v) > 1 else v[0], use_op_rop=True)
+        f = atp.function(ins + v, [r1, r2])
+        tangents = [np.random.default_rng(0).standard_normal(np.shape(x))
+                    for x in vals[: len(v)]]
+        a, b = f(*(list(vals) + tangents))
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-6), (a, b)
+
+    def test_elemwise_chain(self):
+        x = at.vector("x")
+        y = (at.tanh(x) * 2.0 + x ** 2).sum()
+        self._agree(y, x, [x], [np.linspace(-1, 1, 7)])
+
+    def test_subtensor_join(self):
+        x = at.vector("x")
+        y = at.join(0, x[1:], x[:2]).sum() + x[0] * 3.0
+        self._agree(y, x, [x], [np.arange(5.0)])
+
+    def test_inc_subtensor(self):
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        x = at.vector("x")
+        y = set_subtensor(x[1:3], x[0:2] * 2.0).sum()
+        self._agree(y, x, [x], [np.arange(5.0)])
+
+    def test_through_scan_sitsot(self):
+        from aesara_tpu.scan import scan
+
+        s = at.vector("s")
+        outs, _ = scan(
+            fn=lambda a, acc: acc * at.tanh(a),
+            sequences=[s],
+            outputs_info=[at.as_tensor_variable(np.float64(1.0))],
+        )
+        self._agree(outs[-1], s, [s], [np.linspace(0.2, 1.0, 5)])
+
+    def test_through_scan_nitsot(self):
+        from aesara_tpu.scan import scan
+
+        s = at.vector("s")
+        outs, _ = scan(fn=lambda a: a * a + 1.0, sequences=[s])
+        self._agree(outs.sum(), s, [s], [np.linspace(-1, 1, 4)])
+
+    def test_unimplemented_raises(self):
+        from aesara_tpu.tensor.sort import argsort
+
+        x = at.vector("x")
+        y = argsort(x)  # integer output; sort path has no R_op rule
+        with pytest.raises(NotImplementedError):
+            Rop(x[argsort(x)].sum(), x, x.type(), use_op_rop=True)
+
+    def test_dot_and_dimshuffle(self):
+        x = at.matrix("x")
+        w = at.matrix("w")
+        y = at.dot(x, w.T).sum()
+        import aesara_tpu as atp
+
+        vx, vw = at.matrix("vx"), at.matrix("vw")
+        r1 = Rop(y, [x, w], [vx, vw])
+        r2 = Rop(y, [x, w], [vx, vw], use_op_rop=True)
+        f = atp.function([x, w, vx, vw], [r1, r2])
+        rng = np.random.default_rng(1)
+        args = [rng.standard_normal((3, 4)).astype("float32") for _ in range(4)]
+        a, b = f(*args)
+        assert np.allclose(a, b, rtol=1e-5)
+
+    def test_disconnected_output_policy(self):
+        x = at.vector("x")
+        z = at.vector("z")
+        with pytest.raises(Exception):
+            Rop(z.sum(), x, x.type(), use_op_rop=True,
+                disconnected_outputs="raise")
+        r = Rop(z.sum(), x, x.type(), use_op_rop=True,
+                disconnected_outputs="ignore")
+        assert r is not None
