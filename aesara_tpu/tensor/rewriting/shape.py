@@ -21,7 +21,12 @@ import warnings
 
 import numpy as np
 
-from aesara_tpu.compile.mode import optdb, register_canonicalize, register_useless
+from aesara_tpu.compile.mode import (
+    optdb,
+    register_canonicalize,
+    register_specialize,
+    register_useless,
+)
 from aesara_tpu.config import config
 from aesara_tpu.graph.features import AlreadyThere, Feature
 from aesara_tpu.graph.ir import Constant, equal_computations
@@ -100,14 +105,27 @@ register_canonicalize(local_subtensor_of_shape)
 
 @node_rewriter([Shape])
 def local_shape_of_specify_shape(fgraph, node):
-    """Shape(SpecifyShape(x, s)) → uses the specified info via the
-    SpecifyShape output's refined static shape (covered by
-    local_shape_to_constant); remove the SpecifyShape indirection."""
+    """Shape(SpecifyShape(x, *s)) → MakeVector mixing the specified
+    dims (static where known) with Shape_i(x) for the rest, dropping
+    the SpecifyShape indirection (reference ``local_Shape_of_SpecifyShape``,
+    ``tensor/rewriting/shape.py:1013``)."""
     inner = node.inputs[0].owner
-    if inner is not None and isinstance(inner.op, SpecifyShape):
-        # keep the refined static type: Shape of the specify output
+    if inner is None or not isinstance(inner.op, SpecifyShape):
         return False
-    return False
+    x = inner.inputs[0]
+    spec = inner.outputs[0].type.shape  # merged static knowledge
+    elems = [
+        constant(s, dtype="int64") if s is not None else Shape_i(d)(x)
+        for d, s in enumerate(spec)
+    ]
+    if not elems:
+        return [constant(np.zeros((0,), dtype="int64"))]
+    res = MakeVector("int64")(*elems)
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_shape_of_specify_shape)
 
 
 @node_rewriter([SpecifyShape])
@@ -365,3 +383,244 @@ def local_shape_to_shape_i(fgraph, node):
 
 
 register_canonicalize(local_shape_to_shape_i)
+
+
+# ---------------------------------------------------------------------------
+# reshape family (reference tensor/rewriting/shape.py:759-1132)
+# ---------------------------------------------------------------------------
+
+def _shape_vector_elements(shp_var, ndim):
+    """Elements of a symbolic shape vector: a list of scalar Variables
+    (from MakeVector) or python ints (from a constant), else None."""
+    if isinstance(shp_var, Constant):
+        data = np.asarray(shp_var.data)
+        if data.ndim == 1 and data.shape[0] == ndim:
+            return [int(v) for v in data]
+        return None
+    if shp_var.owner is not None and isinstance(shp_var.owner.op, MakeVector):
+        return list(shp_var.owner.inputs)
+    return None
+
+
+@node_rewriter([Reshape])
+def local_reshape_to_dimshuffle(fgraph, node):
+    """Reshape that only inserts/removes length-1 dims → DimShuffle
+    (reference ``local_reshape_to_dimshuffle``, ``shape.py:907``).
+
+    Recognized when, pairing the non-1 target dims with the non-1 input
+    dims in order, every pair is provably the same extent (static match,
+    or the target entry IS ``Shape_i(x, d)`` of that input dim) and the
+    skipped dims on both sides are statically 1.
+    """
+    from aesara_tpu.tensor.elemwise import DimShuffle
+
+    x, shp = node.inputs
+    out = node.outputs[0]
+    elems = _shape_vector_elements(shp, out.type.ndim)
+    if elems is None:
+        return False
+
+    x_shape = x.type.shape
+    # indices of input dims that are not statically 1 (must all be kept)
+    keep = [d for d in range(x.type.ndim) if x_shape[d] != 1]
+    new_order = []
+    ki = 0
+    for e in elems:
+        is_one = (isinstance(e, int) and e == 1) or (
+            isinstance(e, Constant) and np.asarray(e.data).ndim == 0
+            and int(e.data) == 1
+        )
+        if is_one:
+            new_order.append("x")
+            continue
+        if ki >= len(keep):
+            return False
+        d = keep[ki]
+        if isinstance(e, int):
+            if x_shape[d] != e:
+                return False
+        elif isinstance(e, Constant):
+            if x_shape[d] is None or x_shape[d] != int(e.data):
+                return False
+        else:
+            # symbolic: accept only Shape_i(x) of exactly this dim
+            o = e.owner
+            if not (
+                o is not None
+                and isinstance(o.op, Shape_i)
+                and o.op.i == d
+                and o.inputs[0] is x
+            ):
+                return False
+        new_order.append(d)
+        ki += 1
+    if ki != len(keep):
+        return False
+    res = DimShuffle(x.type.ndim, tuple(new_order))(x)
+    conv = out.type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(out, conv)
+    return [conv]
+
+
+register_canonicalize(local_reshape_to_dimshuffle)
+
+
+@node_rewriter([Reshape])
+def local_useless_dimshuffle_in_reshape(fgraph, node):
+    """Reshape(DimShuffle(x), shp) where the DimShuffle preserves the
+    row-major element order (its non-'x' entries are increasing — it only
+    inserts or drops length-1 dims) → Reshape(x, shp) (reference
+    ``local_useless_dimshuffle_in_reshape``, ``shape.py:1092``)."""
+    from aesara_tpu.tensor.elemwise import DimShuffle
+
+    x, shp = node.inputs
+    inner = x.owner
+    if inner is None or not isinstance(inner.op, DimShuffle):
+        return False
+    order = [d for d in inner.op.new_order if d != "x"]
+    if order != sorted(order):
+        return False
+    # dropped dims are size-1 by DimShuffle legality; order is preserved,
+    # so the flat element sequence is identical
+    res = Reshape(node.op.ndim)(inner.inputs[0], shp)
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_useless_dimshuffle_in_reshape)
+
+
+@node_rewriter([Reshape])
+def local_reshape_lift(fgraph, node):
+    """Reshape(Elemwise{unary}(y), shp) → Elemwise(Reshape(y, shp)):
+    lift reshapes toward the graph inputs so elemwise chains stay
+    adjacent for fusion (reference ``local_reshape_lift``, ``shape.py:956``)."""
+    from aesara_tpu.tensor.elemwise import Elemwise
+
+    x, shp = node.inputs
+    inner = x.owner
+    if (
+        inner is None
+        or not isinstance(inner.op, Elemwise)
+        or len(inner.inputs) != 1
+        or len(inner.outputs) != 1
+    ):
+        return False
+    inner_reshaped = Reshape(node.op.ndim)(inner.inputs[0], shp)
+    res = inner.op(inner_reshaped)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_reshape_lift)
+
+
+# ---------------------------------------------------------------------------
+# Shape_i propagation and constant slices of shapes
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Shape_i])
+def local_track_shape_i(fgraph, node):
+    """Replace ``Shape_i(r)`` with the ShapeFeature's cached symbolic
+    entry — typically ``Shape_i`` of a graph *input* or a constant —
+    so shape graphs detach from intermediate results (reference
+    ``local_track_shape_i``, ``shape.py:1071``)."""
+    sf = getattr(fgraph, "shape_feature", None)
+    if sf is None:
+        return False
+    (x,) = node.inputs
+    s = sf.shape_of.get(x)
+    if s is None:
+        return False
+    e = s[node.op.i]
+    if e is node.outputs[0]:
+        return False
+    # Convergence guard (the reference gates on its ``scheduled`` set,
+    # shape.py:1071): only replace with provably-final forms — a ground
+    # constant, or Shape_i of a *graph input* (which this rule can never
+    # rewrite again).  General symbolic entries are fresh graphs per
+    # query and would churn the equilibrium forever.
+    if isinstance(e, Constant):
+        copy_stack_trace(node.outputs[0], e)
+        return [e]
+    if (
+        e.owner is not None
+        and isinstance(e.owner.op, Shape_i)
+        and e.owner.inputs[0] is not x
+        and e.owner.inputs[0] in fgraph.inputs
+    ):
+        copy_stack_trace(node.outputs[0], e)
+        return [e]
+    return False
+
+
+register_canonicalize(local_track_shape_i)
+
+
+@node_rewriter([Subtensor])
+def local_subtensor_shape_constant(fgraph, node):
+    """``Shape(x)[a:b]`` where the sliced dims are all statically known
+    → constant vector (reference ``local_subtensor_shape_constant``)."""
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Shape):
+        return False
+    idx = node.op.idx_list
+    if len(idx) != 1 or not isinstance(idx[0], slice) or any(
+        e is SYM for e in (idx[0].start, idx[0].stop, idx[0].step)
+    ):
+        return False
+    x = inner.inputs[0]
+    dims = list(range(x.type.ndim))[idx[0]]
+    vals = [x.type.shape[d] for d in dims]
+    if any(v is None for v in vals):
+        return False
+    res = constant(np.asarray(vals, dtype="int64"))
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_subtensor_shape_constant)
+
+
+# ---------------------------------------------------------------------------
+# Unbroadcast lifting (reference shape.py:1132-1205)
+# ---------------------------------------------------------------------------
+
+@node_rewriter(None)
+def local_unbroadcast_lift(fgraph, node):
+    """``Unbroadcast(Elemwise{unary}(x))`` → ``Elemwise(Unbroadcast(x))``
+    and merge consecutive Unbroadcasts (reference
+    ``local_unbroadcast_lift``, ``shape.py:1164``)."""
+    from aesara_tpu.tensor.elemwise import Elemwise
+    from aesara_tpu.tensor.shape import Unbroadcast, unbroadcast
+
+    if not isinstance(node.op, Unbroadcast):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None:
+        return False
+    if isinstance(inner.op, Unbroadcast):
+        merged = set(node.op.axes) | set(inner.op.axes)
+        res = unbroadcast(inner.inputs[0], *sorted(merged))
+        copy_stack_trace(node.outputs[0], res)
+        return [res]
+    if (
+        isinstance(inner.op, Elemwise)
+        and len(inner.inputs) == 1
+        and len(inner.outputs) == 1
+    ):
+        res = inner.op(unbroadcast(inner.inputs[0], *node.op.axes))
+        conv = node.outputs[0].type.convert_variable(res)
+        if conv is None:
+            return False
+        copy_stack_trace(node.outputs[0], conv)
+        return [conv]
+    return False
+
+
+register_canonicalize(local_unbroadcast_lift)

@@ -27,10 +27,16 @@ def test_alloc_dimshuffle_lift():
 
 
 def test_reshape_dimshuffle():
+    from aesara_tpu.tensor.shape import Reshape
+
     v = at.vector("v")
     r = v.dimshuffle("x", 0, "x").reshape((1, v.shape[0]))
     f = atp.function([v], r)
-    assert not any(isinstance(n.op, DimShuffle) for n in f.maker.fgraph.toposort())
+    # the whole chain collapses to one broadcast-insertion DimShuffle
+    # (local_useless_dimshuffle_in_reshape + local_reshape_to_dimshuffle)
+    nodes = f.maker.fgraph.toposort()
+    assert not any(isinstance(n.op, Reshape) for n in nodes)
+    assert len(nodes) == 1
     vv = np.arange(4.0, dtype="float32")
     assert np.allclose(f(vv), vv[None])
 
