@@ -97,6 +97,7 @@ def local_useless_dimshuffle(fgraph, node):
 
 register_useless(local_useless_dimshuffle)
 register_canonicalize(local_useless_dimshuffle)
+register_specialize(local_useless_dimshuffle)
 
 
 @node_rewriter([DimShuffle])
@@ -120,6 +121,7 @@ def local_dimshuffle_lift(fgraph, node):
 
 
 register_canonicalize(local_dimshuffle_lift)
+register_specialize(local_dimshuffle_lift)
 
 
 @node_rewriter([SpecifyShape])

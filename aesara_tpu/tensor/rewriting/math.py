@@ -1451,3 +1451,355 @@ def local_useless_conj(fgraph, node):
 
 
 register_canonicalize(local_useless_conj)
+
+
+# ---------------------------------------------------------------------------
+# erfc stabilizations (reference local_log_erfc:? / local_grad_log_erfc_neg)
+# — re-derived through erfcx: erfc(x) = exp(-x²)·erfcx(x) exactly, so the
+# asymptotic series the reference hand-codes is replaced by the device's
+# scaled-complementary-error-function kernel.
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_log_erfc(fgraph, node):
+    """log(erfc(x)) → switch(x < 1, log1p(-erf(x)), -x² + log(erfcx(x)))
+    (reference ``local_log_erfc``, math.py) — finite and accurate over the
+    whole line: the right branch never saturates for large x (where
+    erfc underflows), the left never overflows erfcx for very negative x."""
+    if not _is_elemwise(node, aes.ops.Log):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not _is_elemwise(inner, aes.math.Erfc):
+        return False
+    (x,) = inner.inputs
+    if x.type.dtype in discrete_dtypes:
+        return False
+    from aesara_tpu.tensor.basic import switch
+
+    res = switch(
+        tm.lt(x, constant(1.0)),
+        tm.log1p(tm.neg(tm.erf(x))),
+        tm.add(tm.neg(tm.sqr(x)), tm.log(tm.erfcx(x))),
+    )
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_stabilize(local_log_erfc)
+
+
+def _is_sqr_of(v, x):
+    """True when ``v`` is structurally ``x**2`` (Sqr, Pow-by-2, or x·x)."""
+    s = v.owner
+    if s is None:
+        return False
+    if _is_elemwise(s, aes.ops.Sqr) and s.inputs[0] is x:
+        return True
+    if _is_elemwise(s, aes.ops.Pow) and s.inputs[0] is x and _const_val(s.inputs[1]) == 2:
+        return True
+    if _is_elemwise(s, aes.ops.Mul) and list(s.inputs) == [x, x]:
+        return True
+    return False
+
+
+def _is_exp_neg_sqr_of(v, x):
+    """True when ``v`` is structurally ``exp(-x**2)``."""
+    o = v.owner
+    if o is None or not _is_elemwise(o, aes.ops.Exp):
+        return False
+    a = o.inputs[0].owner
+    if a is None:
+        return False
+    if _is_elemwise(a, aes.ops.Neg):
+        return _is_sqr_of(a.inputs[0], x)
+    if _is_elemwise(a, aes.ops.Mul) and len(a.inputs) == 2:
+        for c, other in (a.inputs, reversed(a.inputs)):
+            if _const_val(c) == -1 and _is_sqr_of(other, x):
+                return True
+    return False
+
+
+@node_rewriter([Elemwise])
+def local_grad_log_erfc_neg(fgraph, node):
+    """exp(-x²)/erfc(x) → 1/erfcx(x) — the unstable core of
+    grad(log(erfc(x))) (reference ``local_grad_log_erfc_neg``); the
+    identity is exact, no asymptotic series needed.  Also handles a
+    leading multiplicative factor: (c·exp(-x²))/erfc(x) → c/erfcx(x)."""
+    if not _is_elemwise(node, aes.ops.TrueDiv):
+        return False
+    num, den = node.inputs
+    do = den.owner
+    if do is None or not _is_elemwise(do, aes.math.Erfc):
+        return False
+    (x,) = do.inputs
+    if _is_exp_neg_sqr_of(num, x):
+        res = tm.true_div(constant(1.0), tm.erfcx(x))
+    elif num.owner is not None and _is_elemwise(num.owner, aes.ops.Mul):
+        factors = list(num.owner.inputs)
+        hit = next((i for i, f in enumerate(factors)
+                    if _is_exp_neg_sqr_of(f, x)), None)
+        if hit is None:
+            return False
+        rest = factors[:hit] + factors[hit + 1:]
+        rest_v = rest[0] if len(rest) == 1 else tm.mul(*rest)
+        res = tm.true_div(rest_v, tm.erfcx(x))
+    else:
+        return False
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_stabilize(local_grad_log_erfc_neg)
+
+
+# ---------------------------------------------------------------------------
+# sigmoid algebra / inverse pairs (reference local_sigm_times_exp,
+# local_func_inv)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_sigm_times_exp(fgraph, node):
+    """sigmoid(u)·exp(-u) → sigmoid(-u) (reference ``local_sigm_times_exp``
+    — exact: σ(u)e^{-u} = e^{-u}/(1+e^{-u}) = σ(-u))."""
+    if not _is_elemwise(node, aes.ops.Mul):
+        return False
+    factors = list(node.inputs)
+
+    def neg_of(a, b):
+        """True when b ≡ -a structurally."""
+        bo = b.owner
+        if bo is not None and _is_elemwise(bo, aes.ops.Neg) and bo.inputs[0] is a:
+            return True
+        ao = a.owner
+        return ao is not None and _is_elemwise(ao, aes.ops.Neg) and ao.inputs[0] is b
+
+    for i, fi in enumerate(factors):
+        oi = fi.owner
+        if oi is None or not _is_elemwise(oi, aes.math.Sigmoid):
+            continue
+        (u,) = oi.inputs
+        for j, fj in enumerate(factors):
+            if j == i:
+                continue
+            oj = fj.owner
+            if oj is None or not _is_elemwise(oj, aes.ops.Exp):
+                continue
+            (v,) = oj.inputs
+            if not neg_of(u, v):
+                continue
+            rest = [f for k, f in enumerate(factors) if k not in (i, j)]
+            merged = tm.sigmoid(v)
+            res = merged if not rest else tm.mul(merged, *rest)
+            res = _keep_type(node.outputs[0], res)
+            if res is None:
+                return False
+            copy_stack_trace(node.outputs[0], res)
+            return [res]
+    return False
+
+
+register_stabilize(local_sigm_times_exp)
+
+
+_INV_PAIRS = (
+    (aes.ops.Deg2Rad, aes.ops.Rad2Deg),
+    (aes.ops.Rad2Deg, aes.ops.Deg2Rad),
+    (aes.ops.Cosh, aes.ops.ArcCosh),
+    (aes.ops.Tanh, aes.ops.ArcTanh),
+    (aes.ops.ArcTanh, aes.ops.Tanh),
+    (aes.ops.Sinh, aes.ops.ArcSinh),
+    (aes.ops.ArcSinh, aes.ops.Sinh),
+    (aes.ops.Neg, aes.ops.Neg),
+    (aes.ops.Conj, aes.ops.Conj),
+    (aes.ops.Reciprocal, aes.ops.Reciprocal),
+)
+
+
+@node_rewriter([Elemwise])
+def local_func_inv(fgraph, node):
+    """f(g(x)) → x for functional-inverse pairs (reference
+    ``local_func_inv``, math.py:241).  Only float inputs (integer Neg of
+    Neg is still exact, but Reciprocal/trig pairs are not)."""
+    inner = node.inputs[0].owner if node.inputs else None
+    if inner is None or not isinstance(inner.op, Elemwise):
+        return False
+    if not isinstance(node.op, Elemwise):
+        return False
+    outer_s, inner_s = node.op.scalar_op, inner.op.scalar_op
+    for f_cls, g_cls in _INV_PAIRS:
+        if isinstance(outer_s, f_cls) and isinstance(inner_s, g_cls):
+            x = inner.inputs[0]
+            if x.type.dtype in discrete_dtypes and not (
+                isinstance(outer_s, aes.ops.Neg) and isinstance(inner_s, aes.ops.Neg)
+            ):
+                return False
+            res = _keep_type(node.outputs[0], x)
+            if res is None:
+                return False
+            copy_stack_trace(node.outputs[0], res)
+            return [res]
+    return False
+
+
+register_specialize(local_func_inv)
+
+
+# ---------------------------------------------------------------------------
+# reduction restructuring (reference local_sum_prod_div_dimshuffle,
+# local_reduce_join, local_sum_prod_all_to_none)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([tm.Sum])
+def local_sum_div_dimshuffle(fgraph, node):
+    """sum(x / dimshuffle(y), axis) → sum(x, axis) / y' when the
+    DimShuffle broadcasts y along every reduced axis (reference
+    ``local_sum_prod_div_dimshuffle``) — the division happens once per
+    output element instead of once per input element."""
+    (inp,) = node.inputs
+    o = inp.owner
+    if o is None or not _is_elemwise(o, aes.ops.TrueDiv):
+        return False
+    num, den = o.inputs
+    do = den.owner
+    if do is None or not isinstance(do.op, DimShuffle):
+        return False
+    axis = node.op.axis
+    if axis is None:
+        axis = tuple(range(inp.type.ndim))
+    order = do.op.new_order
+    if not all(0 <= a < len(order) and order[a] == "x" for a in axis):
+        return False
+    # y broadcasts on all reduced axes: drop them from the dimshuffle
+    kept_order = tuple(d for i, d in enumerate(order) if i not in axis)
+    y = do.inputs[0]
+    new_den = (
+        y if kept_order == tuple(range(y.type.ndim))
+        else DimShuffle(y.type.ndim, kept_order)(y)
+    )
+    new_sum = type(node.op)(axis=node.op.axis, dtype=node.op.dtype,
+                            acc_dtype=node.op.acc_dtype)(num)
+    res = tm.true_div(new_sum, new_den)
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_sum_div_dimshuffle)
+
+
+@node_rewriter(None)
+def local_reduce_join(fgraph, node):
+    """reduce(join(0, a, b, ...), axis=0) with unit-length parts →
+    elemwise combine of the squeezed parts (reference
+    ``local_reduce_join``) — Sum/Prod/Max/Min of a stack of expand_dims
+    becomes a flat elemwise tree, no concatenation materialized."""
+    from aesara_tpu.tensor.basic import Join
+    from aesara_tpu.tensor.elemwise import CAReduce
+
+    if not isinstance(node.op, CAReduce) or node.op.axis != (0,):
+        return False
+    if node.op.dtype not in (None, node.outputs[0].type.dtype):
+        pass
+    (inp,) = node.inputs
+    o = inp.owner
+    if o is None or not isinstance(o.op, Join):
+        return False
+    jaxis = _const_val(o.inputs[0])
+    if jaxis != 0:
+        return False
+    parts = o.inputs[1:]
+    if len(parts) < 2 or any(p.type.shape[0] != 1 for p in parts):
+        return False
+    combiner = {
+        aes.ops.Add: tm.add, aes.ops.Mul: tm.mul,
+        aes.ops.ScalarMaximum: tm.maximum, aes.ops.ScalarMinimum: tm.minimum,
+    }.get(type(node.op.scalar_op))
+    if combiner is None:
+        for cls, fn in (
+            (getattr(aes.ops, "Maximum", ()), tm.maximum),
+            (getattr(aes.ops, "Minimum", ()), tm.minimum),
+        ):
+            if cls and isinstance(node.op.scalar_op, cls):
+                combiner = fn
+                break
+    if combiner is None:
+        return False
+    squeezed = [
+        DimShuffle(p.type.ndim, tuple(range(1, p.type.ndim)))(p) for p in parts
+    ]
+    res = squeezed[0]
+    for p in squeezed[1:]:
+        res = combiner(res, p)
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_reduce_join)
+
+
+@node_rewriter(None)
+def local_reduce_all_to_none(fgraph, node):
+    """reduce(x, axis=(0..n-1)) → reduce(x, axis=None) — one canonical
+    form for whole-tensor reductions (reference
+    ``local_sum_prod_all_to_none``)."""
+    from aesara_tpu.tensor.elemwise import CAReduce
+
+    if not isinstance(node.op, CAReduce):
+        return False
+    (inp,) = node.inputs
+    if node.op.axis is None or node.op.axis != tuple(range(inp.type.ndim)):
+        return False
+    if inp.type.ndim == 0:
+        return False
+    op = node.op
+    new_op = type(op)
+    try:
+        res = new_op(axis=None, dtype=op.dtype, acc_dtype=op.acc_dtype)(inp)
+    except TypeError:
+        return False
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_reduce_all_to_none)
+
+
+@node_rewriter([Elemwise])
+def local_abs_lift(fgraph, node):
+    """abs(a·b) → abs(a)·abs(b), abs(a/b) → abs(a)/abs(b) (reference
+    ``local_abs_lift``) — canonicalize-stage: exposes factors for
+    cancellation; ``local_abs_merge`` (specialize) recombines leftovers,
+    so the two run in different stages and cannot cycle."""
+    if not _is_elemwise(node, aes.ops.Abs):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None:
+        return False
+    if _is_elemwise(inner, aes.ops.Mul):
+        res = tm.mul(*[tm.abs(i) for i in inner.inputs])
+    elif _is_elemwise(inner, aes.ops.TrueDiv):
+        res = tm.true_div(tm.abs(inner.inputs[0]), tm.abs(inner.inputs[1]))
+    else:
+        return False
+    res = _keep_type(node.outputs[0], res)
+    if res is None:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_abs_lift)
