@@ -537,3 +537,214 @@ def local_view_op(fgraph, node):
 
 
 register_canonicalize(local_view_op)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions (reference rewriting/basic.py + elemwise.py stragglers)
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Elemwise])
+def local_cast_cast(fgraph, node):
+    """cast(cast(x, t1), t2) → cast(x, t2) when the inner cast is
+    lossless (np.can_cast(x.dtype → t1, "safe")) so collapsing cannot
+    change values (reference ``local_cast_cast``)."""
+    if not isinstance(node.op.scalar_op, aes.ops.Cast):
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not (
+        isinstance(inner.op, Elemwise)
+        and isinstance(inner.op.scalar_op, aes.ops.Cast)
+    ):
+        return False
+    x = inner.inputs[0]
+    t1 = inner.outputs[0].type.dtype
+    if x.type.dtype == t1:
+        safe = True
+    else:
+        try:
+            safe = np.can_cast(np.dtype(x.type.dtype), np.dtype(t1),
+                               casting="safe")
+        except TypeError:
+            return False
+    if not safe:
+        return False
+    res = cast(x, node.outputs[0].type.dtype)
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_cast_cast)
+
+
+@node_rewriter([Elemwise])
+def local_alloc_unary(fgraph, node):
+    """unary(Alloc(v, shp)) → Alloc(unary(v), shp): compute the scalar
+    once, broadcast after (reference ``local_alloc_unary``)."""
+    if len(node.inputs) != 1 or len(node.outputs) != 1:
+        return False
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Alloc):
+        return False
+    v, *shp = inner.inputs
+    applied = node.op(v)
+    if applied.type.dtype != node.outputs[0].type.dtype:
+        applied = cast(applied, node.outputs[0].type.dtype)
+    res = Alloc()(applied, *shp)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_alloc_unary)
+
+
+@node_rewriter([Elemwise])
+def local_elemwise_alloc(fgraph, node):
+    """Drop Allocs feeding a multi-input Elemwise when another input
+    already forces the broadcast shape — XLA broadcasts for free, the
+    materialized fill is pure HBM waste (reference
+    ``local_elemwise_alloc``).  Requires a same-shape proof from the
+    ShapeFeature (or static types)."""
+    if len(node.inputs) < 2:
+        return False
+    sf = getattr(fgraph, "shape_feature", None)
+    out = node.outputs[0]
+
+    def provably_same_shape(a, b):
+        if (
+            a.type.ndim == b.type.ndim
+            and all(s is not None for s in a.type.shape)
+            and a.type.shape == b.type.shape
+        ):
+            return True
+        return sf is not None and sf.same_shape(a, b)
+
+    # a non-Alloc input whose shape equals the output's fixes the shape
+    anchor = next(
+        (
+            i for i in node.inputs
+            if (i.owner is None or not isinstance(i.owner.op, Alloc))
+            and i.type.ndim == out.type.ndim
+            and provably_same_shape(i, out)
+        ),
+        None,
+    )
+    if anchor is None:
+        return False
+    changed = False
+    new_inputs = []
+    for i in node.inputs:
+        if (
+            i is not anchor
+            and i.owner is not None
+            and isinstance(i.owner.op, Alloc)
+            and provably_same_shape(i, out)
+        ):
+            v = i.owner.inputs[0]
+            # re-broadcastable: pad v to the output ndim with leading 'x'
+            if v.type.ndim < i.type.ndim:
+                pad = i.type.ndim - v.type.ndim
+                v = DimShuffle(
+                    v.type.ndim, ("x",) * pad + tuple(range(v.type.ndim))
+                )(v)
+            elif v.type.ndim != i.type.ndim:
+                new_inputs.append(i)
+                continue
+            new_inputs.append(v)
+            changed = True
+        else:
+            new_inputs.append(i)
+    if not changed:
+        return False
+    res = node.op(*new_inputs, return_list=True)
+    conv = [o.type.convert_variable(r) for o, r in zip(node.outputs, res)]
+    if any(c is None for c in conv):
+        return False
+    for o, c in zip(node.outputs, conv):
+        copy_stack_trace(o, c)
+    return conv
+
+
+register_specialize(local_elemwise_alloc)
+
+
+@node_rewriter(None)
+def local_useless_topk(fgraph, node):
+    """TopK computing both values and indices with one output unused →
+    the single-output op (reference ``local_useless_topk``)."""
+    from aesara_tpu.tensor.sort import TopKOp
+
+    if not isinstance(node.op, TopKOp):
+        return False
+    op = node.op
+    if not (op.return_values and op.return_indices):
+        return False
+    vals, idxs = node.outputs
+    vals_used = bool(fgraph.clients.get(vals))
+    idxs_used = bool(fgraph.clients.get(idxs))
+    if vals_used and idxs_used:
+        return False
+    if not vals_used and not idxs_used:
+        return False
+    new_op = TopKOp(
+        axis=op.axis, sorted=op.sorted,
+        return_values=vals_used, return_indices=idxs_used,
+        idx_dtype=op.idx_dtype,
+    )
+    (new_out,) = new_op(*node.inputs, return_list=True)
+    if vals_used:
+        copy_stack_trace(vals, new_out)
+        return {vals: new_out}
+    copy_stack_trace(idxs, new_out)
+    return {idxs: new_out}
+
+
+register_useless(local_useless_topk)
+
+
+@node_rewriter([Elemwise])
+def local_upcast_elemwise_constant_inputs(fgraph, node):
+    """Scalar constants feeding an Elemwise upcast to the output dtype
+    at compile time, removing runtime Cast chains (reference
+    ``local_upcast_elemwise_constant_inputs``)."""
+    if len(node.outputs) != 1:
+        return False
+    out_dtype = node.outputs[0].type.dtype
+    if out_dtype in ("bool",):
+        return False
+    changed = False
+    new_inputs = []
+    for i in node.inputs:
+        if (
+            isinstance(i, Constant)
+            and i.type.ndim == 0
+            and i.type.dtype != out_dtype
+            and i.type.dtype not in ("bool",)
+        ):
+            try:
+                if np.can_cast(np.asarray(i.data).dtype, np.dtype(out_dtype),
+                               casting="same_kind") or np.asarray(
+                    np.asarray(i.data).astype(out_dtype)
+                ) == np.asarray(i.data):
+                    new_c = constant(
+                        np.asarray(i.data).astype(out_dtype), dtype=out_dtype
+                    )
+                    new_inputs.append(new_c)
+                    changed = True
+                    continue
+            except (TypeError, ValueError):
+                pass
+        new_inputs.append(i)
+    if not changed:
+        return False
+    res = node.op(*new_inputs, return_list=True)
+    if res[0].type != node.outputs[0].type:
+        return False
+    for o, r in zip(node.outputs, res):
+        copy_stack_trace(o, r)
+    return res
+
+
+register_canonicalize(local_upcast_elemwise_constant_inputs)

@@ -5,7 +5,11 @@ from __future__ import annotations
 
 import numpy as np
 
-from aesara_tpu.compile.mode import register_canonicalize, register_specialize
+from aesara_tpu.compile.mode import (
+    register_canonicalize,
+    register_specialize,
+    register_useless,
+)
 from aesara_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
 from aesara_tpu.tensor.basic import Alloc, Join, constant
 from aesara_tpu.tensor.elemwise import DimShuffle, Elemwise
@@ -952,3 +956,87 @@ def local_subtensor_SpecifyShape_lift(fgraph, node):
 
 
 register_canonicalize(local_subtensor_SpecifyShape_lift)
+
+
+# ---------------------------------------------------------------------------
+# round-2 additions
+# ---------------------------------------------------------------------------
+
+@node_rewriter([Subtensor])
+def local_subtensor_inc_subtensor(fgraph, node):
+    """``set_subtensor(x[idx], y)[idx] → y`` — reading back exactly the
+    slice just written returns the written value (reference
+    ``local_subtensor_inc_subtensor``, subtensor.py:663)."""
+    from aesara_tpu.tensor.basic import alloc, cast as t_cast
+
+    inner_var = node.inputs[0]
+    inner = inner_var.owner
+    if (
+        inner is None
+        or not isinstance(inner.op, IncSubtensor)
+        or not inner.op.set_instead_of_inc
+    ):
+        return False
+    if tuple(inner.op.idx_list) != tuple(node.op.idx_list):
+        return False
+    if list(inner.inputs[2:]) != list(node.inputs[1:]):
+        return False
+    out = node.outputs[0]
+    y = inner.inputs[1]
+    if y.type.dtype != out.type.dtype:
+        y = t_cast(y, out.type.dtype)
+    conv = out.type.convert_variable(y)
+    if conv is not None:
+        copy_stack_trace(out, conv)
+        return [conv]
+    if y.type.ndim == out.type.ndim:
+        # only 1-ness differs: y was broadcast into the slice — realize it
+        sub = node.op(inner.inputs[0], *node.inputs[1:])
+        res = alloc(y, *[sub.shape[i] for i in range(out.type.ndim)])
+        conv = out.type.convert_variable(res)
+        if conv is None:
+            return False
+        copy_stack_trace(out, conv)
+        return [conv]
+    return False
+
+
+register_useless(local_subtensor_inc_subtensor)
+register_specialize(local_subtensor_inc_subtensor)
+
+
+@node_rewriter([AdvancedSubtensor1])
+def local_adv_sub1_adv_inc_sub1(fgraph, node):
+    """``inc_subtensor(x[ilist], y)[ilist] → x[ilist] + y`` when the
+    gather indices are constant and unique (duplicates accumulate, so
+    the identity only holds index-wise-unique; reference
+    ``local_adv_sub1_adv_inc_sub1``).  The set case is handled by
+    ``local_adv_sub1_of_adv_set_sub1``."""
+    import aesara_tpu.tensor.math as tm
+    from aesara_tpu.graph.ir import Constant
+
+    inner_var, ilist = node.inputs
+    inner = inner_var.owner
+    if (
+        inner is None
+        or not isinstance(inner.op, AdvancedIncSubtensor1)
+        or inner.op.set_instead_of_inc
+    ):
+        return False
+    x, y, inner_ilist = inner.inputs
+    if inner_ilist is not ilist:
+        return False
+    if not isinstance(ilist, Constant):
+        return False
+    idx = np.asarray(ilist.data)
+    if idx.ndim != 1 or len(np.unique(idx)) != len(idx):
+        return False
+    res = tm.add(AdvancedSubtensor1()(x, ilist), y)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_specialize(local_adv_sub1_adv_inc_sub1)

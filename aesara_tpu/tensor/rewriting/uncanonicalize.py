@@ -88,3 +88,33 @@ register_uncanonicalize(local_alloc_dimshuffle_lift,
                         name="local_alloc_dimshuffle_lift")
 register_uncanonicalize(local_reshape_dimshuffle,
                         name="local_reshape_dimshuffle")
+
+
+@node_rewriter([DimShuffle])
+def local_dimshuffle_alloc(fgraph, node):
+    """DimShuffle(Alloc(v, shp)) → Alloc(v', permuted shp): broadcast
+    AFTER the (free) transpose instead of transposing the filled array
+    (reference ``local_dimshuffle_alloc``, uncanonicalize.py:146)."""
+    from aesara_tpu.tensor.basic import Alloc, constant as t_constant
+
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, Alloc):
+        return False
+    v, *shp = inner.inputs
+    order = node.op.new_order
+    new_shp = [
+        t_constant(1, dtype="int64") if d == "x" else shp[d] for d in order
+    ]
+    # v must stay right-aligned-broadcastable against the permuted shape:
+    # safe when v is scalar (the overwhelmingly common fill case)
+    if v.type.ndim != 0:
+        return False
+    res = Alloc()(v, *new_shp)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_uncanonicalize(local_dimshuffle_alloc)
