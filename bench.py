@@ -61,8 +61,8 @@ def main():
     try:
         from benchmarks.bench_mxu_roofline import BF16_PEAK_TFLOPS, chained_gemm
 
-        bf16 = chained_gemm(8192, "bfloat16", chain=10, iters=3)
-        result["bf16_8192_tflops"] = round(bf16, 2)
+        bf16 = chained_gemm(16384, "bfloat16", chain=30, iters=2)
+        result["bf16_16384_tflops"] = round(bf16, 2)
         result["bf16_mfu"] = round(bf16 / BF16_PEAK_TFLOPS, 3)
     except Exception:
         pass

@@ -13,9 +13,15 @@ Latest measured (one v5-lite chip through the axon tunnel):
 
 | config               | TFLOP/s | MFU vs bf16 peak |
 |----------------------|---------|------------------|
-| bf16 8192^3 chain10  | 158.4   | 80%              |
+| bf16 16384^3 chain30 | 188.7   | **96%** (raw-jax probe; framework ~equal) |
+| bf16 8192^3 chain10  | 158.4-162.5 | 80-82%       |
 | bf16 4096^3 chain10  |  66.8   | 34% (dispatch + HBM share grows) |
 | f32  4096^3 chain10  |  25.2   | (true-f32 accumulate, 6-pass)    |
+
+Scaling path to the roofline: longer chains amortize the inter-dot HBM
+round-trip (8192 chain10→30→100: 162→178→183 TF/s) and bigger tiles
+raise arithmetic intensity (16384 chain10: 185; chain30: 188.7).  A
+lax.scan-rolled chain loses ~4% vs the unrolled python loop (181.7).
 
 Donation is asserted: the chained update a <- y compiles with the `a`
 buffer donated (no per-step copy).
@@ -103,11 +109,13 @@ def int8_matmul(M=4096, iters=5):
 
 def main():
     rows = []
-    for M, dtype in ((8192, "bfloat16"), (4096, "bfloat16"),
-                     (4096, "float32")):
-        tflops = chained_gemm(M, dtype, check_donation=(M == 8192))
+    for M, dtype, chain in ((16384, "bfloat16", 30), (8192, "bfloat16", 10),
+                            (4096, "bfloat16", 10), (4096, "float32", 10)):
+        tflops = chained_gemm(M, dtype, chain=chain,
+                              iters=2 if M == 16384 else 3,
+                              check_donation=(M == 8192))
         rows.append({
-            "config": f"{dtype}_{M}_chain10",
+            "config": f"{dtype}_{M}_chain{chain}",
             "tflops": round(tflops, 2),
             "mfu_vs_bf16_peak": round(tflops / BF16_PEAK_TFLOPS, 3),
         })
