@@ -1005,9 +1005,23 @@ def _decode_fancy_jax(idx_list, idx_inputs):
 # math: dot family / argmax
 # ---------------------------------------------------------------------------
 
+def _dot_precision(node):
+    """Per-node MXU precision: the configured value for f32/f64 operands,
+    but DEFAULT for bf16/f16 inputs — the MXU's native low-precision
+    pipeline already accumulates in f32, so HIGHEST would only add
+    multi-pass work without recovering any input precision."""
+    if node is not None and all(
+        i.type.dtype in ("bfloat16", "float16")
+        for i in node.inputs
+        if getattr(i.type, "dtype", None) is not None
+    ):
+        return "default"
+    return config.jax_default_matmul_precision
+
+
 @jax_funcify.register(tm.Dot)
 def _jax_dot(op, node=None, **kwargs):
-    precision = config.jax_default_matmul_precision
+    precision = _dot_precision(node)
     out_dtype = _jax_dtype(node.outputs[0].type.dtype) if node else None
 
     def dot(x, y):
@@ -1021,7 +1035,7 @@ def _jax_dot(op, node=None, **kwargs):
 
 @jax_funcify.register(tm.BatchedDot)
 def _jax_batched_dot(op, node=None, **kwargs):
-    precision = config.jax_default_matmul_precision
+    precision = _dot_precision(node)
     out_dtype = _jax_dtype(node.outputs[0].type.dtype) if node else None
 
     def batched_dot(x, y):

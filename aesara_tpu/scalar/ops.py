@@ -43,9 +43,29 @@ all_dtypes = discrete_dtypes + continuous_dtypes
 
 
 def upcast(dtype, *dtypes) -> str:
-    """NumPy-style type promotion over dtype names."""
-    rval = np.dtype(dtype)
-    for d in dtypes:
+    """NumPy-style type promotion over dtype names.
+
+    bfloat16 is handled with jax's accelerator rules (numpy's
+    promote_types refuses bf16∘int entirely): bf16 with any
+    integer/bool stays bf16, bf16 with float16 widens to float32, and
+    bf16 with float32/float64/complex takes the wider float.
+    """
+    all_ds = [
+        "bfloat16" if str(d) == "bfloat16" else np.dtype(d).name
+        for d in (dtype, *dtypes)
+    ]
+    if "bfloat16" in all_ds:
+        rest = [d for d in all_ds if d != "bfloat16"]
+        if not rest:
+            return "bfloat16"
+        promoted = upcast(*rest)
+        if promoted in discrete_dtypes:
+            return "bfloat16"
+        if promoted == "float16":
+            return "float32"
+        return promoted
+    rval = np.dtype(all_ds[0])
+    for d in all_ds[1:]:
         rval = np.promote_types(rval, np.dtype(d))
     return rval.name
 

@@ -31,6 +31,8 @@ def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype):
     from aesara_tpu.models.optim import sgd
     from aesara_tpu.tensor import math as tm
 
+    from aesara_tpu.compile.function import Out
+
     layers = [
         TransformerEncoderLayer(d_model, n_heads, d_ff, seed=i)
         for i in range(n_layers)
@@ -46,7 +48,11 @@ def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype):
         h = layer(h)
     loss = tm.mean(tm.sqr(h))
     params = [p for layer in layers for p in layer.params]
-    step = atp.function([], loss, updates=sgd(loss, params, lr=0.01),
+    # Out(borrow=True): the loss stays a device array, so calls queue
+    # asynchronously instead of syncing on a host scalar every step —
+    # the production train-loop pattern (doc/performance.md)
+    step = atp.function([], Out(loss, borrow=True),
+                        updates=sgd(loss, params, lr=0.01),
                         mode="FAST_RUN")
     n_params = sum(int(np.prod(p.get_value().shape)) for p in params)
     return step, params, n_params

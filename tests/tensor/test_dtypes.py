@@ -130,3 +130,45 @@ class TestComplex:
         xv = np.array([1.0, 2.0], dtype="float32")
         yv = np.array([0.5, 1.5], dtype="float32")
         assert np.allclose(h(xv, yv), xv * np.exp(1j * yv), rtol=1e-6)
+
+
+class TestBfloat16Promotion:
+    """upcast() must follow jax's accelerator rules for bfloat16 —
+    numpy's promote_types refuses bf16 with ints entirely (the round-2
+    transformer bench hit this through
+    local_upcast_elemwise_constant_inputs)."""
+
+    def test_pairs(self):
+        from aesara_tpu.scalar.ops import upcast
+
+        assert upcast("bfloat16", "int64") == "bfloat16"
+        assert upcast("bfloat16", "int8") == "bfloat16"
+        assert upcast("bfloat16", "bool") == "bfloat16"
+        assert upcast("bfloat16", "float16") == "float32"
+        assert upcast("bfloat16", "float32") == "float32"
+        assert upcast("bfloat16", "float64") == "float64"
+        assert upcast("bfloat16", "bfloat16") == "bfloat16"
+        assert upcast("bfloat16") == "bfloat16"
+        # non-bf16 paths keep exact numpy semantics
+        assert upcast("float16", "int64") == "float64"
+        assert upcast("float32", "int8") == "float32"
+
+    def test_bf16_graph_with_int_constant_compiles(self):
+        import warnings
+
+        import aesara_tpu as atp
+
+        x = at.vector("x", dtype="bfloat16")
+        expr = x * np.int64(3) + np.int8(1)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            f = atp.function([x], expr, mode="PY")
+        out = f(np.arange(4, dtype="float32").astype(ml_bfloat16()))
+        assert np.allclose(np.asarray(out, dtype="float32"),
+                           np.arange(4.0) * 3 + 1)
+
+
+def ml_bfloat16():
+    import ml_dtypes
+
+    return ml_dtypes.bfloat16
