@@ -688,3 +688,15 @@ def _rebuild_function(in_specs, out_vars, shared_vars, update_pairs,
         in_specs, out_vars, shared_vars, update_pairs, single_output,
         mode=mode, name=name,
     )
+
+
+# Reference layout parity: the reference splits this module into the
+# package ``compile/function/{__init__,types,pfunc}.py``; register the
+# ``...compile.function.types`` path so
+# ``from aesara_tpu.compile.function.types import Function`` resolves.
+# (The ``pfunc`` path is NOT aliased: the import machinery would rebind
+# this module's ``pfunc`` attribute — the function — to a module.)
+import sys as _sys
+
+_sys.modules[__name__ + ".types"] = _sys.modules[__name__]
+types = _sys.modules[__name__]

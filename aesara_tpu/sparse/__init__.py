@@ -5,7 +5,7 @@ from aesara_tpu.sparse.type import SparseTensorType
 from aesara_tpu.sparse.basic import *  # noqa: F401,F403
 from aesara_tpu.sparse import basic  # noqa: F401
 from aesara_tpu.sparse.basic import sparse_shared as shared  # noqa: F401
-from aesara_tpu.sparse import basic as sharedvar  # noqa: F401  (reference keeps constructors there)
+from aesara_tpu.sparse import sharedvar  # noqa: F401  (registers the shared() constructor)
 
 
 def sparse_grad(var):

@@ -1,3 +1,1 @@
-"""Signal-processing ops (reference ``aesara/tensor/signal/``)."""
-
-from aesara_tpu.tensor.signal import pool
+"""Legacy ``tensor/signal`` namespace (reference kept pool/conv here)."""
