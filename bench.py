@@ -66,6 +66,9 @@ def main():
         result["bf16_mfu"] = round(bf16 / BF16_PEAK_TFLOPS, 3)
     except Exception:
         pass
+    # flagship transformer tokens/s is benchmarked separately
+    # (benchmarks/bench_transformer.py — its fresh XLA compile through
+    # the tunnel would risk the driver's bench timeout here)
     print(json.dumps(result))
 
 
