@@ -12,6 +12,28 @@ loops) and adds a mesh/sharding + collectives layer
 
 __version__ = "0.1.0"
 
+import logging
+
+# reference logging surface (reference __init__.py:33-44): a package
+# logger with one default stderr handler users can detach
+aesara_logger = logging.getLogger("aesara_tpu")
+logging_default_handler = logging.StreamHandler()
+logging_default_formatter = logging.Formatter(
+    fmt="%(levelname)s (%(name)s): %(message)s"
+)
+logging_default_handler.setFormatter(logging_default_formatter)
+aesara_logger.setLevel(logging.WARNING)
+if not aesara_logger.hasHandlers():
+    aesara_logger.addHandler(logging_default_handler)
+
+
+def disable_log_handler(logger=aesara_logger, handler=logging_default_handler):
+    """Detach the default handler — for apps that configure logging
+    themselves (reference ``disable_log_handler``)."""
+    if logger.hasHandlers():
+        logger.removeHandler(handler)
+
+
 from aesara_tpu.config import change_flags, config
 from aesara_tpu.graph.ir import clone_replace
 
