@@ -146,17 +146,27 @@ class Node:
         raise NotImplementedError
 
 
+_apply_epoch = itertools.count()
+
+
 class Apply(Node):
     """One application of an :class:`Op` to input Variables, producing
-    output Variables (reference ``aesara/graph/basic.py:80``)."""
+    output Variables (reference ``aesara/graph/basic.py:80``).
 
-    __slots__ = ("op", "inputs", "outputs", "tag")
+    ``epoch`` is a process-wide monotone creation stamp; ``scan`` uses
+    it to tell nodes built while tracing the loop body apart from
+    captured pre-existing graphs (the reference gets this for free by
+    cutting non-sequences at outer variables).
+    """
+
+    __slots__ = ("op", "inputs", "outputs", "tag", "epoch")
 
     def __init__(self, op, inputs: Sequence["Variable"], outputs: Sequence["Variable"]):
         self.op = op
         self.inputs = list(inputs)
         self.outputs = list(outputs)
         self.tag = Scratchpad()
+        self.epoch = next(_apply_epoch)
         for v in self.inputs:
             if not isinstance(v, Variable):
                 raise TypeError(f"Apply inputs must be Variables, got {type(v)}")

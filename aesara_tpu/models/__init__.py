@@ -14,8 +14,10 @@ from aesara_tpu.models.mlp import MLP
 from aesara_tpu.models.convnet import ConvNet
 from aesara_tpu.models.rnn import GRU, LSTM, ElmanRNN
 from aesara_tpu.models.transformer import TransformerEncoderLayer
+from aesara_tpu.models.decoder import DecoderLM, TransformerDecoderLayer
 
 __all__ = [
+    "DecoderLM", "TransformerDecoderLayer",
     "sgd", "momentum", "rmsprop", "adam",
     "LinearRegression", "LogisticRegression", "MLP", "ConvNet",
     "ElmanRNN", "LSTM", "GRU", "TransformerEncoderLayer",

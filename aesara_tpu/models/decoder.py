@@ -1,0 +1,210 @@
+"""Decoder-only transformer LM with KV-cache autoregressive serving.
+
+The serving path the reference never had: ``DecoderLM.generate_fn()``
+compiles the WHOLE decode loop — embedding, L causal layers reading and
+writing per-layer KV caches, the LM head, and greedy/temperature
+sampling — into ONE XLA program: a framework ``scan`` whose carry holds
+the token, the position, and the (T_max, H, dh) K/V caches per layer
+(updated with ``set_subtensor``, which XLA turns into in-place dynamic-
+update-slice on the donated carry — no cache copies per step).
+
+TPU notes: prefill runs the batched full-sequence path (MXU matmuls
+over (T, d)); decode steps are (1, d)·(d, d) matvec-shaped gemms —
+bandwidth-bound, which is why the cache stays in the scan carry (HBM-
+resident) instead of round-tripping through host storage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aesara_tpu.config import config
+from aesara_tpu.models.base import Model, glorot, zeros
+from aesara_tpu.tensor import math as tm
+from aesara_tpu.tensor.basic import (
+    alloc,
+    arange,
+    as_tensor_variable,
+    cast,
+    constant,
+    switch,
+)
+from aesara_tpu.tensor.shape import specify_shape
+from aesara_tpu.tensor.subtensor import set_subtensor
+from aesara_tpu.tensor.special import softmax
+
+__all__ = ["TransformerDecoderLayer", "DecoderLM"]
+
+
+def _layer_norm(x, gain, bias, eps=1e-5):
+    mu = tm.mean(x, axis=-1, keepdims=True)
+    var = tm.mean(tm.sqr(x - mu), axis=-1, keepdims=True)
+    return gain * (x - mu) / tm.sqrt(var + eps) + bias
+
+
+class TransformerDecoderLayer(Model):
+    """Pre-LN causal decoder layer (no cross-attention).
+
+    Two entry points: ``full(x)`` for training/prefill over (T, D), and
+    ``step(h, k_cache, v_cache, pos)`` for one cached decode step.
+    """
+
+    def __init__(self, d_model: int, n_heads: int, d_ff: int, seed: int = 0):
+        super().__init__()
+        assert d_model % n_heads == 0
+        rng = np.random.default_rng(seed)
+        self.d_model, self.n_heads = d_model, n_heads
+        self.d_head = d_model // n_heads
+        self.wq = self._register(glorot(rng, d_model, d_model, "wq"))
+        self.wk = self._register(glorot(rng, d_model, d_model, "wk"))
+        self.wv = self._register(glorot(rng, d_model, d_model, "wv"))
+        self.wo = self._register(glorot(rng, d_model, d_model, "wo"))
+        self.w1 = self._register(glorot(rng, d_model, d_ff, "w1"))
+        self.b1 = self._register(zeros((d_ff,), "b1"))
+        self.w2 = self._register(glorot(rng, d_ff, d_model, "w2"))
+        self.b2 = self._register(zeros((d_model,), "b2"))
+        self.ln1_g = self._register(zeros((d_model,), "ln1_g"))
+        self.ln1_b = self._register(zeros((d_model,), "ln1_b"))
+        self.ln2_g = self._register(zeros((d_model,), "ln2_g"))
+        self.ln2_b = self._register(zeros((d_model,), "ln2_b"))
+        for g in (self.ln1_g, self.ln2_g):
+            g.set_value(np.ones(d_model, dtype=g.get_value().dtype))
+
+    # -- training / prefill: (T, D) with a causal mask ---------------------
+    def full(self, x):
+        T = x.shape[0]
+        z = _layer_norm(x, self.ln1_g, self.ln1_b)
+        H, dh = self.n_heads, self.d_head
+        q = tm.dot(z, self.wq).reshape((T, H, dh)).dimshuffle(1, 0, 2)
+        k = tm.dot(z, self.wk).reshape((T, H, dh)).dimshuffle(1, 0, 2)
+        v = tm.dot(z, self.wv).reshape((T, H, dh)).dimshuffle(1, 0, 2)
+        scores = tm.batched_dot(q, k.dimshuffle(0, 2, 1)) / np.sqrt(dh)
+        rows = arange(T).dimshuffle("x", 0, "x")
+        cols = arange(T).dimshuffle("x", "x", 0)
+        neg = constant(np.asarray(-1e9, dtype=config.floatX))
+        scores = switch(tm.ge(rows, cols), scores, neg)
+        attn = softmax(scores, axis=-1)
+        ctx = tm.batched_dot(attn, v).dimshuffle(1, 0, 2).reshape(
+            (T, self.d_model)
+        )
+        h = x + tm.dot(ctx, self.wo)
+        z2 = _layer_norm(h, self.ln2_g, self.ln2_b)
+        ffn = tm.dot(tm.maximum(tm.dot(z2, self.w1) + self.b1, 0.0),
+                     self.w2) + self.b2
+        return h + ffn
+
+    # -- cached decode: one token against the cache ------------------------
+    def step(self, h, k_cache, v_cache, pos):
+        """h (D,); caches (T_max, H, dh); pos int scalar.
+        Returns (h_out, new_k_cache, new_v_cache)."""
+        H, dh = self.n_heads, self.d_head
+        z = _layer_norm(h, self.ln1_g, self.ln1_b)
+        q = tm.dot(z, self.wq).reshape((H, dh))
+        k_new = tm.dot(z, self.wk).reshape((H, dh))
+        v_new = tm.dot(z, self.wv).reshape((H, dh))
+        k_cache = set_subtensor(k_cache[pos], k_new)
+        v_cache = set_subtensor(v_cache[pos], v_new)
+        # scores over the whole static cache, masked beyond pos
+        scores = tm.sum(
+            k_cache * q.dimshuffle("x", 0, 1), axis=-1
+        ) / np.sqrt(dh)                                   # (T_max, H)
+        t_idx = arange(k_cache.shape[0]).dimshuffle(0, "x")
+        neg = constant(np.asarray(-1e9, dtype=config.floatX))
+        scores = switch(tm.le(t_idx, pos), scores, neg)
+        attn = softmax(scores, axis=0)                    # over time
+        ctx = tm.sum(attn.dimshuffle(0, 1, "x") * v_cache, axis=0)  # (H, dh)
+        h = h + tm.dot(ctx.reshape((self.d_model,)), self.wo)
+        z2 = _layer_norm(h, self.ln2_g, self.ln2_b)
+        ffn = tm.dot(tm.maximum(tm.dot(z2, self.w1) + self.b1, 0.0),
+                     self.w2) + self.b2
+        return h + ffn, k_cache, v_cache
+
+
+class DecoderLM(Model):
+    """Embedding + L decoder layers + tied LM head."""
+
+    def __init__(self, vocab: int, n_layers: int, d_model: int,
+                 n_heads: int, d_ff: int, seed: int = 0):
+        super().__init__()
+        rng = np.random.default_rng(seed)
+        self.vocab, self.d_model = vocab, d_model
+        self.embed = self._register(glorot(rng, vocab, d_model, "embed"))
+        self.layers = [
+            TransformerDecoderLayer(d_model, n_heads, d_ff, seed=seed + 1 + i)
+            for i in range(n_layers)
+        ]
+        for layer in self.layers:
+            self._register(*layer.params)
+
+    # -- training loss: next-token xent over a (T,) int sequence -----------
+    def loss(self, tokens):
+        x = self.embed[tokens[:-1]]                   # (T-1, D)
+        h = x
+        for layer in self.layers:
+            h = layer.full(h)
+        logits = tm.dot(h, self.embed.T)              # tied head
+        logp = logits - tm.logsumexp(logits, axis=-1, keepdims=True)
+        idx = arange(logp.shape[0])
+        return -tm.mean(logp[idx, tokens[1:]])
+
+    # -- serving: greedy/temperature generation as ONE program -------------
+    def generate_graph(self, first_token, n_steps: int, t_max: int,
+                      temperature: float = 0.0, seed: int = 0):
+        """Symbolic generation of ``n_steps`` tokens from
+        ``first_token`` (int scalar variable).  Returns the generated
+        int64 vector (length n_steps).  temperature=0 → greedy argmax;
+        >0 → Gumbel-max sampling with a fixed seed."""
+        from aesara_tpu.scan import scan
+
+        L = len(self.layers)
+        H, dh = self.layers[0].n_heads, self.layers[0].d_head
+        fX = config.floatX
+
+        caches = []
+        for i in range(L):
+            for kind in ("k", "v"):
+                caches.append(
+                    alloc(constant(np.asarray(0, dtype=fX)), t_max, H, dh)
+                )
+
+        def step_fn(tok, pos, *cache_args):
+            caches = list(cache_args)
+            h = self.embed[tok]
+            new_caches = []
+            for i, layer in enumerate(self.layers):
+                h, kc, vc = layer.step(h, caches[2 * i], caches[2 * i + 1],
+                                       pos)
+                new_caches += [kc, vc]
+            logits = tm.dot(h, self.embed.T)
+            if temperature > 0.0:
+                # fixed-key Gumbel noise: deterministic per (seed, pos)
+                from aesara_tpu.tensor.random.basic import uniform
+                from aesara_tpu.tensor.random.utils import RandomStream
+
+                srng = RandomStream(seed=seed)
+                u = srng.uniform(low=1e-6, high=1.0 - 1e-6,
+                                 size=(self.vocab,))
+                logits = logits / np.asarray(temperature, dtype=fX) - tm.log(
+                    -tm.log(u)
+                )
+            nxt = cast(tm.argmax(logits), "int64")
+            return (nxt, pos + np.int64(1), *new_caches)
+
+        outs, _ = scan(
+            fn=step_fn,
+            outputs_info=[cast(as_tensor_variable(first_token), "int64"),
+                          constant(np.int64(0))] + caches,
+            n_steps=n_steps,
+        )
+        tokens = outs[0] if isinstance(outs, (list, tuple)) else outs
+        return tokens
+
+    def generate_fn(self, n_steps: int, t_max: int, temperature: float = 0.0,
+                    mode="FAST_RUN"):
+        """Compile ``first_token -> generated int64 vector``."""
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.tensor.type import lscalar
+
+        tok0 = lscalar("tok0")
+        toks = self.generate_graph(tok0, n_steps, t_max, temperature)
+        return function([tok0], toks, mode=mode)

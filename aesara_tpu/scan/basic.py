@@ -175,6 +175,9 @@ def scan(
             fn_args.extend(tv)
     fn_args.extend(non_sequences_user)
 
+    from aesara_tpu.graph.ir import _apply_epoch
+
+    _trace_epoch = next(_apply_epoch)  # nodes built by fn stamp >= this
     raw = fn(*fn_args)
 
     # unpack (outputs, updates, until) — ONE implementation, shared with
@@ -184,6 +187,44 @@ def scan(
     raw_outputs, updates, condition = get_updates_and_outputs(raw)
     updates = OrderedDict(updates)
     user_outputs = [as_tensor_variable(o) for o in raw_outputs]
+
+    # ---- implicit per-step state: shared vars with a default_update -----------
+    # A RandomStream drawn inside ``fn`` attaches ``default_update`` (the
+    # key rotation) to its rng shared.  The reference threads such
+    # shareds through the loop as carried state so every step draws
+    # fresh noise (the dropout-in-scan pattern); without this the key
+    # would only rotate once per CALL.  Only shareds consumed by a node
+    # CREATED WHILE TRACING fn qualify — a pre-existing draw captured by
+    # closure stays loop-invariant (evaluated before the loop), exactly
+    # like the reference's non-sequence cut at outer variables.  Iterate
+    # to a fixpoint: a default_update graph can reference further
+    # default-updated shareds.
+    from aesara_tpu.graph.ir import applys_between
+
+    while True:
+        roots = [
+            r for r in (
+                user_outputs + list(updates.values())
+                + ([condition] if condition is not None else [])
+            )
+            if isinstance(r, Variable)
+        ]
+        added = False
+        inner_nodes = [
+            n for n in applys_between([], roots)
+            if getattr(n, "epoch", -1) >= _trace_epoch
+        ] if roots else []
+        for n in inner_nodes:
+            for v in n.inputs:
+                if (
+                    isinstance(v, SharedVariable)
+                    and v not in updates
+                    and getattr(v, "default_update", None) is not None
+                ):
+                    updates[v] = v.default_update
+                    added = True
+        if not added:
+            break
 
     if outs_info is None:
         kinds = ["nit"] * len(user_outputs)

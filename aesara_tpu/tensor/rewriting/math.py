@@ -1706,11 +1706,13 @@ def local_reduce_join(fgraph, node):
 
     if not isinstance(node.op, CAReduce) or node.op.axis != (0,):
         return False
-    if node.op.dtype not in (None, node.outputs[0].type.dtype):
-        pass
     (inp,) = node.inputs
     o = inp.owner
     if o is None or not isinstance(o.op, Join):
+        return False
+    if node.outputs[0].type.dtype != inp.type.dtype:
+        # accumulating dtype differs (e.g. int8 sum -> int64): an
+        # elemwise tree would overflow in the narrow dtype first
         return False
     jaxis = _const_val(o.inputs[0])
     if jaxis != 0:

@@ -1,0 +1,47 @@
+"""Autoregressive serving throughput: KV-cache greedy decode.
+
+The whole decode loop — embedding, L causal layers reading/writing
+per-layer KV caches, the LM head, argmax — is ONE compiled XLA program
+(a framework scan); set_subtensor cache writes lower to in-place
+dynamic-update-slice on the donated carry.
+
+Run: python benchmarks/bench_decode.py  (real chip, no overrides)
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import aesara_tpu as atp
+    from aesara_tpu.models.decoder import DecoderLM
+
+    vocab, L, d, H, ff = 32000, 4, 512, 8, 2048
+    t_max = 512
+    n_steps = 256
+
+    for dtype in ("float32", "bfloat16"):
+        with atp.config.change_flags(floatX=dtype,
+                                     jax_default_matmul_precision="default"):
+            lm = DecoderLM(vocab, L, d, H, ff, seed=0)
+            n_params = sum(int(np.prod(p.get_value().shape))
+                           for p in lm.params)
+            gen = lm.generate_fn(n_steps=n_steps, t_max=t_max,
+                                 mode="FAST_RUN")
+            out = np.asarray(gen(np.int64(17)))     # compile + run
+            assert out.shape == (n_steps,)
+            t0 = time.perf_counter()
+            iters = 3
+            for _ in range(iters):
+                out = np.asarray(gen(np.int64(17)))
+            dt = (time.perf_counter() - t0) / iters
+            tok_s = n_steps / dt
+            print(f"decode {L}L d={d} ff={ff} vocab={vocab} "
+                  f"({n_params/1e6:.1f}M params) {dtype}: "
+                  f"{tok_s:,.0f} tokens/s  ({dt/n_steps*1e3:.2f} ms/token)",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()

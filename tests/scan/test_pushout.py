@@ -169,10 +169,14 @@ def test_matrix_seq_dot_hoisted_as_one_gemm():
     )
 
 
-def test_rng_loop_invariant_draw_semantics_preserved():
-    """srng.uniform() captured by the body is ONE rv node (loop
-    invariant): same draw each step, fresh draw each call — pushout must
-    not duplicate the op or break the state update."""
+def test_rng_in_scan_draws_fresh_per_step():
+    """srng.uniform() inside the scanned fn: the rng shared's
+    default_update (key rotation) is threaded through the loop as
+    carried state — REFERENCE semantics: a fresh draw every STEP (the
+    dropout-in-scan pattern), continuing the stream across calls when
+    the scan updates are applied.  Pushout must not hoist the rv out of
+    the loop (its rng state is per-step), and must not duplicate it."""
+    from aesara_tpu.tensor.random.basic import UniformRV
     from aesara_tpu.tensor.random.utils import RandomStream
 
     srng = RandomStream(seed=3)
@@ -181,5 +185,28 @@ def test_rng_loop_invariant_draw_semantics_preserved():
     f = function([X], h, updates=upd, mode="FAST_RUN")
     a = np.asarray(f(np.ones((4, 2)))).copy()
     b = np.asarray(f(np.ones((4, 2))))
-    assert len(np.unique(a)) == 1  # invariant within a call
-    assert not np.array_equal(a, b)  # state rotates across calls
+    assert len(np.unique(a)) == 4  # fresh draw each step
+    assert not np.array_equal(a, b)  # stream continues across calls
+    # exactly one rv op inside the loop (not duplicated by pushout)
+    scans = [n for n in f.maker.fgraph.toposort()
+             if type(n.op).__name__ == "Scan"]
+    if scans:
+        inner_rvs = [n for n in scans[0].op.fgraph.apply_nodes
+                     if isinstance(n.op, UniformRV)]
+        assert len(inner_rvs) == 1
+
+
+def test_rng_outside_scan_is_loop_invariant():
+    """A draw made OUTSIDE fn and captured as a closed-over variable is
+    one rv node evaluated before the loop: same value every step."""
+    from aesara_tpu.tensor.random.utils import RandomStream
+
+    srng = RandomStream(seed=3)
+    u = srng.uniform()                    # drawn once, outside the loop
+    X = at.matrix("X", dtype="float64")
+    h, upd = scan(lambda xt: (xt * u).sum(), sequences=[X])
+    f = function([X], h, updates=upd, mode="FAST_RUN")
+    a = np.asarray(f(np.ones((4, 2)))).copy()
+    b = np.asarray(f(np.ones((4, 2))))
+    assert len(np.unique(a)) == 1         # invariant within a call
+    assert not np.array_equal(a, b)       # rotates across calls
