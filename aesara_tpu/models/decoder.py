@@ -120,6 +120,36 @@ class TransformerDecoderLayer(Model):
         return h + ffn, k_cache, v_cache
 
 
+    # -- batched cached decode: B synchronized streams ---------------------
+    def step_batched(self, h, k_cache, v_cache, pos):
+        """h (B, D); caches (B, T_max, H, dh); pos int scalar.
+        Returns (h_out, new_k_cache, new_v_cache).  All B streams decode
+        in lockstep (continuous batching's fixed-shape core): the (B,
+        d)·(d, d) projections batch into one MXU gemm instead of B
+        matvecs — the throughput lever serving stacks rely on."""
+        H, dh = self.n_heads, self.d_head
+        z = _layer_norm(h, self.ln1_g, self.ln1_b)
+        B = h.shape[0]
+        q = tm.dot(z, self.wq).reshape((B, H, dh))
+        k_new = tm.dot(z, self.wk).reshape((B, H, dh))
+        v_new = tm.dot(z, self.wv).reshape((B, H, dh))
+        k_cache = set_subtensor(k_cache[:, pos], k_new)
+        v_cache = set_subtensor(v_cache[:, pos], v_new)
+        scores = tm.sum(
+            k_cache * q.dimshuffle(0, "x", 1, 2), axis=-1
+        ) / np.sqrt(dh)                                   # (B, T_max, H)
+        t_idx = arange(k_cache.shape[1]).dimshuffle("x", 0, "x")
+        neg = constant(np.asarray(-1e9, dtype=config.floatX))
+        scores = switch(tm.le(t_idx, pos), scores, neg)
+        attn = softmax(scores, axis=1)                    # over time
+        ctx = tm.sum(attn.dimshuffle(0, 1, 2, "x") * v_cache, axis=1)
+        h = h + tm.dot(ctx.reshape((B, self.d_model)), self.wo)
+        z2 = _layer_norm(h, self.ln2_g, self.ln2_b)
+        ffn = tm.dot(tm.maximum(tm.dot(z2, self.w1) + self.b1, 0.0),
+                     self.w2) + self.b2
+        return h + ffn, k_cache, v_cache
+
+
 class DecoderLM(Model):
     """Embedding + L decoder layers + tied LM head."""
 
@@ -208,3 +238,50 @@ class DecoderLM(Model):
         tok0 = lscalar("tok0")
         toks = self.generate_graph(tok0, n_steps, t_max, temperature)
         return function([tok0], toks, mode=mode)
+
+    # -- batched serving ---------------------------------------------------
+    def generate_batched_graph(self, first_tokens, batch: int, n_steps: int,
+                               t_max: int):
+        """Greedy decode of B synchronized streams: ``first_tokens``
+        (int vector, length B) → (n_steps, B) int64 matrix."""
+        from aesara_tpu.scan import scan
+
+        L = len(self.layers)
+        H, dh = self.layers[0].n_heads, self.layers[0].d_head
+        fX = config.floatX
+
+        caches = []
+        for _ in range(2 * L):
+            caches.append(
+                alloc(constant(np.asarray(0, dtype=fX)), batch, t_max, H, dh)
+            )
+
+        def step_fn(toks, pos, *cache_args):
+            caches = list(cache_args)
+            h = self.embed[toks]                       # (B, D)
+            new_caches = []
+            for i, layer in enumerate(self.layers):
+                h, kc, vc = layer.step_batched(
+                    h, caches[2 * i], caches[2 * i + 1], pos
+                )
+                new_caches += [kc, vc]
+            logits = tm.dot(h, self.embed.T)           # (B, vocab)
+            nxt = cast(tm.argmax(logits, axis=-1), "int64")
+            return (nxt, pos + np.int64(1), *new_caches)
+
+        outs, _ = scan(
+            fn=step_fn,
+            outputs_info=[cast(as_tensor_variable(first_tokens), "int64"),
+                          constant(np.int64(0))] + caches,
+            n_steps=n_steps,
+        )
+        return outs[0] if isinstance(outs, (list, tuple)) else outs
+
+    def generate_batched_fn(self, batch: int, n_steps: int, t_max: int,
+                            mode="FAST_RUN"):
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.tensor.type import lvector
+
+        toks0 = lvector("toks0")
+        toks = self.generate_batched_graph(toks0, batch, n_steps, t_max)
+        return function([toks0], toks, mode=mode)

@@ -42,6 +42,20 @@ def main():
                   f"{tok_s:,.0f} tokens/s  ({dt/n_steps*1e3:.2f} ms/token)",
                   flush=True)
 
+            # batched serving: B=32 synchronized streams
+            B = 32
+            genb = lm.generate_batched_fn(batch=B, n_steps=n_steps,
+                                          t_max=t_max, mode="FAST_RUN")
+            toks0 = np.arange(B, dtype="int64") % vocab
+            out = np.asarray(genb(toks0))
+            assert out.shape == (n_steps, B)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = np.asarray(genb(toks0))
+            dtb = (time.perf_counter() - t0) / iters
+            print(f"  batched B={B}: {B*n_steps/dtb:,.0f} tokens/s "
+                  f"({dtb/n_steps*1e3:.2f} ms/step)", flush=True)
+
 
 if __name__ == "__main__":
     main()

@@ -90,3 +90,20 @@ def test_temperature_sampling_varies_and_is_seed_reproducible(lm):
     )
     # hot sampling at T=5 should diverge from greedy somewhere
     assert not np.array_equal(out1, greedy)
+
+
+def test_batched_decode_matches_single_streams(lm):
+    genb = lm.generate_batched_fn(batch=3, n_steps=6, t_max=8, mode="PY")
+    out = np.asarray(genb(np.array([3, 7, 11], dtype="int64")))
+    assert out.shape == (6, 3)
+    gen1 = lm.generate_fn(n_steps=6, t_max=8, mode="PY")
+    for j, t0 in enumerate([3, 7, 11]):
+        assert np.array_equal(out[:, j], np.asarray(gen1(np.int64(t0))))
+
+
+def test_batched_decode_jax_py_agree(lm):
+    a = np.asarray(lm.generate_batched_fn(3, 5, 8, mode="PY")(
+        np.array([1, 2, 3], dtype="int64")))
+    b = np.asarray(lm.generate_batched_fn(3, 5, 8, mode="JAX")(
+        np.array([1, 2, 3], dtype="int64")))
+    assert np.array_equal(a, b)
