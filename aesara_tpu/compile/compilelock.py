@@ -5,15 +5,12 @@ lock file); this module exposes the reference's public API over it.
 """
 
 import os
-import threading
 from contextlib import contextmanager
 
 from aesara_tpu.config import config
 from aesara_tpu.link.c.build import lock_ctx as _lock_ctx
 
 __all__ = ["lock_ctx", "force_unlock"]
-
-_local = threading.local()
 
 
 @contextmanager

@@ -29,7 +29,6 @@ from aesara_tpu.tensor.basic import (
     constant,
     switch,
 )
-from aesara_tpu.tensor.shape import specify_shape
 from aesara_tpu.tensor.subtensor import set_subtensor
 from aesara_tpu.tensor.special import softmax
 
@@ -186,6 +185,12 @@ class DecoderLM(Model):
         >0 → Gumbel-max sampling with a fixed seed."""
         from aesara_tpu.scan import scan
 
+        if n_steps > t_max:
+            raise ValueError(
+                f"generate: n_steps ({n_steps}) exceeds the cache bound "
+                f"t_max ({t_max}) — writes past the cache would clamp "
+                f"silently under XLA"
+            )
         L = len(self.layers)
         H, dh = self.layers[0].n_heads, self.layers[0].d_head
         fX = config.floatX
@@ -208,7 +213,6 @@ class DecoderLM(Model):
             logits = tm.dot(h, self.embed.T)
             if temperature > 0.0:
                 # fixed-key Gumbel noise: deterministic per (seed, pos)
-                from aesara_tpu.tensor.random.basic import uniform
                 from aesara_tpu.tensor.random.utils import RandomStream
 
                 srng = RandomStream(seed=seed)
@@ -246,6 +250,12 @@ class DecoderLM(Model):
         (int vector, length B) → (n_steps, B) int64 matrix."""
         from aesara_tpu.scan import scan
 
+        if n_steps > t_max:
+            raise ValueError(
+                f"generate: n_steps ({n_steps}) exceeds the cache bound "
+                f"t_max ({t_max}) — writes past the cache would clamp "
+                f"silently under XLA"
+            )
         L = len(self.layers)
         H, dh = self.layers[0].n_heads, self.layers[0].d_head
         fX = config.floatX

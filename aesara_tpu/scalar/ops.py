@@ -55,12 +55,15 @@ def upcast(dtype, *dtypes) -> str:
         for d in (dtype, *dtypes)
     ]
     if "bfloat16" in all_ds:
-        rest = [d for d in all_ds if d != "bfloat16"]
+        # jax accelerator rules: with bf16 present, integer/bool
+        # operands never widen the result (promoting them with numpy
+        # first would leak f16∘int64 → f64 — review finding), so only
+        # the other CONTINUOUS operands matter
+        rest = [d for d in all_ds
+                if d != "bfloat16" and d in continuous_dtypes]
         if not rest:
             return "bfloat16"
         promoted = upcast(*rest)
-        if promoted in discrete_dtypes:
-            return "bfloat16"
         if promoted == "float16":
             return "float32"
         return promoted

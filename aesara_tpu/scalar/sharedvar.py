@@ -18,7 +18,7 @@ class ScalarSharedVariable(SharedVariable):
 
 def scalar_constructor(value, name=None, strict=False, allow_downcast=None):
     """Build a 0-d shared variable from a python/numpy scalar."""
-    if not np.isscalar(value) and getattr(value, "ndim", 0) != 0:
+    if np.asarray(value).ndim != 0:
         raise TypeError("scalar_constructor requires a scalar value")
     return shared(np.asarray(value), name=name, strict=strict,
                   allow_downcast=allow_downcast)

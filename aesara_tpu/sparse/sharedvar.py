@@ -33,7 +33,10 @@ def sparse_constructor(value, name=None, strict=False, allow_downcast=None,
     fmt = format or value.format
     stype = SparseTensorType(fmt, value.dtype.name)
     val = value if borrow else value.copy()
-    return SparseTensorSharedVariable(stype, val.asformat(fmt), name=name)
+    return SparseTensorSharedVariable(
+        stype, val.asformat(fmt), name=name, strict=strict,
+        allow_downcast=allow_downcast,
+    )
 
 
 @shared_constructor.register(scipy.sparse.spmatrix)

@@ -21,7 +21,7 @@ from aesara_tpu.compile.mode import (
 from aesara_tpu.graph.rewriting.basic import copy_stack_trace, node_rewriter
 from aesara_tpu.tensor import math as tm
 from aesara_tpu.tensor.elemwise import DimShuffle, Elemwise
-from aesara_tpu.tensor.math import Dot, Sum, Prod
+from aesara_tpu.tensor.math import Dot, Prod
 from aesara_tpu.tensor.nlinalg import Det, MatrixInverse
 from aesara_tpu.tensor.slinalg import (
     Cholesky,

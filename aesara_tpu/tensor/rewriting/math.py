@@ -1722,16 +1722,8 @@ def local_reduce_join(fgraph, node):
         return False
     combiner = {
         aes.ops.Add: tm.add, aes.ops.Mul: tm.mul,
-        aes.ops.ScalarMaximum: tm.maximum, aes.ops.ScalarMinimum: tm.minimum,
+        aes.ops.Maximum: tm.maximum, aes.ops.Minimum: tm.minimum,
     }.get(type(node.op.scalar_op))
-    if combiner is None:
-        for cls, fn in (
-            (getattr(aes.ops, "Maximum", ()), tm.maximum),
-            (getattr(aes.ops, "Minimum", ()), tm.minimum),
-        ):
-            if cls and isinstance(node.op.scalar_op, cls):
-                combiner = fn
-                break
     if combiner is None:
         return False
     squeezed = [

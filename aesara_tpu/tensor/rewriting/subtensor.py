@@ -1029,7 +1029,19 @@ def local_adv_sub1_adv_inc_sub1(fgraph, node):
     if not isinstance(ilist, Constant):
         return False
     idx = np.asarray(ilist.data)
-    if idx.ndim != 1 or len(np.unique(idx)) != len(idx):
+    if idx.ndim != 1:
+        return False
+    # uniqueness must hold AFTER negative-index normalization (-1 and
+    # n-1 alias the same row); normalize with the static dim, else only
+    # accept all-nonnegative index sets (review finding: [4, -1] on a
+    # length-5 axis passed the raw np.unique check and dropped the
+    # accumulated increment)
+    n0 = x.type.shape[0]
+    if np.any(idx < 0):
+        if n0 is None:
+            return False
+        idx = np.where(idx < 0, idx + n0, idx)
+    if len(np.unique(idx)) != len(idx):
         return False
     res = tm.add(AdvancedSubtensor1()(x, ilist), y)
     conv = node.outputs[0].type.convert_variable(res)

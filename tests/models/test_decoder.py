@@ -107,3 +107,10 @@ def test_batched_decode_jax_py_agree(lm):
     b = np.asarray(lm.generate_batched_fn(3, 5, 8, mode="JAX")(
         np.array([1, 2, 3], dtype="int64")))
     assert np.array_equal(a, b)
+
+
+def test_generate_rejects_steps_beyond_cache(lm):
+    with pytest.raises(ValueError, match="t_max"):
+        lm.generate_fn(n_steps=6, t_max=4, mode="PY")
+    with pytest.raises(ValueError, match="t_max"):
+        lm.generate_batched_fn(batch=2, n_steps=6, t_max=4, mode="PY")

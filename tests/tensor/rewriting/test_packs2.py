@@ -173,3 +173,31 @@ class TestUpcastConstants:
                     assert np.asarray(i.data).dtype != np.float64
         xv = rng.standard_normal(4).astype("float32")
         assert np.allclose(f(xv), xv * 2.5, rtol=1e-6)
+
+
+def test_gather_of_scatter_negative_alias_kept():
+    """[4, -1] on a length-5 axis aliases one row: the rewrite must NOT
+    fire (review finding — raw np.unique called it 'unique')."""
+    x = at.TensorType("float32", (5,))("x")
+    y = at.vector("y", dtype="float32", shape=(2,))
+    ilist = at.as_tensor_variable(np.array([4, -1], dtype="int64"))
+    expr = inc_subtensor(x[ilist], y)[ilist]
+    f = atp.function([x, y], expr, mode=M)
+    xv = np.arange(5, dtype="float32")
+    yv = np.array([10.0, 100.0], dtype="float32")
+    ref = xv.copy()
+    np.add.at(ref, [4, -1], yv)
+    assert np.allclose(f(xv, yv), ref[[4, -1]])
+
+
+def test_gather_of_scatter_negative_nonalias_fires():
+    """[-1, 0] with a KNOWN length normalizes to [4, 0]: unique, the
+    rewrite may fire, and values must stay right."""
+    x = at.TensorType("float32", (5,))("x")
+    y = at.vector("y", dtype="float32", shape=(2,))
+    ilist = at.as_tensor_variable(np.array([-1, 0], dtype="int64"))
+    expr = inc_subtensor(x[ilist], y)[ilist]
+    f = atp.function([x, y], expr, mode=M)
+    xv = np.arange(5, dtype="float32")
+    yv = np.array([10.0, 100.0], dtype="float32")
+    assert np.allclose(f(xv, yv), xv[[-1, 0]] + yv)

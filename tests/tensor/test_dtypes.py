@@ -172,3 +172,13 @@ def ml_bfloat16():
     import ml_dtypes
 
     return ml_dtypes.bfloat16
+
+
+def test_bf16_three_way_promotion_matches_jax():
+    """bf16 + f16 + int64 must give float32 like jax, not float64
+    (review finding: numpy's f16-int64 promotion leaked through)."""
+    from aesara_tpu.scalar.ops import upcast
+
+    assert upcast("bfloat16", "float16", "int64") == "float32"
+    assert upcast("bfloat16", "float32", "int64") == "float32"
+    assert upcast("bfloat16", "complex64") == "complex64"
