@@ -243,6 +243,84 @@ class DecoderLM(Model):
         toks = self.generate_graph(tok0, n_steps, t_max, temperature)
         return function([tok0], toks, mode=mode)
 
+    # -- prompt serving: prefill the caches, then decode -------------------
+    def prefill_graph(self, prompt, prompt_len: int, t_max: int):
+        """Run the batched full-sequence forward over ``prompt`` (int
+        vector, static length ``prompt_len``) while FILLING the KV
+        caches — one MXU-batched pass instead of ``prompt_len`` decode
+        steps (the prefill/decode split every serving stack makes).
+        Returns (last_hidden, caches): caches are (t_max, H, dh) per
+        layer with rows [0, prompt_len) populated."""
+        from aesara_tpu.tensor.subtensor import set_subtensor
+
+        if prompt_len > t_max:
+            raise ValueError(
+                f"prefill: prompt_len ({prompt_len}) exceeds t_max ({t_max})"
+            )
+        H, dh = self.layers[0].n_heads, self.layers[0].d_head
+        fX = config.floatX
+        x = self.embed[prompt]                       # (P, D)
+        caches = []
+        h = x
+        for layer in self.layers:
+            # the cached K/V of this layer are projections of the LN'd
+            # input — recompute them exactly as full() does
+            z = _layer_norm(h, layer.ln1_g, layer.ln1_b)
+            k_rows = tm.dot(z, layer.wk).reshape((prompt_len, H, dh))
+            v_rows = tm.dot(z, layer.wv).reshape((prompt_len, H, dh))
+            kc = alloc(constant(np.asarray(0, dtype=fX)), t_max, H, dh)
+            vc = alloc(constant(np.asarray(0, dtype=fX)), t_max, H, dh)
+            caches.append(set_subtensor(kc[:prompt_len], k_rows))
+            caches.append(set_subtensor(vc[:prompt_len], v_rows))
+            h = layer.full(h)
+        return h[-1], caches
+
+    def generate_from_prompt_fn(self, prompt_len: int, n_new: int,
+                                t_max: int, mode="FAST_RUN"):
+        """Compile ``prompt (int64 vector, len prompt_len) -> n_new
+        generated tokens``: ONE program containing the batched prefill
+        AND the decode scan."""
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.scan import scan
+        from aesara_tpu.tensor.type import TensorType
+
+        if prompt_len + n_new > t_max:
+            raise ValueError(
+                f"prompt_len + n_new ({prompt_len + n_new}) exceeds "
+                f"t_max ({t_max})"
+            )
+        prompt = TensorType("int64", (prompt_len,))("prompt")
+        h_last, caches = self.prefill_graph(prompt, prompt_len, t_max)
+        logits0 = tm.dot(h_last, self.embed.T)
+        tok0 = cast(tm.argmax(logits0), "int64")
+
+        def step_fn(tok, pos, *cache_args):
+            caches = list(cache_args)
+            h = self.embed[tok]
+            new_caches = []
+            for i, layer in enumerate(self.layers):
+                h, kc, vc = layer.step(h, caches[2 * i], caches[2 * i + 1],
+                                       pos)
+                new_caches += [kc, vc]
+            logits = tm.dot(h, self.embed.T)
+            nxt = cast(tm.argmax(logits), "int64")
+            return (nxt, pos + np.int64(1), *new_caches)
+
+        if n_new == 1:
+            return function([prompt], tok0.dimshuffle("x"), mode=mode)
+        outs, _ = scan(
+            fn=step_fn,
+            outputs_info=[tok0, constant(np.int64(prompt_len))] + caches,
+            n_steps=n_new - 1,
+        )
+        cont = outs[0] if isinstance(outs, (list, tuple)) else outs
+        # output = tok0 (from the prefill logits) + the n_new-1 decoded
+        # continuations
+        from aesara_tpu.tensor.basic import join
+
+        toks = join(0, tok0.dimshuffle("x"), cont)
+        return function([prompt], toks, mode=mode)
+
     # -- batched serving ---------------------------------------------------
     def generate_batched_graph(self, first_tokens, batch: int, n_steps: int,
                                t_max: int):

@@ -114,3 +114,43 @@ def test_generate_rejects_steps_beyond_cache(lm):
         lm.generate_fn(n_steps=6, t_max=4, mode="PY")
     with pytest.raises(ValueError, match="t_max"):
         lm.generate_batched_fn(batch=2, n_steps=6, t_max=4, mode="PY")
+
+
+def test_prefill_then_decode_matches_oracle(lm):
+    """Prompt prefill (one batched pass filling the caches) + decode
+    must equal the step-by-step full-sequence greedy continuation."""
+    P, NEW = 4, 5
+    gen = lm.generate_from_prompt_fn(prompt_len=P, n_new=NEW, t_max=16,
+                                     mode="PY")
+    prompt = np.array([5, 9, 2, 7], dtype="int64")
+    out = np.asarray(gen(prompt))
+
+    toks = at.lvector("toks")
+    x = lm.embed[toks]
+    h = x
+    for layer in lm.layers:
+        h = layer.full(h)
+    logits = at.dot(h, lm.embed.T)
+    f_full = atp.function([toks], at.argmax(logits[-1]), mode="PY")
+    seq = list(prompt)
+    for _ in range(NEW):
+        seq.append(int(f_full(np.asarray(seq, dtype="int64"))))
+    assert list(out) == seq[P:]
+
+
+def test_prefill_decode_jax_py_agree(lm):
+    prompt = np.array([1, 2, 3], dtype="int64")
+    a = np.asarray(lm.generate_from_prompt_fn(3, 4, 12, mode="PY")(prompt))
+    b = np.asarray(lm.generate_from_prompt_fn(3, 4, 12, mode="JAX")(prompt))
+    assert np.array_equal(a, b)
+
+
+def test_prefill_single_new_token(lm):
+    prompt = np.array([1, 2], dtype="int64")
+    out = np.asarray(lm.generate_from_prompt_fn(2, 1, 8, mode="PY")(prompt))
+    assert out.shape == (1,)
+
+
+def test_prefill_bounds_checked(lm):
+    with pytest.raises(ValueError):
+        lm.generate_from_prompt_fn(prompt_len=6, n_new=4, t_max=8, mode="PY")
