@@ -274,3 +274,39 @@ def print_global_stats():
     total_calls = sum(getattr(p, "fct_callcount", 0) for p in _all_profiles)
     print(f"Global profiling stats: {len(_all_profiles)} profiled functions, "
           f"{total_calls} calls, {total_time:.4f}s total", file=sys.stderr)
+
+
+# ---------------------------------------------------------------------------
+# device profiler hooks (SURVEY §7-8: "XLA cost analysis + device
+# profiler hooks"): thin wrappers over jax.profiler so users can capture
+# a TensorBoard-readable device trace around compiled-function calls
+# without importing jax themselves.
+# ---------------------------------------------------------------------------
+
+def start_device_trace(logdir: str):
+    """Begin capturing a device trace (XLA ops, HBM transfers) into
+    ``logdir`` — view with TensorBoard's profile plugin."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+
+
+def stop_device_trace():
+    import jax
+
+    jax.profiler.stop_trace()
+
+
+class device_trace:
+    """Context manager: ``with device_trace("/tmp/tb"): f(x)``."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        start_device_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        stop_device_trace()
+        return False

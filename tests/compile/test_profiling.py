@@ -71,3 +71,21 @@ def test_scan_profile_section():
     text = buf.getvalue()
     assert "scan loops" in text
     assert "inner:" in text
+
+
+def test_device_trace_context(tmp_path):
+    """device_trace captures a jax profiler trace directory."""
+    import numpy as np
+
+    import aesara_tpu as atp
+    import aesara_tpu.tensor as at
+    from aesara_tpu.compile.profiling import device_trace
+
+    x = at.vector("x")
+    f = atp.function([x], (x * 2).sum(), mode="JAX")
+    logdir = str(tmp_path / "trace")
+    with device_trace(logdir):
+        f(np.ones(8, dtype="float32"))
+    import os
+
+    assert os.path.isdir(logdir) and os.listdir(logdir)
