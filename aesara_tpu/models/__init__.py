@@ -8,7 +8,10 @@ first-class package so the flagship train steps are importable,
 testable, and benchmarkable.
 """
 
-from aesara_tpu.models.optim import adam, momentum, rmsprop, sgd
+from aesara_tpu.models.optim import (
+    adam, adamw, adamw_from_grads, clip_by_global_norm, momentum,
+    rmsprop, scaled_loss_updates, sgd, warmup_cosine,
+)
 from aesara_tpu.models.linear import LinearRegression, LogisticRegression
 from aesara_tpu.models.mlp import MLP
 from aesara_tpu.models.convnet import ConvNet

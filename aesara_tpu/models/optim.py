@@ -110,3 +110,156 @@ def adam(cost, params: Sequence, lr: float = 0.001, b1: float = 0.9,
         updates.append((v, v_new))
         updates.append((p, p - lr * m_hat / (tm.sqrt(v_hat) + eps)))
     return updates
+
+
+def clip_by_global_norm(grads: Sequence, max_norm: float):
+    """Rescale ``grads`` so the joint L2 norm is at most ``max_norm``
+    (production LM-training clipping).  Returns (clipped_grads,
+    global_norm)."""
+    sq = None
+    for g in grads:
+        term = tm.sum(tm.sqr(cast(g, "float32")))
+        sq = term if sq is None else sq + term
+    gnorm = tm.sqrt(sq)
+    scale = tm.minimum(1.0, max_norm / tm.maximum(gnorm, 1e-12))
+    return [cast(cast(g, "float32") * scale, g.type.dtype) for g in grads], gnorm
+
+
+def adamw(cost, params: Sequence, lr: float = 0.001, b1: float = 0.9,
+          b2: float = 0.999, eps: float = 1e-8, weight_decay: float = 0.01,
+          grad_clip: float | None = None,
+          state_shard_axis: str | None = None,
+          state_shard_size: int | None = None) -> List[Tuple]:
+    """AdamW (Loshchilov & Hutter 2019): Adam with DECOUPLED weight
+    decay (applied to the parameter, not folded into the gradient) and
+    optional global-norm gradient clipping — the default recipe for
+    transformer training.  ``lr`` may be a float or a scalar Variable
+    (pass a schedule from ``warmup_cosine``)."""
+    grads = _grads(cost, params)
+    if grad_clip is not None:
+        grads, _ = clip_by_global_norm(grads, grad_clip)
+    t = shared(np.asarray(0.0, dtype="float32"), name="adamw_t")
+    t_new = t + 1.0
+    updates: List[Tuple] = [(t, t_new)]
+    bc1 = 1.0 - tm.pow(np.float32(b1), t_new)
+    bc2 = 1.0 - tm.pow(np.float32(b2), t_new)
+    for p, g in zip(params, grads):
+        dt = p.get_value().dtype
+        shape = p.get_value().shape
+        sharding = _state_sharding(shape, state_shard_axis, state_shard_size)
+        m = shared(np.zeros(shape, dtype="float32"),
+                   name=(p.name or "p") + "_m", sharding=sharding)
+        v = shared(np.zeros(shape, dtype="float32"),
+                   name=(p.name or "p") + "_v", sharding=sharding)
+        g32 = cast(g, "float32")
+        m_new = b1 * m + (1.0 - b1) * g32
+        v_new = b2 * v + (1.0 - b2) * g32 * g32
+        step = lr * (m_new / bc1) / (tm.sqrt(v_new / bc2) + eps)
+        p32 = cast(p, "float32")
+        p_new = p32 - step - lr * weight_decay * p32
+        updates += [(m, m_new), (v, v_new), (p, cast(p_new, dt))]
+    return updates
+
+
+def warmup_cosine(step, lr_max: float, warmup_steps: int, total_steps: int,
+                  lr_min: float = 0.0):
+    """Linear warmup then cosine decay, as a symbolic function of a
+    scalar ``step`` Variable (e.g. the ``adamw_t`` counter or your own
+    shared step).  The schedule compiles INTO the train step — no host
+    recomputation per step."""
+    from aesara_tpu.tensor.basic import switch
+
+    stepf = cast(step, "float32")
+    warm = lr_max * stepf / np.float32(max(warmup_steps, 1))
+    progress = tm.minimum(
+        (stepf - warmup_steps) / np.float32(max(total_steps - warmup_steps, 1)),
+        np.float32(1.0),
+    )
+    cos = lr_min + 0.5 * (lr_max - lr_min) * (1.0 + tm.cos(
+        np.float32(np.pi) * progress
+    ))
+    return switch(tm.lt(stepf, np.float32(warmup_steps)), warm, cos)
+
+
+def scaled_loss_updates(cost, params: Sequence, opt_fn,
+                        init_scale: float = 2.0 ** 15,
+                        growth_interval: int = 2000,
+                        growth_factor: float = 2.0,
+                        backoff_factor: float = 0.5) -> List[Tuple]:
+    """Dynamic loss scaling for low-precision training: the gradients
+    are taken of ``cost * scale``, unscaled before the optimizer, and
+    the whole parameter/optimizer update is SKIPPED on any non-finite
+    gradient while the scale backs off; after ``growth_interval`` clean
+    steps the scale doubles.  ``opt_fn(grads_override) -> updates`` is
+    any optimizer above partially applied, e.g.::
+
+        updates = scaled_loss_updates(
+            loss, params,
+            lambda gs: adamw_from_grads(params, gs, lr=3e-4),
+        )
+
+    For convenience ``opt_fn`` may also be a plain per-param SGD float.
+    Returns updates including the scale/counter shareds.
+    """
+    from aesara_tpu.tensor.basic import switch
+
+    scale = shared(np.asarray(init_scale, dtype="float32"),
+                   name="loss_scale")
+    good = shared(np.asarray(0.0, dtype="float32"), name="loss_scale_good")
+
+    grads = _grads(cost * scale, params)
+    unscaled = [cast(g, "float32") / scale for g in grads]
+    finite = None
+    for g in unscaled:
+        bad = tm.any(tm.or_(tm.isnan(g), tm.isinf(g)))
+        ok = tm.eq(bad, 0)
+        finite = ok if finite is None else tm.and_(finite, ok)
+
+    if callable(opt_fn):
+        raw_updates = opt_fn(unscaled)
+    else:
+        lr = float(opt_fn)
+        raw_updates = [(p, p - lr * cast(g, p.type.dtype))
+                       for p, g in zip(params, unscaled)]
+
+    updates: List[Tuple] = []
+    for var, new in raw_updates:
+        updates.append((var, switch(finite, new, var)))
+    grew = tm.ge(good + 1.0, np.float32(growth_interval))
+    scale_next = switch(
+        finite,
+        switch(grew, scale * np.float32(growth_factor), scale),
+        scale * np.float32(backoff_factor),
+    )
+    good_next = switch(
+        finite, switch(grew, np.float32(0.0), good + 1.0), np.float32(0.0)
+    )
+    updates.append((scale, scale_next))
+    updates.append((good, good_next))
+    return updates
+
+
+def adamw_from_grads(params: Sequence, grads: Sequence, lr=0.001,
+                     b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                     weight_decay: float = 0.01) -> List[Tuple]:
+    """AdamW taking precomputed gradients (for ``scaled_loss_updates``)."""
+    t = shared(np.asarray(0.0, dtype="float32"), name="adamw_t")
+    t_new = t + 1.0
+    updates: List[Tuple] = [(t, t_new)]
+    bc1 = 1.0 - tm.pow(np.float32(b1), t_new)
+    bc2 = 1.0 - tm.pow(np.float32(b2), t_new)
+    for p, g in zip(params, grads):
+        dt = p.get_value().dtype
+        shape = p.get_value().shape
+        m = shared(np.zeros(shape, dtype="float32"),
+                   name=(p.name or "p") + "_m")
+        v = shared(np.zeros(shape, dtype="float32"),
+                   name=(p.name or "p") + "_v")
+        g32 = cast(g, "float32")
+        m_new = b1 * m + (1.0 - b1) * g32
+        v_new = b2 * v + (1.0 - b2) * g32 * g32
+        step = lr * (m_new / bc1) / (tm.sqrt(v_new / bc2) + eps)
+        p32 = cast(p, "float32")
+        updates += [(m, m_new), (v, v_new),
+                    (p, cast(p32 - step - lr * weight_decay * p32, dt))]
+    return updates

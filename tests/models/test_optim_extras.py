@@ -1,0 +1,116 @@
+"""Production-training optimizer features: AdamW, global-norm clipping,
+LR schedules, dynamic loss scaling."""
+
+import numpy as np
+import pytest
+
+import aesara_tpu as atp
+import aesara_tpu.tensor as at
+from aesara_tpu.compile.sharedvalue import shared
+from aesara_tpu.models.optim import (
+    adamw,
+    adamw_from_grads,
+    clip_by_global_norm,
+    scaled_loss_updates,
+    warmup_cosine,
+)
+
+
+def _problem():
+    w = shared(np.zeros(4, dtype="float32"), name="w")
+    x = at.matrix("x")
+    y = at.vector("y")
+    loss = ((at.dot(x, w) - y) ** 2).mean()
+    xv = np.ones((3, 4), dtype="float32")
+    yv = np.arange(3, dtype="float32")
+    return w, x, y, loss, xv, yv
+
+
+def test_adamw_trains_and_decays():
+    w, x, y, loss, xv, yv = _problem()
+    step = atp.function([x, y], loss,
+                        updates=adamw(loss, [w], lr=0.05, weight_decay=0.01),
+                        mode="PY")
+    l0 = float(step(xv, yv))
+    for _ in range(10):
+        l1 = float(step(xv, yv))
+    assert l1 < l0
+
+    # decoupled decay: with zero gradient the weights still shrink
+    w2 = shared(np.ones(3, dtype="float32") * 2.0, name="w2")
+    z = at.vector("z")
+    cost = (z * 0.0).sum() + w2.sum() * 0.0
+    step2 = atp.function([z], cost,
+                         updates=adamw(cost, [w2], lr=0.1, weight_decay=0.5),
+                         mode="PY", on_unused_input="ignore")
+    step2(np.zeros(3, dtype="float32"))
+    assert np.all(w2.get_value() < 2.0)
+
+
+def test_grad_clip_bounds_norm():
+    w, x, y, loss, xv, yv = _problem()
+    from aesara_tpu.gradient import grad
+
+    gs = grad(loss * 1e6, [w])  # huge gradient
+    clipped, gnorm = clip_by_global_norm(gs, max_norm=1.0)
+    f = atp.function([x, y], [clipped[0], gnorm], mode="PY")
+    cv, nv = f(xv, yv)
+    assert float(np.sqrt((np.asarray(cv) ** 2).sum())) <= 1.0 + 1e-5
+    assert float(nv) > 1.0
+
+
+def test_warmup_cosine_shape():
+    t = shared(np.float32(0.0), name="t")
+    lr = warmup_cosine(t, lr_max=1.0, warmup_steps=10, total_steps=100)
+    f = atp.function([], lr, mode="PY")
+    vals = []
+    for i in [0, 5, 10, 55, 100, 200]:
+        t.set_value(np.float32(i))
+        vals.append(float(f()))
+    assert vals[0] == 0.0
+    assert abs(vals[1] - 0.5) < 1e-6          # linear warmup midpoint
+    assert abs(vals[2] - 1.0) < 1e-6          # peak at warmup end
+    assert abs(vals[3] - 0.5) < 1e-6          # cosine midpoint
+    assert vals[4] < 1e-6                     # decayed to lr_min
+    assert vals[5] < 1e-6                     # clamped past total_steps
+
+
+class TestLossScaling:
+    def test_skips_update_on_nonfinite_and_backs_off(self):
+        w = shared(np.zeros(2, dtype="float32"), name="w")
+        z = at.vector("z")
+        cost = (w * z).sum()
+        upd = scaled_loss_updates(cost, [w], 0.1, init_scale=2.0 ** 10,
+                                  backoff_factor=0.5)
+        scale_var = next(v for v, _ in upd if getattr(v, "name", "") == "loss_scale")
+        f = atp.function([z], cost, updates=upd, mode="PY")
+        f(np.ones(2, dtype="float32"))
+        w_after = w.get_value().copy()
+        assert not np.allclose(w_after, 0.0)
+        f(np.array([np.inf, 1.0], dtype="float32"))
+        assert np.array_equal(w.get_value(), w_after)  # update skipped
+        assert float(scale_var.get_value()) == 2.0 ** 9  # backed off
+
+    def test_scale_grows_after_clean_interval(self):
+        w = shared(np.zeros(2, dtype="float32"), name="w")
+        z = at.vector("z")
+        cost = (w * z).sum()
+        upd = scaled_loss_updates(cost, [w], 0.01, init_scale=4.0,
+                                  growth_interval=3, growth_factor=2.0)
+        scale_var = next(v for v, _ in upd
+                         if getattr(v, "name", "") == "loss_scale")
+        f = atp.function([z], cost, updates=upd, mode="PY")
+        for _ in range(3):
+            f(np.ones(2, dtype="float32"))
+        assert float(scale_var.get_value()) == 8.0
+
+    def test_with_adamw_from_grads(self):
+        w, x, y, loss, xv, yv = _problem()
+        upd = scaled_loss_updates(
+            loss, [w], lambda gs: adamw_from_grads([w], gs, lr=0.05),
+        )
+        step = atp.function([x, y], loss, updates=upd, mode="PY")
+        l0 = float(step(xv, yv))
+        for _ in range(8):
+            l1 = float(step(xv, yv))
+        assert l1 < l0
