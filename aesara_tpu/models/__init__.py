@@ -18,6 +18,7 @@ from aesara_tpu.models.convnet import ConvNet
 from aesara_tpu.models.rnn import GRU, LSTM, ElmanRNN
 from aesara_tpu.models.transformer import TransformerEncoderLayer
 from aesara_tpu.models.decoder import DecoderLM, TransformerDecoderLayer
+from aesara_tpu.models.checkpoint import load_checkpoint, save_checkpoint, state_shareds
 
 __all__ = [
     "DecoderLM", "TransformerDecoderLayer",
