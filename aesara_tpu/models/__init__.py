@@ -19,6 +19,7 @@ from aesara_tpu.models.rnn import GRU, LSTM, ElmanRNN
 from aesara_tpu.models.transformer import TransformerEncoderLayer
 from aesara_tpu.models.decoder import DecoderLM, TransformerDecoderLayer
 from aesara_tpu.models.checkpoint import load_checkpoint, save_checkpoint, state_shareds
+from aesara_tpu.models.quant import quantize_decoder_int8
 
 __all__ = [
     "DecoderLM", "TransformerDecoderLayer",

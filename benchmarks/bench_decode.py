@@ -56,6 +56,21 @@ def main():
             print(f"  batched B={B}: {B*n_steps/dtb:,.0f} tokens/s "
                   f"({dtb/n_steps*1e3:.2f} ms/step)", flush=True)
 
+            # weight-only int8: halve/quarter the HBM weight traffic
+            if dtype == "bfloat16":
+                from aesara_tpu.models.quant import quantize_decoder_int8
+
+                qlm = quantize_decoder_int8(lm)
+                genq = qlm.generate_fn(n_steps=n_steps, t_max=t_max,
+                                       mode="FAST_RUN")
+                np.asarray(genq(np.int64(17)))
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    np.asarray(genq(np.int64(17)))
+                dtq = (time.perf_counter() - t0) / iters
+                print(f"  int8 single: {n_steps/dtq:,.0f} tokens/s "
+                      f"({dtq/n_steps*1e3:.2f} ms/token)", flush=True)
+
 
 if __name__ == "__main__":
     main()
