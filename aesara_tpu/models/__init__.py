@@ -23,6 +23,10 @@ from aesara_tpu.models.quant import quantize_decoder_int8
 
 __all__ = [
     "DecoderLM", "TransformerDecoderLayer",
+    "adamw", "adamw_from_grads", "clip_by_global_norm",
+    "scaled_loss_updates", "warmup_cosine",
+    "save_checkpoint", "load_checkpoint", "state_shareds",
+    "quantize_decoder_int8",
     "sgd", "momentum", "rmsprop", "adam",
     "LinearRegression", "LogisticRegression", "MLP", "ConvNet",
     "ElmanRNN", "LSTM", "GRU", "TransformerEncoderLayer",

@@ -40,18 +40,36 @@ def _keys(shareds):
     return [f"{i}:{sv.name or 'shared'}" for i, sv in enumerate(shareds)]
 
 
+def _npz_path(path):
+    """np.savez appends '.npz' on write but np.load does not on read —
+    normalize so save/load agree on suffix-less paths."""
+    path = str(path)
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def _savable(arr):
+    """ml_dtypes arrays (bfloat16/f8) serialize as raw void and cannot
+    be restored; store them as float32 (bf16→f32 is exact, and load
+    casts back to the variable's dtype)."""
+    arr = np.asarray(arr)
+    if arr.dtype.kind == "V" or str(arr.dtype) in ("bfloat16", "float8_e4m3",
+                                                   "float8_e5m2"):
+        return arr.astype("float32")
+    return arr
+
+
 def save_checkpoint(path, params, updates=None, extra=None):
     """Write an ``.npz`` with every state shared's value.  ``extra`` is
     an optional dict of additional arrays (e.g. the data-loader
     position)."""
     shareds = state_shareds(params, updates)
     arrays = {
-        k: np.asarray(sv.get_value())
+        k: _savable(sv.get_value())
         for k, sv in zip(_keys(shareds), shareds)
     }
     for k, v in (extra or {}).items():
-        arrays[f"extra:{k}"] = np.asarray(v)
-    np.savez(path, **arrays)
+        arrays[f"extra:{k}"] = _savable(v)
+    np.savez(_npz_path(path), **arrays)
 
 
 def load_checkpoint(path, params, updates=None, strict=True):
@@ -61,7 +79,7 @@ def load_checkpoint(path, params, updates=None, strict=True):
     shape mismatch raises; otherwise missing entries are skipped."""
     shareds = state_shareds(params, updates)
     keys = _keys(shareds)
-    with np.load(path, allow_pickle=False) as archive:
+    with np.load(_npz_path(path), allow_pickle=False) as archive:
         saved = {k: archive[k] for k in archive.files}
     n_state = len([k for k in saved if not k.startswith("extra:")])
     if strict and n_state != len(shareds):
@@ -82,6 +100,11 @@ def load_checkpoint(path, params, updates=None, strict=True):
                 f"checkpoint entry {k!r} has shape {val.shape}, "
                 f"variable has {np.shape(cur)}"
             )
-        sv.set_value(val.astype(np.asarray(cur).dtype, copy=False))
+        cur_dtype = np.asarray(cur).dtype
+        if str(cur_dtype) == "void16" or cur_dtype.kind == "V":
+            import ml_dtypes
+
+            cur_dtype = ml_dtypes.bfloat16
+        sv.set_value(val.astype(cur_dtype, copy=False))
     return {k[len("extra:"):]: v for k, v in saved.items()
             if k.startswith("extra:")}

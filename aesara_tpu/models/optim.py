@@ -115,14 +115,18 @@ def adam(cost, params: Sequence, lr: float = 0.001, b1: float = 0.9,
 def clip_by_global_norm(grads: Sequence, max_norm: float):
     """Rescale ``grads`` so the joint L2 norm is at most ``max_norm``
     (production LM-training clipping).  Returns (clipped_grads,
-    global_norm)."""
+    global_norm).  The norm accumulates in float32, or float64 when any
+    gradient is float64 (downcasting f64 grads would overflow/flush)."""
+    acc = "float64" if any(
+        getattr(g.type, "dtype", "") == "float64" for g in grads
+    ) else "float32"
     sq = None
     for g in grads:
-        term = tm.sum(tm.sqr(cast(g, "float32")))
+        term = tm.sum(tm.sqr(cast(g, acc)))
         sq = term if sq is None else sq + term
     gnorm = tm.sqrt(sq)
     scale = tm.minimum(1.0, max_norm / tm.maximum(gnorm, 1e-12))
-    return [cast(cast(g, "float32") * scale, g.type.dtype) for g in grads], gnorm
+    return [cast(cast(g, acc) * scale, g.type.dtype) for g in grads], gnorm
 
 
 def adamw(cost, params: Sequence, lr: float = 0.001, b1: float = 0.9,

@@ -71,9 +71,16 @@ def quantize_decoder_int8(lm):
     qlm.layers = [copy.copy(layer) for layer in lm.layers]
     qlm.params = []          # not a trainable object
     qlm.quantized_shareds = []
+    float_names = ("b1", "b2", "ln1_g", "ln1_b", "ln2_g", "ln2_b")
     for layer in qlm.layers:
         layer.params = []
         for name in _WEIGHT_NAMES:
             qlm.quantized_shareds += _quantize_attr(layer, name)
+        # the float leftovers get INDEPENDENT copies too — the serving
+        # model must not drift when the original keeps training
+        for name in float_names:
+            src = getattr(layer, name)
+            setattr(layer, name,
+                    shared(np.array(src.get_value()), name=src.name))
     qlm.quantized_shareds += _quantize_attr(qlm, "embed")
     return qlm

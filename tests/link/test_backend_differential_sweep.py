@@ -40,17 +40,6 @@ def _v(*shape, pos=False, dtype="float64"):
     return np.asarray(v, dtype=dtype)
 
 
-M = at.matrix
-V = at.vector
-
-
-CASES = {
-    # structural
-    "join_split": lambda: ([V("a"), V("b")],
-                           at.join(0, V("a"), V("b")) if False else None),
-}
-
-
 def test_structural_family():
     a, b = at.vector("a"), at.vector("b")
     j = at.join(0, a, b)
@@ -134,7 +123,9 @@ def test_linalg_family():
     from aesara_tpu.tensor.nlinalg import det, matrix_inverse, pinv, trace
     from aesara_tpu.tensor.slinalg import cholesky, solve, solve_triangular
 
-    compare([a], [matrix_inverse(a) if False else det(a), trace(a)], [av])
+    # well-conditioned GENERAL (non-symmetric) matrix
+    gen = av + 5 * np.eye(4)
+    compare([a], [det(a), trace(a), matrix_inverse(a)], [gen], rtol=1e-6)
     compare([spd], [cholesky(spd), matrix_inverse(spd), pinv(spd)],
             [spdv], rtol=1e-6)
     b = at.vector("b", dtype="float64")

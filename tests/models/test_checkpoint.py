@@ -63,3 +63,20 @@ def test_shape_mismatch_raises(tmp_path):
     w_b = shared(np.zeros(5, dtype="float32"), name="w")
     with pytest.raises(ValueError):
         load_checkpoint(ckpt, [w_b])
+
+
+def test_bf16_roundtrip_and_suffixless_path(tmp_path):
+    """bfloat16 state must survive the npz round trip (stored as exact
+    f32), and save/load must agree on paths without the .npz suffix."""
+    import ml_dtypes
+
+    w = shared(np.linspace(-2, 2, 6).astype(ml_dtypes.bfloat16), name="w")
+    path = str(tmp_path / "ck")          # no suffix
+    save_checkpoint(path, [w])
+    w2 = shared(np.zeros(6, dtype=ml_dtypes.bfloat16), name="w")
+    load_checkpoint(path, [w2])
+    assert np.array_equal(
+        np.asarray(w.get_value(), dtype="float32"),
+        np.asarray(w2.get_value(), dtype="float32"),
+    )
+    assert str(np.asarray(w2.get_value()).dtype) == "bfloat16"

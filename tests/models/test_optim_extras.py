@@ -114,3 +114,20 @@ class TestLossScaling:
         for _ in range(8):
             l1 = float(step(xv, yv))
         assert l1 < l0
+
+
+def test_grad_clip_float64_accumulates_in_float64():
+    """A float64 gradient near 3e19 must clip correctly, not collapse to
+    zero via a float32 overflow (review finding)."""
+    w = shared(np.zeros(2, dtype="float64"), name="w")
+    from aesara_tpu.gradient import grad
+
+    z = at.vector("z", dtype="float64")
+    cost = (w * z).sum()
+    gs = grad(cost * 3e19, [w])
+    clipped, gnorm = clip_by_global_norm(gs, max_norm=1.0)
+    f = atp.function([z], [clipped[0], gnorm], mode="PY")
+    cv, nv = f(np.ones(2, dtype="float64"))
+    assert np.isfinite(float(nv)) and float(nv) > 1e18
+    norm = float(np.sqrt((np.asarray(cv) ** 2).sum()))
+    assert abs(norm - 1.0) < 1e-6

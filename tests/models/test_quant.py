@@ -58,3 +58,20 @@ def test_quantized_copy_is_isolated():
     # original stays trainable and untouched
     assert np.array_equal(lm.layers[0].wq.get_value(), w_before)
     assert lm.params
+
+
+def test_quantized_copy_does_not_drift_with_training():
+    """Mutating the ORIGINAL model's layernorm/bias state must not
+    change the quantized serving copy (review finding: copy.copy shared
+    the float leftovers)."""
+    lm = DecoderLM(vocab=20, n_layers=1, d_model=16, n_heads=2, d_ff=32,
+                   seed=0)
+    qlm = quantize_decoder_int8(lm)
+    gen = qlm.generate_fn(5, 8, mode="PY")
+    before = np.asarray(gen(np.int64(2)))
+    lm.layers[0].ln1_g.set_value(
+        lm.layers[0].ln1_g.get_value() * 5.0
+    )
+    lm.layers[0].b2.set_value(lm.layers[0].b2.get_value() + 3.0)
+    after = np.asarray(gen(np.int64(2)))
+    assert np.array_equal(before, after)
