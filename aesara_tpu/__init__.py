@@ -42,7 +42,7 @@ from aesara_tpu.compile.sharedvalue import SharedVariable, shared, shared_constr
 from aesara_tpu.compile.io import In, Out
 from aesara_tpu.compile.mode import FAST_COMPILE, FAST_RUN, JAX, Mode, PY, get_mode
 from aesara_tpu.compile.ops import as_op
-from aesara_tpu.compile.builders import OpFromGraph
+from aesara_tpu.compile.builders import OpFromGraph, remat
 from aesara_tpu.gradient import (
     Lop,
     Rop,

@@ -4,6 +4,8 @@
 
 from __future__ import annotations
 
+import itertools
+
 from typing import Callable, List, Optional, Sequence, Union
 
 import numpy as np
@@ -303,3 +305,94 @@ def infer_shape(outs, inputs, input_shapes):
         traverse(o)
         ret.append(shape_feature.shape_of.get(o))
     return ret
+
+
+# ---------------------------------------------------------------------------
+# Rematerialization (the SURVEY "jax.checkpoint" lever, graph-level)
+# ---------------------------------------------------------------------------
+
+class RematBarrier(Op):
+    """Identity whose XLA lowering is ``lax.optimization_barrier`` —
+    XLA's CSE cannot merge computation behind it with an identical
+    subgraph outside it.  The ``nonce`` prop keeps the graph-level
+    MergeOptimizer from unifying two barriers either."""
+
+    __props__ = ("nonce",)
+    view_map = {0: [0]}
+
+    def __init__(self, nonce: int):
+        self.nonce = int(nonce)
+
+    def make_node(self, x):
+        from aesara_tpu.tensor.basic import as_tensor_variable
+
+        x = as_tensor_variable(x)
+        return Apply(self, [x], [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        output_storage[0][0] = inputs[0]
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def grad(self, inputs, output_grads):
+        return [output_grads[0]]
+
+    def R_op(self, inputs, eval_points):
+        return [eval_points[0]]
+
+    def __str__(self):
+        return f"RematBarrier{{{self.nonce}}}"
+
+
+_remat_nonce = itertools.count()
+
+
+class Remat(OpFromGraph):
+    """OpFromGraph whose GRADIENT recomputes the forward instead of
+    sharing its intermediates — rematerialization, trading FLOPs for
+    activation memory (the role ``jax.checkpoint`` plays for jax AD;
+    here the recompute is symbolic and fenced from both the graph
+    merger and XLA CSE by :class:`RematBarrier`).
+
+    Build through :func:`remat`.
+    """
+
+    def L_op(self, inputs, outputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType, Lop
+        from aesara_tpu.graph.ir import clone_replace
+
+        nonce = next(_remat_nonce)
+        fenced = [RematBarrier(nonce)(i) for i in inputs]
+        inner_ins = list(self.fgraph.inputs)
+        inner_outs = list(self.fgraph.outputs)
+        recomputed = clone_replace(
+            inner_outs, replace=dict(zip(inner_ins, fenced))
+        )
+        live = [
+            (r, g) for r, g in zip(recomputed, output_grads)
+            if not isinstance(getattr(g, "type", None), DisconnectedType)
+        ]
+        if not live:
+            return [DisconnectedType()() for _ in inputs]
+        outs_l, grads_l = zip(*live)
+        res = Lop(list(outs_l), inputs, list(grads_l),
+                  disconnected_inputs="ignore")
+        return res if isinstance(res, (list, tuple)) else [res]
+
+
+def remat(inputs, outputs, name=None):
+    """Package ``outputs = f(inputs)`` as a rematerializing op: the
+    backward pass rebuilds the forward subgraph (behind an optimization
+    barrier) rather than keeping its intermediates alive — the
+    symbolic-AD equivalent of ``jax.checkpoint``.  Use on memory-heavy
+    blocks (e.g. each transformer layer) to trade ~33% more FLOPs for
+    O(layers) less activation HBM::
+
+        h_out = remat([h, w1, w2], [layer_forward(h, w1, w2)])(h, w1, w2)
+    """
+    single = not isinstance(outputs, (list, tuple))
+    outs = [outputs] if single else list(outputs)
+    op = Remat(list(inputs), outs, inline=False,
+               name=name or "remat")
+    return op

@@ -93,3 +93,16 @@ def _jx_print(op, node=None, **kwargs):
         return x
 
     return print_op
+
+
+from aesara_tpu.compile.builders import RematBarrier
+
+
+@jax_funcify.register(RematBarrier)
+def _jx_remat_barrier(op, node=None, **kwargs):
+    import jax
+
+    def remat_barrier(x):
+        return jax.lax.optimization_barrier(x)
+
+    return remat_barrier

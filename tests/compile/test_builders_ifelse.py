@@ -126,3 +126,53 @@ class TestAssert:
             return assert_op((x ** 2).sum(), at.constant(True))
 
         verify_grad(build, [rng.normal(size=3)], mode="PY")
+
+
+class TestRemat:
+    """remat: the gradient recomputes the forward behind an
+    optimization barrier instead of sharing activations."""
+
+    def _setup(self):
+        from aesara_tpu.compile.builders import remat
+        from aesara_tpu.gradient import grad
+
+        x = at.matrix("x")
+        w = at.matrix("w")
+        h = remat([x, w], [at.tanh(at.dot(x, w))])(x, w)
+        loss = (h ** 2).sum()
+        gx, gw = grad(loss, [x, w])
+        rng = np.random.default_rng(0)
+        vals = (rng.standard_normal((3, 4)).astype("float32"),
+                rng.standard_normal((4, 2)).astype("float32"))
+        return x, w, loss, gx, gw, vals
+
+    def test_grads_match_oracle(self):
+        x, w, loss, gx, gw, vals = self._setup()
+        f = atp.function([x, w], [loss, gx, gw], mode="JAX")
+        fp = atp.function([x, w], [loss, gx, gw], mode="PY")
+        for g, r in zip(f(*vals), fp(*vals)):
+            assert np.allclose(np.asarray(g), np.asarray(r), rtol=1e-5)
+
+    def test_forward_actually_recomputed(self):
+        x, w, loss, gx, gw, vals = self._setup()
+        f = atp.function([x, w], [loss, gx, gw], mode="JAX")
+        txt = f.fn.jit_fn.lower(*vals).as_text()
+        assert "opt_barrier" in txt or "optimization_barrier" in txt
+        # forward dot + rematerialized forward dot + two grad dots: the
+        # barrier kept XLA CSE from collapsing the recompute
+        assert txt.count("dot_general") == 4
+
+    def test_without_remat_forward_is_shared(self):
+        from aesara_tpu.gradient import grad
+
+        x = at.matrix("x")
+        w = at.matrix("w")
+        h = at.tanh(at.dot(x, w))
+        loss = (h ** 2).sum()
+        gx, gw = grad(loss, [x, w])
+        f = atp.function([x, w], [loss, gx, gw], mode="JAX")
+        rng = np.random.default_rng(0)
+        vals = (rng.standard_normal((3, 4)).astype("float32"),
+                rng.standard_normal((4, 2)).astype("float32"))
+        txt = f.fn.jit_fn.lower(*vals).as_text()
+        assert txt.count("dot_general") == 3  # forward shared with grads
