@@ -7,6 +7,11 @@ elementwise HLO onto the VPU, so the Composite's roles here are
 (a) collapsing node count before tracing (faster compiles) and
 (b) providing the unit the Pallas kernel backend consumes
 (``config.pallas_fusion``).
+
+Deliberately absent from the reference's file: ``local_careduce_fusion``
+(fusing a reduction into the C elemwise loop — XLA's reduce-fusion does
+this natively) and ``InplaceElemwiseOptimizer`` (in-place C-loop
+selection — superseded by whole-graph buffer donation).
 """
 
 from __future__ import annotations
