@@ -176,3 +176,23 @@ class TestRemat:
                 rng.standard_normal((4, 2)).astype("float32"))
         txt = f.fn.jit_fn.lower(*vals).as_text()
         assert txt.count("dot_general") == 3  # forward shared with grads
+
+    def test_remat_with_captured_shared_weights(self):
+        """The model-layer pattern: remat over [x] with shared weights
+        captured implicitly as extra inputs."""
+        from aesara_tpu.compile.builders import remat
+        from aesara_tpu.gradient import grad
+
+        w = atp.shared(
+            np.random.default_rng(0).standard_normal((4, 4)).astype("float32"),
+            name="w",
+        )
+        x = at.matrix("x")
+        h = remat([x], [at.tanh(at.dot(x, w))])(x)
+        loss = (h ** 2).sum()
+        gx, gw = grad(loss, [x, w])
+        f = atp.function([x], [loss, gx, gw], mode="JAX")
+        fp = atp.function([x], [loss, gx, gw], mode="PY")
+        xv = np.random.default_rng(1).standard_normal((3, 4)).astype("float32")
+        for a, b in zip(f(xv), fp(xv)):
+            assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
