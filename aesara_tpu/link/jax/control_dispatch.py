@@ -57,7 +57,12 @@ def _jx_check_and_raise(op, node=None, **kwargs):
 def _jx_op_from_graph(op, node=None, **kwargs):
     from aesara_tpu.link.jax.linker import fgraph_to_jax
 
-    inner = fgraph_to_jax(op.fgraph)
+    # snapshot: op instances (and so op.fgraph) are shared between every
+    # compiled function that references this OpFromGraph; cloning fences
+    # the captured closure from any later in-place change to the shared
+    # inner graph (jit traces lazily, so the closure may run long after
+    # other compiles have touched the op)
+    inner = fgraph_to_jax(op.fgraph.clone())
 
     def op_from_graph(*args):
         return inner(*args)
