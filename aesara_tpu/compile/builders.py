@@ -376,9 +376,14 @@ class Remat(OpFromGraph):
         if not live:
             return [DisconnectedType()() for _ in inputs]
         outs_l, grads_l = zip(*live)
-        res = Lop(list(outs_l), inputs, list(grads_l),
+        # VJP wrt the FENCED variables — they are independent roots.
+        # Differentiating wrt the node inputs directly would double-count
+        # whenever one input is an ancestor of another (e.g. a captured
+        # shared feeding the explicit input), because the recompute graph
+        # reaches the ancestor through BOTH.
+        res = Lop(list(outs_l), fenced, list(grads_l),
                   disconnected_inputs="ignore")
-        return res if isinstance(res, (list, tuple)) else [res]
+        return list(res) if isinstance(res, (list, tuple)) else [res]
 
 
 def remat(inputs, outputs, name=None):

@@ -196,3 +196,50 @@ class TestRemat:
         xv = np.random.default_rng(1).standard_normal((3, 4)).astype("float32")
         for a, b in zip(f(xv), fp(xv)):
             assert np.allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+    def test_stacked_remat_grads_not_double_counted(self):
+        """Chained remat ops (layer-stacking) and remat over a DERIVED
+        input must not double-count gradients: the VJP is taken wrt the
+        fenced roots (regression: grads came out 2x per remat level
+        because a node input that is an ancestor of another was reached
+        through both paths)."""
+        from aesara_tpu.compile.builders import remat
+        from aesara_tpu.gradient import grad
+
+        x = at.vector("x")
+        xv = np.array([1.0, 2.0], dtype="float32")
+        h1 = remat([x], [x * 3.0])(x)
+        h2 = remat([h1], [h1 * 3.0])(h1)
+        g = atp.function([x], grad(h2.sum(), x), mode="PY")(xv)
+        assert np.allclose(np.asarray(g), 9.0)
+
+        p = x * 2.0
+        h3 = remat([p], [p * 3.0])(p)
+        g3 = atp.function([x], grad(h3.sum(), x), mode="PY")(xv)
+        assert np.allclose(np.asarray(g3), 6.0)
+
+    def test_deep_transformer_remat_matches_plain(self):
+        from aesara_tpu.compile.builders import remat
+        from aesara_tpu.gradient import grad
+        from aesara_tpu.models import TransformerEncoderLayer
+        from aesara_tpu.tensor import math as tm
+
+        layers = [TransformerEncoderLayer(16, 2, 32, seed=i)
+                  for i in range(3)]
+        x = at.tensor3("x")
+        xv = np.random.default_rng(0).standard_normal((2, 4, 16)).astype(
+            "float32")
+        params = [p for l in layers for p in l.params]
+
+        def build(use_remat, mode):
+            h = x
+            for l in layers:
+                h = remat([h], [l(h)])(h) if use_remat else l(h)
+            return atp.function(
+                [x], grad(tm.mean(tm.sqr(h)), [x] + params), mode=mode)
+
+        for mode in ("PY", "JAX"):
+            a = [np.asarray(v) for v in build(False, mode)(xv)]
+            b = [np.asarray(v) for v in build(True, mode)(xv)]
+            for p, q in zip(a, b):
+                assert np.allclose(p, q, rtol=1e-5, atol=1e-7)
