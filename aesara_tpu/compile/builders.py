@@ -352,8 +352,12 @@ class Remat(OpFromGraph):
     """OpFromGraph whose GRADIENT recomputes the forward instead of
     sharing its intermediates — rematerialization, trading FLOPs for
     activation memory (the role ``jax.checkpoint`` plays for jax AD;
-    here the recompute is symbolic and fenced from both the graph
-    merger and XLA CSE by :class:`RematBarrier`).
+    here the recompute is symbolic and fenced from the graph merger and
+    from XLA CSE by :class:`RematBarrier` — the same
+    ``optimization_barrier`` mechanism ``jax.checkpoint`` itself uses.
+    Accelerator pipelines honor it; the CPU pipeline may elide the
+    barrier late and fold the recompute back, which only costs the
+    memory saving where memory was not scarce anyway).
 
     Build through :func:`remat`.
     """

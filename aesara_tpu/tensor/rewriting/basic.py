@@ -748,3 +748,72 @@ def local_upcast_elemwise_constant_inputs(fgraph, node):
 
 
 register_canonicalize(local_upcast_elemwise_constant_inputs)
+
+
+@node_rewriter([Elemwise])
+def local_fill_sink(fgraph, node):
+    """f(fill(a, b), c) → fill(a, f(b, c)): sink fills below other
+    elemwise ops so the *values* become adjacent for algebraic
+    cancellation (reference ``local_fill_sink`` — grad graphs are full
+    of ``second``/fill wrappers that otherwise block patterns)."""
+    if isinstance(node.op.scalar_op, aes.ops.Second):
+        return False
+    if len(node.outputs) != 1:
+        return False
+    templates = []
+    new_inputs = []
+    changed = False
+    for i in node.inputs:
+        o = i.owner
+        if (
+            o is not None
+            and isinstance(o.op, Elemwise)
+            and isinstance(o.op.scalar_op, aes.ops.Second)
+        ):
+            templates.append(o.inputs[0])
+            new_inputs.append(o.inputs[1])
+            changed = True
+        else:
+            new_inputs.append(i)
+    if not changed:
+        return False
+    from aesara_tpu.tensor.basic import fill
+
+    res = node.op(*new_inputs)
+    for t in templates:
+        res = fill(t, res)
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_fill_sink)
+
+
+@node_rewriter([Elemwise])
+def local_fill_to_alloc(fgraph, node):
+    """fill(template, v) that survives canonicalize (shape NOT provably
+    equal) → explicit ``alloc(v, *template.shape)`` at specialize — the
+    broadcast is explicit for XLA and the template value is dead
+    (reference ``local_fill_to_alloc``)."""
+    if not isinstance(node.op.scalar_op, aes.ops.Second):
+        return False
+    template, v = node.inputs
+    out = node.outputs[0]
+    from aesara_tpu.tensor.basic import alloc
+    from aesara_tpu.tensor.shape import shape_i
+
+    vv = v
+    if vv.type.dtype != out.type.dtype:
+        vv = cast(vv, out.type.dtype)
+    res = alloc(vv, *[shape_i(template, d) for d in range(out.type.ndim)])
+    conv = out.type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(out, conv)
+    return [conv]
+
+
+register_specialize(local_fill_to_alloc)

@@ -154,13 +154,24 @@ class TestRemat:
             assert np.allclose(np.asarray(g), np.asarray(r), rtol=1e-5)
 
     def test_forward_actually_recomputed(self):
+        """The remat program carries one MORE forward dot than the plain
+        program (the symbolic recompute), fenced by an optimization
+        barrier.  Counted on the pre-optimization program: late XLA
+        pipelines (CPU) may elide the barrier and re-CSE — on TPU the
+        barrier is what jax.checkpoint itself relies on."""
+        from aesara_tpu.gradient import grad
+
         x, w, loss, gx, gw, vals = self._setup()
         f = atp.function([x, w], [loss, gx, gw], mode="JAX")
         txt = f.fn.jit_fn.lower(*vals).as_text()
         assert "opt_barrier" in txt or "optimization_barrier" in txt
-        # forward dot + rematerialized forward dot + two grad dots: the
-        # barrier kept XLA CSE from collapsing the recompute
-        assert txt.count("dot_general") == 4
+
+        h2 = at.tanh(at.dot(x, w))
+        loss2 = (h2 ** 2).sum()
+        g2 = grad(loss2, [x, w])
+        f2 = atp.function([x, w], [loss2] + g2, mode="JAX")
+        txt2 = f2.fn.jit_fn.lower(*vals).as_text()
+        assert txt.count("dot_general") == txt2.count("dot_general") + 1
 
     def test_without_remat_forward_is_shared(self):
         from aesara_tpu.gradient import grad
@@ -174,8 +185,11 @@ class TestRemat:
         rng = np.random.default_rng(0)
         vals = (rng.standard_normal((3, 4)).astype("float32"),
                 rng.standard_normal((4, 2)).astype("float32"))
-        txt = f.fn.jit_fn.lower(*vals).as_text()
-        assert txt.count("dot_general") == 3  # forward shared with grads
+        import re
+
+        opt = f.fn.jit_fn.lower(*vals).compile().as_text()
+        mm = re.findall(r"f32\[\d+,\d+\]\{[0-9,]*\} dot\(", opt)
+        assert len(mm) == 3  # forward shared with grads (post-XLA CSE)
 
     def test_remat_with_captured_shared_weights(self):
         """The model-layer pattern: remat over [x] with shared weights

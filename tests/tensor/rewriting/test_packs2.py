@@ -201,3 +201,51 @@ def test_gather_of_scatter_negative_nonalias_fires():
     xv = np.arange(5, dtype="float32")
     yv = np.array([10.0, 100.0], dtype="float32")
     assert np.allclose(f(xv, yv), xv[[-1, 0]] + yv)
+
+
+class TestFillFamily:
+    def test_fill_sink_enables_cancellation(self):
+        """fill(a, b) * c sinks so b·c can cancel (grad-graph pattern)."""
+        from aesara_tpu.tensor.basic import fill
+
+        x = at.vector("x")
+        a = at.vector("a")
+        # (fill(a, x) / x): after sinking, x/x cancels to fill(a, 1)
+        expr = fill(a, x) / x
+        f = atp.function([x, a], expr, mode=M)
+        xv = (rng.random(4) + 0.5).astype("float32")
+        av = rng.standard_normal(4).astype("float32")
+        assert np.allclose(f(xv, av), np.ones(4), rtol=1e-6)
+        from aesara_tpu.scalar.ops import TrueDiv
+
+        assert not any(
+            isinstance(n.op, Elemwise)
+            and isinstance(n.op.scalar_op, TrueDiv)
+            for n in f.maker.fgraph.toposort()
+        )
+
+    def test_fill_to_alloc_specializes(self):
+        from aesara_tpu.tensor.basic import Alloc, fill
+
+        t = at.matrix("t")
+        v = at.vector("v")
+        f = atp.function([t, v], fill(t, v.sum()), mode=M)
+        kinds = [type(n.op).__name__ for n in f.maker.fgraph.toposort()]
+        tv = np.zeros((2, 3), dtype="float32")
+        vv = np.arange(3, dtype="float32")
+        out = f(tv, vv)
+        assert out.shape == (2, 3) and np.all(np.asarray(out) == 3.0)
+
+    def test_fill_values_differential(self):
+        from aesara_tpu.tensor.basic import fill
+
+        x = at.vector("x")
+        t = at.matrix("t")
+        expr = fill(t, x.sum()) * 2 + 1
+        fast = atp.function([t, x], expr, mode=M)
+        slow = atp.function([t, x], expr,
+                            mode=atp.compile.mode.Mode("py", None))
+        tv = np.zeros((3, 2), dtype="float32")
+        xv = rng.standard_normal(4).astype("float32")
+        assert np.allclose(np.asarray(fast(tv, xv)),
+                           np.asarray(slow(tv, xv)), rtol=1e-6)
