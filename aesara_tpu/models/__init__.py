@@ -9,8 +9,9 @@ testable, and benchmarkable.
 """
 
 from aesara_tpu.models.optim import (
-    adam, adamw, adamw_from_grads, clip_by_global_norm, momentum,
-    rmsprop, scaled_loss_updates, sgd, warmup_cosine,
+    accumulate_gradients, adam, adamw, adamw_from_grads,
+    clip_by_global_norm, ema_updates, momentum, rmsprop,
+    scaled_loss_updates, sgd, warmup_cosine,
 )
 from aesara_tpu.models.linear import LinearRegression, LogisticRegression
 from aesara_tpu.models.mlp import MLP
@@ -25,6 +26,7 @@ __all__ = [
     "DecoderLM", "TransformerDecoderLayer",
     "adamw", "adamw_from_grads", "clip_by_global_norm",
     "scaled_loss_updates", "warmup_cosine",
+    "accumulate_gradients", "ema_updates",
     "save_checkpoint", "load_checkpoint", "state_shareds",
     "quantize_decoder_int8",
     "sgd", "momentum", "rmsprop", "adam",

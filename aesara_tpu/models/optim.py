@@ -267,3 +267,62 @@ def adamw_from_grads(params: Sequence, grads: Sequence, lr=0.001,
         updates += [(m, m_new), (v, v_new),
                     (p, cast(p32 - step - lr * weight_decay * p32, dt))]
     return updates
+
+
+def accumulate_gradients(cost, params: Sequence, opt_fn, every: int):
+    """Microbatch gradient accumulation: each call adds this batch's
+    gradients into float32 accumulator shareds; every ``every``-th call
+    the optimizer consumes the AVERAGED accumulated gradient and the
+    accumulators reset — a large effective batch without the memory.
+    ``opt_fn(avg_grads) -> updates`` is any ``*_from_grads`` optimizer
+    (or a float for plain SGD).  Returns the updates list."""
+    from aesara_tpu.tensor.basic import switch
+
+    if every < 1:
+        raise ValueError("every must be >= 1")
+    grads = _grads(cost, params)
+    ctr = shared(np.asarray(0.0, dtype="float32"), name="accum_ctr")
+    ctr_next = ctr + 1.0
+    apply_now = tm.ge(ctr_next, np.float32(every))
+
+    accs = []
+    avg_grads = []
+    for p, g in zip(params, grads):
+        acc = shared(np.zeros(p.get_value().shape, dtype="float32"),
+                     name=(p.name or "p") + "_gacc")
+        acc_new = acc + cast(g, "float32")
+        accs.append((acc, acc_new))
+        avg_grads.append(acc_new / np.float32(every))
+
+    if callable(opt_fn):
+        raw = opt_fn(avg_grads)
+    else:
+        lr = float(opt_fn)
+        raw = [(p, p - lr * cast(g, p.type.dtype))
+               for p, g in zip(params, avg_grads)]
+
+    updates: List[Tuple] = []
+    for var, new in raw:
+        updates.append((var, switch(apply_now, new, var)))
+    for acc, acc_new in accs:
+        updates.append((acc, switch(apply_now, 0.0 * acc, acc_new)))
+    updates.append((ctr, switch(apply_now, np.float32(0.0), ctr_next)))
+    return updates
+
+
+def ema_updates(params: Sequence, decay: float = 0.999):
+    """Exponential moving average of parameters (the serving-weights
+    recipe): returns (updates, ema_shareds).  Append the updates to the
+    train step; read the ema shareds for evaluation/serving."""
+    updates: List[Tuple] = []
+    emas = []
+    for p in params:
+        ema = shared(np.array(p.get_value(), dtype=p.get_value().dtype),
+                     name=(p.name or "p") + "_ema")
+        dt = str(np.asarray(p.get_value()).dtype)
+        updates.append(
+            (ema, cast(decay * cast(ema, "float32")
+                       + (1.0 - decay) * cast(p, "float32"), dt))
+        )
+        emas.append(ema)
+    return updates, emas

@@ -131,3 +131,67 @@ def test_grad_clip_float64_accumulates_in_float64():
     assert np.isfinite(float(nv)) and float(nv) > 1e18
     norm = float(np.sqrt((np.asarray(cv) ** 2).sum()))
     assert abs(norm - 1.0) < 1e-6
+
+
+class TestGradAccumulation:
+    def test_equivalent_to_large_batch(self):
+        """4 microbatches with every=4 must update exactly like one big
+        averaged-gradient SGD step."""
+        from aesara_tpu.models.optim import accumulate_gradients
+
+        w = shared(np.zeros(3, dtype="float32"), name="w")
+        x = at.matrix("x")
+        loss = ((at.dot(x, w) - 1.0) ** 2).mean()
+        upd = accumulate_gradients(loss, [w], 0.1, every=4)
+        step = atp.function([x], loss, updates=upd, mode="PY")
+
+        rng = np.random.default_rng(0)
+        micro = [rng.standard_normal((2, 3)).astype("float32")
+                 for _ in range(4)]
+        for m in micro[:3]:
+            step(m)
+            assert np.allclose(w.get_value(), 0.0)  # not applied yet
+        step(micro[3])
+        got = w.get_value().copy()
+
+        # reference: single SGD step on the averaged gradient
+        w2 = shared(np.zeros(3, dtype="float32"), name="w2")
+        loss2 = ((at.dot(x, w2) - 1.0) ** 2).mean()
+        g2 = atp.grad(loss2, w2)
+        gfn = atp.function([x], g2, mode="PY")
+        gavg = np.mean([np.asarray(gfn(m)) for m in micro], axis=0)
+        assert np.allclose(got, -0.1 * gavg, rtol=1e-6)
+
+    def test_cycle_repeats(self):
+        from aesara_tpu.models.optim import accumulate_gradients
+
+        w = shared(np.zeros(2, dtype="float32"), name="w")
+        z = at.vector("z")
+        loss = ((w - z) ** 2).sum()
+        upd = accumulate_gradients(loss, [w], 0.25, every=2)
+        step = atp.function([z], loss, updates=upd, mode="PY")
+        zv = np.ones(2, dtype="float32")
+        step(zv)
+        w1 = w.get_value().copy()
+        step(zv)
+        w2 = w.get_value().copy()
+        assert np.allclose(w1, 0.0) and not np.allclose(w2, 0.0)
+        step(zv)
+        assert np.allclose(w.get_value(), w2)  # accumulating again
+
+
+def test_ema_tracks_params():
+    from aesara_tpu.models.optim import ema_updates
+
+    w = shared(np.zeros(2, dtype="float32"), name="w")
+    z = at.vector("z")
+    loss = ((w - z) ** 2).sum()
+    upd = [(w, w - 0.5 * atp.grad(loss, w))]
+    ema_upd, (w_ema,) = ema_updates([w], decay=0.5)
+    step = atp.function([z], loss, updates=upd + ema_upd, mode="PY")
+    zv = np.ones(2, dtype="float32")
+    for _ in range(10):
+        step(zv)
+    # params converge to 1; ema lags behind but approaches
+    assert np.allclose(w.get_value(), 1.0, atol=1e-2)
+    assert 0.8 < float(w_ema.get_value()[0]) < 1.0
