@@ -27,14 +27,46 @@ __all__ = ["Prefetcher", "prefetch_to_device"]
 _STOP = object()
 
 
+class _SourceError:
+    """Identity-checked wrapper for exceptions from the source (a plain
+    tuple sentinel would collide with array batches under ``==``)."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
+def _worker(source, q, stop, stage):
+    """Module-level worker: deliberately holds NO reference to the
+    Prefetcher, so abandoning the iterator lets the GC collect it,
+    whose ``__del__`` sets ``stop`` and this thread exits."""
+    try:
+        for batch in source:
+            if stop.is_set():
+                return
+            staged = stage(batch)
+            while not stop.is_set():
+                try:
+                    q.put(staged, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
+    except BaseException as e:  # surfaced to the consumer
+        if not stop.is_set():
+            q.put(_SourceError(e))
+        return
+    q.put(_STOP)
+
+
 class Prefetcher:
     """Iterate ``source`` with ``depth`` batches prefetched onto the
     device by a background thread.
 
     ``device_put=False`` keeps batches on host (pure pipelining).
     Exceptions in the source propagate to the consumer at the point of
-    iteration; the thread always shuts down cleanly (also on ``close()``
-    or abandoning the iterator).
+    iteration; the thread shuts down on exhaustion, ``close()``,
+    context exit, or garbage collection of an abandoned iterator.
     """
 
     def __init__(self, source, depth: int = 2, device_put: bool = True,
@@ -43,61 +75,53 @@ class Prefetcher:
             raise ValueError("depth must be >= 1")
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._stop = threading.Event()
-        self._source = iter(source)
-        self._device_put = device_put
-        self._device = device
-        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._done = False
+
+        if device_put:
+            def stage(batch):
+                import jax
+
+                # device_put handles arbitrary pytrees (tuples,
+                # namedtuples, dicts, nesting) natively
+                if device is None:
+                    return jax.device_put(batch)
+                return jax.device_put(batch, device)
+        else:
+            def stage(batch):
+                return batch
+
+        self._thread = threading.Thread(
+            target=_worker, args=(iter(source), self._q, self._stop, stage),
+            daemon=True,
+        )
         self._thread.start()
-
-    def _stage(self, batch):
-        if not self._device_put:
-            return batch
-        import jax
-
-        kwargs = {} if self._device is None else {"device": self._device}
-        if isinstance(batch, (list, tuple)):
-            return type(batch)(jax.device_put(b, **kwargs) for b in batch)
-        if isinstance(batch, dict):
-            return {k: jax.device_put(v, **kwargs) for k, v in batch.items()}
-        return jax.device_put(batch, **kwargs)
-
-    def _worker(self):
-        try:
-            for batch in self._source:
-                if self._stop.is_set():
-                    return
-                staged = self._stage(batch)
-                while not self._stop.is_set():
-                    try:
-                        self._q.put(staged, timeout=0.1)
-                        break
-                    except queue.Full:
-                        continue
-                if self._stop.is_set():
-                    return
-        except BaseException as e:  # surfaced to the consumer
-            if not self._stop.is_set():
-                self._q.put(("__error__", e))
-            return
-        self._q.put(_STOP)
 
     def __iter__(self):
         return self
 
     def __next__(self):
+        if self._done:
+            raise StopIteration
         while True:
             if self._stop.is_set():
+                self._done = True
                 raise StopIteration
-            item = self._q.get()
+            try:
+                item = self._q.get(timeout=0.1)
+            except queue.Empty:
+                if not self._thread.is_alive() and self._q.empty():
+                    # worker died without a sentinel (shouldn't happen,
+                    # but never hang the consumer)
+                    self._done = True
+                    raise StopIteration
+                continue
             if item is _STOP:
+                self._done = True
                 raise StopIteration
-            if (
-                isinstance(item, tuple)
-                and len(item) == 2
-                and item[0] == "__error__"
-            ):
+            if isinstance(item, _SourceError):
                 self.close()
-                raise item[1]
+                self._done = True
+                raise item.exc
             return item
 
     def close(self):

@@ -288,11 +288,15 @@ def accumulate_gradients(cost, params: Sequence, opt_fn, every: int):
     accs = []
     avg_grads = []
     for p, g in zip(params, grads):
-        acc = shared(np.zeros(p.get_value().shape, dtype="float32"),
+        # accumulate in at least float32, but never downcast f64 state
+        acc_dt = ("float64"
+                  if str(np.asarray(p.get_value()).dtype) == "float64"
+                  else "float32")
+        acc = shared(np.zeros(p.get_value().shape, dtype=acc_dt),
                      name=(p.name or "p") + "_gacc")
-        acc_new = acc + cast(g, "float32")
+        acc_new = acc + cast(g, acc_dt)
         accs.append((acc, acc_new))
-        avg_grads.append(acc_new / np.float32(every))
+        avg_grads.append(acc_new / np.asarray(every, dtype=acc_dt))
 
     if callable(opt_fn):
         raw = opt_fn(avg_grads)
@@ -320,9 +324,10 @@ def ema_updates(params: Sequence, decay: float = 0.999):
         ema = shared(np.array(p.get_value(), dtype=p.get_value().dtype),
                      name=(p.name or "p") + "_ema")
         dt = str(np.asarray(p.get_value()).dtype)
+        acc_dt = "float64" if dt == "float64" else "float32"
         updates.append(
-            (ema, cast(decay * cast(ema, "float32")
-                       + (1.0 - decay) * cast(p, "float32"), dt))
+            (ema, cast(decay * cast(ema, acc_dt)
+                       + (1.0 - decay) * cast(p, acc_dt), dt))
         )
         emas.append(ema)
     return updates, emas

@@ -802,6 +802,15 @@ def local_fill_to_alloc(fgraph, node):
         return False
     template, v = node.inputs
     out = node.outputs[0]
+    # the alloc takes its dims from the TEMPLATE: only valid when the
+    # value does not broadcast the template (reference guard:
+    # shape_ref.broadcastable == out.broadcastable)
+    if v.type.ndim > template.type.ndim:
+        return False
+    t_bcast = tuple(s == 1 for s in template.type.shape)
+    o_bcast = tuple(s == 1 for s in out.type.shape)
+    if template.type.ndim != out.type.ndim or t_bcast != o_bcast:
+        return False
     from aesara_tpu.tensor.basic import alloc
     from aesara_tpu.tensor.shape import shape_i
 

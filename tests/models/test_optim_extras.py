@@ -195,3 +195,17 @@ def test_ema_tracks_params():
     # params converge to 1; ema lags behind but approaches
     assert np.allclose(w.get_value(), 1.0, atol=1e-2)
     assert 0.8 < float(w_ema.get_value()[0]) < 1.0
+
+
+def test_accumulation_and_ema_preserve_float64():
+    from aesara_tpu.models.optim import accumulate_gradients, ema_updates
+
+    w = shared(np.zeros(2, dtype="float64"), name="w")
+    z = at.vector("z", dtype="float64")
+    loss = ((w - z) ** 2).sum()
+    upd = accumulate_gradients(loss, [w], 0.1, every=2)
+    accs = [v for v, _ in upd if getattr(v, "name", "").endswith("_gacc")]
+    assert str(np.asarray(accs[0].get_value()).dtype) == "float64"
+    ema_upd, (w_ema,) = ema_updates([w], decay=0.9)
+    # the ema update graph must not pass through float32
+    assert "float32" not in str(ema_upd[0][1].type)

@@ -249,3 +249,17 @@ class TestFillFamily:
         xv = rng.standard_normal(4).astype("float32")
         assert np.allclose(np.asarray(fast(tv, xv)),
                            np.asarray(slow(tv, xv)), rtol=1e-6)
+
+    def test_fill_broadcasting_template_not_allocd(self):
+        """fill(row, col) broadcasts BOTH ways: alloc-from-template
+        would be wrong-shaped, the rewrite must decline (regression)."""
+        from aesara_tpu.tensor.basic import fill
+
+        t = at.TensorType("float32", (1, None))("t")   # row
+        v = at.TensorType("float32", (None, 1))("v")   # col
+        f = atp.function([t, v], fill(t, v), mode=M)
+        tv = np.zeros((1, 4), dtype="float32")
+        vv = np.arange(3, dtype="float32").reshape(3, 1)
+        out = np.asarray(f(tv, vv))
+        assert out.shape == (3, 4)
+        assert np.allclose(out, np.broadcast_to(vv, (3, 4)))

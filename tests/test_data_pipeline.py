@@ -82,3 +82,51 @@ def test_feeds_compiled_function():
            for i in range(5))
     vals = [float(np.asarray(step(b))) for b in prefetch_to_device(src)]
     assert len(vals) == 5 and all(np.isfinite(v) for v in vals)
+
+
+def test_array_tuple_batches_host_mode():
+    """Regression: the error sentinel must not compare == against array
+    batches (tuple of ndarrays in device_put=False mode crashed)."""
+    src = [(np.ones(3, "float32"), np.zeros(2, "float32"))
+           for _ in range(3)]
+    out = list(Prefetcher(iter(src), depth=2, device_put=False))
+    assert len(out) == 3
+    assert isinstance(out[0][0], np.ndarray)
+
+
+def test_namedtuple_batches():
+    import collections
+
+    B = collections.namedtuple("B", ["x", "y"])
+    src = [B(np.ones(2, "float32"), np.zeros(1, "float32"))
+           for _ in range(2)]
+    out = list(Prefetcher(iter(src), depth=2))
+    assert len(out) == 2 and isinstance(out[0], B)
+
+
+def test_exhausted_iterator_raises_again_not_hangs():
+    p = Prefetcher(iter([np.ones(1, "float32")]), depth=2)
+    assert len(list(p)) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(StopIteration):
+        next(p)                    # regression: used to block forever
+    assert next(p, "default") == "default"
+
+
+def test_abandoned_prefetcher_thread_exits():
+    import gc
+
+    def infinite():
+        i = 0
+        while True:
+            yield np.full((2,), i, dtype="float32")
+            i += 1
+
+    p = Prefetcher(infinite(), depth=1, device_put=False)
+    next(p)
+    th = p._thread
+    del p
+    gc.collect()
+    th.join(timeout=5.0)
+    assert not th.is_alive()       # regression: leaked forever
