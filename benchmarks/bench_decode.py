@@ -56,6 +56,22 @@ def main():
             print(f"  batched B={B}: {B*n_steps/dtb:,.0f} tokens/s "
                   f"({dtb/n_steps*1e3:.2f} ms/step)", flush=True)
 
+            # bf16-only extras (each fresh program is a multi-minute
+            # XLA compile through the tunnel)
+            if dtype == "bfloat16":
+                # prompt prefill: one batched pass filling the caches
+                P = 256
+                genp = lm.generate_from_prompt_fn(
+                    prompt_len=P, n_new=8, t_max=t_max, mode="FAST_RUN")
+                prompt = (np.arange(P, dtype="int64") * 7) % vocab
+                np.asarray(genp(prompt))
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    np.asarray(genp(prompt))
+                dtp = (time.perf_counter() - t0) / iters
+                print(f"  prefill P={P} (+8 decode): "
+                      f"{P/dtp:,.0f} prompt tokens/s", flush=True)
+
             # weight-only int8: halve/quarter the HBM weight traffic
             if dtype == "bfloat16":
                 from aesara_tpu.models.quant import quantize_decoder_int8
