@@ -178,11 +178,15 @@ class DecoderLM(Model):
 
     # -- serving: greedy/temperature generation as ONE program -------------
     def generate_graph(self, first_token, n_steps: int, t_max: int,
-                      temperature: float = 0.0, seed: int = 0):
+                      temperature: float = 0.0, seed: int = 0,
+                      top_k: int = 0):
         """Symbolic generation of ``n_steps`` tokens from
         ``first_token`` (int scalar variable).  Returns the generated
         int64 vector (length n_steps).  temperature=0 → greedy argmax;
-        >0 → Gumbel-max sampling with a fixed seed."""
+        >0 → Gumbel-max sampling with a fixed seed; ``top_k`` > 0
+        restricts sampling to the k highest logits (nucleus-style
+        truncation with a static shape: logits below the k-th value
+        are masked before the Gumbel draw)."""
         from aesara_tpu.scan import scan
 
         if n_steps > t_max:
@@ -212,6 +216,14 @@ class DecoderLM(Model):
                 new_caches += [kc, vc]
             logits = tm.dot(h, self.embed.T)
             if temperature > 0.0:
+                if top_k and top_k > 0:
+                    # static-shape top-k truncation: mask logits below
+                    # the k-th largest before the noise
+                    from aesara_tpu.tensor.sort import topk as t_topk
+
+                    kth = tm.min(t_topk(logits, int(top_k)))
+                    neg = constant(np.asarray(-1e9, dtype=fX))
+                    logits = switch(tm.ge(logits, kth), logits, neg)
                 # fixed-key Gumbel noise: deterministic per (seed, pos)
                 from aesara_tpu.tensor.random.utils import RandomStream
 
@@ -234,13 +246,14 @@ class DecoderLM(Model):
         return tokens
 
     def generate_fn(self, n_steps: int, t_max: int, temperature: float = 0.0,
-                    mode="FAST_RUN"):
+                    top_k: int = 0, mode="FAST_RUN"):
         """Compile ``first_token -> generated int64 vector``."""
         from aesara_tpu.compile.function import function
         from aesara_tpu.tensor.type import lscalar
 
         tok0 = lscalar("tok0")
-        toks = self.generate_graph(tok0, n_steps, t_max, temperature)
+        toks = self.generate_graph(tok0, n_steps, t_max, temperature,
+                                   top_k=top_k)
         return function([tok0], toks, mode=mode)
 
     # -- prompt serving: prefill the caches, then decode -------------------

@@ -154,3 +154,28 @@ def test_prefill_single_new_token(lm):
 def test_prefill_bounds_checked(lm):
     with pytest.raises(ValueError):
         lm.generate_from_prompt_fn(prompt_len=6, n_new=4, t_max=8, mode="PY")
+
+
+def test_top_k_sampling_stays_within_top_k(lm):
+    """Every sampled token must be among the top-k logits of its step:
+    decode again greedily from the same prefix and check membership."""
+    K = 3
+    g = lm.generate_fn(n_steps=6, t_max=10, temperature=3.0, top_k=K,
+                       mode="PY")
+    out = list(np.asarray(g(np.int64(2))))
+
+    # oracle: full forward over the realized sequence; each sampled
+    # token must be within the top-K of the logits preceding it
+    toks = at.lvector("toks")
+    x = lm.embed[toks]
+    h = x
+    for layer in lm.layers:
+        h = layer.full(h)
+    logits = at.dot(h, lm.embed.T)
+    f_logits = atp.function([toks], logits[-1], mode="PY")
+    seq = [2]
+    for t in out:
+        lg = np.asarray(f_logits(np.asarray(seq, dtype="int64")))
+        topk_ids = set(np.argsort(lg)[-K:])
+        assert t in topk_ids, (t, sorted(topk_ids))
+        seq.append(int(t))
