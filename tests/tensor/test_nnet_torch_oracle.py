@@ -162,3 +162,36 @@ class TestBatchNormVsTorch:
             training=True, eps=1e-5,
         )
         np.testing.assert_allclose(o, t_out.numpy(), rtol=1e-7)
+
+
+class TestLSTMVsTorch:
+    def test_final_state_matches_torch_lstmcell(self):
+        """Our fused-gate LSTM (i,f,g,o over [x,h]·W) maps exactly onto
+        torch.nn.LSTMCell: W_ih = w[:D].T, W_hh = w[D:].T, b_ih = b,
+        b_hh = 0.  (The GRU is deliberately NOT triangulated: our Cho-
+        formulation applies the reset gate before the hidden matmul,
+        torch after — two published, non-equivalent variants.)"""
+        from aesara_tpu.models import LSTM
+
+        D, H, B, T = 3, 5, 2, 4
+        model = LSTM(n_in=D, n_hidden=H, n_out=2, seed=1)
+        x = at.tensor3("x", dtype="float32")
+        h_last = model.final_state(x)
+        f = atp.function([x], h_last, mode="PY")
+        xv = rng.standard_normal((T, B, D)).astype("float32")
+        ours = np.asarray(f(xv))
+
+        wv = model.w.get_value()          # (D+H, 4H), gates i,f,g,o
+        bv = model.b.get_value()
+        cell = torch.nn.LSTMCell(D, H)
+        with torch.no_grad():
+            cell.weight_ih.copy_(torch.tensor(wv[:D].T))
+            cell.weight_hh.copy_(torch.tensor(wv[D:].T))
+            cell.bias_ih.copy_(torch.tensor(bv))
+            cell.bias_hh.zero_()
+        h = torch.zeros(B, H)
+        c = torch.zeros(B, H)
+        for t in range(T):
+            h, c = cell(torch.tensor(xv[t]), (h, c))
+        np.testing.assert_allclose(ours, h.detach().numpy(), rtol=1e-5,
+                                   atol=1e-6)
