@@ -195,3 +195,43 @@ class TestLSTMVsTorch:
             h, c = cell(torch.tensor(xv[t]), (h, c))
         np.testing.assert_allclose(ours, h.detach().numpy(), rtol=1e-5,
                                    atol=1e-6)
+
+
+class TestTransformerLayerVsTorch:
+    def test_flagship_layer_matches_torch(self):
+        """The flagship TransformerEncoderLayer maps exactly onto
+        torch.nn.TransformerEncoderLayer(norm_first=True, relu,
+        dropout=0) — packed qkv in_proj, transposed linears."""
+        from aesara_tpu.models import TransformerEncoderLayer
+
+        D, H, FF, B, T = 16, 4, 32, 2, 5
+        m = TransformerEncoderLayer(D, H, FF, seed=3)
+        x = at.tensor3("x", dtype="float32")
+        f = atp.function([x], m(x), mode="PY")
+        xv = rng.standard_normal((B, T, D)).astype("float32")
+        ours = np.asarray(f(xv))
+
+        tl = torch.nn.TransformerEncoderLayer(
+            d_model=D, nhead=H, dim_feedforward=FF, dropout=0.0,
+            activation="relu", batch_first=True, norm_first=True)
+        with torch.no_grad():
+            wq, wk, wv = (m.wq.get_value(), m.wk.get_value(),
+                          m.wv.get_value())
+            tl.self_attn.in_proj_weight.copy_(
+                torch.tensor(np.concatenate([wq.T, wk.T, wv.T], 0)))
+            tl.self_attn.in_proj_bias.zero_()
+            tl.self_attn.out_proj.weight.copy_(
+                torch.tensor(m.wo.get_value().T))
+            tl.self_attn.out_proj.bias.zero_()
+            tl.linear1.weight.copy_(torch.tensor(m.w1.get_value().T))
+            tl.linear1.bias.copy_(torch.tensor(m.b1.get_value()))
+            tl.linear2.weight.copy_(torch.tensor(m.w2.get_value().T))
+            tl.linear2.bias.copy_(torch.tensor(m.b2.get_value()))
+            tl.norm1.weight.copy_(torch.tensor(m.ln1_g.get_value()))
+            tl.norm1.bias.copy_(torch.tensor(m.ln1_b.get_value()))
+            tl.norm2.weight.copy_(torch.tensor(m.ln2_g.get_value()))
+            tl.norm2.bias.copy_(torch.tensor(m.ln2_b.get_value()))
+        tl.eval()
+        with torch.no_grad():
+            theirs = tl(torch.tensor(xv)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
