@@ -46,17 +46,28 @@ class TransformerDecoderLayer(Model):
 
     Two entry points: ``full(x)`` for training/prefill over (T, D), and
     ``step(h, k_cache, v_cache, pos)`` for one cached decode step.
+
+    ``n_kv_heads`` < ``n_heads`` gives grouped-query attention (GQA,
+    Ainslie et al. 2023): query head ``h`` attends through KV head
+    ``h // (n_heads // n_kv_heads)`` — the KV caches shrink by the
+    group factor, the decisive memory knob for long-context serving.
+    Default (None) is standard multi-head attention.
     """
 
-    def __init__(self, d_model: int, n_heads: int, d_ff: int, seed: int = 0):
+    def __init__(self, d_model: int, n_heads: int, d_ff: int, seed: int = 0,
+                 n_kv_heads: int | None = None):
         super().__init__()
         assert d_model % n_heads == 0
         rng = np.random.default_rng(seed)
         self.d_model, self.n_heads = d_model, n_heads
         self.d_head = d_model // n_heads
+        self.n_kv_heads = n_kv_heads if n_kv_heads is not None else n_heads
+        assert n_heads % self.n_kv_heads == 0
+        self.q_per_kv = n_heads // self.n_kv_heads
+        kv_width = self.n_kv_heads * self.d_head
         self.wq = self._register(glorot(rng, d_model, d_model, "wq"))
-        self.wk = self._register(glorot(rng, d_model, d_model, "wk"))
-        self.wv = self._register(glorot(rng, d_model, d_model, "wv"))
+        self.wk = self._register(glorot(rng, d_model, kv_width, "wk"))
+        self.wv = self._register(glorot(rng, d_model, kv_width, "wv"))
         self.wo = self._register(glorot(rng, d_model, d_model, "wo"))
         self.w1 = self._register(glorot(rng, d_model, d_ff, "w1"))
         self.b1 = self._register(zeros((d_ff,), "b1"))
@@ -71,12 +82,19 @@ class TransformerDecoderLayer(Model):
 
     # -- training / prefill: (T, D) with a causal mask ---------------------
     def full(self, x):
+        from aesara_tpu.tensor.extra_ops import repeat as t_repeat
+
         T = x.shape[0]
         z = _layer_norm(x, self.ln1_g, self.ln1_b)
-        H, dh = self.n_heads, self.d_head
+        H, dh, Kv = self.n_heads, self.d_head, self.n_kv_heads
         q = tm.dot(z, self.wq).reshape((T, H, dh)).dimshuffle(1, 0, 2)
-        k = tm.dot(z, self.wk).reshape((T, H, dh)).dimshuffle(1, 0, 2)
-        v = tm.dot(z, self.wv).reshape((T, H, dh)).dimshuffle(1, 0, 2)
+        k = tm.dot(z, self.wk).reshape((T, Kv, dh)).dimshuffle(1, 0, 2)
+        v = tm.dot(z, self.wv).reshape((T, Kv, dh)).dimshuffle(1, 0, 2)
+        if Kv != H:
+            # GQA: head h reads KV head h // q_per_kv (head layout
+            # h = kv*q_per_kv + g, matching np.repeat along heads)
+            k = t_repeat(k, self.q_per_kv, axis=0)
+            v = t_repeat(v, self.q_per_kv, axis=0)
         scores = tm.batched_dot(q, k.dimshuffle(0, 2, 1)) / np.sqrt(dh)
         rows = arange(T).dimshuffle("x", 0, "x")
         cols = arange(T).dimshuffle("x", "x", 0)
@@ -94,24 +112,28 @@ class TransformerDecoderLayer(Model):
 
     # -- cached decode: one token against the cache ------------------------
     def step(self, h, k_cache, v_cache, pos):
-        """h (D,); caches (T_max, H, dh); pos int scalar.
+        """h (D,); caches (T_max, n_kv_heads, dh); pos int scalar.
         Returns (h_out, new_k_cache, new_v_cache)."""
-        H, dh = self.n_heads, self.d_head
+        dh, Kv, G = self.d_head, self.n_kv_heads, self.q_per_kv
         z = _layer_norm(h, self.ln1_g, self.ln1_b)
-        q = tm.dot(z, self.wq).reshape((H, dh))
-        k_new = tm.dot(z, self.wk).reshape((H, dh))
-        v_new = tm.dot(z, self.wv).reshape((H, dh))
+        q = tm.dot(z, self.wq).reshape((Kv, G, dh))
+        k_new = tm.dot(z, self.wk).reshape((Kv, dh))
+        v_new = tm.dot(z, self.wv).reshape((Kv, dh))
         k_cache = set_subtensor(k_cache[pos], k_new)
         v_cache = set_subtensor(v_cache[pos], v_new)
         # scores over the whole static cache, masked beyond pos
         scores = tm.sum(
-            k_cache * q.dimshuffle("x", 0, 1), axis=-1
-        ) / np.sqrt(dh)                                   # (T_max, H)
-        t_idx = arange(k_cache.shape[0]).dimshuffle(0, "x")
+            k_cache.dimshuffle(0, 1, "x", 2) * q.dimshuffle("x", 0, 1, 2),
+            axis=-1,
+        ) / np.sqrt(dh)                                   # (T_max, Kv, G)
+        t_idx = arange(k_cache.shape[0]).dimshuffle(0, "x", "x")
         neg = constant(np.asarray(-1e9, dtype=config.floatX))
         scores = switch(tm.le(t_idx, pos), scores, neg)
         attn = softmax(scores, axis=0)                    # over time
-        ctx = tm.sum(attn.dimshuffle(0, 1, "x") * v_cache, axis=0)  # (H, dh)
+        ctx = tm.sum(
+            attn.dimshuffle(0, 1, 2, "x") * v_cache.dimshuffle(0, 1, "x", 2),
+            axis=0,
+        )                                                  # (Kv, G, dh)
         h = h + tm.dot(ctx.reshape((self.d_model,)), self.wo)
         z2 = _layer_norm(h, self.ln2_g, self.ln2_b)
         ffn = tm.dot(tm.maximum(tm.dot(z2, self.w1) + self.b1, 0.0),
@@ -121,27 +143,33 @@ class TransformerDecoderLayer(Model):
 
     # -- batched cached decode: B synchronized streams ---------------------
     def step_batched(self, h, k_cache, v_cache, pos):
-        """h (B, D); caches (B, T_max, H, dh); pos int scalar.
+        """h (B, D); caches (B, T_max, n_kv_heads, dh); pos int scalar.
         Returns (h_out, new_k_cache, new_v_cache).  All B streams decode
         in lockstep (continuous batching's fixed-shape core): the (B,
         d)·(d, d) projections batch into one MXU gemm instead of B
         matvecs — the throughput lever serving stacks rely on."""
-        H, dh = self.n_heads, self.d_head
+        dh, Kv, G = self.d_head, self.n_kv_heads, self.q_per_kv
         z = _layer_norm(h, self.ln1_g, self.ln1_b)
         B = h.shape[0]
-        q = tm.dot(z, self.wq).reshape((B, H, dh))
-        k_new = tm.dot(z, self.wk).reshape((B, H, dh))
-        v_new = tm.dot(z, self.wv).reshape((B, H, dh))
+        q = tm.dot(z, self.wq).reshape((B, Kv, G, dh))
+        k_new = tm.dot(z, self.wk).reshape((B, Kv, dh))
+        v_new = tm.dot(z, self.wv).reshape((B, Kv, dh))
         k_cache = set_subtensor(k_cache[:, pos], k_new)
         v_cache = set_subtensor(v_cache[:, pos], v_new)
         scores = tm.sum(
-            k_cache * q.dimshuffle(0, "x", 1, 2), axis=-1
-        ) / np.sqrt(dh)                                   # (B, T_max, H)
-        t_idx = arange(k_cache.shape[1]).dimshuffle("x", 0, "x")
+            k_cache.dimshuffle(0, 1, 2, "x", 3)
+            * q.dimshuffle(0, "x", 1, 2, 3),
+            axis=-1,
+        ) / np.sqrt(dh)                                   # (B, T, Kv, G)
+        t_idx = arange(k_cache.shape[1]).dimshuffle("x", 0, "x", "x")
         neg = constant(np.asarray(-1e9, dtype=config.floatX))
         scores = switch(tm.le(t_idx, pos), scores, neg)
         attn = softmax(scores, axis=1)                    # over time
-        ctx = tm.sum(attn.dimshuffle(0, 1, 2, "x") * v_cache, axis=1)
+        ctx = tm.sum(
+            attn.dimshuffle(0, 1, 2, 3, "x")
+            * v_cache.dimshuffle(0, 1, 2, "x", 3),
+            axis=1,
+        )                                                  # (B, Kv, G, dh)
         h = h + tm.dot(ctx.reshape((B, self.d_model)), self.wo)
         z2 = _layer_norm(h, self.ln2_g, self.ln2_b)
         ffn = tm.dot(tm.maximum(tm.dot(z2, self.w1) + self.b1, 0.0),
@@ -153,13 +181,15 @@ class DecoderLM(Model):
     """Embedding + L decoder layers + tied LM head."""
 
     def __init__(self, vocab: int, n_layers: int, d_model: int,
-                 n_heads: int, d_ff: int, seed: int = 0):
+                 n_heads: int, d_ff: int, seed: int = 0,
+                 n_kv_heads: int | None = None):
         super().__init__()
         rng = np.random.default_rng(seed)
         self.vocab, self.d_model = vocab, d_model
         self.embed = self._register(glorot(rng, vocab, d_model, "embed"))
         self.layers = [
-            TransformerDecoderLayer(d_model, n_heads, d_ff, seed=seed + 1 + i)
+            TransformerDecoderLayer(d_model, n_heads, d_ff, seed=seed + 1 + i,
+                                    n_kv_heads=n_kv_heads)
             for i in range(n_layers)
         ]
         for layer in self.layers:
@@ -196,14 +226,14 @@ class DecoderLM(Model):
                 f"silently under XLA"
             )
         L = len(self.layers)
-        H, dh = self.layers[0].n_heads, self.layers[0].d_head
+        Kv, dh = self.layers[0].n_kv_heads, self.layers[0].d_head
         fX = config.floatX
 
         caches = []
         for i in range(L):
             for kind in ("k", "v"):
                 caches.append(
-                    alloc(constant(np.asarray(0, dtype=fX)), t_max, H, dh)
+                    alloc(constant(np.asarray(0, dtype=fX)), t_max, Kv, dh)
                 )
 
         def step_fn(tok, pos, *cache_args):
@@ -270,7 +300,7 @@ class DecoderLM(Model):
             raise ValueError(
                 f"prefill: prompt_len ({prompt_len}) exceeds t_max ({t_max})"
             )
-        H, dh = self.layers[0].n_heads, self.layers[0].d_head
+        Kv, dh = self.layers[0].n_kv_heads, self.layers[0].d_head
         fX = config.floatX
         x = self.embed[prompt]                       # (P, D)
         caches = []
@@ -279,10 +309,10 @@ class DecoderLM(Model):
             # the cached K/V of this layer are projections of the LN'd
             # input — recompute them exactly as full() does
             z = _layer_norm(h, layer.ln1_g, layer.ln1_b)
-            k_rows = tm.dot(z, layer.wk).reshape((prompt_len, H, dh))
-            v_rows = tm.dot(z, layer.wv).reshape((prompt_len, H, dh))
-            kc = alloc(constant(np.asarray(0, dtype=fX)), t_max, H, dh)
-            vc = alloc(constant(np.asarray(0, dtype=fX)), t_max, H, dh)
+            k_rows = tm.dot(z, layer.wk).reshape((prompt_len, Kv, dh))
+            v_rows = tm.dot(z, layer.wv).reshape((prompt_len, Kv, dh))
+            kc = alloc(constant(np.asarray(0, dtype=fX)), t_max, Kv, dh)
+            vc = alloc(constant(np.asarray(0, dtype=fX)), t_max, Kv, dh)
             caches.append(set_subtensor(kc[:prompt_len], k_rows))
             caches.append(set_subtensor(vc[:prompt_len], v_rows))
             h = layer.full(h)
@@ -348,13 +378,13 @@ class DecoderLM(Model):
                 f"silently under XLA"
             )
         L = len(self.layers)
-        H, dh = self.layers[0].n_heads, self.layers[0].d_head
+        Kv, dh = self.layers[0].n_kv_heads, self.layers[0].d_head
         fX = config.floatX
 
         caches = []
         for _ in range(2 * L):
             caches.append(
-                alloc(constant(np.asarray(0, dtype=fX)), batch, t_max, H, dh)
+                alloc(constant(np.asarray(0, dtype=fX)), batch, t_max, Kv, dh)
             )
 
         def step_fn(toks, pos, *cache_args):

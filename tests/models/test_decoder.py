@@ -179,3 +179,75 @@ def test_top_k_sampling_stays_within_top_k(lm):
         topk_ids = set(np.argsort(lg)[-K:])
         assert t in topk_ids, (t, sorted(topk_ids))
         seq.append(int(t))
+
+
+class TestGQA:
+    """Grouped-query attention: smaller KV caches, same invariants."""
+
+    @pytest.fixture(scope="class")
+    def gqa_lm(self):
+        return DecoderLM(vocab=40, n_layers=2, d_model=32, n_heads=4,
+                         d_ff=64, seed=5, n_kv_heads=2)
+
+    def test_cache_width_shrinks(self, gqa_lm):
+        layer = gqa_lm.layers[0]
+        assert layer.n_kv_heads == 2 and layer.q_per_kv == 2
+        assert layer.wk.get_value().shape == (32, 2 * layer.d_head)
+
+    def test_kv_cache_decode_matches_full_path(self, gqa_lm):
+        lm = gqa_lm
+        gen = lm.generate_fn(n_steps=6, t_max=8, mode="PY")
+        out = np.asarray(gen(np.int64(3)))
+
+        toks = at.lvector("toks")
+        x = lm.embed[toks]
+        h = x
+        for layer in lm.layers:
+            h = layer.full(h)
+        logits = at.dot(h, lm.embed.T)
+        f_full = atp.function([toks], at.argmax(logits[-1]), mode="PY")
+        seq = [3]
+        for _ in range(6):
+            seq.append(int(f_full(np.asarray(seq, dtype="int64"))))
+        assert seq[1:] == list(out)
+
+    def test_batched_and_prompt_paths(self, gqa_lm):
+        lm = gqa_lm
+        genb = lm.generate_batched_fn(batch=2, n_steps=5, t_max=8, mode="PY")
+        out = np.asarray(genb(np.array([1, 9], dtype="int64")))
+        gen1 = lm.generate_fn(n_steps=5, t_max=8, mode="PY")
+        for j, t0 in enumerate([1, 9]):
+            assert np.array_equal(out[:, j], np.asarray(gen1(np.int64(t0))))
+        genp = lm.generate_from_prompt_fn(3, 4, 12, mode="PY")
+        outp = np.asarray(genp(np.array([2, 4, 6], dtype="int64")))
+        assert outp.shape == (4,)
+
+    def test_jax_py_agree(self, gqa_lm):
+        a = np.asarray(gqa_lm.generate_fn(5, 8, mode="PY")(np.int64(7)))
+        b = np.asarray(gqa_lm.generate_fn(5, 8, mode="JAX")(np.int64(7)))
+        assert np.array_equal(a, b)
+
+    def test_trains(self, gqa_lm):
+        from aesara_tpu.models.optim import sgd
+
+        toks = at.lvector("toks")
+        loss = gqa_lm.loss(toks)
+        step = atp.function([toks], loss,
+                            updates=sgd(loss, gqa_lm.params, lr=0.1),
+                            mode="PY")
+        tv = np.random.default_rng(0).integers(0, 40, size=10).astype("int64")
+        l0 = float(step(tv))
+        for _ in range(4):
+            l1 = float(step(tv))
+        assert l1 < l0
+
+    def test_mha_equivalence_when_kv_equals_heads(self):
+        """n_kv_heads == n_heads must reproduce the plain MHA layer
+        exactly (same seed, same weights, same output)."""
+        a = DecoderLM(vocab=30, n_layers=1, d_model=16, n_heads=4,
+                      d_ff=32, seed=2)
+        b = DecoderLM(vocab=30, n_layers=1, d_model=16, n_heads=4,
+                      d_ff=32, seed=2, n_kv_heads=4)
+        ga = np.asarray(a.generate_fn(5, 8, mode="PY")(np.int64(4)))
+        gb = np.asarray(b.generate_fn(5, 8, mode="PY")(np.int64(4)))
+        assert np.array_equal(ga, gb)
