@@ -1808,6 +1808,48 @@ SparseVariable.sum = lambda self, axis=None, sparse_grad=True: sp_sum(
 SparseVariable.astype = lambda self, dtype: sp_cast(self, dtype)
 
 
+def _sp_getitem(self, key):
+    """Sparse indexing sugar (ref ``_sparse_py_operators.__getitem__``):
+    slices → GetItem2d (stays sparse), (i, j) scalars → GetItemScalar,
+    an integer vector → GetItemList (row gather), two vectors →
+    GetItem2Lists — NOT the dense Subtensor path."""
+    from aesara_tpu.graph.ir import Variable as _V
+
+    def _is_scalar_idx(k):
+        if isinstance(k, (int, np.integer)):
+            return True
+        return isinstance(k, _V) and getattr(k.type, "ndim", None) == 0
+
+    def _is_vector_idx(k):
+        if isinstance(k, (list, np.ndarray)):
+            return np.asarray(k).ndim == 1
+        return isinstance(k, _V) and getattr(k.type, "ndim", None) == 1
+
+    if isinstance(key, tuple):
+        if len(key) != 2:
+            raise IndexError("sparse matrices are 2-d")
+        k0, k1 = key
+        if _is_scalar_idx(k0) and _is_scalar_idx(k1):
+            return GetItemScalar()(self, k0, k1)
+        if _is_vector_idx(k0) and _is_vector_idx(k1):
+            return get_item_2lists(self, k0, k1)
+        if isinstance(k0, slice) or isinstance(k1, slice):
+            s0 = k0 if isinstance(k0, slice) else slice(k0, k0 + 1)
+            s1 = k1 if isinstance(k1, slice) else slice(k1, k1 + 1)
+            return get_item_2d(self, s0, s1)
+        raise NotImplementedError(f"sparse index {key!r}")
+    if isinstance(key, slice):
+        return get_item_2d(self, key, slice(None))
+    if _is_vector_idx(key):
+        return get_item_list(self, key)
+    if _is_scalar_idx(key):
+        return get_item_2d(self, slice(key, key + 1), slice(None))
+    raise NotImplementedError(f"sparse index {key!r}")
+
+
+SparseVariable.__getitem__ = _sp_getitem
+
+
 __all__ += [
     "TrueDot",
     "ColScaleCSC", "RowScaleCSC", "col_scale", "row_scale",
