@@ -101,10 +101,13 @@ def load_checkpoint(path, params, updates=None, strict=True):
                 f"variable has {np.shape(cur)}"
             )
         cur_dtype = np.asarray(cur).dtype
-        if str(cur_dtype) == "void16" or cur_dtype.kind == "V":
+        if cur_dtype.kind == "V":
+            # ml_dtypes values round-trip through numpy as void; restore
+            # to the variable's DECLARED dtype (bf16/f8_e4m3/f8_e5m2/…),
+            # not a hardcoded bfloat16
             import ml_dtypes
 
-            cur_dtype = ml_dtypes.bfloat16
+            cur_dtype = np.dtype(getattr(ml_dtypes, sv.type.dtype))
         sv.set_value(val.astype(cur_dtype, copy=False))
     return {k[len("extra:"):]: v for k, v in saved.items()
             if k.startswith("extra:")}

@@ -417,6 +417,17 @@ def _one(dtype):
     return constant(np.asarray(1, dtype=dtype)[()], dtype=dtype)
 
 
+def _z_not_broadcasting(zcore, out):
+    """Reject fusion when z would broadcast against the dot result:
+    Gemm/Gemv type their output from z's static shape, so a z typed
+    (1, n) added to an (m, n) dot would give the fused node false
+    static-shape metadata (and a wrong infer_shape)."""
+    return all(
+        not (zs == 1 and os != 1)
+        for zs, os in zip(zcore.type.shape, out.type.shape)
+    )
+
+
 @node_rewriter([Elemwise])
 def local_gemm_fusion(fgraph, node):
     """add(β·z, α·dot(x,y)) → Gemm / Ger; the matrix case."""
@@ -442,7 +453,7 @@ def local_gemm_fusion(fgraph, node):
         beta, zcore = _split_coeff(z)
         if beta is None:
             beta, zcore = _one(out.type.dtype), z
-        if zcore.type.ndim != 2:
+        if zcore.type.ndim != 2 or not _z_not_broadcasting(zcore, out):
             continue
         x, y, baked = xy
         dt = out.type.dtype
@@ -505,7 +516,7 @@ def local_gemv_fusion(fgraph, node):
         beta, zcore = _split_coeff(z)
         if beta is None:
             beta, zcore = _one(out.type.dtype), z
-        if zcore.type.ndim != 1:
+        if zcore.type.ndim != 1 or not _z_not_broadcasting(zcore, out):
             continue
         dt = out.type.dtype
         if alpha is None:

@@ -273,6 +273,20 @@ class Elemwise(Op):
         return [[True for _ in node.outputs] for _ in node.inputs]
 
     def L_op(self, inputs, outs, ograds):
+        rval = []
+        for inp, t_igrad in zip(inputs, self._pointwise_igrads(inputs, outs, ograds)):
+            from aesara_tpu.gradient import DisconnectedType, NullType
+
+            if isinstance(getattr(t_igrad, "type", None), (DisconnectedType, NullType)):
+                rval.append(t_igrad)
+                continue
+            rval.append(self._sum_over_broadcasted(t_igrad, inp, outs[0]))
+        return rval
+
+    def _pointwise_igrads(self, inputs, outs, ograds):
+        """Per-input gradient terms at the OUTPUT shape (no broadcast
+        summation).  L_op sums these over broadcast dims; R_op uses them
+        directly so broadcast inputs aren't over-counted."""
         from aesara_tpu.gradient import DisconnectedType, NullType
 
         # 1. scalar gradient graph
@@ -324,11 +338,7 @@ class Elemwise(Op):
             if isinstance(s_igrad.type, (DisconnectedType, NullType)):
                 rval.append(s_igrad)
                 continue
-            t_igrad = lift(s_igrad)
-            if isinstance(getattr(t_igrad, "type", None), (DisconnectedType, NullType)):
-                rval.append(t_igrad)
-                continue
-            rval.append(self._sum_over_broadcasted(t_igrad, inp, outs[0]))
+            rval.append(lift(s_igrad))
         return rval
 
     @staticmethod
@@ -357,8 +367,13 @@ class Elemwise(Op):
 
 
     def R_op(self, inputs, eval_points):
-        """JVP of a pointwise op: sum_i (df/dx_i) * t_i, with the
-        partials obtained from L_op under a unit cotangent."""
+        """JVP of a pointwise op: sum_i (df/dx_i) * t_i.
+
+        The partials are taken at the OUTPUT shape (``_pointwise_igrads``,
+        i.e. *before* L_op's broadcast summation) — using L_op directly
+        would scale the JVP by the broadcast count for any broadcast
+        input (a (1,3) operand against a (4,3) output would contribute
+        4x its true tangent)."""
         if all(ev is None for ev in eval_points):
             return [None] * len(self(*inputs, return_list=True))
         outputs = self(*inputs, return_list=True)
@@ -368,7 +383,7 @@ class Elemwise(Op):
             )
         from aesara_tpu.tensor.basic import ones_like
 
-        partials = self.L_op(inputs, outputs, [ones_like(outputs[0])])
+        partials = self._pointwise_igrads(inputs, outputs, [ones_like(outputs[0])])
         total = None
         for pd, ev in zip(partials, eval_points):
             if ev is None or pd is None:

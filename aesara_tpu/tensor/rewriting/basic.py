@@ -393,6 +393,11 @@ def local_join_empty(fgraph, node):
     ]
     if len(kept) == len(parts):
         return False
+    if not kept:
+        # every operand statically empty: keep one so the (empty)
+        # output survives with the right type — join() with no
+        # tensors would raise and abort the whole rewriter pass
+        kept = parts[:1]
     res = kept[0] if len(kept) == 1 else join(axis, *kept)
     conv = node.outputs[0].type.convert_variable(res)
     if conv is None:

@@ -1267,6 +1267,17 @@ def local_sumsqr2dot(fgraph, node):
     x = inner.inputs[0]
     if x.type.dtype in discrete_dtypes or x.type.ndim == 0:
         return False
+    # the dot accumulates in x's dtype; if the Sum upcasts (dtype or
+    # acc_dtype wider than x), rewriting would lose the accumulation
+    # precision the user asked for — the cast below can't recover it.
+    # Exception: f16/bf16 dots accumulate in f32 on the MXU, so an f32
+    # accumulation request is still honored there.
+    out_dt = np.dtype(node.outputs[0].type.dtype)
+    acc_dt = np.dtype(node.op.acc_dtype) if node.op.acc_dtype else out_dt
+    x_dt = np.dtype(x.type.dtype)
+    eff_acc = 4 if x.type.dtype in ("float16", "bfloat16") else x_dt.itemsize
+    if out_dt.itemsize > x_dt.itemsize or acc_dt.itemsize > eff_acc:
+        return False
     flat = x.flatten()
     res = tm.dot(flat, flat)
     if res.type.dtype != node.outputs[0].type.dtype:
