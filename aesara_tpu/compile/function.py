@@ -466,6 +466,70 @@ class Function:
         for i, spec in enumerate(in_specs):
             if spec.name:
                 self._name_to_pos[spec.name] = i
+        # dynamic-shape bucketing (compile/bucketing.py): if any input is
+        # explicitly marked In(batched=True), exactly those participate;
+        # otherwise every input whose leading dim is typed None does
+        # (mark exceptions with In(var, batched=False))
+        explicit = [i for i, s in enumerate(in_specs)
+                    if getattr(s, "batched", None) is True]
+        if explicit:
+            self._bucket_positions = explicit
+        else:
+            self._bucket_positions = [
+                i for i, spec in enumerate(in_specs)
+                if getattr(spec, "batched", None) is not False
+                and (getattr(spec.variable.type, "ndim", 0) or 0) >= 1
+                and getattr(spec.variable.type, "shape", (1,))[0] is None
+            ]
+
+    @property
+    def xla_compile_count(self):
+        """Number of distinct XLA programs compiled for this function
+        (one per traced input-shape signature); None off the jit path."""
+        jit_fn = getattr(self.fn, "jit_fn", None)
+        if jit_fn is None or not hasattr(jit_fn, "_cache_size"):
+            return None
+        return jit_fn._cache_size()
+
+    def _pad_to_bucket(self, policy):
+        """Pad None-leading-dim inputs up to the policy's bucket.  Returns
+        (true_len, bucket) when padding happened, else (None, None)."""
+        from aesara_tpu.compile.bucketing import bucket_for, pad_leading
+
+        lengths = set()
+        for pos in self._bucket_positions:
+            v = self.input_storage[pos][0]
+            if not isinstance(v, np.ndarray) or v.ndim == 0:
+                # non-ndarray storage (sparse containers etc.) is outside
+                # the padding contract
+                return None, None
+            lengths.add(int(v.shape[0]))
+        if len(lengths) != 1:
+            # inputs disagree on the batch length: not the batch-dim
+            # pattern this policy covers — run unbucketed
+            return None, None
+        n = lengths.pop()
+        b = bucket_for(n, policy)
+        if b == n or n == 0:
+            return None, None
+        for pos in self._bucket_positions:
+            cell = self.input_storage[pos]
+            cell[0] = pad_leading(np.asarray(cell[0]), b)
+        return n, b
+
+    @staticmethod
+    def _slice_bucketed(val, var, n, b):
+        """Slice a padded result back to the true batch length when its
+        leading dim is dynamic and came back at the bucket size."""
+        if (
+            val is not None
+            and getattr(var.type, "shape", (1,))[:1] == (None,)
+            and hasattr(val, "shape")
+            and len(val.shape) >= 1
+            and int(val.shape[0]) == b
+        ):
+            return val[:n]
+        return val
 
     def __call__(self, *args, output_subset=None, **kwargs):
         t0 = time.perf_counter()
@@ -498,6 +562,16 @@ class Function:
                 else:
                     raise TypeError(f"missing input {spec.variable}")
 
+        bkt_n = bkt_b = None
+        # bucketing exists to bound XLA recompiles; per-node py/cvm paths
+        # run any shape natively and must see the true arrays
+        if self._bucket_positions and getattr(self.fn, "jit_fn", None) is not None:
+            from aesara_tpu.compile.bucketing import parse_buckets
+
+            policy = parse_buckets(config.shape_buckets)
+            if policy is not None:
+                bkt_n, bkt_b = self._pad_to_bucket(policy)
+
         ran_subset = False
         if output_subset is not None:
             ran_subset = self._run_output_subset(output_subset)
@@ -510,11 +584,20 @@ class Function:
             shared.container.storage[0] = new_val
         # In(update=...): the new value feeds the input on the next call
         for pos, sidx in self.input_update_info:
-            self._in_state[pos] = self.output_storage[sidx][0]
+            sval = self.output_storage[sidx][0]
+            if bkt_n is not None:
+                sval = self._slice_bucketed(
+                    sval, self.fgraph.outputs[sidx], bkt_n, bkt_b)
+            self._in_state[pos] = sval
 
         wanted = (set(output_subset) if output_subset is not None
                   else set(range(self.n_user_outputs)))
         outs = [cell[0] for cell in self.output_storage[: self.n_user_outputs]]
+        if bkt_n is not None:
+            outs = [
+                self._slice_bucketed(o, var, bkt_n, bkt_b)
+                for o, var in zip(outs, self.fgraph.outputs)
+            ]
         specs = self.out_specs or [None] * len(outs)
         outs = [
             (o if (sp is not None and getattr(sp, "borrow", False))

@@ -60,6 +60,7 @@ class In(SymbolicInput):
         implicit: Optional[bool] = None,
         borrow: Optional[bool] = None,
         shared: bool = False,
+        batched: Optional[bool] = None,
     ):
         if borrow is None:
             borrow = mutable if mutable is not None else False
@@ -71,6 +72,12 @@ class In(SymbolicInput):
             value=value, shared=shared,
         )
         self.borrow = borrow
+        #: dynamic-shape bucketing role (compile/bucketing.py):
+        #: True  — this input's leading dim IS the batch to pad;
+        #: False — never pad this input;
+        #: None  — heuristic (padded iff its leading dim is typed None,
+        #:         unless any input in the function is marked True)
+        self.batched = batched
 
 
 class SymbolicOutput:

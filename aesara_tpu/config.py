@@ -224,6 +224,12 @@ config.add("unpickle_function", BoolParam(True, doc="allow unpickling compiled F
 config.add("reoptimize_unpickled_function", BoolParam(False, doc="re-run rewrites on unpickle"))
 config.add("pickle_protocol", IntParam(-1, doc="protocol for Function pickling"))
 config.add("check_input", BoolParam(True, doc="validate inputs in Function.__call__"))
+config.add("shape_buckets", StrParam("off",
+           doc="dynamic-shape policy for None-dim inputs: 'off' (one XLA "
+               "compile per concrete shape), 'pow2' (pad the leading dim "
+               "up to the next power of two), or an explicit comma list "
+               "of bucket sizes ('8,64,256'); see compile/bucketing.py "
+               "for the batch-rowwise exactness contract"))
 config.add("tensor__local_elemwise_fusion", BoolParam(True, doc="enable elemwise fusion pass"))
 config.add("lib__amdlibm", BoolParam(False, doc="parity flag; unused on TPU"))
 config.add("warn__ignore_bug_before", StrParam("all", doc="parity flag"))
