@@ -16,11 +16,17 @@ import numpy as np
 
 from aesara_tpu.compile.mode import Mode, OPT_FAST_COMPILE, OPT_NONE
 from aesara_tpu.config import config
-from aesara_tpu.link.basic import Container, LocalLinker, map_storage, raise_with_op
+from aesara_tpu.link.basic import (
+    Container,
+    Linker,
+    LocalLinker,
+    map_storage,
+    raise_with_op,
+)
 
 
 __all__ = ["DebugMode", "DebugModeError", "BadThunkOutput", "InvalidValueError",
-           "DebugLinker"]
+           "DebugLinker", "DualLinker", "CompareMode", "BadJitProgramOutput"]
 
 
 class DebugModeError(Exception):
@@ -321,9 +327,95 @@ class DebugMode(Mode):
         self.stability_patience = stability_patience
 
 
-#: the reference's DualLinker (link/c/basic.py:1934) runs py & C in
-#: parallel and compares; here the pair is py & XLA — same checker
-DualLinker = DebugLinker
+class BadJitProgramOutput(DebugModeError):
+    """The whole JITTED program and the per-node py oracle disagree on a
+    function output — a bug introduced BY the jit path itself (fusion,
+    reassociation, buffer donation), invisible to per-node checkers."""
+
+    def __init__(self, fgraph, output_idx, py_val, jax_val):
+        self.output_idx = output_idx
+        self.py_val = py_val
+        self.jax_val = jax_val
+        kind = ("an update expression"
+                if output_idx in (fgraph.update_mapping or {})
+                else "a user output")
+        super().__init__(
+            f"BadJitProgramOutput: output {output_idx} ({kind}): the jitted "
+            f"XLA program and the py oracle disagree.\n"
+            f"  py : {_brief(py_val)}\n  jit: {_brief(jax_val)}\n"
+            + str_diagnostic(py_val, jax_val)
+        )
+
+
+class DualLinker(Linker):
+    """Run the WHOLE jitted XLA program AND the per-node py oracle on
+    every call; compare every function output (user outputs and shared
+    updates) with the type's approximate equality.
+
+    The reference's DualLinker (``link/c/basic.py:1934``) pairs the C
+    and py implementations per node; here the unit under test is the
+    single post-rewrite XLA executable — the program users actually
+    ship — so bugs introduced only by whole-program compilation
+    (XLA fusion, reassociation, donated-buffer aliasing) are caught.
+    The eager per-node checker (`DebugLinker`) cannot see those.
+
+    The jitted results are published to the caller, so behavior
+    (donation included) is exactly FAST_RUN plus the comparison.
+    """
+
+    def __init__(self, allow_gc=None):
+        super().__init__(allow_gc)
+
+    def make_thunk(self, input_storage=None, output_storage=None, storage_map=None):
+        from aesara_tpu.link.basic import PerformLinker
+        from aesara_tpu.link.jax.linker import JAXLinker
+
+        fgraph = self.fgraph
+        jax_linker = JAXLinker(allow_gc=self.allow_gc)
+        jax_linker.fgraph = fgraph
+        jax_thunk, input_containers, output_containers = jax_linker.make_thunk(
+            input_storage=input_storage, output_storage=output_storage
+        )
+        # the oracle runs the SAME optimized fgraph per-node with its own
+        # storage (the jit path device_puts/donates the primary cells)
+        py_linker = PerformLinker(allow_gc=False)
+        py_linker.fgraph = fgraph
+        py_in = [[None] for _ in fgraph.inputs]
+        py_out = [[None] for _ in fgraph.outputs]
+        py_thunk, _, _ = py_linker.make_thunk(
+            input_storage=py_in, output_storage=py_out
+        )
+        jit_in = jax_thunk.inputs
+        jit_out = jax_thunk.outputs
+
+        def thunk():
+            # snapshot inputs BEFORE the jit run: donation may consume
+            # the primary buffers (that consumption is itself under test)
+            for jc, pc in zip(jit_in, py_in):
+                pc[0] = None if jc[0] is None else np.asarray(jc[0])
+            jax_thunk()
+            py_thunk()
+            for i, (var, jc, pc) in enumerate(
+                zip(fgraph.outputs, jit_out, py_out)
+            ):
+                jv, pv = jc[0], pc[0]
+                if getattr(var.type, "dtype", None) is None:
+                    continue
+                if not check_eq(var, pv, np.asarray(jv)):
+                    raise BadJitProgramOutput(fgraph, i, pv, jv)
+
+        thunk.inputs = jax_thunk.inputs
+        thunk.outputs = jax_thunk.outputs
+        thunk.jit_fn = getattr(jax_thunk, "jit_fn", None)
+        return thunk, input_containers, output_containers
+
+
+class CompareMode(Mode):
+    """``Mode`` wrapper over :class:`DualLinker`: the full FAST_RUN
+    rewrite pipeline, with every call cross-checked jit-vs-py."""
+
+    def __init__(self, optimizer="fast_run"):
+        super().__init__(DualLinker(), optimizer)
 
 
 # --- reference error taxonomy + diagnostics (debugmode.py) -------------------

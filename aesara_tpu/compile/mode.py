@@ -278,6 +278,10 @@ def get_mode(orig_string: Optional[Union[str, Mode]]) -> Mode:
         from aesara_tpu.compile.nanguardmode import NanGuardMode
 
         return NanGuardMode(True, True, True)
+    if orig_string == "CompareMode":
+        from aesara_tpu.compile.debugmode import CompareMode
+
+        return CompareMode()
     raise ValueError(f"unknown mode {orig_string!r}")
 
 

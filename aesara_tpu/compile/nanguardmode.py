@@ -85,19 +85,35 @@ class NanGuardLinker(LocalLinker):
 
 
 class NanGuardMode(Mode):
-    """(reference ``nanguardmode.py:140``)"""
+    """NaN/Inf/big-value guarding (reference ``nanguardmode.py:140``).
+
+    ``linker="jax"`` (default) checks every node boundary INSIDE the
+    single rewritten+fused+donated XLA program users actually ship —
+    the check is traced into the program as two extra outputs (violation
+    code + first offending node) and inspected on the host after each
+    call (SURVEY §7 stage 8).  ``linker="py"`` keeps the reference's
+    behavior: eager per-node execution with host-side checks between
+    thunks (pre-rewrite values visible, but it never sees what fusion,
+    reassociation or donation did).
+    """
 
     def __init__(self, nan_is_error=None, inf_is_error=None, big_is_error=None,
-                 optimizer="fast_run"):
+                 optimizer="fast_run", linker="jax"):
         if nan_is_error is None:
             nan_is_error = config.nan_is_error
         if inf_is_error is None:
             inf_is_error = config.inf_is_error
         if big_is_error is None:
             big_is_error = config.big_is_error
-        super().__init__(
-            NanGuardLinker(nan_is_error, inf_is_error, big_is_error), optimizer
-        )
+        flags = (nan_is_error, inf_is_error, big_is_error)
+        if linker == "jax":
+            from aesara_tpu.link.jax.linker import JAXLinker
+
+            super().__init__(JAXLinker(nan_guard=flags), optimizer)
+        elif linker == "py":
+            super().__init__(NanGuardLinker(*flags), optimizer)
+        else:
+            raise ValueError(f"NanGuardMode linker must be 'jax' or 'py', got {linker!r}")
 
 
 def flatten_values(x):

@@ -162,7 +162,7 @@ config.add("floatX", EnumStr("float32", ("float64", "float16", "bfloat16"),
                              doc="default float dtype (TPU-native default: float32)"))
 config.add("intX", EnumStr("int64", ("int32",), doc="default int dtype"))
 config.add("device", StrParam("tpu", doc="informational; jax picks the backend"))
-config.add("mode", EnumStr("FAST_RUN", ("FAST_COMPILE", "JAX", "PY", "DebugMode", "NanGuardMode", "Mode"),
+config.add("mode", EnumStr("FAST_RUN", ("FAST_COMPILE", "JAX", "PY", "DebugMode", "NanGuardMode", "CompareMode", "Mode"),
                            doc="default compilation mode"))
 config.add("linker", EnumStr("jax", ("py", "jax_nojit", "cvm"), doc="default linker"))
 config.add("optimizer", EnumStr("o2", ("o1", "o3", "o4", "fast_run", "fast_compile", "unsafe", "None", "merge"),

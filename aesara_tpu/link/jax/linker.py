@@ -20,10 +20,18 @@ from aesara_tpu.graph.ir import Constant, Variable
 from aesara_tpu.link.basic import Container, Linker, raise_with_op
 
 
-def fgraph_to_jax(fgraph) -> Callable:
+def fgraph_to_jax(fgraph, guard=None) -> Callable:
     """Compose per-node ``jax_funcify`` callables into one function over
     the fgraph inputs (the reference's ``fgraph_to_python``
-    ``link/utils.py:673``, without source-string generation)."""
+    ``link/utils.py:673``, without source-string generation).
+
+    ``guard=(nan, inf, big)`` threads a NaN/Inf/big-value check through
+    the SINGLE jitted program at every node boundary (SURVEY §7 stage 8:
+    the jit-path NanGuard): the returned function then yields two extra
+    trailing outputs — an int32 violation code (0 ok, 1 NaN, 2 Inf,
+    3 big) and the toposort index of the FIRST offending node.  Unlike
+    the eager per-node ``NanGuardLinker``, this sees the program the
+    user actually ships: post-rewrite, fused, donated."""
     import jax
     import jax.numpy as jnp
 
@@ -32,6 +40,25 @@ def fgraph_to_jax(fgraph) -> Callable:
 
     order = fgraph.toposort()
     node_fns = [jax_funcify(node.op, node=node) for node in order]
+
+    def _violation(val):
+        """int32 code for one node output (0 ok / 1 nan / 2 inf / 3 big)."""
+        nan_e, inf_e, big_e = guard
+        a = jnp.asarray(val)
+        if not (jnp.issubdtype(a.dtype, jnp.floating)
+                or jnp.issubdtype(a.dtype, jnp.complexfloating)):
+            return None
+        code = jnp.int32(0)
+        af = a.astype("float32") if a.dtype == jnp.bfloat16 else a
+        if big_e:
+            finite_big = jnp.any(
+                jnp.where(jnp.isfinite(af), jnp.abs(af), 0.0) > 1e10)
+            code = jnp.where(finite_big, jnp.int32(3), code)
+        if inf_e:
+            code = jnp.where(jnp.any(jnp.isinf(af)), jnp.int32(2), code)
+        if nan_e:
+            code = jnp.where(jnp.any(jnp.isnan(af)), jnp.int32(1), code)
+        return code
 
     # trace-time constant folding: a node whose inputs are all concrete
     # (no jax Tracer) is evaluated eagerly with its NumPy ``perform``.
@@ -55,10 +82,41 @@ def fgraph_to_jax(fgraph) -> Callable:
             constant_cache[var] = var.data
         return constant_cache[var]
 
+    def _np_violation(val):
+        """Host-side check for trace-time-folded constants."""
+        nan_e, inf_e, big_e = guard
+        a = np.asarray(val)
+        if a.dtype.kind not in "fc":
+            return 0
+        if nan_e and np.isnan(a).any():
+            return 1
+        if inf_e and np.isinf(a).any():
+            return 2
+        if big_e and a.size:
+            finite = a[np.isfinite(a)]
+            if finite.size and np.max(np.abs(finite)) > 1e10:
+                return 3
+        return 0
+
     def run(*args):
         env = {}
+        err_code = err_node = None
+        if guard is not None:
+            err_code = jnp.int32(0)
+            err_node = jnp.int32(-2)  # -2 = none; -1 = a graph input
+
+        def note(code, idx):
+            nonlocal err_code, err_node
+            if code is None:
+                return
+            hit = (err_code == 0) & (code > 0)
+            err_node = jnp.where(hit, jnp.int32(idx), err_node)
+            err_code = jnp.where(hit, code, err_code)
+
         for var, val in zip(fgraph.inputs, args):
             env[var] = val
+            if guard is not None and getattr(var.type, "dtype", None) is not None:
+                note(_violation(val), -1)
 
         def value_of(var):
             if var in env:
@@ -75,7 +133,9 @@ def fgraph_to_jax(fgraph) -> Callable:
                 for leaf in jax.tree_util.tree_leaves(a)
             )
 
-        for node, fn, foldable in zip(order, node_fns, fold_ok):
+        for node_idx, (node, fn, foldable) in enumerate(
+            zip(order, node_fns, fold_ok)
+        ):
             ins = [value_of(i) for i in node.inputs]
             vals = None
             if foldable and all(_is_concrete(a) for a in ins):
@@ -86,10 +146,19 @@ def fgraph_to_jax(fgraph) -> Callable:
                 except (MethodNotDefined, NotImplementedError, TypeError,
                         ValueError, AttributeError):
                     vals = None
+                if vals is not None and guard is not None:
+                    for v in vals:
+                        code = _np_violation(v)
+                        if code:
+                            note(jnp.int32(code), node_idx)
             if vals is None:
                 vals = fn(*ins)
                 if not isinstance(vals, (tuple, list)):
                     vals = (vals,)
+                if guard is not None:
+                    for o, v in zip(node.outputs, vals):
+                        if getattr(o.type, "dtype", None) is not None:
+                            note(_violation(v), node_idx)
             for o, v in zip(node.outputs, vals):
                 dt = getattr(o.type, "dtype", None)
                 if dt is not None and hasattr(v, "astype"):
@@ -98,12 +167,15 @@ def fgraph_to_jax(fgraph) -> Callable:
                     if v.dtype != want:
                         v = v.astype(want)
                 env[o] = v
-        return tuple(
+        results = tuple(
             jnp.asarray(value_of(o))
             if getattr(o.type, "dtype", None) is not None
             else value_of(o)
             for o in fgraph.outputs
         )
+        if guard is not None:
+            return results + (err_code, err_node)
+        return results
 
     return run
 
@@ -117,17 +189,23 @@ class JAXLinker(Linker):
     """
 
     def __init__(self, allow_gc=None, use_jit: Optional[bool] = None,
-                 donate_updated: Optional[bool] = None):
+                 donate_updated: Optional[bool] = None,
+                 nan_guard: Optional[tuple] = None):
         super().__init__(allow_gc)
         self.use_jit = use_jit
         self.donate_updated = donate_updated
+        #: (nan_is_error, inf_is_error, big_is_error) or None — when set,
+        #: every node boundary inside the jitted program is checked
+        self.nan_guard = nan_guard
 
     #: process-wide memo: canonical graph key → jitted callable
     _compiled_cache: dict = {}
 
     def _py_fallback(self, input_storage, output_storage, storage_map, why):
         """Degrade this graph to the py path (reference boundary: the
-        JAX backend cannot take scipy sparse containers across jit)."""
+        JAX backend cannot take scipy sparse containers across jit).
+        A nan-guarded linker degrades to the eager per-node guard so the
+        checking contract survives the fallback."""
         import warnings
 
         from aesara_tpu.link.basic import PerformLinker
@@ -136,7 +214,12 @@ class JAXLinker(Linker):
             f"graph runs on the py path instead of XLA: {why}",
             stacklevel=2,
         )
-        sub = PerformLinker(allow_gc=self.allow_gc)
+        if self.nan_guard is not None:
+            from aesara_tpu.compile.nanguardmode import NanGuardLinker
+
+            sub = NanGuardLinker(*self.nan_guard)
+        else:
+            sub = PerformLinker(allow_gc=self.allow_gc)
         sub.fgraph = self.fgraph
         return sub.make_thunk(input_storage, output_storage, storage_map)
 
@@ -176,6 +259,7 @@ class JAXLinker(Linker):
             # giving in-place semantics for shared buffers on device
             donate_argnums = tuple(sorted(set(update_map.values())))
 
+        guard = self.nan_guard
         fn = None
         cache_key = None
         if use_jit:
@@ -184,14 +268,14 @@ class JAXLinker(Linker):
             try:
                 from aesara_tpu.link.cache import fgraph_key
 
-                cache_key = (fgraph_key(fgraph), donate_argnums)
+                cache_key = (fgraph_key(fgraph), donate_argnums, guard)
             except Exception:
                 cache_key = None
             if cache_key is not None and cache_key in self._compiled_cache:
                 compiled = self._compiled_cache[cache_key]
             else:
                 try:
-                    fn = fgraph_to_jax(fgraph)
+                    fn = fgraph_to_jax(fgraph, guard=guard)
                 except NoLoweringError as e:
                     return self._py_fallback(
                         input_storage, output_storage, storage_map, str(e)
@@ -201,7 +285,7 @@ class JAXLinker(Linker):
                     self._compiled_cache[cache_key] = compiled
         else:
             try:
-                fn = fgraph_to_jax(fgraph)
+                fn = fgraph_to_jax(fgraph, guard=guard)
             except NoLoweringError as e:
                 return self._py_fallback(
                     input_storage, output_storage, storage_map, str(e)
@@ -222,6 +306,8 @@ class JAXLinker(Linker):
             for v, s in zip(fgraph.outputs, output_storage)
         ]
 
+        guard_order = fgraph.toposort() if guard is not None else None
+
         def thunk():
             # move host arrays onto the device once and keep the resident
             # buffer in the storage cell: shared variables then live in HBM
@@ -234,6 +320,25 @@ class JAXLinker(Linker):
                     cell[0] = v
                 args.append(v)
             results = compiled(*args)
+            if guard is not None:
+                *results, err_code, err_node = results
+                code = int(err_code)  # host sync: the guard's cost
+                if code:
+                    from aesara_tpu.compile.nanguardmode import NanGuardError
+
+                    kind = {1: "NaN", 2: "Inf", 3: "big value (>1e10)"}[code]
+                    idx = int(err_node)
+                    where = (
+                        "a function input" if idx == -1
+                        else f"an output of node {guard_order[idx]} "
+                             f"(toposort index {idx})"
+                    )
+                    raise NanGuardError(
+                        f"NanGuardMode (jit path) found {kind} in {where}\n"
+                        "The check ran INSIDE the single rewritten+fused "
+                        "XLA program (post-donation), at every node "
+                        "boundary of the optimized graph."
+                    )
             for cell, res in zip(output_storage, results):
                 cell[0] = res
 

@@ -94,7 +94,11 @@ def test_gemv_ger_gemm():
     assert np.allclose(h(Cv, av, Bv), Cv * 0.5 + 2.0 * (av @ Bv))
 
 
-def test_dual_linker_alias():
+def test_dual_linker_is_whole_program():
+    # DualLinker graduated from the per-node alias to a real
+    # whole-jitted-program-vs-py-oracle checker (VERDICT r2 item 4)
     from aesara_tpu.compile.debugmode import DebugLinker, DualLinker
+    from aesara_tpu.link.basic import Linker
 
-    assert DualLinker is DebugLinker
+    assert DualLinker is not DebugLinker
+    assert issubclass(DualLinker, Linker)
