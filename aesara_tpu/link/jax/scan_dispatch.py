@@ -48,10 +48,31 @@ def _jax_scan(op, node=None, **kwargs):
         pos += info.n_shared
         non_seqs = list(operands[pos:])
 
-        init_carry = (tuple(mit_inits), tuple(sit_inits), tuple(shared_inits))
+        n_rec = info.n_mit_sot + info.n_sit_sot
+        # a recurrent output is STACKED (rides ys, allocating the
+        # (n_steps, ...) buffer) only when neither save-mem form applies;
+        # final-only comes from the carry, tail-k from a k-deep ring kept
+        # in the carry — the (n_steps, ...) buffer is never allocated
+        stacked = [
+            not info.is_final_only(i) and not info.tail_depth(i)
+            for i in range(n_rec)
+        ]
+
+        def ring_init(rec_i, state_like):
+            k = info.tail_depth(rec_i)
+            row = jnp.asarray(state_like)
+            return jnp.zeros((k,) + row.shape, row.dtype)
+
+        rings = tuple(
+            ring_init(i, mit_inits[i][0] if i < info.n_mit_sot
+                      else sit_inits[i - info.n_mit_sot])
+            for i in range(n_rec) if info.tail_depth(i)
+        )
+        init_carry = (tuple(mit_inits), tuple(sit_inits),
+                      tuple(shared_inits), rings)
 
         def step(carry, xs):
-            mit_windows, sit_states, shared_states = carry
+            mit_windows, sit_states, shared_states, rs = carry
             args = list(xs) if xs is not None else []
             for w, taps, depth in zip(mit_windows, info.mit_sot_taps, tap_depths):
                 for tap in taps:
@@ -62,33 +83,50 @@ def _jax_scan(op, node=None, **kwargs):
             res = body(*args)
             idx = 0
             new_windows = []
-            mit_vals = []
+            rec_vals = []
             for w in mit_windows:
                 v = res[idx]
                 new_windows.append(
                     jnp.concatenate([w[1:], jnp.asarray(v)[None]], axis=0)
                 )
-                mit_vals.append(v)
+                rec_vals.append(v)
                 idx += 1
             sit_vals = list(res[idx: idx + info.n_sit_sot])
+            rec_vals.extend(sit_vals)
             idx += info.n_sit_sot
             nit_vals = list(res[idx: idx + info.n_nit_sot])
             idx += info.n_nit_sot
             new_shared = list(res[idx: idx + info.n_shared])
-            new_carry = (tuple(new_windows), tuple(sit_vals), tuple(new_shared))
-            return new_carry, tuple(mit_vals + sit_vals + nit_vals)
+            new_rings = []
+            r_it = iter(rs)
+            for i in range(n_rec):
+                if info.tail_depth(i):
+                    r = next(r_it)
+                    new_rings.append(jnp.concatenate(
+                        [r[1:], jnp.asarray(rec_vals[i])[None]], axis=0))
+            new_carry = (tuple(new_windows), tuple(sit_vals),
+                         tuple(new_shared), tuple(new_rings))
+            ys_vals = tuple(
+                v for i, v in enumerate(rec_vals) if stacked[i]
+            ) + tuple(nit_vals)
+            return new_carry, ys_vals
 
-        (final_windows, final_sit, final_shared), ys = lax.scan(
+        (final_windows, final_sit, final_shared, final_rings), ys = lax.scan(
             step, init_carry, tuple(seqs) if seqs else None, length=length
         )
-        # final-only recurrent outputs come from the carry, not the stack
-        outs = list(ys)
-        for i in range(info.n_mit_sot):
-            if info.is_final_only(i):
-                outs[i] = final_windows[i][-1]
-        for k in range(info.n_sit_sot):
-            if info.is_final_only(info.n_mit_sot + k):
-                outs[info.n_mit_sot + k] = final_sit[k]
+        ys_it = iter(ys)
+        ring_it = iter(final_rings)
+        outs = []
+        for i in range(n_rec):
+            if stacked[i]:
+                outs.append(next(ys_it))
+            elif info.tail_depth(i):
+                outs.append(next(ring_it))
+            elif i < info.n_mit_sot:
+                outs.append(final_windows[i][-1])
+            else:
+                outs.append(final_sit[i - info.n_mit_sot])
+        outs.extend(ys_it)  # nit-sot stacks
         return tuple(outs) + tuple(final_shared)
 
     return scan_fn

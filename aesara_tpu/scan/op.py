@@ -56,9 +56,19 @@ class ScanInfo:
     #: returned (single step, no stacked buffer) — the scan_save_mem
     #: rewrite's storage truncation (reference scan/rewriting.py:1176)
     final_only: Tuple[bool, ...] = ()
+    #: per recurrent output (mit then sit): k > 0 → only the LAST k steps
+    #: are returned, kept as a k-deep ring in the carry instead of the
+    #: full (n_steps, ...) stack — the tail-window generalization of
+    #: scan_save_mem (reference save_mem_new_scan, scan/rewriting.py:1176,
+    #: truncates stacked buffers for arbitrary tail windows x[-k:])
+    tail_depths: Tuple[int, ...] = ()
 
     def is_final_only(self, rec_idx: int) -> bool:
         return bool(self.final_only) and self.final_only[rec_idx]
+
+    def tail_depth(self, rec_idx: int) -> int:
+        """Ring depth for a recurrent output (0 = full stack)."""
+        return self.tail_depths[rec_idx] if self.tail_depths else 0
 
     @property
     def n_mit_sot(self) -> int:
@@ -169,21 +179,20 @@ class Scan(Op, HasInnerGraph):
         outputs: List[Variable] = []
         inner = self.fgraph.outputs
         idx = 0
-        for rec_i, taps in enumerate(info.mit_sot_taps):
+        def rec_out_type(rec_i):
             if info.is_final_only(rec_i):
-                outputs.append(inner[idx].type())
-            else:
-                outputs.append(
-                    TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
-                )
+                return inner[idx].type()
+            tail = info.tail_depth(rec_i)
+            lead = tail if tail else static_len
+            return TensorType(
+                inner[idx].type.dtype, (lead,) + inner[idx].type.shape
+            )()
+
+        for rec_i, taps in enumerate(info.mit_sot_taps):
+            outputs.append(rec_out_type(rec_i))
             idx += 1
         for k in range(info.n_sit_sot):
-            if info.is_final_only(info.n_mit_sot + k):
-                outputs.append(inner[idx].type())
-            else:
-                outputs.append(
-                    TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
-                )
+            outputs.append(rec_out_type(info.n_mit_sot + k))
             idx += 1
         for _ in range(info.n_nit_sot):
             outputs.append(
@@ -274,18 +283,22 @@ class Scan(Op, HasInnerGraph):
                 if bool(np.asarray(res[idx])):
                     break
 
+        def rec_result(rec_i, steps):
+            if info.is_final_only(rec_i):
+                return np.asarray(steps[-1])
+            tail = info.tail_depth(rec_i)
+            if tail:
+                # the rewrite only fires with static n_steps >= tail, so
+                # the window is always full
+                return np.asarray(steps[-tail:])
+            return np.asarray(steps)
+
         out_pos = 0
         for i in range(info.n_mit_sot):
-            if info.is_final_only(i):
-                output_storage[out_pos][0] = np.asarray(mit_out[i][-1])
-            else:
-                output_storage[out_pos][0] = np.asarray(mit_out[i])
+            output_storage[out_pos][0] = rec_result(i, mit_out[i])
             out_pos += 1
         for i in range(info.n_sit_sot):
-            if info.is_final_only(info.n_mit_sot + i):
-                output_storage[out_pos][0] = np.asarray(sit_out[i][-1])
-            else:
-                output_storage[out_pos][0] = np.asarray(sit_out[i])
+            output_storage[out_pos][0] = rec_result(info.n_mit_sot + i, sit_out[i])
             out_pos += 1
         for i in range(info.n_nit_sot):
             output_storage[out_pos][0] = np.asarray(nit_out[i])
@@ -304,8 +317,10 @@ class Scan(Op, HasInnerGraph):
         for i, o in enumerate(node.outputs):
             if (
                 i < info.n_mit_sot + info.n_sit_sot
-                and info.is_final_only(i)
+                and (info.is_final_only(i) or info.tail_depth(i))
             ):
+                # final state or (k, ...) ring: the output's own (static)
+                # shape, not an (n_steps, ...) stack
                 out.append(tuple(tshape(o)[d] for d in range(o.type.ndim)))
             elif i < info.n_mit_sot + info.n_sit_sot + info.n_nit_sot:
                 rest = tuple(
@@ -336,8 +351,8 @@ class Scan(Op, HasInnerGraph):
         info = self.info
         if info.as_while:
             raise NotImplementedError("R_op of a while-Scan")
-        if info.final_only and any(info.final_only):
-            raise NotImplementedError("R_op of a save-mem (final-only) Scan")
+        if (info.final_only and any(info.final_only)) or any(info.tail_depths):
+            raise NotImplementedError("R_op of a save-mem (final-only/tail) Scan")
 
         inner_in = list(self.fgraph.inputs)
         if any(not isinstance(iv.type, TensorType) for iv in inner_in):
@@ -459,10 +474,12 @@ class Scan(Op, HasInnerGraph):
         from aesara_tpu.tensor.subtensor import inc_subtensor, set_subtensor
 
         info = self.info
-        if info.as_while or any(info.final_only):
+        if info.as_while or any(info.final_only) or any(info.tail_depths):
+            # save-mem scans arise from the post-grad rewrite pipeline;
+            # user grads are built before scan_save_mem fires
             return [
                 grad_not_implemented(self, i, inp,
-                                     "gradient through while/final-only Scan "
+                                     "gradient through while/save-mem Scan "
                                      "not supported")
                 for i, inp in enumerate(inputs)
             ]

@@ -24,10 +24,49 @@ def _is_last_element_index(idx_list) -> bool:
     return len(idx_list) == 1 and idx_list[0] == -1
 
 
+def _tail_depth_of(idx_list):
+    """How many trailing rows of the time dim a subtensor reads, or None.
+
+    ``x[-k:]``/``x[-k:, ...]`` → k; ``x[-j]``/``x[-j, ...]`` → j (any
+    further index entries act inside the kept rows and are re-applied to
+    the truncated buffer unchanged).
+    """
+    if not idx_list:
+        return None
+    first = idx_list[0]
+    if isinstance(first, slice):
+        if (
+            isinstance(first.start, (int, np.integer))
+            and not isinstance(first.start, bool)
+            and first.start < 0
+            and first.stop is None
+            and first.step is None
+        ):
+            return int(-first.start)
+        return None
+    if (isinstance(first, (int, np.integer))
+            and not isinstance(first, bool) and first < 0):
+        return int(-first)
+    return None
+
+
 @node_rewriter([Subtensor])
 def scan_save_mem(fgraph, node):
+    """Truncate a Scan's stacked recurrent buffer when it is consumed
+    only through its tail (reference ``save_mem_new_scan``,
+    ``scan/rewriting.py:1176``).
+
+    * every consumer reads exactly ``x[-1]`` → the output becomes the
+      final carried state (``final_only``: no stacked buffer at all);
+    * consumers read tail windows ``x[-k:]`` / elements ``x[-j]`` → the
+      output becomes a k-deep ring kept in the ``lax.scan`` carry
+      (``tail_depths``), and each consumer re-indexes the (k, ...) ring —
+      the memory win that makes windowed losses over long-horizon BPTT
+      fit in HBM.  Requires a static trip count ≥ k (a ring is always
+      full; a shorter run would change ``x[-k:]``'s shape).
+    """
     sub_op = node.op
-    if not _is_last_element_index(sub_op.idx_list):
+    if _tail_depth_of(sub_op.idx_list) is None:
         return False
     scanned = node.inputs[0]
     snode = scanned.owner
@@ -37,33 +76,62 @@ def scan_save_mem(fgraph, node):
     rec_idx = scanned.index
     if rec_idx >= info.n_mit_sot + info.n_sit_sot:
         return False  # nit-sot finals stay stacked (not in the carry)
-    if info.is_final_only(rec_idx):
+    if info.is_final_only(rec_idx) or info.tail_depth(rec_idx):
         return False
-    # the stack must have NO other consumer than [-1]-style subtensors
+    # the stack must have NO consumer outside the tail
     clients = fgraph.clients.get(scanned, [])
+    depths = []
+    pure_final = True
     for client, _ in clients:
-        if client == "output":
+        if client == "output" or not isinstance(client.op, Subtensor):
             return False
-        if not (
-            isinstance(client.op, Subtensor)
-            and _is_last_element_index(client.op.idx_list)
-        ):
+        d = _tail_depth_of(client.op.idx_list)
+        if d is None:
             return False
+        depths.append(d)
+        if not _is_last_element_index(client.op.idx_list):
+            pure_final = False
 
-    new_final = list(info.final_only) if info.final_only else (
-        [False] * (info.n_mit_sot + info.n_sit_sot)
-    )
-    new_final[rec_idx] = True
-    new_info = ScanInfo(
-        n_seqs=info.n_seqs,
-        mit_sot_taps=info.mit_sot_taps,
-        n_sit_sot=info.n_sit_sot,
-        n_nit_sot=info.n_nit_sot,
-        n_shared=info.n_shared,
-        n_non_seqs=info.n_non_seqs,
-        as_while=info.as_while,
-        final_only=tuple(new_final),
-    )
+    n_rec = info.n_mit_sot + info.n_sit_sot
+    if pure_final:
+        new_final = list(info.final_only) if info.final_only else [False] * n_rec
+        new_final[rec_idx] = True
+        new_info = ScanInfo(
+            n_seqs=info.n_seqs,
+            mit_sot_taps=info.mit_sot_taps,
+            n_sit_sot=info.n_sit_sot,
+            n_nit_sot=info.n_nit_sot,
+            n_shared=info.n_shared,
+            n_non_seqs=info.n_non_seqs,
+            as_while=info.as_while,
+            final_only=tuple(new_final),
+            tail_depths=info.tail_depths,
+        )
+    else:
+        k = max(depths)
+        if info.as_while:
+            return False  # ring exactness needs a known trip count
+        try:
+            from aesara_tpu.tensor.basic import get_scalar_constant_value
+
+            static_len = int(get_scalar_constant_value(snode.inputs[0]))
+        except Exception:
+            return False
+        if static_len < k:
+            return False
+        new_tails = list(info.tail_depths) if info.tail_depths else [0] * n_rec
+        new_tails[rec_idx] = k
+        new_info = ScanInfo(
+            n_seqs=info.n_seqs,
+            mit_sot_taps=info.mit_sot_taps,
+            n_sit_sot=info.n_sit_sot,
+            n_nit_sot=info.n_nit_sot,
+            n_shared=info.n_shared,
+            n_non_seqs=info.n_non_seqs,
+            as_while=info.as_while,
+            final_only=info.final_only,
+            tail_depths=tuple(new_tails),
+        )
     new_op = Scan(
         snode.op.fgraph, new_info, snode.op.name,
         snode.op.truncate_gradient, snode.op.mode,
@@ -72,12 +140,20 @@ def scan_save_mem(fgraph, node):
     replacements = {}
     for j, (old, new) in enumerate(zip(snode.outputs, new_outs)):
         if j == rec_idx:
-            continue  # consumers of the stack are the [-1] subtensors
+            continue  # consumers of the stack are the tail subtensors
         if fgraph.clients.get(old):
             replacements[old] = new
-    # every [-1] consumer of the stacked output becomes the final state
     for client, _ in clients:
-        replacements[client.outputs[0]] = new_outs[rec_idx]
+        if pure_final:
+            repl = new_outs[rec_idx]
+        else:
+            # re-apply the same tail index to the (k, ...) ring: for
+            # trip count >= k, ring[-j:]/ring[-j] == stack[-j:]/stack[-j]
+            repl = client.op(new_outs[rec_idx], *client.inputs[1:])
+        conv = client.outputs[0].type.convert_variable(repl)
+        if conv is None:
+            return False
+        replacements[client.outputs[0]] = conv
     if not replacements:
         return False
     for old, new in replacements.items():
@@ -186,6 +262,7 @@ def scan_pushout_non_seqs(fgraph, node):
         n_non_seqs=info.n_non_seqs + len(new_inner_vars),
         as_while=info.as_while,
         final_only=info.final_only,
+        tail_depths=info.tail_depths,
     )
     new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
     new_outs = new_op(*(list(node.inputs) + list(outer_values)),
@@ -278,6 +355,15 @@ def _merge_two_scans(node_a, node_b):
     fa, fb = _final(ia), _final(ib)
     merged_final = (fa[: ia.n_mit_sot] + fb[: ib.n_mit_sot]
                     + fa[ia.n_mit_sot:] + fb[ib.n_mit_sot:])
+
+    def _tails(info):
+        if info.tail_depths:
+            return list(info.tail_depths)
+        return [0] * info.n_recurrent
+
+    ka, kb = _tails(ia), _tails(ib)
+    merged_tails = (ka[: ia.n_mit_sot] + kb[: ib.n_mit_sot]
+                    + ka[ia.n_mit_sot:] + kb[ib.n_mit_sot:])
     merged_info = ScanInfo(
         n_seqs=ia.n_seqs + ib.n_seqs,
         mit_sot_taps=tuple(ia.mit_sot_taps) + tuple(ib.mit_sot_taps),
@@ -287,6 +373,7 @@ def _merge_two_scans(node_a, node_b):
         n_non_seqs=ia.n_non_seqs + ib.n_non_seqs,
         as_while=False,
         final_only=tuple(merged_final) if any(merged_final) else (),
+        tail_depths=tuple(merged_tails) if any(merged_tails) else (),
     )
 
     def _split_outer_inputs(info, node):
@@ -530,6 +617,7 @@ def scan_pushout_seqs(fgraph, node):
         n_non_seqs=info.n_non_seqs,
         as_while=info.as_while,
         final_only=info.final_only,
+        tail_depths=info.tail_depths,
     )
     new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
     new_inputs = (
@@ -636,6 +724,7 @@ def scan_remove_constants_and_unused(fgraph, node):
         n_non_seqs=len(keep_ns_i),
         as_while=info.as_while,
         final_only=info.final_only,
+        tail_depths=info.tail_depths,
     )
     new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
     new_outs = new_op(
@@ -697,7 +786,7 @@ def scan_merge_inouts(fgraph, node):
     for k in range(n_sit):
         rec = n_mit + k
         key = (inner_out[rec], node.inputs[sit_in0 + k],
-               info.is_final_only(rec))
+               info.is_final_only(rec), info.tail_depth(rec))
         if key in seen_sit:
             dup_of[rec] = seen_sit[key]
         else:
@@ -785,7 +874,10 @@ def scan_pushout_sum(fgraph, node):
             for v in expr_anc
         ):
             continue  # no MXU payoff; carry accumulation is cheaper
-        # stacked output must be consumed only at [-1] (or be final-only)
+        # stacked output must be consumed only at [-1] (or be final-only);
+        # a ring (tail-depth) output is consumed as a window — skip it
+        if info.tail_depth(rec):
+            continue
         outer_out = node.outputs[rec]
         clients = fgraph.clients.get(outer_out, [])
         if not info.is_final_only(rec):
@@ -813,6 +905,13 @@ def scan_pushout_sum(fgraph, node):
             )
             if i != rec
         ]
+        new_tails = [
+            t for i, t in enumerate(
+                info.tail_depths
+                or [0] * (info.n_mit_sot + info.n_sit_sot)
+            )
+            if i != rec
+        ]
         new_info = ScanInfo(
             n_seqs=info.n_seqs,
             mit_sot_taps=info.mit_sot_taps,
@@ -822,6 +921,7 @@ def scan_pushout_sum(fgraph, node):
             n_non_seqs=info.n_non_seqs,
             as_while=False,
             final_only=tuple(new_final) if any(new_final) else (),
+            tail_depths=tuple(new_tails) if any(new_tails) else (),
         )
         new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs,
                                clone=True)
