@@ -1,48 +1,132 @@
 """Relational rewriting (reference ``aesara/graph/rewriting/kanren.py:13``
-KanrenRelationSub).  The external miniKanren stack is not available, so
-the same role — declare (lhs, rhs) relations as unification patterns —
-is served by UnifyRelationSub over the self-contained engine in
-``aesara_tpu.graph.unify``."""
+``KanrenRelationSub``).
+
+The external miniKanren stack is not available in this environment, so
+the goal algebra lives in ``aesara_tpu.graph.unify`` (eq/conso/conde/
+lall/lany/fresh/run over the self-contained unification engine).  Two
+layers are provided:
+
+- ``KanrenRelationSub(relation)`` — reference-parity: ``relation`` is a
+  callable ``(input_expr, out_lv) -> goal`` built from composed goals;
+  multi-clause relations (conde), fresh intermediate variables, and
+  side-condition constraints all compose.  Multi-output nodes pass the
+  full output list as ``input_expr`` (like the reference's
+  ``node.outputs`` fallback) and may be replaced by a relation that
+  unifies ``out_lv`` with a same-length list.
+- ``UnifyRelationSub(relations)`` — declarative sugar: a list of
+  (lhs_pattern, rhs_pattern) tuples, compiled to one conde relation.
+"""
 
 from __future__ import annotations
 
 from aesara_tpu.graph.rewriting.basic import NodeRewriter, copy_stack_trace
-from aesara_tpu.graph.unify import Var, reify, unify
+from aesara_tpu.graph.unify import (  # noqa: F401  (re-exported goal API)
+    Var,
+    conde,
+    conso,
+    eq,
+    fresh,
+    lall,
+    lany,
+    reify,
+    run,
+    unify,
+    var,
+)
+from aesara_tpu.graph.unify import eval_if_etuple
 
 
-class UnifyRelationSub(NodeRewriter):
-    """Rewrite via a relation given as (lhs_pattern, rhs_pattern) pairs of
-    expression tuples containing logic Vars."""
+class KanrenRelationSub(NodeRewriter):
+    """Rewrite nodes via a composed relational goal.
 
-    def __init__(self, relations, node_filter=None, name=None):
-        self.relations = list(relations)
+    Parameters
+    ----------
+    kanren_relation
+        ``(input_expr, out_lv) -> goal``.  ``input_expr`` is the node's
+        default output Variable (or the list of outputs for multi-output
+        ops without a default); the goal should bind ``out_lv`` to the
+        replacement expression (or a list of replacements).
+    results_filter
+        Receives the lazy iterator of reified solutions and picks one
+        (default: the first).
+    node_filter
+        Node predicate gating the rewrite.
+    """
+
+    reentrant = True
+
+    def __init__(self, kanren_relation, results_filter=None,
+                 node_filter=None, name=None):
+        if results_filter is None:
+            def results_filter(results):
+                return next(results, None)
+        self.kanren_relation = kanren_relation
+        self.results_filter = results_filter
         self.node_filter = node_filter
-        self.name = name or "UnifyRelationSub"
+        self.name = name or "KanrenRelationSub"
 
     def tracks(self):
         return None
 
     def transform(self, fgraph, node):
-        if len(node.outputs) != 1:
-            return False
         if self.node_filter is not None and not self.node_filter(node):
             return False
-        expr = (node.op,) + tuple(node.inputs)
-        for lhs, rhs in self.relations:
-            s = unify(lhs, expr, {})
-            if s is None:
-                continue
-            out = reify(rhs, s)
-            if isinstance(out, (Var, tuple)):
-                continue  # unresolved logic vars
-            if out.type != node.outputs[0].type:
-                conv = node.outputs[0].type.convert_variable(out)
+        try:
+            input_expr = node.default_output()
+        except Exception:
+            input_expr = list(node.outputs)
+
+        q = var()
+        results = run(None, q, self.kanren_relation(input_expr, q))
+        chosen = self.results_filter(results)
+        if chosen is None:
+            return False
+
+        try:
+            if isinstance(chosen, list):
+                new_outputs = [eval_if_etuple(v) for v in chosen]
+            else:
+                new_outputs = [eval_if_etuple(chosen)]
+        except Exception:
+            return False  # unresolved logic vars inside an op application
+        if len(new_outputs) != len(node.outputs):
+            return False
+
+        checked = []
+        for old, new in zip(node.outputs, new_outputs):
+            if isinstance(new, (Var, tuple)):
+                return False  # unresolved logic structure
+            if new.type != old.type:
+                conv = old.type.convert_variable(new)
                 if conv is None:
-                    continue
-                out = conv
-            copy_stack_trace(node.outputs[0], out)
-            return [out]
-        return False
+                    return False
+                new = conv
+            copy_stack_trace(old, new)
+            checked.append(new)
+        return checked
+
+    def __str__(self):
+        return self.name
 
 
-KanrenRelationSub = UnifyRelationSub
+class UnifyRelationSub(KanrenRelationSub):
+    """Declarative (lhs, rhs) pattern pairs, compiled to one conde goal.
+
+    Patterns are expression tuples ``(op, arg...)`` over logic Vars;
+    clauses are tried in order (first match wins), matching the ordered
+    semantics of ``conde``.
+    """
+
+    def __init__(self, relations, node_filter=None, name=None):
+        self.relations = list(relations)
+
+        def relation(in_expr, out_lv):
+            return conde(
+                *[[eq(lhs, in_expr), eq(out_lv, rhs)]
+                  for lhs, rhs in self.relations]
+            )
+
+        super().__init__(
+            relation, node_filter=node_filter,
+            name=name or "UnifyRelationSub",
+        )

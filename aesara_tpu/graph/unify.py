@@ -73,6 +73,8 @@ def unify(u, v, s: Optional[dict] = None):
         return _assign(v, u, s)
     # graph structure: expression = (op, *inputs)
     if isinstance(u, Variable) and isinstance(v, Variable):
+        if u is v:
+            return s
         if isinstance(u, Constant) or isinstance(v, Constant):
             if isinstance(u, Constant) and isinstance(v, Constant):
                 try:
@@ -136,20 +138,160 @@ def etuplize(v: Variable):
 
 
 def reify(x, s: dict):
-    """Substitute logic variables; expression tuples rebuild graphs."""
+    """Substitute logic variables structurally.
+
+    PURE: expression tuples stay tuples (the reference reifies to
+    ExpressionTuples the same way) — graph construction is an explicit
+    step via ``eval_if_etuple``, so tuple-shaped queries like
+    ``run(n, (op_lv, args_lv), ...)`` report structure instead of
+    accidentally applying the op."""
     x = walk(x, s)
     if isinstance(x, Var):
         return x
-    if isinstance(x, (tuple, list)):
-        parts = [reify(e, s) for e in x]
-        op = parts[0]
-        args = parts[1:]
-        if hasattr(op, "make_node") and not any(
-            isinstance(a, Var) for a in args
-        ):
-            return op(*args)
-        return tuple(parts)
+    if isinstance(x, list):
+        # lists are OUTPUT COLLECTIONS (multi-output replacement), tuples
+        # are expressions — preserve the distinction through reify
+        return [reify(e, s) for e in x]
+    if isinstance(x, tuple):
+        return tuple(reify(e, s) for e in x)
     return x
+
+
+# --- goal composition (microKanren core) --------------------------------------
+# The reference delegates to the external miniKanren package
+# (``/root/reference/aesara/graph/rewriting/kanren.py:13`` builds arbitrary
+# composed goals with eq/conso/conde).  This is a self-contained goal
+# engine with the same algebra: a *goal* is ``substitution -> iterator of
+# substitutions``; ``eq`` is the primitive, ``lall``/``lany``/``conde``
+# compose, ``fresh`` introduces scoped logic variables, ``run`` reifies.
+
+
+def succeed(s):
+    yield s
+
+
+def fail(s):
+    return
+    yield  # pragma: no cover
+
+
+def eq(u, v):
+    """Primitive goal: unify u with v."""
+
+    def goal(s):
+        s2 = unify(u, v, s)
+        if s2 is not None:
+            yield s2
+
+    return goal
+
+
+def lall(*goals):
+    """Logical conjunction (kanren ``lall``)."""
+    if not goals:
+        return succeed
+
+    def goal(s):
+        def emit(i, s):
+            if i == len(goals):
+                yield s
+                return
+            for s2 in goals[i](s):
+                yield from emit(i + 1, s2)
+
+        yield from emit(0, s)
+
+    return goal
+
+
+def lany(*goals):
+    """Logical disjunction (kanren ``lany``): ordered alternatives."""
+
+    def goal(s):
+        for g in goals:
+            yield from g(s)
+
+    return goal
+
+
+def conde(*clauses):
+    """Each clause is a sequence of goals: conjunction within a clause,
+    disjunction across clauses (kanren ``conde``)."""
+    return lany(*[lall(*c) for c in clauses])
+
+
+def fresh(f):
+    """Introduce len(signature(f)) fresh logic variables scoped to the
+    goal f returns (kanren's ``fresh``)."""
+    import inspect
+
+    n = len(inspect.signature(f).parameters)
+
+    def goal(s):
+        yield from f(*(var() for _ in range(n)))(s)
+
+    return goal
+
+
+def conso(h, t, l):
+    """Goal: l is the pair (h . t) — over expression tuples, l == (h,) + t.
+
+    Graph Variables on either side decompose through ``etuplize``, so
+    ``conso(op_lv, args_lv, in_expr)`` splits an Apply into its op and
+    input list exactly like the reference's cons-based decomposition.
+    """
+
+    def goal(s):
+        l_w = walk(l, s)
+        if isinstance(l_w, Variable) and l_w.owner is not None:
+            l_w = etuplize(l_w)
+        if isinstance(l_w, (tuple, list)):
+            if not len(l_w):
+                return
+            s2 = unify(h, l_w[0], s)
+            if s2 is None:
+                return
+            s3 = unify(t, tuple(l_w[1:]), s2)
+            if s3 is not None:
+                yield s3
+            return
+        h_w = walk(h, s)
+        t_w = walk(t, s)
+        if isinstance(t_w, (tuple, list)) and not isinstance(l_w, Variable):
+            s2 = unify(l, (h_w,) + tuple(t_w), s)
+            if s2 is not None:
+                yield s2
+
+    return goal
+
+
+def heado(h, l):
+    return fresh(lambda t: conso(h, t, l))
+
+
+def tailo(t, l):
+    return fresh(lambda h: conso(h, t, l))
+
+
+def condp(pred):
+    """Goal succeeding iff ``pred(substitution)`` — an escape hatch for
+    side conditions over already-bound variables."""
+
+    def goal(s):
+        if pred(s):
+            yield s
+
+    return goal
+
+
+def run(n, q, *goals):
+    """Reified values of ``q`` for the first ``n`` solutions (``n=None``
+    → a lazy iterator over all of them, matching ``kanren.run``)."""
+    goal = lall(*goals)
+    results = (reify(q, s) for s in goal({}))
+    if n is None:
+        return results
+    return list(itertools.islice(results, n))
 
 
 # --- reference car/cdr dispatch names (rewriting/unify.py) --------------------

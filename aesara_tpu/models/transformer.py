@@ -32,6 +32,7 @@ class TransformerEncoderLayer(Model):
         rng = np.random.default_rng(seed)
         self.d_model, self.n_heads = d_model, n_heads
         self.d_head = d_model // n_heads
+        self.tp_axis = None
         self.wq = self._register(glorot(rng, d_model, d_model, "wq"))
         self.wk = self._register(glorot(rng, d_model, d_model, "wk"))
         self.wv = self._register(glorot(rng, d_model, d_model, "wv"))
@@ -48,11 +49,40 @@ class TransformerEncoderLayer(Model):
         self.ln1_g.set_value(np.ones(d_model, dtype=self.ln1_g.get_value().dtype))
         self.ln2_g.set_value(np.ones(d_model, dtype=self.ln2_g.get_value().dtype))
 
+    def shard_tp(self, axis: str = "model"):
+        """Megatron-style tensor parallelism over ``axis``: qkv/ffn-in
+        column-sharded, out/ffn-out row-sharded, and whole heads kept
+        LOCAL through attention via sharding constraints (the head-major
+        split below makes the constraint collective-free).  The contract
+        is exactly 2 all-reduces per layer forward and 0 gathers —
+        asserted on compiled HLO in tests/parallel/test_hlo_collectives.py.
+        """
+        self.tp_axis = axis
+        self.wq.type.sharding = (None, axis)
+        self.wk.type.sharding = (None, axis)
+        self.wv.type.sharding = (None, axis)
+        self.wo.type.sharding = (axis, None)
+        self.w1.type.sharding = (None, axis)
+        self.b1.type.sharding = (axis,)
+        self.w2.type.sharding = (axis, None)
+        return self
+
+    def _tp(self, t, spec):
+        if self.tp_axis is None:
+            return t
+        from aesara_tpu.parallel.ops import shard_constraint
+
+        return shard_constraint(t, spec)
+
     def _split_heads(self, x, B, T):
-        # (B, T, D) -> (B*H, T, d_head)
+        # (B, T, D) -> (H*B, T, d_head), HEAD-major: after a
+        # column-sharded qkv projection (TP), flattened rows group by
+        # head, so an (axis, None, None) constraint keeps each head's
+        # attention entirely on the device that computed its projection
         h = x.reshape((B, T, self.n_heads, self.d_head))
-        h = h.dimshuffle(0, 2, 1, 3)
-        return h.reshape((B * self.n_heads, T, self.d_head))
+        h = h.dimshuffle(2, 0, 1, 3)
+        out = h.reshape((self.n_heads * B, T, self.d_head))
+        return self._tp(out, (self.tp_axis, None, None))
 
     def attention(self, x, causal: bool = False):
         from aesara_tpu.tensor.nnet.attention import fused_attention
@@ -63,9 +93,12 @@ class TransformerEncoderLayer(Model):
         v = self._split_heads(tm.dot(x, self.wv), B, T)
         # ONE fused op: XLA composition for short T, FlashAttention Pallas
         # kernel (no (T,T) score matrix in HBM) from T>=2048 on TPU
-        ctx = fused_attention(q, k, v, causal=causal)       # (B*H, T, d_head)
-        ctx = ctx.reshape((B, self.n_heads, T, self.d_head))
-        ctx = ctx.dimshuffle(0, 2, 1, 3).reshape((B, T, self.d_model))
+        ctx = fused_attention(q, k, v, causal=causal)       # (H*B, T, d_head)
+        ctx = self._tp(ctx, (self.tp_axis, None, None))
+        ctx = ctx.reshape((self.n_heads, B, T, self.d_head))
+        ctx = ctx.dimshuffle(1, 2, 0, 3).reshape((B, T, self.d_model))
+        # merged ctx stays feature-sharded into the row-parallel out-proj
+        ctx = self._tp(ctx, (None, None, self.tp_axis))
         return tm.dot(ctx, self.wo)
 
     def __call__(self, x):

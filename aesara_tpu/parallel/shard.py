@@ -103,6 +103,29 @@ class ShardedFunction:
         self.single = single
         self.in_shardings = in_shardings
 
+    def compiled_hlo(self, *args) -> str:
+        """Optimized (post-SPMD-partitioning) HLO text for these args.
+
+        The multi-chip collective *contract* is testable structure: for a
+        given parallel axis the partitioned program must contain the
+        expected XLA collectives (all-reduce for dp grads / tp row-parallel
+        matmuls, collective-permute for ring/pipeline schedules,
+        all-to-all for Ulysses head re-sharding) — see
+        tests/parallel/test_hlo_collectives.py.
+        """
+        import jax
+
+        placed = []
+        for v, s in zip(
+            list(args) + [sv.container.storage[0] for sv in self.shared_vars],
+            self.in_shardings,
+        ):
+            if s is not None and not hasattr(v, "sharding"):
+                v = jax.device_put(np.asarray(v), s)
+            placed.append(v)
+        with self.mesh:
+            return self._jitted.lower(*placed).compile().as_text()
+
     def __call__(self, *args):
         import jax
 

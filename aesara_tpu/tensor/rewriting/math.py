@@ -1808,3 +1808,87 @@ def local_abs_lift(fgraph, node):
 
 
 register_canonicalize(local_abs_lift)
+
+
+# --- relational rewriting: distributivity as ONE composed goal -----------------
+# (reference expresses such algebra through miniKanren —
+# ``aesara/graph/rewriting/kanren.py:13``; here the goal engine is
+# ``aesara_tpu.graph.unify``.)  The relation holds BOTH directions of
+# a·x + a·y == a·(x + y); what gets *registered* is the relation plus a
+# results filter keeping only the factored form, so the equilibrium
+# driver shrinks graphs (2 muls + 1 add → 1 mul + 1 add) and never
+# oscillates.  The distribute direction stays reachable through ``run``
+# (see tests/graph/rewriting/test_kanren_goals.py).
+
+def distribute_relation(in_expr, out_lv):
+    """conde over every commutative placement of the shared factor, plus
+    the inverse (distributing) clause."""
+    from aesara_tpu.graph.unify import ConstrainedVar, conde, eq, var
+
+    add_op = tm.add.elemwise_op
+    mul_op = tm.mul.elemwise_op
+    # the shared factor must be a non-constant (broadcast constants
+    # included): constant folding and the AlgebraicCanonizer already
+    # normalize constant coefficients, and a ConstrainedVar is the
+    # declarative way to say so
+    def _nonconstant(v):
+        if isinstance(v, Constant):
+            return False
+        try:  # broadcast/dimshuffled constants count as constant too
+            get_scalar_constant_value(v, only_process_constants=False)
+            return False
+        except NotScalarConstantError:
+            return True
+
+    a = ConstrainedVar(_nonconstant, "a")
+    x, y = var("x"), var("y")
+    factored = (mul_op, a, (add_op, x, y))
+    return conde(
+        [eq((add_op, (mul_op, a, x), (mul_op, a, y)), in_expr),
+         eq(out_lv, factored)],
+        [eq((add_op, (mul_op, a, x), (mul_op, y, a)), in_expr),
+         eq(out_lv, factored)],
+        [eq((add_op, (mul_op, x, a), (mul_op, a, y)), in_expr),
+         eq(out_lv, factored)],
+        [eq((add_op, (mul_op, x, a), (mul_op, y, a)), in_expr),
+         eq(out_lv, factored)],
+        [eq(factored, in_expr),
+         eq(out_lv, (add_op, (mul_op, a, x), (mul_op, a, y)))],
+    )
+
+
+def _factored_only(results):
+    """Keep solutions whose top op is mul — the FLOP-reducing direction.
+
+    Reified solutions are expression tuples (op, arg...)."""
+    mul_op = tm.mul.elemwise_op
+    for r in results:
+        if isinstance(r, tuple) and len(r) and r[0] == mul_op:
+            return r
+    return None
+
+
+def _mul_pair_add(node):
+    # cheap gate: Add whose two inputs are both Muls, or a 2-input Mul
+    if not isinstance(node.op, Elemwise):
+        return False
+    if isinstance(node.op.scalar_op, aes.ops.Add) and len(node.inputs) == 2:
+        return all(
+            i.owner is not None
+            and isinstance(i.owner.op, Elemwise)
+            and isinstance(i.owner.op.scalar_op, aes.ops.Mul)
+            and len(i.owner.inputs) == 2
+            for i in node.inputs
+        )
+    return False
+
+
+from aesara_tpu.graph.rewriting.kanren import KanrenRelationSub  # noqa: E402
+
+local_factor_shared_term = KanrenRelationSub(
+    distribute_relation,
+    results_filter=_factored_only,
+    node_filter=_mul_pair_add,
+    name="local_factor_shared_term",
+)
+register_specialize(local_factor_shared_term, name="local_factor_shared_term")
