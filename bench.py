@@ -66,6 +66,19 @@ def main():
         result["bf16_mfu"] = round(bf16 / BF16_PEAK_TFLOPS, 3)
     except Exception:
         pass
+    # HBM roofline companion (benchmarks/bench_hbm_roofline.py): slope-timed
+    # in-program triad loops cancel the tunnel's fixed dispatch cost; the
+    # fraction is framework fused-elemwise GB/s over the measured raw-jax
+    # device ceiling (BASELINE north star: >=0.90).
+    try:
+        from benchmarks.bench_hbm_roofline import framework_triad, raw_probe
+
+        raw = raw_probe(reps=2)
+        fw = framework_triad(reps=2)
+        result["elemwise_gbps"] = round(fw, 1)
+        result["hbm_roofline_frac"] = round(fw / raw["triad"], 3)
+    except Exception:
+        pass
     # flagship transformer tokens/s is benchmarked separately
     # (benchmarks/bench_transformer.py — its fresh XLA compile through
     # the tunnel would risk the driver's bench timeout here)
