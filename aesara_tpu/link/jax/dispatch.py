@@ -933,6 +933,59 @@ def _jax_adv_subtensor1(op, node=None, **kwargs):
     return lambda x, i: jnp.take(x, i, axis=0)
 
 
+@jax_funcify.register(tst.DynamicSlice)
+def _jax_dynamic_slice(op, node=None, **kwargs):
+    """Runtime-offset static-window slice → ``lax.dynamic_slice``
+    (op semantics defined to match lax clamping — see
+    ``tensor/subtensor.py::DynamicSlice``)."""
+    lengths = op.lengths
+
+    def dynamic_slice(x, *starts):
+        x = jnp.asarray(x)
+        it = iter(starts)
+        start_indices = []
+        slice_sizes = []
+        for d in range(x.ndim):
+            l = lengths[d] if d < len(lengths) else None
+            if l is None:
+                start_indices.append(0)
+                slice_sizes.append(x.shape[d])
+            else:
+                start_indices.append(next(it))
+                slice_sizes.append(l)
+        return jax.lax.dynamic_slice(x, start_indices, slice_sizes)
+
+    return dynamic_slice
+
+
+@jax_funcify.register(tst.DynamicIncSubtensor)
+def _jax_dynamic_inc_subtensor(op, node=None, **kwargs):
+    lengths = op.lengths
+    set_instead = op.set_instead_of_inc
+
+    def dynamic_inc(x, y, *starts):
+        x = jnp.asarray(x)
+        it = iter(starts)
+        start_indices = []
+        sizes = []
+        for d in range(x.ndim):
+            l = lengths[d] if d < len(lengths) else None
+            if l is None:
+                start_indices.append(0)
+                sizes.append(x.shape[d])
+            else:
+                start_indices.append(next(it))
+                sizes.append(l)
+        if set_instead:
+            return jax.lax.dynamic_update_slice(x, y.astype(x.dtype), start_indices)
+        window = jax.lax.dynamic_slice(x, start_indices, sizes)
+        return jax.lax.dynamic_update_slice(
+            x, (window + y).astype(x.dtype), start_indices
+        )
+
+    return dynamic_inc
+
+
 @jax_funcify.register(tst.AdvancedIncSubtensor1)
 def _jax_adv_inc_subtensor1(op, node=None, **kwargs):
     if op.set_instead_of_inc:

@@ -1052,3 +1052,250 @@ def local_adv_sub1_adv_inc_sub1(fgraph, node):
 
 
 register_specialize(local_adv_sub1_adv_inc_sub1)
+
+
+# ---------------------------------------------------------------------------
+# affine symbolic slices → DynamicSlice (static window, runtime offset)
+# ---------------------------------------------------------------------------
+
+
+def _affine_parts(v, depth=0):
+    """Decompose an int-scalar graph into (var-coefficient dict, const).
+
+    Handles the forms slice bounds take in practice: constants, plain
+    variables, n-ary add, sub, neg, and mul-by-constant — enough to prove
+    ``stop - start`` constant for patterns like ``i*B:(i+1)*B``.
+    Returns None when the expression is not affine in recognizable form.
+    """
+    from aesara_tpu.graph.ir import Constant
+    from aesara_tpu.scalar import ops as aes
+
+    if depth > 12:
+        return None
+    if isinstance(v, Constant):
+        data = np.asarray(v.data)
+        if data.size != 1:
+            return None
+        return {}, int(data)
+    node = v.owner
+    if node is None or not isinstance(node.op, Elemwise):
+        return {id(v): (v, 1)}, 0
+    sop = node.op.scalar_op
+    if isinstance(sop, aes.Add):
+        coeffs, const = {}, 0
+        for i in node.inputs:
+            p = _affine_parts(i, depth + 1)
+            if p is None:
+                return None
+            for k, (var, c) in p[0].items():
+                pv, pc = coeffs.get(k, (var, 0))
+                coeffs[k] = (var, pc + c)
+            const += p[1]
+        return coeffs, const
+    if isinstance(sop, aes.Sub):
+        pa = _affine_parts(node.inputs[0], depth + 1)
+        pb = _affine_parts(node.inputs[1], depth + 1)
+        if pa is None or pb is None:
+            return None
+        coeffs = dict(pa[0])
+        for k, (var, c) in pb[0].items():
+            pv, pc = coeffs.get(k, (var, 0))
+            coeffs[k] = (var, pc - c)
+        return coeffs, pa[1] - pb[1]
+    if isinstance(sop, aes.Neg):
+        p = _affine_parts(node.inputs[0], depth + 1)
+        if p is None:
+            return None
+        return {k: (var, -c) for k, (var, c) in p[0].items()}, -p[1]
+    if isinstance(sop, aes.Mul):
+        # exactly one non-constant factor; the rest must fold to a scalar
+        factor = 1
+        sym = None
+        for i in node.inputs:
+            from aesara_tpu.graph.ir import Constant as _C
+
+            if isinstance(i, _C) and np.asarray(i.data).size == 1:
+                factor *= int(np.asarray(i.data))
+            elif sym is None:
+                sym = i
+            else:
+                return None
+        if sym is None:
+            return {}, factor
+        p = _affine_parts(sym, depth + 1)
+        if p is None:
+            return None
+        return (
+            {k: (var, c * factor) for k, (var, c) in p[0].items()},
+            p[1] * factor,
+        )
+    # Cast of an affine expr keeps the algebra
+    if isinstance(sop, aes.Cast):
+        return _affine_parts(node.inputs[0], depth + 1)
+    return {id(v): (v, 1)}, 0
+
+
+def _static_difference(stop, start):
+    """``stop - start`` as a python int when provable, else None."""
+    pa = _affine_parts(stop)
+    pb = _affine_parts(start)
+    if pa is None or pb is None:
+        return None
+    coeffs = dict(pa[0])
+    for k, (var, c) in pb[0].items():
+        pv, pc = coeffs.get(k, (var, 0))
+        coeffs[k] = (var, pc - c)
+    if any(c != 0 for _, c in coeffs.values()):
+        return None
+    return pa[1] - pb[1]
+
+
+@node_rewriter([Subtensor])
+def local_affine_slice_to_dynamic(fgraph, node):
+    """``x[e0:e0+K, ...]`` with symbolic bounds but a provably-constant
+    window K → :class:`DynamicSlice` (lax.dynamic_slice under XLA).
+
+    This is what makes the reference's minibatch idiom
+    ``data[index*B:(index+1)*B]`` (tutorial ``logistic_sgd.py``) compile
+    into one static XLA program: the offset stays a runtime scalar while
+    the shape becomes static.  Only fires when EVERY symbolic-bound slice
+    in the index has a constant positive length, step 1, and no symbolic
+    integer indices are mixed in; starts are clamped at runtime (lax
+    semantics — see the op docstring for the documented edge divergence
+    from NumPy).
+    """
+    from aesara_tpu.tensor.subtensor import DynamicSlice, indices_from_subtensor
+
+    if not node.inputs[1:]:
+        return False  # fully static — plain Subtensor is fine
+    idx = indices_from_subtensor(node.inputs[1:], node.op.idx_list)
+    lengths = []
+    starts = []
+    saw_dynamic = False
+    for d, e in enumerate(idx):
+        if isinstance(e, slice):
+            if e.step not in (None, 1):
+                return False
+            start = e.start if e.start is not None else 0
+            sym_start = not isinstance(start, (int, np.integer))
+            sym_stop = e.stop is not None and not isinstance(
+                e.stop, (int, np.integer)
+            )
+            if not (sym_start or sym_stop):
+                # static slice on this axis: only representable when it
+                # keeps the whole axis
+                if (
+                    (e.start in (None, 0))
+                    and e.stop is None
+                ):
+                    lengths.append(None)
+                    continue
+                return False
+            if e.stop is None:
+                return False
+            from aesara_tpu.tensor.basic import as_tensor_variable
+
+            start_v = as_tensor_variable(start)
+            stop_v = as_tensor_variable(e.stop)
+            k = _static_difference(stop_v, start_v)
+            if k is None or k <= 0:
+                return False
+            # static upper bound: if the axis size is static, the window
+            # must fit, else clamping would change in-range results
+            dim = node.inputs[0].type.shape[d]
+            if dim is not None and k > dim:
+                return False
+            lengths.append(k)
+            starts.append(start_v)
+            saw_dynamic = True
+        else:
+            # integer index: symbolic integer indexing is a gather and
+            # already lowers fine; mixing it here would change ranks —
+            # bail and leave the node alone
+            if not isinstance(e, (int, np.integer)):
+                return False
+            return False
+    if not saw_dynamic:
+        return False
+    while lengths and lengths[-1] is None:
+        lengths.pop()
+    res = DynamicSlice(lengths)(node.inputs[0], *starts)
+    if res.type.dtype != node.outputs[0].type.dtype:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_affine_slice_to_dynamic)
+
+
+@node_rewriter([IncSubtensor])
+def local_affine_inc_slice_to_dynamic(fgraph, node):
+    """set/inc_subtensor over an affine constant-window slice →
+    :class:`DynamicIncSubtensor` (lax.dynamic_update_slice under XLA);
+    the scatter dual of ``local_affine_slice_to_dynamic`` (KV-cache
+    append, minibatch write-back)."""
+    from aesara_tpu.tensor.subtensor import (
+        DynamicIncSubtensor,
+        indices_from_subtensor,
+    )
+
+    x, y = node.inputs[0], node.inputs[1]
+    if not node.inputs[2:]:
+        return False
+    idx = indices_from_subtensor(node.inputs[2:], node.op.idx_list)
+    lengths = []
+    starts = []
+    saw_dynamic = False
+    for d, e in enumerate(idx):
+        if isinstance(e, slice):
+            if e.step not in (None, 1):
+                return False
+            start = e.start if e.start is not None else 0
+            sym_start = not isinstance(start, (int, np.integer))
+            sym_stop = e.stop is not None and not isinstance(
+                e.stop, (int, np.integer)
+            )
+            if not (sym_start or sym_stop):
+                if (e.start in (None, 0)) and e.stop is None:
+                    lengths.append(None)
+                    continue
+                return False
+            if e.stop is None:
+                return False
+            from aesara_tpu.tensor.basic import as_tensor_variable
+
+            start_v = as_tensor_variable(start)
+            stop_v = as_tensor_variable(e.stop)
+            k = _static_difference(stop_v, start_v)
+            if k is None or k <= 0:
+                return False
+            dim = x.type.shape[d]
+            if dim is not None and k > dim:
+                return False
+            lengths.append(k)
+            starts.append(start_v)
+            saw_dynamic = True
+        else:
+            return False
+    if not saw_dynamic:
+        return False
+    # the window y must already be full-rank (IncSubtensor of a slice
+    # keeps rank) and its sliced dims must match the static lengths
+    if y.type.ndim != x.type.ndim:
+        return False
+    for d, l in enumerate(lengths):
+        if l is not None and y.type.shape[d] not in (l, None):
+            return False
+    while lengths and lengths[-1] is None:
+        lengths.pop()
+    res = DynamicIncSubtensor(
+        lengths, set_instead_of_inc=node.op.set_instead_of_inc
+    )(x, y, *starts)
+    if res.type.dtype != node.outputs[0].type.dtype:
+        return False
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_specialize(local_affine_inc_slice_to_dynamic)

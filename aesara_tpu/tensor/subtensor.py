@@ -33,6 +33,7 @@ __all__ = [
     "AdvancedSubtensor1", "AdvancedIncSubtensor1",
     "set_subtensor", "inc_subtensor", "take", "take_slice",
     "indices_from_subtensor", "get_idx_list", "SYM",
+    "DynamicSlice", "DynamicIncSubtensor",
 ]
 
 
@@ -843,3 +844,195 @@ def take(x, indices, axis=None, mode="raise"):
         return AdvancedSubtensor1()(x, indices)
     full = [slice(None)] * axis + [indices]
     return take_slice(x, tuple(full))
+
+
+# ---------------------------------------------------------------------------
+# Dynamic (runtime-offset, static-length) slicing
+# ---------------------------------------------------------------------------
+#
+# XLA requires static output shapes, so ``x[i*B:(i+1)*B]`` with a symbolic
+# ``i`` cannot compile as a generic Subtensor.  But whenever the slice
+# LENGTH is statically known (the tutorial minibatch idiom, KV-cache
+# windows, ring buffers), the access is exactly ``lax.dynamic_slice``: a
+# runtime offset with a compile-time window.  These two ops carry that
+# static window, and a specialize rewrite (``tensor/rewriting/subtensor.py::
+# local_affine_slice_to_dynamic``) converts eligible Subtensor/IncSubtensor
+# nodes automatically — so the reference's logistic_sgd.py-style
+# ``givens={x: data[index*B:(index+1)*B]}`` pattern compiles into ONE XLA
+# program instead of failing on traced slice bounds.
+#
+# Semantics note (documented divergence from NumPy): runtime starts are
+# CLAMPED into ``[0, dim - length]`` exactly like ``lax.dynamic_slice`` —
+# (after wrapping a negative start once, jax-style), and an overhanging
+# window slides back
+# instead of shortening (a shorter result would be a dynamic shape, which
+# XLA cannot express).  In-range accesses are identical to NumPy.
+# Reference counterpart behaviorally: ``aesara/tensor/subtensor.py``
+# Subtensor over symbolic scalars (executes any offset via per-node C code).
+
+
+class DynamicSlice(Op):
+    """Slice with runtime start offsets and static window ``lengths``.
+
+    ``lengths`` is a tuple over the leading axes: an ``int`` means "window
+    of that size starting at the next symbolic input"; ``None`` means the
+    full axis is kept.  Trailing axes are kept whole.
+    """
+
+    __props__ = ("lengths",)
+
+    def __init__(self, lengths):
+        self.lengths = tuple(
+            int(l) if l is not None else None for l in lengths
+        )
+        if not any(l is not None for l in self.lengths):
+            raise ValueError("DynamicSlice needs at least one sized axis")
+
+    def make_node(self, x, *starts):
+        x = as_tensor_variable(x)
+        n_dyn = sum(1 for l in self.lengths if l is not None)
+        if len(starts) != n_dyn:
+            raise ValueError(
+                f"DynamicSlice{self.lengths} expects {n_dyn} starts, got {len(starts)}"
+            )
+        if len(self.lengths) > x.type.ndim:
+            raise IndexError("too many dynamic-slice axes")
+        starts = [cast(as_tensor_variable(s), "int64") for s in starts]
+        if any(s.type.ndim != 0 for s in starts):
+            raise TypeError("dynamic-slice starts must be scalars")
+        out_shape = [
+            (l if l is not None else x.type.shape[d])
+            for d, l in enumerate(self.lengths)
+        ]
+        out_shape.extend(x.type.shape[len(self.lengths):])
+        return Apply(
+            self, [x] + starts, [TensorType(x.type.dtype, tuple(out_shape))()]
+        )
+
+    def _clamped_index(self, xshape, starts):
+        it = iter(starts)
+        idx = []
+        for d, l in enumerate(self.lengths):
+            if l is None:
+                idx.append(slice(None))
+            else:
+                s = int(next(it))
+                if s < 0:
+                    # jax.lax.dynamic_slice wraps negative starts before
+                    # clamping; mirror it so py oracle == XLA
+                    s += xshape[d]
+                s = min(max(s, 0), max(xshape[d] - l, 0))
+                idx.append(slice(s, s + l))
+        return tuple(idx)
+
+    def perform(self, node, inputs, output_storage):
+        x, *starts = inputs
+        idx = self._clamped_index(x.shape, starts)
+        output_storage[0][0] = np.asarray(x[idx])
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        xshape = input_shapes[0]
+        out = [
+            (constant(l, dtype="int64") if l is not None else xshape[d])
+            for d, l in enumerate(self.lengths)
+        ]
+        out.extend(xshape[len(self.lengths):])
+        return [tuple(out)]
+
+    def connection_pattern(self, node):
+        return [[True]] + [[False]] * (len(node.inputs) - 1)
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType
+        from aesara_tpu.tensor.basic import zeros_like
+
+        x, *starts = inputs
+        (gz,) = output_grads
+        rest = [DisconnectedType()() for _ in starts]
+        if x.type.dtype in discrete_dtypes:
+            from aesara_tpu.gradient import grad_undefined
+
+            return [grad_undefined(self, 0, x)] + rest
+        gx = DynamicIncSubtensor(self.lengths)(zeros_like(x), gz, *starts)
+        return [gx] + rest
+
+    def R_op(self, inputs, eval_points):
+        if eval_points[0] is None:
+            return [None]
+        return self.make_node(eval_points[0], *inputs[1:]).outputs
+
+    def __str__(self):
+        parts = [("?:?+%d" % l) if l is not None else ":" for l in self.lengths]
+        return f"DynamicSlice{{{', '.join(parts)}}}"
+
+
+class DynamicIncSubtensor(Op):
+    """Set/add a static-length window of ``x`` at runtime offsets.
+
+    The scatter dual of :class:`DynamicSlice`; lowers to
+    ``lax.dynamic_update_slice`` (set) or slice-add-update (inc).  Same
+    clamped-start semantics.
+    """
+
+    __props__ = ("lengths", "set_instead_of_inc", "inplace")
+
+    def __init__(self, lengths, set_instead_of_inc: bool = False, inplace: bool = False):
+        self.lengths = tuple(
+            int(l) if l is not None else None for l in lengths
+        )
+        self.set_instead_of_inc = bool(set_instead_of_inc)
+        self.inplace = bool(inplace)
+        if inplace:
+            self.destroy_map = {0: [0]}
+
+    def make_node(self, x, y, *starts):
+        x = as_tensor_variable(x)
+        y = as_tensor_variable(y)
+        n_dyn = sum(1 for l in self.lengths if l is not None)
+        if len(starts) != n_dyn:
+            raise ValueError(
+                f"DynamicIncSubtensor{self.lengths} expects {n_dyn} starts"
+            )
+        starts = [cast(as_tensor_variable(s), "int64") for s in starts]
+        if y.type.ndim != x.type.ndim:
+            raise TypeError(
+                f"window rank {y.type.ndim} must equal target rank {x.type.ndim}"
+            )
+        return Apply(self, [x, y] + starts, [x.type()])
+
+    def perform(self, node, inputs, output_storage):
+        x, y, *starts = inputs
+        idx = DynamicSlice._clamped_index(self, x.shape, starts)
+        out = x if self.inplace else x.copy()
+        if self.set_instead_of_inc:
+            out[idx] = y
+        else:
+            out[idx] += y
+        output_storage[0][0] = out
+
+    def infer_shape(self, fgraph, node, input_shapes):
+        return [input_shapes[0]]
+
+    def connection_pattern(self, node):
+        return [[True], [True]] + [[False]] * (len(node.inputs) - 2)
+
+    def grad(self, inputs, output_grads):
+        from aesara_tpu.gradient import DisconnectedType
+        from aesara_tpu.tensor.basic import zeros_like
+
+        x, y, *starts = inputs
+        (gz,) = output_grads
+        rest = [DisconnectedType()() for _ in starts]
+        if self.set_instead_of_inc:
+            gx = DynamicIncSubtensor(self.lengths, set_instead_of_inc=True)(
+                gz, zeros_like(y), *starts
+            )
+        else:
+            gx = gz
+        gy = DynamicSlice(self.lengths)(gz, *starts)
+        return [gx, gy] + rest
+
+    def __str__(self):
+        kind = "Set" if self.set_instead_of_inc else "Inc"
+        parts = [("?:?+%d" % l) if l is not None else ":" for l in self.lengths]
+        return f"Dynamic{kind}Subtensor{{{', '.join(parts)}}}"
