@@ -197,6 +197,15 @@ config.add("pallas_fusion", BoolParam(False,
                "sizes — see benchmarks/README.md crossover table)"))
 config.add("pallas_fusion_min_size", IntParam(8192,
            doc="min elements before a fused chain uses a Pallas kernel"))
+config.add("sparse_densify", EnumStr("auto", ("never",),
+           doc="jit-bridge policy for sparse function inputs: 'auto' "
+               "uploads a sparse input as a DENSE device array (one "
+               "host-side densify, memoized per container) when its whole "
+               "sparse cone tolerates dense values and the dense size is "
+               "<= sparse_densify_max_mb — random scatter/gather is slow "
+               "on TPU while the MXU is not; 'never' always bridges BCOO"))
+config.add("sparse_densify_max_mb", IntParam(512,
+           doc="max dense size (MiB) the auto sparse densify bridge accepts"))
 config.add("flash_attention", EnumStr("auto", ("on", "off"),
            doc="FusedAttention lowering policy: 'auto' uses the Pallas "
                "FlashAttention kernels on TPU where measured faster "

@@ -44,6 +44,9 @@ def fgraph_to_jax(fgraph, guard=None) -> Callable:
     def _violation(val):
         """int32 code for one node output (0 ok / 1 nan / 2 inf / 3 big)."""
         nan_e, inf_e, big_e = guard
+        if type(val).__name__ == "BCOO":
+            # sparse value: check the stored data leaf
+            val = val.data
         a = jnp.asarray(val)
         if not (jnp.issubdtype(a.dtype, jnp.floating)
                 or jnp.issubdtype(a.dtype, jnp.complexfloating)):
@@ -167,12 +170,15 @@ def fgraph_to_jax(fgraph, guard=None) -> Callable:
                     if v.dtype != want:
                         v = v.astype(want)
                 env[o] = v
-        results = tuple(
-            jnp.asarray(value_of(o))
-            if getattr(o.type, "dtype", None) is not None
-            else value_of(o)
-            for o in fgraph.outputs
-        )
+        def _as_result(o):
+            v = value_of(o)
+            if type(v).__name__ == "BCOO":
+                return v  # sparse output: leave as BCOO (thunk converts)
+            if getattr(o.type, "dtype", None) is not None:
+                return jnp.asarray(v)
+            return v
+
+        results = tuple(_as_result(o) for o in fgraph.outputs)
         if guard is not None:
             return results + (err_code, err_node)
         return results
@@ -231,19 +237,33 @@ class JAXLinker(Linker):
         fgraph = self.fgraph
 
         # sparse function inputs/outputs are scipy containers — not jax
-        # types; those graphs execute per-node in python (the reference's
-        # JAX backend has the same boundary)
+        # types.  The thunk bridges them: scipy → BCOO (device-resident,
+        # memoized per container object) on the way in, BCOO → scipy on
+        # the way out, so sparse-data graphs still run as ONE jitted XLA
+        # program (the reference's JAX backend py-falls-back here; doing
+        # so costs ~170x on the sparse-GLM BASELINE config)
         from aesara_tpu.sparse.basic import SparseTensorType
 
-        sparse_io = [
-            v for v in list(fgraph.inputs) + list(fgraph.outputs)
-            if isinstance(v.type, SparseTensorType)
+        sparse_in_flags = [
+            isinstance(v.type, SparseTensorType) for v in fgraph.inputs
         ]
-        if sparse_io:
-            return self._py_fallback(
-                input_storage, output_storage, storage_map,
-                f"sparse function inputs/outputs {[str(v) for v in sparse_io[:3]]}",
-            )
+        sparse_out_fmts = [
+            getattr(v.type, "format", "csr")
+            if isinstance(v.type, SparseTensorType) else None
+            for v in fgraph.outputs
+        ]
+        any_sparse_in = any(sparse_in_flags)
+        any_sparse_out = any(f is not None for f in sparse_out_fmts)
+
+        # densify plan: a sparse input whose whole sparse cone tolerates
+        # dense values bridges as ONE host-side densify + MXU compute
+        # instead of per-call BCOO scatter work (slow on TPU); the size
+        # gate is applied per call in _sparse_to_device
+        densify_ok = [False] * len(fgraph.inputs)
+        if any_sparse_in and config.sparse_densify == "auto":
+            from aesara_tpu.link.jax.sparse_dispatch import densifiable_inputs
+
+            densify_ok = densifiable_inputs(fgraph)
 
         use_jit = self.use_jit if self.use_jit is not None else config.jax_jit
         donate = (
@@ -257,7 +277,12 @@ class JAXLinker(Linker):
         if use_jit and donate and update_map:
             # donate inputs that are overwritten by an update output,
             # giving in-place semantics for shared buffers on device
-            donate_argnums = tuple(sorted(set(update_map.values())))
+            # (sparse inputs excluded: BCOO buffer shapes can change
+            # between calls, so donation gives no stable aliasing)
+            donate_argnums = tuple(
+                i for i in sorted(set(update_map.values()))
+                if not sparse_in_flags[i]
+            )
 
         guard = self.nan_guard
         fn = None
@@ -308,14 +333,68 @@ class JAXLinker(Linker):
 
         guard_order = fgraph.toposort() if guard is not None else None
 
+        # scipy→BCOO conversions are memoized on the container object so
+        # the device copy persists across calls (the dense analogue keeps
+        # the jax array in the cell; sparse cells keep the scipy object —
+        # user-visible via get_value — and the BCOO twin lives here)
+        bcoo_memo: dict = {}
+
+        def _sparse_to_device(pos, v):
+            import scipy.sparse as sps
+
+            if not sps.issparse(v):
+                return v
+            hit = bcoo_memo.get(pos)
+            if hit is not None and hit[0] is v:
+                return hit[1]
+            if (
+                densify_ok[pos]
+                and (v.shape[0] * v.shape[1] * v.dtype.itemsize)
+                <= config.sparse_densify_max_mb * 2**20
+            ):
+                b = jax.device_put(v.toarray())
+                bcoo_memo[pos] = (v, b)
+                return b
+            from jax.experimental import sparse as jsparse
+
+            coo = v.tocoo()
+            indices = jnp_stack_indices(coo)
+            b = jsparse.BCOO(
+                (jax.device_put(coo.data), indices), shape=v.shape
+            )
+            bcoo_memo[pos] = (v, b)
+            return b
+
+        def jnp_stack_indices(coo):
+            import jax.numpy as jnp
+
+            return jnp.stack(
+                [jnp.asarray(coo.row, jnp.int32), jnp.asarray(coo.col, jnp.int32)],
+                axis=1,
+            )
+
+        def _bcoo_to_scipy(res, fmt):
+            import scipy.sparse as sps
+
+            if type(res).__name__ != "BCOO":
+                return res
+            ind = np.asarray(res.indices)
+            mat = sps.coo_matrix(
+                (np.asarray(res.data), (ind[:, 0], ind[:, 1])),
+                shape=tuple(int(s) for s in res.shape),
+            )
+            return mat.asformat(fmt or "csr")
+
         def thunk():
             # move host arrays onto the device once and keep the resident
             # buffer in the storage cell: shared variables then live in HBM
             # across calls instead of re-transferring every step
             args = []
-            for cell in input_storage:
+            for pos, (flag, cell) in enumerate(zip(sparse_in_flags, input_storage)):
                 v = cell[0]
-                if isinstance(v, (np.ndarray, np.generic)):
+                if flag:
+                    v = _sparse_to_device(pos, v)
+                elif isinstance(v, (np.ndarray, np.generic)):
                     v = jax.device_put(v)
                     cell[0] = v
                 args.append(v)
@@ -339,13 +418,17 @@ class JAXLinker(Linker):
                         "XLA program (post-donation), at every node "
                         "boundary of the optimized graph."
                     )
-            for cell, res in zip(output_storage, results):
-                cell[0] = res
+            for fmt, cell, res in zip(sparse_out_fmts, output_storage, results):
+                cell[0] = _bcoo_to_scipy(res, fmt) if fmt is not None else res
 
         thunk.inputs = input_storage
         thunk.outputs = output_storage
         thunk.jit_fn = compiled
         thunk.raw_fn = fn
+        thunk.sparse_plan = tuple(
+            ("dense" if densify_ok[i] else "bcoo") if f else None
+            for i, f in enumerate(sparse_in_flags)
+        )
         return thunk, input_containers, output_containers
 
 

@@ -32,6 +32,77 @@ def _to_bcoo(val):
     return val
 
 
+def _is_bcoo(v) -> bool:
+    return type(v).__name__ == "BCOO"
+
+
+# Ops whose lowerings below tolerate a DENSE array where the graph says
+# sparse (each has exactly one sparse operand and a branch on _is_bcoo).
+# Used by the linker's densify bridge: random scatter/gather is slow on
+# TPU while the MXU is not, so a moderate-size sparse function input is
+# cheaper as ONE host-side densify + plain dense compute than as BCOO
+# scatter work every call (measured: the sparse-GLM BASELINE config is
+# scatter-bound as BCOO and MXU-bound densified — benchmarks/README.md).
+def _densify_safe_op_types():
+    from aesara_tpu.tensor.math import Dot as TensorDot
+
+    return (
+        sb.StructuredDot,
+        sb.Dot,
+        TensorDot,  # at.dot accepts a sparse operand (true-dot semantics)
+        sb.Usmm,
+        sb.Transpose,
+        sb.Neg,
+        sb.SpSum,
+        sb.DenseFromSparse,
+        sb.MulSD,
+        sb.MulSV,
+        sb.AddSD,
+        sb.SamplingDot,
+    )
+
+
+def densifiable_inputs(fgraph) -> list:
+    """Per-fgraph-input flag: True when the input is sparse-typed and its
+    entire sparse cone — every sparse-typed variable reachable from it
+    through op applications — is consumed only by densify-safe ops (one
+    sparse operand each) and never escapes as a function output.  Such an
+    input may be bridged onto the device as a dense array."""
+    from aesara_tpu.sparse.basic import SparseTensorType
+
+    safe = _densify_safe_op_types()
+    outputs = set(fgraph.outputs)
+    flags = []
+    for inp in fgraph.inputs:
+        if not isinstance(inp.type, SparseTensorType):
+            flags.append(False)
+            continue
+        ok = True
+        seen = set()
+        stack = [inp]
+        while stack and ok:
+            v = stack.pop()
+            if v in seen:
+                continue
+            seen.add(v)
+            if v in outputs:
+                ok = False
+                break
+            for node, _idx in fgraph.clients.get(v, ()):
+                if node == "output" or not isinstance(getattr(node, "op", None), safe):
+                    ok = False
+                    break
+                if sum(isinstance(i.type, SparseTensorType) for i in node.inputs) != 1:
+                    ok = False
+                    break
+                stack.extend(
+                    o for o in node.outputs
+                    if isinstance(o.type, SparseTensorType)
+                )
+        flags.append(ok)
+    return flags
+
+
 @jax_funcify.register(sb.StructuredDot)
 def _jx_structured_dot(op, node=None, **kw):
     def structured_dot(a, b):
@@ -147,6 +218,8 @@ def _jx_sp_sum(op, node=None, **kw):
         from jax.experimental import sparse as jsparse
 
         x = _to_bcoo(x)
+        if not _is_bcoo(x):  # densified bridge value
+            return jnp.sum(jnp.asarray(x), axis=axis)
         res = jsparse.bcoo_reduce_sum(
             x, axes=(0, 1) if axis is None else (axis,)
         )
@@ -164,6 +237,8 @@ def _jx_mul_sd(op, node=None, **kw):
 
         a = _to_bcoo(a)
         b = jnp.asarray(b)
+        if not _is_bcoo(a):  # densified bridge value
+            return (a * b).astype(a.dtype)
         rows, cols = a.indices[:, 0], a.indices[:, 1]
         return jsparse.BCOO(
             ((a.data * b[rows, cols]).astype(a.data.dtype), a.indices),
@@ -180,6 +255,8 @@ def _jx_mul_sv(op, node=None, **kw):
 
         a = _to_bcoo(a)
         v = jnp.asarray(v)
+        if not _is_bcoo(a):  # densified bridge value
+            return (a * v).astype(a.dtype)
         cols = a.indices[:, 1]
         return jsparse.BCOO(
             ((a.data * v[cols]).astype(a.data.dtype), a.indices),
@@ -204,6 +281,8 @@ def _jx_add_sd(op, node=None, **kw):
     def add_sd(a, b):
         a = _to_bcoo(a)
         b = jnp.asarray(b)
+        if not _is_bcoo(a):  # densified bridge value
+            return a + b
         # nnz-sized scatter-add instead of densifying a first
         rows, cols = a.indices[:, 0], a.indices[:, 1]
         return b.astype(jnp.result_type(a.data.dtype, b.dtype)).at[
@@ -236,6 +315,8 @@ def _jx_sampling_dot(op, node=None, **kw):
         from jax.experimental import sparse as jsparse
 
         p = _to_bcoo(p)
+        if not _is_bcoo(p):  # densified bridge value: one MXU matmul
+            return (jnp.asarray(x) @ jnp.asarray(y).T * p).astype(p.dtype)
         rows, cols = p.indices[:, 0], p.indices[:, 1]
         # nnz × K work: gather the needed rows of x and y only
         vals = jnp.sum(

@@ -547,8 +547,17 @@ class Dot(Op):
             return (dense_from_sparse(v)
                     if isinstance(v.type, SparseTensorType) else v)
 
-        ga = tm.dot(gz, dense(b).T)
-        gb = tm.dot(dense(a).T, gz)
+        # rank-promote for vector operands: z = A @ v has gA = outer(gz, v)
+        ga = (
+            tm.outer(gz, dense(b))
+            if b.type.ndim == 1
+            else tm.dot(gz, dense(b).T)
+        )
+        gb = (
+            tm.outer(dense(a), gz)
+            if a.type.ndim == 1
+            else tm.dot(dense(a).T, gz)
+        )
         if isinstance(a.type, SparseTensorType):
             ga = SparseFromDense(a.type.format)(ga)
         if isinstance(b.type, SparseTensorType):

@@ -788,8 +788,20 @@ class BatchedDot(Op):
 _batched_dot = BatchedDot()
 
 
+def _is_sparse_variable(v) -> bool:
+    t = getattr(v, "type", None)
+    return t is not None and type(t).__name__ == "SparseTensorType"
+
+
 def dot(x, y):
-    """NumPy dot semantics (reference ``tensor/math.py`` dense_dot)."""
+    """NumPy dot semantics (reference ``tensor/math.py`` dense_dot); a
+    sparse operand routes to the sparse dot (reference ``math.py:2032``
+    ``dot`` dispatches through ``__dot__``/``__rdot__``, which sparse
+    variables override)."""
+    if _is_sparse_variable(x) or _is_sparse_variable(y):
+        from aesara_tpu.sparse.basic import dot as sparse_dot
+
+        return sparse_dot(x, y)
     x, y = as_tensor_variable(x), as_tensor_variable(y)
     if x.type.ndim == 0 or y.type.ndim == 0:
         return mul(x, y)

@@ -171,7 +171,17 @@ class RandomVariable(Op):
             self, [rng, size] + dist_params, [random_generator_type(), out_type()]
         )
 
-    def __call__(self, *dist_params, size=None, rng=None, name=None, **kwargs):
+    def __call__(self, *dist_params, size=None, rng=None, name=None,
+                 dtype=None, **kwargs):
+        # per-call dtype override (reference random/op.py RandomVariable
+        # __call__): rebuild the op with the requested output dtype
+        op = self
+        if dtype is not None and dtype != self.dtype:
+            import copy
+
+            op = copy.copy(self)
+            op.dtype = "floatX" if dtype == "floatX" else str(np.dtype(dtype))
+            return Op.__call__(op, rng, size, *dist_params, name=name, **kwargs)
         res = super().__call__(rng, size, *dist_params, name=name, **kwargs)
         return res
 

@@ -150,7 +150,9 @@ register_useless(local_useless_unbroadcast)
 
 @node_rewriter([Reshape])
 def local_useless_reshape(fgraph, node):
-    """reshape to the identical static shape → x"""
+    """reshape to the identical static shape → x; reshape(x, x.shape) →
+    x structurally, even with unknown dims (reference
+    ``local_useless_reshape``)."""
     x = node.inputs[0]
     out = node.outputs[0]
     if (
@@ -159,6 +161,35 @@ def local_useless_reshape(fgraph, node):
         and x.type.shape == out.type.shape
     ):
         return [x]
+    # structural: the target shape IS x's own shape vector
+    if x.type.ndim == out.type.ndim:
+        from aesara_tpu.tensor.shape import Shape, Shape_i
+
+        shp = node.inputs[1]
+        sn = shp.owner
+        if sn is not None and isinstance(sn.op, Shape) and sn.inputs[0] is x:
+            return [x]
+        # MakeVector(Shape_i{0}(x), Shape_i{1}(x), ...) in order
+        if (
+            sn is not None
+            and isinstance(sn.op, MakeVector)
+            and len(sn.inputs) == x.type.ndim
+            and all(
+                (
+                    e.owner is not None
+                    and isinstance(e.owner.op, Shape_i)
+                    and e.owner.op.i == d
+                    and e.owner.inputs[0] is x
+                )
+                or (
+                    isinstance(e, Constant)
+                    and x.type.shape[d] is not None
+                    and int(np.asarray(e.data)) == x.type.shape[d]
+                )
+                for d, e in enumerate(sn.inputs)
+            )
+        ):
+            return [x]
     # reshape(reshape(x, s1), s2) → reshape(x, s2)
     if x.owner is not None and isinstance(x.owner.op, Reshape):
         res = Reshape(node.op.ndim)(x.owner.inputs[0], node.inputs[1])

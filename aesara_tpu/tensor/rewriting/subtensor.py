@@ -154,6 +154,29 @@ from aesara_tpu.tensor.subtensor import (
 )
 
 
+def _same_index_vector(a, b) -> bool:
+    """True when two index vectors are literally the same variable, or
+    differ only by an int-widening Cast of the same variable (the sugar
+    layer casts gather indices to int64, so ``x[i]`` twice can yield
+    ``i`` and ``cast(i, int64)``)."""
+    if a is b:
+        return True
+
+    def strip(v):
+        n = v.owner
+        if (
+            n is not None
+            and isinstance(n.op, Elemwise)
+            and type(n.op.scalar_op).__name__ == "Cast"
+            and v.type.dtype in ("int32", "int64")
+            and n.inputs[0].type.dtype in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32")
+        ):
+            return n.inputs[0]
+        return v
+
+    return strip(a) is strip(b)
+
+
 def _is_zeros(v) -> bool:
     """Graph-provably all-zero value: zero Constant, fill(x, 0), or
     Alloc(0, ...)."""
@@ -461,7 +484,7 @@ def local_adv_sub1_of_adv_set_sub1(fgraph, node):
     ):
         return False
     x, y, inner_ilist = inner.inputs
-    if inner_ilist is not ilist:
+    if not _same_index_vector(inner_ilist, ilist):
         return False
     conv = node.outputs[0].type.convert_variable(y)
     if conv is None:
@@ -1024,7 +1047,7 @@ def local_adv_sub1_adv_inc_sub1(fgraph, node):
     ):
         return False
     x, y, inner_ilist = inner.inputs
-    if inner_ilist is not ilist:
+    if not _same_index_vector(inner_ilist, ilist):
         return False
     if not isinstance(ilist, Constant):
         return False

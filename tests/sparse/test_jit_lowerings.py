@@ -113,14 +113,21 @@ def test_structured_dot_chain_jits():
     assert np.asarray(g).shape == dv.shape
 
 
-def test_sparse_function_input_still_falls_back():
-    """scipy containers at the function boundary: py path with warning."""
+def test_sparse_function_input_jits_through_bridge():
+    """scipy containers at the function boundary now bridge onto the
+    device (densify plan here: the whole cone is densify-safe) and run
+    as ONE jitted XLA program — no py fallback, no warning."""
+    import warnings
+
     import scipy.sparse as sp
     from aesara_tpu.sparse.basic import SparseTensorType
 
     s = SparseTensorType("csr", "float64")("s")
     out = sb.dense_from_sparse(s) * 2.0
-    with pytest.warns(UserWarning, match="py path"):
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any fallback warning = failure
         f = function([s], out, mode="FAST_RUN")
+    assert f.fn.jit_fn is not None
+    assert f.fn.sparse_plan == ("dense",)
     sv = sp.random(4, 5, density=0.4, format="csr", random_state=1)
     np.testing.assert_allclose(np.asarray(f(sv)), sv.toarray() * 2)
