@@ -45,8 +45,11 @@ def _is_bcoo(v) -> bool:
 # scatter-bound as BCOO and MXU-bound densified — benchmarks/README.md).
 def _densify_safe_op_types():
     from aesara_tpu.tensor.math import Dot as TensorDot
+    from aesara_tpu.tensor.shape import Shape, Shape_i
 
     return (
+        Shape,  # shape is densify-invariant (dense.shape == sparse.shape)
+        Shape_i,
         sb.StructuredDot,
         sb.Dot,
         TensorDot,  # at.dot accepts a sparse operand (true-dot semantics)
@@ -62,45 +65,89 @@ def _densify_safe_op_types():
     )
 
 
+def _scan_inner_input(node, idx):
+    """Inner-fgraph input variable fed by outer Scan input ``idx``, for
+    the positions a sparse value can occupy (shared / non-sequence).
+    Returns None for positions that stack or slice (seqs, recurrences) —
+    a sparse value there cannot be bridged dense."""
+    info = node.op.info
+    n_mit = len(info.mit_sot_taps)
+    n_mit_taps = sum(len(t) for t in info.mit_sot_taps)
+    o_shared0 = 1 + info.n_seqs + n_mit + info.n_sit_sot
+    o_nonseq0 = o_shared0 + info.n_shared
+    i_shared0 = info.n_seqs + n_mit_taps + info.n_sit_sot
+    if o_shared0 <= idx < o_nonseq0:
+        return node.op.inner_inputs[i_shared0 + (idx - o_shared0)]
+    if idx >= o_nonseq0:
+        k = idx - o_nonseq0
+        if k >= info.n_non_seqs:
+            return None
+        return node.op.inner_inputs[i_shared0 + info.n_shared + k]
+    return None
+
+
 def densifiable_inputs(fgraph) -> list:
     """Per-fgraph-input flag: True when the input is sparse-typed and its
     entire sparse cone — every sparse-typed variable reachable from it
-    through op applications — is consumed only by densify-safe ops (one
-    sparse operand each) and never escapes as a function output.  Such an
+    through op applications, including through ``Scan``/``OpFromGraph``
+    inner graphs — is consumed only by densify-safe ops (one sparse
+    operand each) and never escapes as a (sub)graph output.  Such an
     input may be bridged onto the device as a dense array."""
     from aesara_tpu.sparse.basic import SparseTensorType
+    from aesara_tpu.scan.op import Scan
 
     safe = _densify_safe_op_types()
-    outputs = set(fgraph.outputs)
-    flags = []
-    for inp in fgraph.inputs:
-        if not isinstance(inp.type, SparseTensorType):
-            flags.append(False)
-            continue
-        ok = True
+
+    def cone_ok(start) -> bool:
         seen = set()
-        stack = [inp]
-        while stack and ok:
-            v = stack.pop()
-            if v in seen:
+        stack = [(fgraph, start)]
+        while stack:
+            g, v = stack.pop()
+            key = (id(g), v)
+            if key in seen:
                 continue
-            seen.add(v)
-            if v in outputs:
-                ok = False
-                break
-            for node, _idx in fgraph.clients.get(v, ()):
-                if node == "output" or not isinstance(getattr(node, "op", None), safe):
-                    ok = False
-                    break
-                if sum(isinstance(i.type, SparseTensorType) for i in node.inputs) != 1:
-                    ok = False
-                    break
+            seen.add(key)
+            if v in g.outputs:
+                return False
+            clients = getattr(g, "clients", None)
+            if clients is None:
+                # inner FunctionGraphs keep a clients mapping too; if one
+                # somehow lacks it, refuse rather than guess
+                return False
+            for node, idx in (clients.get(v, ()) if hasattr(clients, "get")
+                              else clients(v)):
+                if node == "output":
+                    return False
+                op = getattr(node, "op", None)
+                if isinstance(op, Scan):
+                    iv = _scan_inner_input(node, idx)
+                    if iv is None:
+                        return False
+                    stack.append((op.fgraph, iv))
+                    continue
+                inner_fg = getattr(op, "fgraph", None)
+                if inner_fg is not None and not isinstance(op, safe):
+                    # generic HasInnerGraph (OpFromGraph): 1:1 input map
+                    if len(node.inputs) != len(inner_fg.inputs):
+                        return False
+                    stack.append((inner_fg, inner_fg.inputs[idx]))
+                    continue
+                if not isinstance(op, safe):
+                    return False
+                if sum(
+                    isinstance(i.type, SparseTensorType) for i in node.inputs
+                ) != 1:
+                    return False
                 stack.extend(
-                    o for o in node.outputs
+                    (g, o) for o in node.outputs
                     if isinstance(o.type, SparseTensorType)
                 )
-        flags.append(ok)
-    return flags
+        return True
+
+    return [
+        isinstance(inp.type, SparseTensorType) and cone_ok(inp)
+        for inp in fgraph.inputs
+    ]
 
 
 @jax_funcify.register(sb.StructuredDot)

@@ -128,6 +128,28 @@ def local_shape_of_specify_shape(fgraph, node):
 register_canonicalize(local_shape_of_specify_shape)
 
 
+@node_rewriter([Shape_i])
+def local_shape_i_of_specify_shape(fgraph, node):
+    """Shape_i(SpecifyShape(x)) → the specified constant dim, else
+    Shape_i(x) — needed because ``local_shape_to_constant`` can build
+    Shape_i over the SpecifyShape before ``local_shape_of_specify_shape``
+    sees the Shape node (reference ``local_Shape_i_of_SpecifyShape``,
+    ``tensor/rewriting/shape.py:1028``)."""
+    inner = node.inputs[0].owner
+    if inner is None or not isinstance(inner.op, SpecifyShape):
+        return False
+    x = inner.inputs[0]
+    s = inner.outputs[0].type.shape[node.op.i]
+    if s is not None:
+        return [constant(s, dtype="int64")]
+    res = Shape_i(node.op.i)(x)
+    copy_stack_trace(node.outputs[0], res)
+    return [res]
+
+
+register_canonicalize(local_shape_i_of_specify_shape)
+
+
 @node_rewriter([SpecifyShape])
 def local_merge_consecutive_specify_shape(fgraph, node):
     inner = node.inputs[0].owner

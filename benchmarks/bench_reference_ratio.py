@@ -260,12 +260,36 @@ def run_config(cfg, side):
         y = mod.shared(rng.normal(size=n).astype(floatX), name="y")
         w = mod.shared(rng.normal(size=d).astype(floatX) * 0.01, name="w")
         srng = RandomStream(seed=42)
-        eps = srng.normal(size=(d,), dtype=floatX) * np.asarray(0.01, floatX)
-        pred = sparse.structured_dot(x, at.shape_padright(w + eps)).flatten()
-        loss = at.mean((pred - y) ** 2)
-        gw = mod.grad(loss, w)
         lr = np.asarray(0.1, floatX)
-        f = mod.function([], [], updates={w: w - lr * gw}, mode="FAST_RUN")
+
+        def glm_step(wv):
+            eps = srng.normal(size=(d,), dtype=floatX) * np.asarray(0.01, floatX)
+            pred = sparse.structured_dot(x, at.shape_padright(wv + eps)).flatten()
+            loss = at.mean((pred - y) ** 2)
+            gw = mod.grad(loss, wv)
+            return wv - lr * gw
+
+        if os.environ.get("REFRATIO_FUSED", "0") == "1":
+            # the SAME training step, with the loop fused into ONE
+            # compiled program via scan on BOTH sides — the production
+            # pattern on TPU (amortizes the per-dispatch tunnel floor)
+            # and equally available on the reference's scan
+            if side == "ref":
+                from aesara import scan
+            else:
+                from aesara_tpu.scan.basic import scan
+
+            K = 100
+            ws, updates = scan(glm_step, outputs_info=[w], n_steps=K)
+            f = mod.function(
+                [], [], updates={**dict(updates), w: ws[-1]}, mode="FAST_RUN"
+            )
+            dt = _time_calls(f, (), max(3, S["iters"] // 10),
+                             sync=_sync_shared(w)) / K
+            return {"metric": "mc_sgd_steps_per_s", "value": 1.0 / dt}
+
+        wnew = glm_step(w)
+        f = mod.function([], [], updates={w: wnew}, mode="FAST_RUN")
         dt = _time_calls(f, (), S["iters"], sync=_sync_shared(w))
         return {"metric": "mc_sgd_steps_per_s", "value": 1.0 / dt}
 

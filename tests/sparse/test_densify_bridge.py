@@ -129,6 +129,62 @@ def test_dense_duals_match_py():
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-10)
 
 
+def test_cone_descends_through_scan():
+    # sparse non-seq consumed inside a scan body by densify-safe ops:
+    # the analysis walks the inner fgraph, so the bridge still densifies
+    # (the pattern of a whole training loop fused into one program)
+    import aesara_tpu as A
+    from aesara_tpu.scan.basic import scan
+
+    x = sparse.csr_matrix("x", dtype="float64")
+    w0 = at.vector("w0", dtype="float64")
+    y = at.vector("y", dtype="float64")
+
+    def step(wv):
+        pred = at.dot(x, wv)
+        gw = A.grad(at.sum((pred - y) ** 2), wv)
+        return wv - 0.1 * gw
+
+    ws, updates = scan(step, outputs_info=[w0], n_steps=4)
+    f = function([x, w0, y], ws[-1], mode="FAST_RUN")
+    fp = function([x, w0, y], ws[-1], mode="PY")
+    assert _plan(f) == ("dense",)
+    xv = _csr()
+    w0v, yv = rng.normal(size=6), rng.normal(size=8)
+    np.testing.assert_allclose(
+        np.asarray(f(xv, w0v, yv)), np.asarray(fp(xv, w0v, yv)), rtol=1e-9
+    )
+
+
+def test_scan_with_structure_consumer_keeps_bcoo():
+    # a structure-reading op INSIDE the scan body must block the densify
+    from aesara_tpu.scan.basic import scan
+    from aesara_tpu.sparse.basic import csm_data
+
+    x = sparse.csr_matrix("x", dtype="float64")
+    w0 = at.scalar("w0", dtype="float64")
+
+    def step(wv):
+        return wv + at.sum(csm_data(x))
+
+    ws, _ = scan(step, outputs_info=[w0], n_steps=3)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        f = function([x, w0], ws[-1], mode="FAST_RUN")
+    plan = getattr(f.fn, "sparse_plan", None)
+    assert plan is None or plan[_plan_pos(f)] != "dense"
+    xv = _csr()
+    np.testing.assert_allclose(
+        float(f(xv, 1.0)), 1.0 + 3 * xv.data.sum(), rtol=1e-12
+    )
+
+
+def _plan_pos(f):
+    return next(i for i, p in enumerate(f.fn.sparse_plan) if p is not None)
+
+
 def test_never_and_size_gate_force_bcoo():
     x = sparse.csr_matrix("x", dtype="float64")
     w = at.vector("w", dtype="float64")
