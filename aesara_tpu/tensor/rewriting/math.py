@@ -39,11 +39,21 @@ def _const_val(var):
 
 
 def _keep_type(out_var, res):
-    """Match the replaced variable's dtype (rewrites must preserve types)."""
+    """Match the replaced variable's dtype (rewrites must preserve types).
+
+    Returns None when the replacement cannot be proven shape-preserving:
+    a result dim statically 1 where the output dim is not pinned to 1
+    would NARROW the runtime shape (reference semantics: only static-1
+    dims broadcast), e.g. ``(a*b)/a`` with a row-typed ``b`` must not
+    become plain ``b`` — callers then broadcast or bail out.
+    """
     if res.type.dtype != out_var.type.dtype:
         res = cast(res, out_var.type.dtype)
     if res.type.ndim != out_var.type.ndim:
         return None
+    for so, sr in zip(out_var.type.shape, res.type.shape):
+        if sr == 1 and so != 1:
+            return None
     conv = out_var.type.convert_variable(res)
     return conv
 
