@@ -230,3 +230,87 @@ def test_fuzz_pack_targeted_values_and_grads(case_i):
             np.asarray(p, dtype="float64"), np.asarray(q, dtype="float64"),
             rtol=1e-6, atol=1e-8, err_msg=f"case {case_i}",
         )
+
+
+def _bc_leaves():
+    """Leaves with MIXED static-1 dims — the broadcast patterns where
+    cancellation rewrites can narrow shapes (regression class: the
+    round-3 _keep_type bug, (a*b)/a with row-typed b)."""
+    x = at.matrix("x", dtype="float64")
+    r = at.tensor(dtype="float64", shape=(1, None), name="r")
+    c = at.tensor(dtype="float64", shape=(None, 1), name="c")
+    s = at.scalar("s", dtype="float64")
+    return [x, r, c, s]
+
+
+def _bc_values(rng):
+    return [
+        rng.normal(size=(4, 6)) * 0.7 + 2.0,
+        rng.normal(size=(1, 6)) * 0.7 + 2.0,
+        rng.normal(size=(4, 1)) * 0.7 + 2.0,
+        np.float64(rng.normal() * 0.5 + 2.0),
+    ]
+
+
+def build_broadcast_graph(rng, leaves, depth=7):
+    """Elemwise/reduce-only random graph over broadcast-mixed leaves;
+    division uses positive-shifted operands so cancellation rules get
+    real material without inf/nan noise."""
+    pool = list(leaves)
+    for _ in range(depth):
+        k = rng.integers(0, 3)
+        if k == 0:
+            v = pool[rng.integers(0, len(pool))]
+            pool.append(UNARY[rng.integers(0, len(UNARY))](v))
+        elif k == 1:
+            a = pool[rng.integers(0, len(pool))]
+            b = pool[rng.integers(0, len(pool))]
+            op = rng.integers(0, len(BINARY) + 2)
+            if op < len(BINARY):
+                pool.append(BINARY[op](a, b))
+            elif op == len(BINARY):
+                pool.append((a * b) / a)       # cancellation bait
+            else:
+                pool.append((a + b) - a)       # cancellation bait
+        else:
+            v = pool[rng.integers(0, len(pool))]
+            if getattr(v.type, "ndim", 0) == 2:
+                pool.append(REDUCE[rng.integers(0, len(REDUCE))](v))
+    out = pool[-1]
+    for v in pool[-3:]:
+        out = out + v
+    # anchor to the full (4,6) frame so every seed exercises broadcast
+    out = out + leaves[0]
+    return out
+
+
+@pytest.mark.parametrize("seed", range(16))
+def test_fuzz_broadcast_mix_values(seed):
+    rng = np.random.default_rng(7000 + seed)
+    leaves = _bc_leaves()
+    out = build_broadcast_graph(rng, leaves)
+    vals = _bc_values(rng)
+    f_py = function(leaves, out, mode=py_mode, on_unused_input="ignore")
+    f_opt = function(leaves, out, mode="FAST_RUN", on_unused_input="ignore")
+    a = np.asarray(f_py(*vals), dtype=np.float64)
+    b = np.asarray(f_opt(*vals), dtype=np.float64)
+    assert a.shape == b.shape, f"rewrites changed shape {a.shape} -> {b.shape}"
+    np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_broadcast_mix_grads(seed):
+    rng = np.random.default_rng(9000 + seed)
+    leaves = _bc_leaves()
+    out = build_broadcast_graph(rng, leaves, depth=5)
+    cost = at.math.sum(at.tanh(out * 0.1))
+    grads = atp.grad(cost, leaves, disconnected_inputs="ignore")
+    vals = _bc_values(rng)
+    f_py = function(leaves, grads, mode=py_mode, on_unused_input="ignore")
+    f_opt = function(leaves, grads, mode="FAST_RUN", on_unused_input="ignore")
+    for leaf, a, b in zip(leaves, f_py(*vals), f_opt(*vals)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert a.shape == b.shape, (
+            f"grad wrt {leaf} changed shape {a.shape} -> {b.shape}"
+        )
+        np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9, err_msg=str(leaf))
