@@ -203,7 +203,12 @@ config.add("sparse_densify", EnumStr("auto", ("never",),
                "host-side densify, memoized per container) when its whole "
                "sparse cone tolerates dense values and the dense size is "
                "<= sparse_densify_max_mb — random scatter/gather is slow "
-               "on TPU while the MXU is not; 'never' always bridges BCOO"))
+               "on TPU while the MXU is not; 'never' always bridges BCOO. "
+               "Elementwise consumers (mul/sampling_dot) are masked so "
+               "implicit zeros stay exact 0 under inf/nan; CONTRACTIONS "
+               "(structured_dot/usmm) densified with inf/nan in the dense "
+               "operand can produce nan where the nnz path skips — use "
+               "'never' for such graphs"))
 config.add("sparse_densify_max_mb", IntParam(512,
            doc="max dense size (MiB) the auto sparse densify bridge accepts"))
 config.add("flash_attention", EnumStr("auto", ("on", "off"),

@@ -44,7 +44,6 @@ def _is_bcoo(v) -> bool:
 # scatter work every call (measured: the sparse-GLM BASELINE config is
 # scatter-bound as BCOO and MXU-bound densified — benchmarks/README.md).
 def _densify_safe_op_types():
-    from aesara_tpu.tensor.math import Dot as TensorDot
     from aesara_tpu.tensor.shape import Shape, Shape_i
 
     return (
@@ -52,7 +51,6 @@ def _densify_safe_op_types():
         Shape_i,
         sb.StructuredDot,
         sb.Dot,
-        TensorDot,  # at.dot accepts a sparse operand (true-dot semantics)
         sb.Usmm,
         sb.Transpose,
         sb.Neg,
@@ -285,7 +283,11 @@ def _jx_mul_sd(op, node=None, **kw):
         a = _to_bcoo(a)
         b = jnp.asarray(b)
         if not _is_bcoo(a):  # densified bridge value
-            return (a * b).astype(a.dtype)
+            # mask to implicit-zero semantics: the sparse path touches
+            # only stored entries, so 0-positions stay EXACT 0 even
+            # where b holds inf/nan (attention-style masking)
+            z = jnp.zeros((), dtype=a.dtype)
+            return jnp.where(a != 0, (a * b).astype(a.dtype), z)
         rows, cols = a.indices[:, 0], a.indices[:, 1]
         return jsparse.BCOO(
             ((a.data * b[rows, cols]).astype(a.data.dtype), a.indices),
@@ -302,8 +304,9 @@ def _jx_mul_sv(op, node=None, **kw):
 
         a = _to_bcoo(a)
         v = jnp.asarray(v)
-        if not _is_bcoo(a):  # densified bridge value
-            return (a * v).astype(a.dtype)
+        if not _is_bcoo(a):  # densified bridge value (masked: see mul_sd)
+            z = jnp.zeros((), dtype=a.dtype)
+            return jnp.where(a != 0, (a * v).astype(a.dtype), z)
         cols = a.indices[:, 1]
         return jsparse.BCOO(
             ((a.data * v[cols]).astype(a.data.dtype), a.indices),
@@ -362,8 +365,12 @@ def _jx_sampling_dot(op, node=None, **kw):
         from jax.experimental import sparse as jsparse
 
         p = _to_bcoo(p)
-        if not _is_bcoo(p):  # densified bridge value: one MXU matmul
-            return (jnp.asarray(x) @ jnp.asarray(y).T * p).astype(p.dtype)
+        if not _is_bcoo(p):  # densified bridge value: one MXU matmul,
+            # masked so implicit zeros stay exact 0 under inf/nan in x@yT
+            z = jnp.zeros((), dtype=p.dtype)
+            return jnp.where(
+                p != 0, (jnp.asarray(x) @ jnp.asarray(y).T * p).astype(p.dtype), z
+            )
         rows, cols = p.indices[:, 0], p.indices[:, 1]
         # nnz × K work: gather the needed rows of x and y only
         vals = jnp.sum(

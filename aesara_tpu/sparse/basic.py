@@ -523,8 +523,18 @@ class Dot(Op):
         a = as_sparse_or_tensor_variable(a)
         b = as_sparse_or_tensor_variable(b)
         dtype = upcast(a.type.dtype, b.type.dtype)
-        b_ncols = b.type.shape[1] if b.type.ndim == 2 else None
-        out_shape = (a.type.shape[0], b_ncols) if b.type.ndim == 2 else (a.type.shape[0],)
+        if a.type.ndim not in (1, 2) or b.type.ndim not in (1, 2):
+            raise TypeError("sparse dot operands must be 1-D or 2-D")
+        # numpy dot rank semantics: contracted dims drop (review finding:
+        # a 1-D dense left operand was typed 2-D, corrupting grad shapes)
+        if a.type.ndim == 1 and b.type.ndim == 1:
+            out_shape = ()
+        elif a.type.ndim == 1:
+            out_shape = (b.type.shape[1],)
+        elif b.type.ndim == 1:
+            out_shape = (a.type.shape[0],)
+        else:
+            out_shape = (a.type.shape[0], b.type.shape[1])
         return Apply(self, [a, b], [TensorType(dtype, out_shape)()])
 
     def perform(self, node, inputs, output_storage):

@@ -162,14 +162,22 @@ def _same_index_vector(a, b) -> bool:
     if a is b:
         return True
 
+    # value-preserving (strictly widening) integer casts only: the
+    # target must embed the source's whole range, else a truncating or
+    # sign-wrapping cast yields DIFFERENT indices (review finding:
+    # int64→int32 / uint32→int32 were accepted)
+    widening = {
+        "int64": ("int8", "int16", "int32", "uint8", "uint16", "uint32"),
+        "int32": ("int8", "int16", "uint8", "uint16"),
+    }
+
     def strip(v):
         n = v.owner
         if (
             n is not None
             and isinstance(n.op, Elemwise)
             and type(n.op.scalar_op).__name__ == "Cast"
-            and v.type.dtype in ("int32", "int64")
-            and n.inputs[0].type.dtype in ("int8", "int16", "int32", "int64", "uint8", "uint16", "uint32")
+            and n.inputs[0].type.dtype in widening.get(v.type.dtype, ())
         ):
             return n.inputs[0]
         return v
@@ -474,7 +482,14 @@ register_canonicalize(local_useless_inc_subtensor_of_zeros_increment)
 def local_adv_sub1_of_adv_set_sub1(fgraph, node):
     """AdvancedSubtensor1(AdvancedSetSubtensor1(x, y, idx), idx) → y
     when y already has the gathered shape (reference
-    local_adv_sub1_adv_inc_sub1)."""
+    local_adv_sub1_adv_inc_sub1).
+
+    Guards (review findings): the index vector must be a PROVABLY
+    unique, in-bounds constant (duplicate indices make the gather read
+    last-write-wins values, not y's rows; out-of-bounds indices raise on
+    the unrewritten path and must keep raising), and y must not have a
+    static-1 dim that broadcast into the set window (returning y then
+    narrows the runtime shape)."""
     inner_var, ilist = node.inputs
     inner = inner_var.owner
     if (
@@ -486,6 +501,31 @@ def local_adv_sub1_of_adv_set_sub1(fgraph, node):
     x, y, inner_ilist = inner.inputs
     if not _same_index_vector(inner_ilist, ilist):
         return False
+    if not isinstance(ilist, Constant):
+        return False
+    idx = np.asarray(ilist.data)
+    if idx.ndim != 1:
+        return False
+    n0 = x.type.shape[0]
+    if n0 is None:
+        # in-bounds not provable: the rewrite would erase the runtime
+        # IndexError the set op raises
+        return False
+    if np.any(idx < -n0) or np.any(idx >= n0):
+        return False
+    norm = np.where(idx < 0, idx + n0, idx)
+    if len(np.unique(norm)) != len(norm):
+        return False
+    # y must carry the window shape itself: a static-1 y dim where the
+    # window dim is larger broadcast at set time, so returning y would
+    # shrink the result (same class as rewriting/math._keep_type)
+    if y.type.ndim != node.outputs[0].type.ndim:
+        return False
+    if y.type.shape[0] == 1 and len(idx) != 1:
+        return False
+    for d in range(1, y.type.ndim):
+        if y.type.shape[d] == 1 and x.type.shape[d] != 1:
+            return False
     conv = node.outputs[0].type.convert_variable(y)
     if conv is None:
         return False

@@ -371,15 +371,29 @@ class TestAdvancedFamily:
         )
         assert "AdvancedIncSubtensor1" in op_labels(res)
 
-    def test_gather_of_set_same_index(self):
+    def test_gather_of_set_same_index_constant_unique(self):
+        # fires only for a PROVABLY unique in-bounds constant index over
+        # a static dim (round-3 review: symbolic indices may duplicate,
+        # making last-write-wins differ from y)
+        x = at.tensor(dtype="float32", shape=(6, None), name="x")
+        y = at.matrix("y")
+        i = at.constant(np.array([0, 3, 1], "int64"))
+        out = at.set_subtensor(x[i], y)[i]
+        res = rewrite_and_check(
+            [x, y], out, [mat((6, 5)), mat((3, 5))], include=SPEC
+        )
+        assert "AdvancedIncSubtensor1" not in op_labels(res)
+
+    def test_gather_of_set_symbolic_index_stays(self):
+        # duplicate-index behavior is data-dependent: must not fire
         x, y = at.matrix("x"), at.matrix("y")
         i = at.ivector("i")
         out = at.set_subtensor(x[i], y)[i]
-        iv = np.array([0, 3, 1], "int32")
+        iv = np.array([0, 0, 1], "int32")  # duplicates!
         res = rewrite_and_check(
             [x, y, i], out, [mat(), mat((3, 5)), iv], include=SPEC
         )
-        assert "AdvancedIncSubtensor1" not in op_labels(res)
+        assert "AdvancedIncSubtensor1" in op_labels(res)
 
     def test_gather_of_inc_unique_const_index(self):
         x, y = at.matrix("x"), at.matrix("y")

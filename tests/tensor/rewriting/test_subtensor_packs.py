@@ -127,13 +127,27 @@ def test_useless_inc_subtensor_zero_increment():
 
 
 def test_adv_sub1_of_adv_set_sub1():
-    x = at.matrix("x")
-    y = at.matrix("y")
-    idx = at.vector("idx", dtype="int64")
+    # constant unique in-bounds index over a static dim: fires
+    import numpy as np
+
+    x = at.tensor(dtype="float64", shape=(7, None), name="x")
+    y = at.matrix("y", dtype="float64")
+    idx = at.constant(np.asarray([2, 5, 0], dtype="int64"))
     setv = AdvancedIncSubtensor1(set_instead_of_inc=True)(x, y, idx)
     out = AdvancedSubtensor1()(setv, idx)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
-    assert equal_computations([res], [y]) or res is y
+    # the gather/set pair is gone; y may arrive wrapped in a
+    # convert_variable SpecifyShape carrying the output's static dims
+    base = res
+    while base.owner is not None and type(base.owner.op).__name__ == "SpecifyShape":
+        base = base.owner.inputs[0]
+    assert base is y or equal_computations([base], [y])
+    # symbolic index (possibly duplicated at runtime): must NOT fire
+    idx2 = at.vector("idx", dtype="int64")
+    setv2 = AdvancedIncSubtensor1(set_instead_of_inc=True)(x, y, idx2)
+    out2 = AdvancedSubtensor1()(setv2, idx2)
+    res2 = rewrite_graph(out2, include=["canonicalize", "specialize"])
+    assert not (equal_computations([res2], [y]) or res2 is y)
 
 
 def test_useless_adv_sub1_arange():
