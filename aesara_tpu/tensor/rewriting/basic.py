@@ -325,13 +325,17 @@ register_canonicalize(local_join_1)
 
 @node_rewriter([Split])
 def local_useless_split(fgraph, node):
-    """Split into one piece → the input (reference local_useless_split)."""
+    """Split into one piece → the input (reference local_useless_split,
+    registered useless+canonicalize+specialize like the reference
+    ``basic.py:1101-1103``)."""
     if node.op.len_splits == 1:
         return {node.outputs[0]: node.inputs[0]}
     return False
 
 
 register_useless(local_useless_split)
+register_canonicalize(local_useless_split)
+register_specialize(local_useless_split)
 
 
 # ---------------------------------------------------------------------------
