@@ -37,6 +37,7 @@ from aesara_tpu.parallel.ops import (
 )
 from aesara_tpu.parallel.shard import (
     current_mesh,
+    fsdp_shard,
     get_mesh,
     make_mesh,
     pjit_function,
