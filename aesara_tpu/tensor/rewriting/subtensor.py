@@ -42,7 +42,35 @@ def local_subtensor_merge(fgraph, node):
     if len(out_idx) != 1 or len(in_idx) != 1:
         return False
     o, i = _static_slice(out_idx[0]), _static_slice(in_idx[0])
-    if not isinstance(i, slice) or i.step not in (None, 1):
+    if not isinstance(i, slice):
+        return False
+    # static dim: the composition of two slices is always one slice (an
+    # arithmetic progression of an arithmetic progression) — compute it
+    # EXACTLY with python range slicing, negative steps included
+    # (reference merge_two_slices handles this symbolically)
+    n0 = inner.inputs[0].type.shape[0]
+    if n0 is not None and (isinstance(o, (int, slice))):
+        try:
+            r = range(n0)[i][o]
+        except IndexError:
+            return False  # runtime IndexError must be preserved
+        if isinstance(r, int):
+            res = Subtensor((r,))(inner.inputs[0])
+        else:
+            if len(r) == 0:
+                new_sl = slice(0, 0, None)
+            else:
+                stop = r.stop
+                if r.step < 0 and stop < 0:
+                    stop = None  # slice(k, -1, -1) means something else
+                new_sl = slice(r.start, stop, r.step if r.step != 1 else None)
+            res = Subtensor((new_sl,))(inner.inputs[0])
+        conv = node.outputs[0].type.convert_variable(res)
+        if conv is None:
+            return False
+        copy_stack_trace(node.outputs[0], conv)
+        return [conv]
+    if i.step not in (None, 1):
         return False
     i_start = i.start or 0
     if i_start < 0 or (i.stop is not None and i.stop < 0):
