@@ -141,6 +141,50 @@ class TransformerDecoderLayer(Model):
         return h + ffn, k_cache, v_cache
 
 
+    # -- cached block decode: G tokens at positions pos..pos+G-1 -----------
+    def step_block(self, hs, k_cache, v_cache, pos, block: int):
+        """hs (G, D) embeddings of G consecutive tokens at positions
+        ``pos..pos+G-1``; caches (T_max, n_kv_heads, dh); pos int
+        scalar; ``block`` = static G.  Returns (hs_out, k_cache,
+        v_cache).  The verify pass of speculative decoding: ONE batched
+        MXU pass scores all G positions against the cache with a
+        per-row causal mask (row g sees cache rows t <= pos+g), writing
+        the G new K/V rows at ``pos:pos+G`` (a dynamic-slice window)."""
+        dh, Kv, G = self.d_head, self.n_kv_heads, self.q_per_kv
+        B = block
+        from aesara_tpu.tensor.subtensor import DynamicIncSubtensor
+
+        z = _layer_norm(hs, self.ln1_g, self.ln1_b)
+        q = tm.dot(z, self.wq).reshape((B, Kv, G, dh))
+        k_new = tm.dot(z, self.wk).reshape((B, Kv, dh))
+        v_new = tm.dot(z, self.wv).reshape((B, Kv, dh))
+        # runtime offset, static window: lax.dynamic_update_slice
+        _set_block = DynamicIncSubtensor((B,), set_instead_of_inc=True)
+        k_cache = _set_block(k_cache, k_new, pos)
+        v_cache = _set_block(v_cache, v_new, pos)
+        # scores[t, kv, g, b] = k_cache[t,kv,:] . q[b,kv,g,:]
+        scores = tm.sum(
+            k_cache.dimshuffle(0, 1, "x", "x", 2)
+            * q.dimshuffle("x", 1, 2, 0, 3),
+            axis=-1,
+        ) / np.sqrt(dh)                               # (T_max, Kv, G, B)
+        t_idx = arange(k_cache.shape[0]).dimshuffle(0, "x", "x", "x")
+        b_idx = arange(B).dimshuffle("x", "x", "x", 0)
+        neg = constant(np.asarray(-1e9, dtype=config.floatX))
+        scores = switch(tm.le(t_idx, pos + b_idx), scores, neg)
+        attn = softmax(scores, axis=0)                # over time
+        ctx = tm.sum(
+            attn.dimshuffle(0, 1, 2, 3, "x")
+            * v_cache.dimshuffle(0, 1, "x", "x", 2),
+            axis=0,
+        )                                             # (Kv, G, B, dh)
+        ctx = ctx.dimshuffle(2, 0, 1, 3).reshape((B, self.d_model))
+        h = hs + tm.dot(ctx, self.wo)
+        z2 = _layer_norm(h, self.ln2_g, self.ln2_b)
+        ffn = tm.dot(tm.maximum(tm.dot(z2, self.w1) + self.b1, 0.0),
+                     self.w2) + self.b2
+        return h + ffn, k_cache, v_cache
+
     # -- batched cached decode: B synchronized streams ---------------------
     def step_batched(self, h, k_cache, v_cache, pos):
         """h (B, D); caches (B, T_max, n_kv_heads, dh); pos int scalar.
@@ -362,6 +406,128 @@ class DecoderLM(Model):
         from aesara_tpu.tensor.basic import join
 
         toks = join(0, tok0.dimshuffle("x"), cont)
+        return function([prompt], toks, mode=mode)
+
+    # -- speculative decoding ----------------------------------------------
+    def speculative_generate_fn(self, draft: "DecoderLM", prompt_len: int,
+                                n_new: int, t_max: int, n_spec: int = 4,
+                                mode="FAST_RUN"):
+        """Greedy speculative decoding: a small ``draft`` model proposes
+        ``n_spec`` tokens per round, this (target) model verifies them
+        in ONE batched ``step_block`` pass, and the longest matching
+        prefix commits — output is IDENTICAL to the target's own greedy
+        decode, but each round costs one target pass instead of up to
+        ``n_spec`` (Leviathan et al. 2023, greedy variant).
+
+        Compiles ``prompt (int64, len prompt_len) -> n_new tokens`` as
+        ONE XLA program: both models' prefills, then a bounded
+        while-scan over rounds whose carry holds the output buffer, the
+        write pointer, the current token/position, and BOTH models'
+        KV caches.  Static shapes throughout: every round writes a
+        fixed n_spec-wide block into the buffer and advances the
+        pointer by the data-dependent accepted count (1..n_spec);
+        overwritten tails never surface.  The reference has no serving
+        stack at all (SURVEY §2.12); this extends the beyond-reference
+        serving layer."""
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.scan import scan
+        from aesara_tpu.scan.basic import until
+        from aesara_tpu.tensor.basic import join
+        from aesara_tpu.tensor.type import TensorType
+
+        if draft.vocab != self.vocab:
+            raise ValueError("draft and target must share a vocabulary")
+        if prompt_len + n_new + n_spec > t_max:
+            raise ValueError(
+                f"prompt_len + n_new + n_spec ({prompt_len + n_new + n_spec})"
+                f" exceeds t_max ({t_max})"
+            )
+        G = int(n_spec)
+        if G < 1:
+            raise ValueError("n_spec must be >= 1")
+
+        prompt = TensorType("int64", (prompt_len,))("prompt")
+        # both models prefill their caches on the prompt
+        h_last_t, t_caches = self.prefill_graph(prompt, prompt_len, t_max)
+        _, d_caches = draft.prefill_graph(prompt, prompt_len, t_max)
+        tok0 = cast(tm.argmax(tm.dot(h_last_t, self.embed.T)), "int64")
+
+        Lt, Ld = len(self.layers), len(draft.layers)
+        buf0 = alloc(constant(np.int64(0)), n_new + G)
+        zero = constant(np.int64(0))
+
+        def round_fn(buf, n_done, cur, pos, *cache_args):
+            cache_args = list(cache_args)
+            dc = cache_args[: 2 * Ld]
+            tc = cache_args[2 * Ld:]
+
+            # 1. draft proposes G tokens autoregressively (unrolled; its
+            #    first step consumes `cur` at position `pos`)
+            proposals = []
+            tok, dpos = cur, pos
+            for _ in range(G):
+                h = draft.embed[tok]
+                new_dc = []
+                for i, layer in enumerate(draft.layers):
+                    h, kc, vc = layer.step(h, dc[2 * i], dc[2 * i + 1], dpos)
+                    new_dc += [kc, vc]
+                dc = new_dc
+                tok = cast(tm.argmax(tm.dot(h, draft.embed.T)), "int64")
+                proposals.append(tok)
+                dpos = dpos + np.int64(1)
+
+            # 2. target verifies the block [cur, p_1..p_{G-1}] in one pass
+            block_toks = join(
+                0, cur.dimshuffle("x"),
+                *[p.dimshuffle("x") for p in proposals[:-1]]
+            ) if G > 1 else cur.dimshuffle("x")
+            hs = self.embed[block_toks]                     # (G, D)
+            new_tc = []
+            for i, layer in enumerate(self.layers):
+                hs, kc, vc = layer.step_block(
+                    hs, tc[2 * i], tc[2 * i + 1], pos, block=G
+                )
+                new_tc += [kc, vc]
+            t_toks = cast(
+                tm.argmax(tm.dot(hs, self.embed.T), axis=-1), "int64"
+            )                                               # (G,)
+
+            # 3. longest matching prefix commits; first mismatch takes
+            #    the target's token — j in 1..G tokens commit, all drawn
+            #    from t_toks, so the output equals pure target greedy
+            if G > 1:
+                p_vec = join(0, *[p.dimshuffle("x") for p in proposals[:-1]])
+                match = cast(tm.eq(p_vec, t_toks[:G - 1]), "int64")
+                from aesara_tpu.tensor.extra_ops import cumprod
+
+                lead = cumprod(match)
+                j = np.int64(1) + tm.sum(lead)
+            else:
+                j = constant(np.int64(1))
+
+            from aesara_tpu.tensor.subtensor import DynamicIncSubtensor
+
+            buf = DynamicIncSubtensor((G,), set_instead_of_inc=True)(
+                buf, t_toks, n_done
+            )
+            n_done_new = n_done + j
+            cur_new = t_toks[j - 1]
+            pos_new = pos + j
+            # tok0 already counts toward n_new: rounds fill n_new-1
+            return (
+                buf, n_done_new, cur_new, pos_new, *dc, *new_tc,
+                until(tm.ge(n_done_new, np.int64(max(n_new - 1, 1)))),
+            )
+
+        outs, _ = scan(
+            fn=round_fn,
+            outputs_info=[buf0, zero, tok0,
+                          constant(np.int64(prompt_len))] + d_caches + t_caches,
+            n_steps=n_new,  # each round commits >= 1 token
+        )
+        final_buf = outs[0][-1]
+        toks = join(0, tok0.dimshuffle("x"), final_buf[: n_new - 1]) \
+            if n_new > 1 else tok0.dimshuffle("x")
         return function([prompt], toks, mode=mode)
 
     # -- batched serving ---------------------------------------------------

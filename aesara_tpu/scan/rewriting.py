@@ -173,6 +173,69 @@ optdb.register(
 
 
 @node_rewriter([Scan])
+def scan_unused_recurrent_to_final(fgraph, node):
+    """A recurrent (mit/sit-sot) stacked output with NO consumers keeps
+    only its final carried value (``final_only``) — the stack is dead
+    weight for plain scans and a hard COMPILE blocker for while-scans,
+    whose per-step stacks have data-dependent length under XLA (e.g. a
+    speculative-decode loop whose KV-cache carries are never read back
+    as stacks)."""
+    info = node.op.info
+    n_rec = info.n_mit_sot + info.n_sit_sot
+    if n_rec == 0:
+        return False
+    new_final = list(info.final_only) if info.final_only else [False] * n_rec
+    tails = info.tail_depths or (0,) * n_rec
+    changed = False
+    for rec_idx in range(n_rec):
+        if new_final[rec_idx] or tails[rec_idx]:
+            continue
+        if not fgraph.clients.get(node.outputs[rec_idx]):
+            new_final[rec_idx] = True
+            changed = True
+    if not changed:
+        return False
+    new_info = ScanInfo(
+        n_seqs=info.n_seqs,
+        mit_sot_taps=info.mit_sot_taps,
+        n_sit_sot=info.n_sit_sot,
+        n_nit_sot=info.n_nit_sot,
+        n_shared=info.n_shared,
+        n_non_seqs=info.n_non_seqs,
+        as_while=info.as_while,
+        final_only=tuple(new_final),
+        tail_depths=info.tail_depths,
+    )
+    new_op = Scan(
+        node.op.fgraph, new_info, node.op.name,
+        node.op.truncate_gradient, node.op.mode,
+    )
+    new_outs = new_op(*node.inputs, return_list=True)
+    replacements = {}
+    for old, new in zip(node.outputs, new_outs):
+        if fgraph.clients.get(old):
+            replacements[old] = new
+            copy_stack_trace(old, new)
+    if not replacements:
+        return False  # whole scan is dead; DCE's job
+    return replacements
+
+
+optdb.register(
+    "scan_unused_recurrent_to_final",
+    in2out(scan_unused_recurrent_to_final,
+           name="scan_unused_recurrent_to_final"),
+    "fast_run", "scan", position=1.62,
+)
+optdb.register(
+    "scan_unused_recurrent_to_final_late",
+    in2out(scan_unused_recurrent_to_final,
+           name="scan_unused_recurrent_to_final_late"),
+    "fast_run", "scan", position=50.6,
+)
+
+
+@node_rewriter([Scan])
 def scan_pushout_non_seqs(fgraph, node):
     """Hoist inner computations that depend only on non-sequences (and
     constants) out of the loop: they are computed once outside and fed in
