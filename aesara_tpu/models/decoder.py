@@ -415,9 +415,13 @@ class DecoderLM(Model):
         """Greedy speculative decoding: a small ``draft`` model proposes
         ``n_spec`` tokens per round, this (target) model verifies them
         in ONE batched ``step_block`` pass, and the longest matching
-        prefix commits — output is IDENTICAL to the target's own greedy
-        decode, but each round costs one target pass instead of up to
-        ``n_spec`` (Leviathan et al. 2023, greedy variant).
+        prefix commits — every emitted token is the target's own greedy
+        choice, so the output matches the target's sequential decode up
+        to float reduction-order: the batched verify pass and the
+        sequential step pass compute the same logits through different
+        XLA reductions (~1e-6 apart), so a near-exact tie between the
+        top-2 logits can in principle flip an argmax between the two
+        paths (Leviathan et al. 2023, greedy variant).
 
         Compiles ``prompt (int64, len prompt_len) -> n_new tokens`` as
         ONE XLA program: both models' prefills, then a bounded
@@ -452,7 +456,7 @@ class DecoderLM(Model):
         _, d_caches = draft.prefill_graph(prompt, prompt_len, t_max)
         tok0 = cast(tm.argmax(tm.dot(h_last_t, self.embed.T)), "int64")
 
-        Lt, Ld = len(self.layers), len(draft.layers)
+        Ld = len(draft.layers)
         buf0 = alloc(constant(np.int64(0)), n_new + G)
         zero = constant(np.int64(0))
 

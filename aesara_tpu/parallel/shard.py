@@ -83,9 +83,17 @@ def fsdp_shard(params, axis: str = "data", mesh=None, min_elems: int = 4096):
     (annotated in place) params list for chaining.
     """
     mesh = mesh if mesh is not None else get_mesh()
-    n = None
-    if mesh is not None and axis in mesh.axis_names:
-        n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
+    if mesh is None:
+        raise ValueError(
+            "fsdp_shard needs a mesh: pass mesh=... or activate one "
+            "with use_mesh/set_mesh"
+        )
+    if axis not in mesh.axis_names:
+        raise ValueError(
+            f"fsdp_shard axis {axis!r} is not a mesh axis "
+            f"(mesh has {mesh.axis_names})"
+        )
+    n = dict(zip(mesh.axis_names, mesh.devices.shape))[axis]
     out = []
     for p in params:
         shape = tuple(p.get_value(borrow=True).shape)

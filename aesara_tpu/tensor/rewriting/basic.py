@@ -23,7 +23,19 @@ from aesara_tpu.graph.rewriting.basic import (
     copy_stack_trace,
     node_rewriter,
 )
-from aesara_tpu.tensor.basic import Alloc, Join, MakeVector, ScalarFromTensor, Split, TensorFromScalar, as_tensor_variable, cast, constant
+from aesara_tpu.tensor.basic import (
+    Alloc,
+    Join,
+    MakeVector,
+    NotScalarConstantError,
+    ScalarFromTensor,
+    Split,
+    TensorFromScalar,
+    as_tensor_variable,
+    cast,
+    constant,
+    get_scalar_constant_value,
+)
 from aesara_tpu.tensor.elemwise import DimShuffle, Elemwise
 from aesara_tpu.tensor.shape import Reshape, Shape, Shape_i, SpecifyShape, Unbroadcast
 from aesara_tpu.tensor.subtensor import Subtensor
@@ -325,12 +337,38 @@ register_canonicalize(local_join_1)
 
 @node_rewriter([Split])
 def local_useless_split(fgraph, node):
-    """Split into one piece → the input (reference local_useless_split,
-    registered useless+canonicalize+specialize like the reference
-    ``basic.py:1101-1103``)."""
-    if node.op.len_splits == 1:
-        return {node.outputs[0]: node.inputs[0]}
-    return False
+    """Split into one piece → the input, keeping the runtime size check
+    (reference local_useless_split, ``basic.py:1101-1116``: the raw op's
+    perform raises when splits don't sum to the axis length — eliding
+    the node must not silently erase that error)."""
+    if node.op.len_splits != 1:
+        return False
+    from aesara_tpu.raise_op import Assert
+    from aesara_tpu.tensor.math import eq
+
+    x, axis, splits = node.inputs
+    res = x
+    # static case: provably consistent → no assert needed
+    ax = None
+    try:
+        ax = int(get_scalar_constant_value(axis))
+    except NotScalarConstantError:
+        pass
+    sp0 = None
+    try:
+        sp0 = get_scalar_constant_value(splits)
+    except NotScalarConstantError:
+        pass
+    static_ok = (
+        ax is not None
+        and sp0 is not None
+        and x.type.shape[ax if ax >= 0 else ax + x.type.ndim] == int(sp0)
+    )
+    if not static_ok:
+        check = Assert("Split{1}: split size must equal the axis length")
+        res = check(x, eq(x.shape[axis], splits[0]))
+        copy_stack_trace(node.outputs[0], res)
+    return {node.outputs[0]: res}
 
 
 register_useless(local_useless_split)

@@ -6,6 +6,7 @@ reference has no analogue (SURVEY §2.12).
 """
 
 import numpy as np
+import pytest
 
 import aesara_tpu as atp
 import aesara_tpu.tensor as at
@@ -121,3 +122,20 @@ def test_fsdp_with_zero1_optimizer_state():
     yv = rng.normal(size=(32, 8)).astype("f4")
     losses = [float(f(xv, yv)) for _ in range(5)]
     assert losses[-1] < losses[0], losses
+
+
+def test_fsdp_requires_valid_mesh_axis():
+    # review finding: misuse must fail at the call site, not deep in pjit
+    w = atp.shared(np.zeros((8, 8), dtype="f4"), name="w")
+    with pytest.raises(ValueError, match="mesh axis"):
+        par.fsdp_shard([w], axis="nonexistent",
+                       mesh=par.make_mesh({"data": 8}))
+    import aesara_tpu.parallel.shard as shard_mod
+
+    prev = shard_mod.get_mesh()
+    shard_mod.set_mesh(None)
+    try:
+        with pytest.raises(ValueError, match="needs a mesh"):
+            par.fsdp_shard([w], axis="data")
+    finally:
+        shard_mod.set_mesh(prev)

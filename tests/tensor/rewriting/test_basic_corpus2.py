@@ -277,3 +277,38 @@ class TestViewOpAndAssert:
         res = rewrite_only(out, include=CANON)
         labels = op_labels(res)
         assert "Assert" in labels or "CheckAndRaise" in labels
+
+
+class TestSplitSizeAssert:
+    def test_split1_wrong_symbolic_size_still_raises(self):
+        # review finding: eliding Split{1} must keep the runtime check
+        # (the check survives in the graph; the py oracle raises — the
+        # jitted XLA path cannot raise host exceptions on traced
+        # conditions, the documented CheckAndRaise boundary)
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.tensor.basic import Split
+        from tests.rewrite_corpus import py_mode
+
+        x = at.vector("x", dtype="float32")
+        s = at.vector("s", dtype="int64")
+        out = Split(1)(x, at.constant(np.int64(0)), s)
+        res = rewrite_only(out, include=SPEC)
+        assert "CheckAndRaise" in op_labels(res) or "Assert" in op_labels(res)
+        f = function([x, s], out, mode=py_mode)
+        v = mat((5,), "float32")
+        np.testing.assert_allclose(
+            np.asarray(f(v, np.asarray([5], "int64"))), v
+        )
+        with pytest.raises(Exception):
+            f(v, np.asarray([2], "int64"))
+
+    def test_split1_static_consistent_no_assert(self):
+        from aesara_tpu.tensor.basic import Split
+
+        x = at.tensor(dtype="float32", shape=(4,), name="x")
+        out = Split(1)(x, at.constant(np.int64(0)),
+                       at.constant(np.asarray([4], "int64")))
+        res = rewrite_only(out, include=SPEC)
+        labels = op_labels(res)
+        assert "Split" not in labels
+        assert "Assert" not in labels and "CheckAndRaise" not in labels
