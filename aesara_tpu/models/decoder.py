@@ -185,6 +185,44 @@ class TransformerDecoderLayer(Model):
                      self.w2) + self.b2
         return h + ffn, k_cache, v_cache
 
+    # -- batched cached decode with PER-STREAM positions --------------------
+    def step_batched_pos(self, h, k_cache, v_cache, pos):
+        """Like ``step_batched`` but ``pos`` is a (B,) int64 VECTOR: each
+        stream decodes at its own position — the continuous-batching
+        core, where admitted requests are at different depths.  Row b
+        attends to cache rows ``t <= pos[b]`` and writes its new K/V at
+        ``[b, pos[b]]``."""
+        dh, Kv, G = self.d_head, self.n_kv_heads, self.q_per_kv
+        z = _layer_norm(h, self.ln1_g, self.ln1_b)
+        B = h.shape[0]
+        q = tm.dot(z, self.wq).reshape((B, Kv, G, dh))
+        k_new = tm.dot(z, self.wk).reshape((B, Kv, dh))
+        v_new = tm.dot(z, self.wv).reshape((B, Kv, dh))
+        rows = arange(B)
+        k_cache = set_subtensor(k_cache[rows, pos], k_new)
+        v_cache = set_subtensor(v_cache[rows, pos], v_new)
+        scores = tm.sum(
+            k_cache.dimshuffle(0, 1, 2, "x", 3)
+            * q.dimshuffle(0, "x", 1, 2, 3),
+            axis=-1,
+        ) / np.sqrt(dh)                                   # (B, T, Kv, G)
+        t_idx = arange(k_cache.shape[1]).dimshuffle("x", 0, "x", "x")
+        neg = constant(np.asarray(-1e9, dtype=config.floatX))
+        scores = switch(
+            tm.le(t_idx, pos.dimshuffle(0, "x", "x", "x")), scores, neg
+        )
+        attn = softmax(scores, axis=1)                    # over time
+        ctx = tm.sum(
+            attn.dimshuffle(0, 1, 2, 3, "x")
+            * v_cache.dimshuffle(0, 1, 2, "x", 3),
+            axis=1,
+        )                                                  # (B, Kv, G, dh)
+        h = h + tm.dot(ctx.reshape((B, self.d_model)), self.wo)
+        z2 = _layer_norm(h, self.ln2_g, self.ln2_b)
+        ffn = tm.dot(tm.maximum(tm.dot(z2, self.w1) + self.b1, 0.0),
+                     self.w2) + self.b2
+        return h + ffn, k_cache, v_cache
+
     # -- batched cached decode: B synchronized streams ---------------------
     def step_batched(self, h, k_cache, v_cache, pos):
         """h (B, D); caches (B, T_max, n_kv_heads, dh); pos int scalar.
