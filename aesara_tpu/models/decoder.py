@@ -198,9 +198,20 @@ class TransformerDecoderLayer(Model):
         q = tm.dot(z, self.wq).reshape((B, Kv, G, dh))
         k_new = tm.dot(z, self.wk).reshape((B, Kv, dh))
         v_new = tm.dot(z, self.wv).reshape((B, Kv, dh))
-        rows = arange(B)
-        k_cache = set_subtensor(k_cache[rows, pos], k_new)
-        v_cache = set_subtensor(v_cache[rows, pos], v_new)
+        # per-row writes as a fused one-hot SELECT, not a scatter: XLA
+        # TPU scatter with runtime (b, pos[b]) indices serializes
+        # (measured 27 ms/step vs sub-ms for the select at B=32,T=256);
+        # the masked rewrite reads+writes the cache once, fused
+        t_sel = arange(k_cache.shape[1]).dimshuffle("x", 0, "x", "x")
+        write = tm.eq(t_sel, pos.dimshuffle(0, "x", "x", "x"))
+        k_cache = cast(
+            switch(write, k_new.dimshuffle(0, "x", 1, 2), k_cache),
+            k_cache.type.dtype,
+        )
+        v_cache = cast(
+            switch(write, v_new.dimshuffle(0, "x", 1, 2), v_cache),
+            v_cache.type.dtype,
+        )
         scores = tm.sum(
             k_cache.dimshuffle(0, 1, 2, "x", 3)
             * q.dimshuffle(0, "x", 1, 2, 3),

@@ -102,3 +102,33 @@ def test_submit_guards(model):
     while srv.pending():
         srv.step()
     assert len(srv.result(rid)) == 4
+
+
+@pytest.mark.parametrize("chunk", [3, 8])
+def test_chunked_decode_matches(model, chunk):
+    # chunk steps per readback (the tunnel-RTT amortization): identical
+    # token streams, EOS retirement still exact mid-chunk
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, V, size=n).astype("int64") for n in (4, 7)]
+    n_new = 11  # deliberately not a chunk multiple
+    refs = {
+        i: list(np.asarray(
+            model.generate_from_prompt_fn(len(p), n_new, 64)(p)
+        ))
+        for i, p in enumerate(prompts)
+    }
+    srv = ContinuousBatcher(model, n_slots=2, t_max=64, t_pad=8, chunk=chunk)
+    results = _drain(srv, list(enumerate(prompts)), n_new)
+    for i in refs:
+        assert results[i] == refs[i]
+    # eos mid-chunk
+    p = prompts[0]
+    ref = refs[0]
+    srv2 = ContinuousBatcher(model, n_slots=1, t_max=64, t_pad=8, chunk=chunk)
+    eos = ref[4]
+    rid = srv2.submit(p, max_new=n_new, eos=eos)
+    while srv2.pending():
+        srv2.step()
+    # retires at the FIRST occurrence of the eos value in the stream
+    first = ref.index(eos)
+    assert srv2.result(rid) == ref[: first + 1]
