@@ -583,6 +583,109 @@ class DecoderLM(Model):
             if n_new > 1 else tok0.dimshuffle("x")
         return function([prompt], toks, mode=mode)
 
+    # -- beam search ---------------------------------------------------------
+    def beam_search_fn(self, prompt_len: int, n_new: int, t_max: int,
+                       beam: int = 4, mode="FAST_RUN"):
+        """Fixed-width beam search decoding: ONE compiled program runs
+        the prefill and a scan whose carry holds per-beam scores and
+        per-beam KV caches; each step batches all ``beam`` streams
+        through ``step_batched`` (one MXU gemm per projection), takes
+        the top-``beam`` of the (beam·V) joint scores, and REORDERS the
+        caches by parent beam with a gather (gathers are fine on TPU —
+        it is scatters that serialize).  Host-side backtrace assembles
+        the best sequence.  No EOS handling (fixed horizon) — length
+        n_new, maximizing total log-probability.
+
+        Returns ``search(prompt) -> (tokens, score)``: the best
+        sequence (length n_new) and its summed log-prob.  With
+        ``beam >= V**i`` at every step i the search is exhaustive —
+        the equivalence test uses exactly that.
+        """
+        from aesara_tpu.compile.function import function
+        from aesara_tpu.scan import scan
+        from aesara_tpu.tensor.basic import join
+        from aesara_tpu.tensor.extra_ops import broadcast_to
+        from aesara_tpu.tensor.sort import argtopk
+        from aesara_tpu.tensor.type import TensorType
+
+        if prompt_len + n_new > t_max:
+            raise ValueError("prompt_len + n_new exceeds t_max")
+        if beam < 1:
+            raise ValueError("beam must be >= 1")
+        V = self.vocab
+        K = min(beam, V)
+        fX = config.floatX
+        Kv, dh = self.layers[0].n_kv_heads, self.layers[0].d_head
+
+        prompt = TensorType("int64", (prompt_len,))("prompt")
+        h_last, caches0 = self.prefill_graph(prompt, prompt_len, t_max)
+        logits0 = tm.dot(h_last, self.embed.T)
+        logp0 = logits0 - tm.logsumexp(logits0)
+        top0 = argtopk(logp0, K)                      # (K,) token ids
+        toks0 = cast(top0, "int64")
+        scores0 = logp0[top0]                          # (K,)
+        # per-beam caches: identical prefix for every beam
+        bcaches = [
+            broadcast_to(c.dimshuffle("x", 0, 1, 2), (K, t_max, Kv, dh)) + 0.0
+            for c in caches0
+        ]
+
+        def step_fn(cur, scores, pos, *cache_args):
+            caches = list(cache_args)
+            h = self.embed[cur]                        # (K, D)
+            new_caches = []
+            for i, layer in enumerate(self.layers):
+                h, kc, vc = layer.step_batched(
+                    h, caches[2 * i], caches[2 * i + 1], pos
+                )
+                new_caches += [kc, vc]
+            logits = tm.dot(h, self.embed.T)           # (K, V)
+            logp = logits - tm.logsumexp(logits, axis=-1, keepdims=True)
+            joint = (scores.dimshuffle(0, "x") + logp).flatten()  # (K*V,)
+            best = argtopk(joint, K)                   # (K,) flat indices
+            parent = best // np.int64(V)
+            token = cast(best % np.int64(V), "int64")
+            new_scores = joint[best]
+            reordered = [c[parent] for c in new_caches]
+            new_h_tok = token
+            return (new_h_tok, new_scores, pos + np.int64(1),
+                    *reordered, parent, token)
+
+        if n_new == 1:
+            f = function([prompt], [toks0, scores0], mode=mode)
+
+            def search(pv):
+                t, s = f(pv)
+                b = int(np.argmax(np.asarray(s)))
+                return [int(np.asarray(t)[b])], float(np.asarray(s)[b])
+
+            return search
+
+        outs, _ = scan(
+            fn=step_fn,
+            outputs_info=[toks0, scores0, constant(np.int64(prompt_len))]
+            + bcaches + [None, None],
+            n_steps=n_new - 1,
+        )
+        parents = outs[-2]                             # (n_new-1, K)
+        tokens = outs[-1]                              # (n_new-1, K)
+        final_scores = outs[1][-1]                     # (K,)
+        f = function([prompt], [tokens, parents, final_scores, toks0],
+                     mode=mode)
+
+        def search(pv):
+            tk, pr, sc, t0 = (np.asarray(v) for v in f(pv))
+            b = int(np.argmax(sc))
+            seq = []
+            for step in range(tk.shape[0] - 1, -1, -1):
+                seq.append(int(tk[step, b]))
+                b = int(pr[step, b])
+            seq.append(int(t0[b]))
+            seq.reverse()
+            return seq, float(np.max(sc))
+
+        return search
+
     # -- batched serving ---------------------------------------------------
     def generate_batched_graph(self, first_tokens, batch: int, n_steps: int,
                                t_max: int):
