@@ -141,6 +141,19 @@ class TransformerDecoderLayer(Model):
         return h + ffn, k_cache, v_cache
 
 
+    # -- prefill helper: the K/V rows a (length, D) prefix contributes ------
+    def prefill_kv_rows(self, h, length):
+        """K/V cache rows for a (length, D) hidden prefix: per-position
+        projections of the LN'd input — EXACTLY what full()/step()
+        compute, shared by every prefill path (decode, continuous
+        batching) so the cache layout cannot desynchronize."""
+        z = _layer_norm(h, self.ln1_g, self.ln1_b)
+        Kv, dh = self.n_kv_heads, self.d_head
+        return (
+            tm.dot(z, self.wk).reshape((length, Kv, dh)),
+            tm.dot(z, self.wv).reshape((length, Kv, dh)),
+        )
+
     # -- cached block decode: G tokens at positions pos..pos+G-1 -----------
     def step_block(self, hs, k_cache, v_cache, pos, block: int):
         """hs (G, D) embeddings of G consecutive tokens at positions
@@ -217,10 +230,9 @@ class TransformerDecoderLayer(Model):
             * q.dimshuffle(0, "x", 1, 2, 3),
             axis=-1,
         ) / np.sqrt(dh)                                   # (B, T, Kv, G)
-        t_idx = arange(k_cache.shape[1]).dimshuffle("x", 0, "x", "x")
         neg = constant(np.asarray(-1e9, dtype=config.floatX))
         scores = switch(
-            tm.le(t_idx, pos.dimshuffle(0, "x", "x", "x")), scores, neg
+            tm.le(t_sel, pos.dimshuffle(0, "x", "x", "x")), scores, neg
         )
         attn = softmax(scores, axis=1)                    # over time
         ctx = tm.sum(
@@ -399,11 +411,7 @@ class DecoderLM(Model):
         caches = []
         h = x
         for layer in self.layers:
-            # the cached K/V of this layer are projections of the LN'd
-            # input — recompute them exactly as full() does
-            z = _layer_norm(h, layer.ln1_g, layer.ln1_b)
-            k_rows = tm.dot(z, layer.wk).reshape((prompt_len, Kv, dh))
-            v_rows = tm.dot(z, layer.wv).reshape((prompt_len, Kv, dh))
+            k_rows, v_rows = layer.prefill_kv_rows(h, prompt_len)
             kc = alloc(constant(np.asarray(0, dtype=fX)), t_max, Kv, dh)
             vc = alloc(constant(np.asarray(0, dtype=fX)), t_max, Kv, dh)
             caches.append(set_subtensor(kc[:prompt_len], k_rows))
@@ -613,17 +621,31 @@ class DecoderLM(Model):
         if beam < 1:
             raise ValueError("beam must be >= 1")
         V = self.vocab
-        K = min(beam, V)
-        fX = config.floatX
+        K = int(beam)
         Kv, dh = self.layers[0].n_kv_heads, self.layers[0].d_head
 
         prompt = TensorType("int64", (prompt_len,))("prompt")
         h_last, caches0 = self.prefill_graph(prompt, prompt_len, t_max)
         logits0 = tm.dot(h_last, self.embed.T)
         logp0 = logits0 - tm.logsumexp(logits0)
-        top0 = argtopk(logp0, K)                      # (K,) token ids
+        # step 1 has only V distinct prefixes: carry the full requested
+        # width anyway, padding the surplus lanes with -inf scores so
+        # they can never win a top-k, but CAN host step-2 expansions —
+        # beam > V must widen later steps, not silently cap at V
+        # (review finding: K = min(beam, V) broke the exhaustiveness
+        # guarantee for depth >= 2)
+        K0 = min(K, V)
+        top0 = argtopk(logp0, K0)                     # (K0,) token ids
         toks0 = cast(top0, "int64")
-        scores0 = logp0[top0]                          # (K,)
+        scores0 = logp0[top0]                          # (K0,)
+        if K > K0:
+            pad_t = alloc(constant(np.int64(0)), K - K0)
+            pad_s = alloc(
+                constant(np.asarray(-np.inf, dtype=scores0.type.dtype)),
+                K - K0,
+            )
+            toks0 = join(0, toks0, pad_t)
+            scores0 = join(0, scores0, pad_s)
         # per-beam caches: identical prefix for every beam
         bcaches = [
             broadcast_to(c.dimshuffle("x", 0, 1, 2), (K, t_max, Kv, dh)) + 0.0

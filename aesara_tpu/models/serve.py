@@ -75,6 +75,9 @@ class ContinuousBatcher:
         self._pos = shared(np.zeros(n_slots, dtype="int64"), name="pos")
         self._cur = shared(np.zeros(n_slots, dtype="int64"), name="cur")
         self._act = shared(np.zeros(n_slots, dtype="int64"), name="act")
+        # host mirror of the activity mask: the host fully determines
+        # it, so retirement never needs a device readback
+        self._act_host = np.zeros(n_slots, dtype="int64")
 
         # ---- decode: `chunk` steps for every slot in ONE program ---------
         # A synchronous device->host readback costs a full tunnel RTT
@@ -124,12 +127,8 @@ class ContinuousBatcher:
         x = model.embed[prompt]                           # (T_pad, D)
         hh = x
         pre_ups = {}
-        from aesara_tpu.models.decoder import _layer_norm
-
         for i, layer in enumerate(model.layers):
-            z = _layer_norm(hh, layer.ln1_g, layer.ln1_b)
-            k_rows = tm.dot(z, layer.wk).reshape((t_pad, Kv, dh))
-            v_rows = tm.dot(z, layer.wv).reshape((t_pad, Kv, dh))
+            k_rows, v_rows = layer.prefill_kv_rows(hh, t_pad)
             kc, vc = self._caches[2 * i], self._caches[2 * i + 1]
             pre_ups[kc] = set_subtensor(kc[slot, :t_pad], k_rows)
             pre_ups[vc] = set_subtensor(vc[slot, :t_pad], v_rows)
@@ -158,6 +157,8 @@ class ContinuousBatcher:
         prompt_tokens = list(int(t) for t in prompt_tokens)
         if not prompt_tokens:
             raise ValueError("empty prompt")
+        if max_new < 1:
+            raise ValueError("max_new must be >= 1")
         if len(prompt_tokens) > self.t_pad:
             raise ValueError(
                 f"prompt length {len(prompt_tokens)} exceeds t_pad "
@@ -170,6 +171,7 @@ class ContinuousBatcher:
         slot = self._free.pop()
         padded = np.zeros(self.t_pad, dtype="int64")
         padded[: len(prompt_tokens)] = prompt_tokens
+        self._act_host[slot] = 1
         tok0 = int(self._prefill(np.int64(slot), padded,
                                  np.int64(len(prompt_tokens))))
         rid = self._rid
@@ -215,9 +217,12 @@ class ContinuousBatcher:
 
     # -- internals -------------------------------------------------------------
     def _retire(self, rid: int) -> None:
+        # the host fully determines the activity mask (prefill sets 1,
+        # retirement sets 0), so keep a host mirror and only UPLOAD —
+        # a get_value readback would cost a full tunnel RTT per
+        # retirement (review finding)
         slot = self._slot_of.pop(rid)
         self._done[rid] = self._gen.pop(rid)
-        act = self._act.get_value(borrow=False)
-        act[slot] = 0
-        self._act.set_value(act)
+        self._act_host[slot] = 0
+        self._act.set_value(self._act_host.copy())
         self._free.append(slot)

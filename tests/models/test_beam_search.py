@@ -92,3 +92,16 @@ def test_beam_guards(model):
         model.beam_search_fn(P, TMAX, TMAX, beam=2)
     with pytest.raises(ValueError, match="beam"):
         model.beam_search_fn(P, 2, TMAX, beam=0)
+
+
+def test_beam_wider_than_vocab_carries_full_width(model, score_fn):
+    # review finding: beam > V used to silently cap at V; the padded
+    # -inf lanes must host step-2 expansions and never surface
+    rng = np.random.default_rng(21)
+    prompt = rng.integers(0, V, size=P).astype("int64")
+    want, want_s = brute_force(score_fn, prompt)
+    for beam in (V + 2, 30):  # 30 > V^2 = 25
+        got, got_s = model.beam_search_fn(P, NNEW, TMAX, beam=beam)(prompt)
+        assert got == want, (beam, got, want)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-4)
+        assert all(0 <= t < V for t in got)

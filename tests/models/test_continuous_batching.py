@@ -96,7 +96,9 @@ def test_submit_guards(model):
         srv.submit([1, 2], max_new=40)
     with pytest.raises(ValueError, match="empty"):
         srv.submit([], max_new=4)
-    rid = srv.submit([1, 2, 3], max_new=50 - 3 if False else 4)
+    with pytest.raises(ValueError, match="max_new"):
+        srv.submit([1, 2], max_new=0)
+    rid = srv.submit([1, 2, 3], max_new=4)
     with pytest.raises(RuntimeError, match="free slot"):
         srv.submit([4, 5], max_new=4)
     while srv.pending():
