@@ -314,3 +314,58 @@ def test_fuzz_broadcast_mix_grads(seed):
             f"grad wrt {leaf} changed shape {a.shape} -> {b.shape}"
         )
         np.testing.assert_allclose(a, b, rtol=1e-7, atol=1e-9, err_msg=str(leaf))
+
+
+def _rand_slice(rng, n):
+    kind = rng.integers(0, 6)
+    if kind == 0:
+        return slice(None)
+    if kind == 1:
+        return slice(int(rng.integers(0, n)), None)
+    if kind == 2:
+        return slice(None, int(rng.integers(1, n + 1)))
+    if kind == 3:
+        return slice(None, None, int(rng.choice([-3, -2, -1, 2, 3])))
+    if kind == 4:
+        a, b = sorted(rng.integers(-n, n, size=2).tolist())
+        return slice(int(a), int(b))
+    st = int(rng.choice([-2, -1, 1, 2]))
+    return slice(int(rng.integers(-n, n)), int(rng.integers(-n, n)), st)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_subtensor_chains(seed):
+    """Random slice/set/inc chains on a static vector: FAST_RUN == PY ==
+    raw numpy (covers the slice-composition/merge/serialize rewrites;
+    a 400-seed offline sweep of the same generator ran clean)."""
+    rng = np.random.default_rng(100000 + seed)
+    n = int(rng.integers(4, 12))
+    x = at.tensor(dtype="float64", shape=(n,), name="x")
+    xv = rng.normal(size=n)
+    expr, ref = x, xv
+    for _ in range(int(rng.integers(1, 5))):
+        op = rng.integers(0, 3)
+        ln = len(np.asarray(ref))
+        if ln == 0:
+            break
+        if op == 0:
+            sl = _rand_slice(rng, ln)
+            expr, ref = expr[sl], ref[sl]
+        else:
+            i = int(rng.integers(0, ln))
+            k = int(rng.integers(1, ln - i + 1))
+            v = rng.normal(size=k)
+            if op == 1:
+                expr = at.set_subtensor(expr[i:i + k], v)
+                ref = ref.copy(); ref[i:i + k] = v
+            else:
+                expr = at.inc_subtensor(expr[i:i + k], v)
+                ref = ref.copy(); ref[i:i + k] += v
+    if getattr(expr.type, "ndim", 1) == 0:
+        return
+    f = function([x], expr, mode="FAST_RUN", on_unused_input="ignore")
+    fp = function([x], expr, mode=py_mode, on_unused_input="ignore")
+    a, b = np.asarray(f(xv)), np.asarray(fp(xv))
+    assert a.shape == b.shape == ref.shape
+    np.testing.assert_allclose(a, b, rtol=1e-10)
+    np.testing.assert_allclose(a, ref, rtol=1e-10)
