@@ -742,11 +742,18 @@ class Scan(Op, HasInnerGraph):
             new_pend = []
             k = 0
             for pend, taps, depth in zip(b_pend, all_taps, depths):
-                shifted = tb.join(
-                    0,
-                    tb.zeros_like(shape_padleft(pend[0], 1)),
-                    pend[:-1],
-                )
+                if depth == 1:
+                    # the whole single-row window shifts out: no empty
+                    # pend[:-1] slice + degenerate join (which XLA:CPU's
+                    # simplifier could turn into an invalid binary 'map'
+                    # instruction — fuzz seed 7026 CHECK-crash)
+                    shifted = tb.zeros_like(pend)
+                else:
+                    shifted = tb.join(
+                        0,
+                        tb.zeros_like(shape_padleft(pend[0], 1)),
+                        pend[:-1],
+                    )
                 for tap in taps:
                     # contribution to h_{t+tap}: row depth-1-(|tap|-1)
                     row = depth + tap

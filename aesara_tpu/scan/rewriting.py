@@ -117,7 +117,10 @@ def scan_save_mem(fgraph, node):
             static_len = int(get_scalar_constant_value(snode.inputs[0]))
         except Exception:
             return False
-        if static_len < k:
+        if static_len <= k:
+            # k == n_steps is a FULL-depth ring: zero memory win (the
+            # ring IS the stack) — keep the plain stacked buffer;
+            # local_useless_subtensor then folds the covering x[-k:]
             return False
         new_tails = list(info.tail_depths) if info.tail_depths else [0] * n_rec
         new_tails[rec_idx] = k

@@ -141,9 +141,78 @@ def local_subtensor_of_alloc(fgraph, node):
 register_specialize(local_subtensor_of_alloc)
 
 
+def _normalize_idx_list(x, idx_list):
+    """Replace unit-step slices with negative bounds that PROVABLY cover
+    their whole static dim by ``slice(None)`` (e.g. ``x[-n:]`` with dim
+    n).  Only covering slices normalize: tail windows like ``x[-k:]``
+    (k < n) must keep their negative form — scan_save_mem's ring
+    recognition matches it.  Returns (new_idx_list, changed)."""
+    changed = False
+    out = []
+    for d, e in enumerate(idx_list):
+        if (
+            isinstance(e, slice)
+            and e.step in (None, 1)
+            and e.start is not SYM and e.stop is not SYM
+            and (
+                (isinstance(e.start, int) and e.start < 0)
+                or (isinstance(e.stop, int) and e.stop < 0)
+            )
+        ):
+            n = x.type.shape[d] if d < x.type.ndim else None
+            if n is not None:
+                lo, hi, _ = e.indices(n)
+                if lo == 0 and hi >= n:
+                    out.append(slice(None, None, None))
+                    changed = True
+                    continue
+        out.append(e)
+    return tuple(out), changed
+
+
+@node_rewriter([Subtensor])
+def local_normalize_negative_slices(fgraph, node):
+    """``x[-n:]`` over a STATIC dim n → the covering ``x[:]`` so the
+    useless-slice rules fold it (the grad of a full-tail window
+    otherwise keeps a no-op Subtensor/IncSubtensor pair)."""
+    x = node.inputs[0]
+    new_idx, changed = _normalize_idx_list(x, node.op.idx_list)
+    if not changed:
+        return False
+    res = Subtensor(new_idx)(x, *node.inputs[1:])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+@node_rewriter([IncSubtensor])
+def local_normalize_negative_inc_slices(fgraph, node):
+    """The scatter dual of local_normalize_negative_slices."""
+    x, y = node.inputs[0], node.inputs[1]
+    new_idx, changed = _normalize_idx_list(x, node.op.idx_list)
+    if not changed:
+        return False
+    res = IncSubtensor(
+        new_idx, set_instead_of_inc=node.op.set_instead_of_inc
+    )(x, y, *node.inputs[2:])
+    conv = node.outputs[0].type.convert_variable(res)
+    if conv is None:
+        return False
+    copy_stack_trace(node.outputs[0], conv)
+    return [conv]
+
+
+register_canonicalize(local_normalize_negative_slices)
+register_canonicalize(local_normalize_negative_inc_slices)
+
+
 @node_rewriter([IncSubtensor])
 def local_useless_inc_subtensor(fgraph, node):
-    """set_subtensor(x[full slice], y) → y (type-permitting)."""
+    """set_subtensor(x[full slice], y) → y (type-permitting).  Trailing
+    unindexed dims are implicitly full, so indexing a PREFIX of dims
+    with full slices also covers the whole tensor."""
     if not node.op.set_instead_of_inc:
         return False
     if not all(
@@ -152,7 +221,7 @@ def local_useless_inc_subtensor(fgraph, node):
     ):
         return False
     x, y = node.inputs[0], node.inputs[1]
-    if len(node.op.idx_list) != x.type.ndim:
+    if len(node.op.idx_list) > x.type.ndim:
         return False
     if y.type.ndim != x.type.ndim:
         return False
@@ -163,6 +232,11 @@ def local_useless_inc_subtensor(fgraph, node):
 
 
 register_canonicalize(local_useless_inc_subtensor)
+# also at specialize: local_inc_subtensor_of_zeros converts inc->set
+# DURING specialize, so the covering-set elimination must rerun there
+# (otherwise a full-slice set survives as a degenerate whole-array XLA
+# scatter — which tickles an XLA:CPU algsimp CHECK-crash, fuzz seed 7026)
+register_specialize(local_useless_inc_subtensor)
 
 
 # ---------------------------------------------------------------------------

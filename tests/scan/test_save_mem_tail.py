@@ -183,3 +183,76 @@ class TestTailValues:
         lp, gp = fp(sv)
         np.testing.assert_allclose(float(lj), float(lp), rtol=1e-6)
         np.testing.assert_allclose(float(gj), float(gp), rtol=1e-6)
+
+
+class TestFullTailWindow:
+    def test_full_depth_window_grad_compiles_and_matches(self):
+        """hs[-T:] (the covering tail) + grad: regression for fuzz seed
+        7026 — the surviving covering-slice IncSubtensor lowered to a
+        degenerate whole-array XLA scatter that CHECK-crashed XLA:CPU's
+        algebraic simplifier (hard process abort).  Fixes: covering
+        negative slices normalize to slice(None); the useless-set rule
+        reruns at specialize (after inc->set conversion) and accepts a
+        prefix of full slices; the depth-1 grad-ring shift avoids the
+        empty-slice join."""
+        from tests.rewrite_corpus import py_mode
+
+        h0 = at.vector("h0", dtype="float64")
+        w = at.matrix("w", dtype="float64")
+        hs, _ = scan(
+            lambda h: at.math.sigmoid(at.dot(h, w)) + h * 0.1,
+            outputs_info=[h0], n_steps=3,
+        )
+        out = at.sum(hs[-3:] ** 2)
+        from aesara_tpu.gradient import grad as _grad
+
+        g = _grad(out, [h0, w])
+        f = function([h0, w], [out] + g, mode="FAST_RUN")
+        fp = function([h0, w], [out] + g, mode=py_mode)
+        hv, wv = np.ones(4) * 0.1, np.eye(4) * 0.3
+        for a, b in zip(f(hv, wv), fp(hv, wv)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-9)
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_fuzz_scan_windows_with_grads(self, seed):
+        """Random scan window consumers (x[-k:], x[-j], mixes incl.
+        k == T) with gradients: FAST_RUN == PY (a 120-seed offline
+        sweep of this generator runs clean)."""
+        from aesara_tpu.gradient import grad as _grad
+        from tests.rewrite_corpus import py_mode
+
+        fns = [
+            lambda h, w: at.tanh(at.dot(h, w)),
+            lambda h, w: h * 0.9 + at.sum(w) * 0.01,
+            lambda h, w: at.math.sigmoid(at.dot(h, w)) + h * 0.1,
+            lambda h, w: at.math.maximum(h - 0.05, at.dot(h, w) * 0.1),
+        ]
+        rng = np.random.default_rng(7000 + seed)
+        D = int(rng.integers(2, 5))
+        T = int(rng.integers(3, 9))
+        fn = fns[seed % len(fns)]
+        h0 = at.vector("h0", dtype="float64")
+        w = at.matrix("w", dtype="float64")
+        hs, _ = scan(lambda h: fn(h, w), outputs_info=[h0], n_steps=T)
+        mode_k = rng.integers(0, 4)
+        if mode_k == 0:
+            out = at.sum(hs[-1] ** 2)
+        elif mode_k == 1:
+            k = int(rng.integers(1, T + 1))
+            out = at.sum(hs[-k:] ** 2)
+        elif mode_k == 2:
+            j = int(rng.integers(1, T + 1))
+            out = at.sum(hs[-j] ** 2)
+        else:
+            k = int(rng.integers(1, T))
+            out = at.sum(hs[-k:] ** 2) + at.sum(hs[-1])
+        g = _grad(out, [h0, w])
+        f = function([h0, w], [out] + g, mode="FAST_RUN")
+        fp = function([h0, w], [out] + g, mode=py_mode)
+        hv = rng.normal(size=D) * 0.5
+        wv = rng.normal(size=(D, D)) * 0.4
+        for a, b in zip(f(hv, wv), fp(hv, wv)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-8, atol=1e-10
+            )
