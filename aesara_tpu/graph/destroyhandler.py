@@ -22,6 +22,58 @@ class InconsistencyError(Exception):
     pass
 
 
+def _view_parent(var):
+    """The variable ``var`` aliases through its owner's ``view_map``, or
+    None (reference droot chasing, ``destroyhandler.py:286`` region)."""
+    node = var.owner
+    if node is None:
+        return None
+    vmap = getattr(node.op, "view_map", None)
+    if not vmap:
+        return None
+    idx = var.index
+    if idx in vmap:
+        return node.inputs[vmap[idx][0]]
+    return None
+
+
+def droot(var):
+    """Root of ``var``'s view chain: follow view_map edges up until a
+    non-view variable.  destroy_map edges are NOT followed — a chain of
+    destroyers over successive outputs is legal and ordered by data deps."""
+    seen = set()
+    while True:
+        parent = _view_parent(var)
+        if parent is None or id(parent) in seen:
+            return var
+        seen.add(id(var))
+        var = parent
+
+
+def _contains_cycle(fgraph, orderings) -> bool:
+    """Kahn count over data deps + extra orderings (reference ``:34``)."""
+    nodes = fgraph.apply_nodes
+    indeg = {n: 0 for n in nodes}
+    children: Dict = defaultdict(list)
+    for node in nodes:
+        deps = [inp.owner for inp in node.inputs if inp.owner is not None]
+        deps.extend(d for d in orderings.get(node, ()) if d in nodes)
+        for d in deps:
+            if d in indeg:
+                children[d].append(node)
+                indeg[node] += 1
+    stack = [n for n, k in indeg.items() if k == 0]
+    visited = 0
+    while stack:
+        n = stack.pop()
+        visited += 1
+        for c in children[n]:
+            indeg[c] -= 1
+            if indeg[c] == 0:
+                stack.append(c)
+    return visited != len(nodes)
+
+
 def fast_inplace_check(fgraph, inputs):
     """Inputs that may legally be overwritten (reference ``:257``)."""
     protected = set()
@@ -46,6 +98,7 @@ class DestroyHandler(Feature):
         if hasattr(fgraph, "destroyers"):
             raise AlreadyThere("DestroyHandler already attached")
         self.destroyers_map = {}
+        self.fgraph = fgraph
         fgraph.destroyers = self.destroyers
         fgraph.has_destroyers = self.has_destroyers
         fgraph.destroy_handler = self
@@ -58,6 +111,7 @@ class DestroyHandler(Feature):
         del fgraph.has_destroyers
         del fgraph.destroy_handler
         self.destroyers_map = {}
+        self.fgraph = None
 
     def on_import(self, fgraph, node, reason):
         if node.op.destroy_map:
@@ -84,48 +138,101 @@ class DestroyHandler(Feature):
                         lst.remove(node)
                     self.destroyers_map.setdefault(new_var, []).append(node)
 
-    def destroyers(self, var) -> list:
-        return list(self.destroyers_map.get(var, []))
-
-    def has_destroyers(self, vars) -> bool:
-        return any(self.destroyers_map.get(v) for v in vars)
-
-    def validate(self, fgraph):
-        # 1. no variable destroyed twice
+    def _live_destroyed_roots(self, fgraph) -> dict:
+        """{view-chain root: [live destroyer nodes]} over the current graph."""
+        roots: Dict = {}
         for var, nodes in self.destroyers_map.items():
             live = [n for n in nodes if n in fgraph.apply_nodes]
-            if len(live) > 1:
+            if live:
+                roots.setdefault(droot(var), []).extend(live)
+        return roots
+
+    def _alias_members(self, fgraph) -> dict:
+        """{root: set of all live variables whose view chain ends at root}."""
+        members: Dict = defaultdict(set)
+        for var in fgraph.variables:
+            members[droot(var)].add(var)
+        return members
+
+    def destroyers(self, var) -> list:
+        """Nodes that destroy ``var`` directly or through a view alias
+        (view-aware, matching the reference's droot/impact semantics)."""
+        fgraph = getattr(self, "fgraph", None)
+        if fgraph is None:
+            return list(self.destroyers_map.get(var, []))
+        target_root = droot(var)
+        out = []
+        for v, nodes in self.destroyers_map.items():
+            live = [n for n in nodes if n in fgraph.apply_nodes]
+            if live and droot(v) is target_root:
+                out.extend(live)
+        return out
+
+    def has_destroyers(self, vars) -> bool:
+        return any(self.destroyers(v) for v in vars)
+
+    def validate(self, fgraph):
+        from aesara_tpu.graph.ir import Constant
+
+        roots = self._live_destroyed_roots(fgraph)
+        if not roots:
+            return
+        # 1. no view-chain root destroyed twice (a race regardless of which
+        # view each destroyer went through)
+        for root, nodes in roots.items():
+            if len(set(nodes)) > 1:
                 raise InconsistencyError(
-                    f"multiple in-place destroyers of {var}: {live}"
+                    f"multiple in-place destroyers of {root}: {sorted(set(map(str, nodes)))}"
                 )
-        # 2. protected variables (fgraph inputs w/o mutable flag, outputs)
+        # 2. constants are immutable storage
+        for root in roots:
+            if isinstance(root, Constant):
+                raise InconsistencyError(
+                    f"in-place op destroys constant {root} (through a view)"
+                )
+        # 3. protected variables (fgraph inputs w/o mutable flag, outputs):
+        # destroying ANY alias of a protected variable destroys it
         protected = set()
         for feature in fgraph._features:
             protected |= set(getattr(feature, "protected", ()))
-        for var, nodes in self.destroyers_map.items():
-            live = [n for n in nodes if n in fgraph.apply_nodes]
-            if live and var in protected:
-                raise InconsistencyError(f"in-place op destroys protected {var}")
-        # 3. ordering feasibility is enforced through orderings() +
-        # toposort cycle detection
+        if protected:
+            members = self._alias_members(fgraph)
+            for root in roots:
+                hit = (members[root] | {root}) & protected
+                if hit:
+                    raise InconsistencyError(
+                        f"in-place op destroys protected {next(iter(hit))}"
+                    )
+        # 4. ordering feasibility: readers-before-destroyer constraints must
+        # not create a cycle with the data dependencies (usage loops)
+        if _contains_cycle(fgraph, self.orderings(fgraph)):
+            raise InconsistencyError(
+                "in-place ordering constraints create a dependency cycle"
+            )
 
     def orderings(self, fgraph) -> dict:
-        """All readers of a destroyed variable must run before the
-        destroyer (reference ordering semantics)."""
+        """All readers of any alias of a destroyed root must run before the
+        destroyer (reference ordering semantics, view-aware)."""
+        roots = self._live_destroyed_roots(fgraph)
+        if not roots:
+            return {}
+        members = self._alias_members(fgraph)
         order: Dict = {}
-        for var, destroyers in self.destroyers_map.items():
-            live = [n for n in destroyers if n in fgraph.apply_nodes]
-            if not live:
-                continue
-            destroyer = live[0]
-            readers = [
-                client for client, idx in fgraph.clients.get(var, [])
-                if client != "output"
-                and client is not destroyer
-                and client in fgraph.apply_nodes
-            ]
-            if readers:
-                order.setdefault(destroyer, []).extend(readers)
+        for root, destroyers in roots.items():
+            for destroyer in set(destroyers):
+                readers = []
+                for alias in members[root] | {root}:
+                    for client, _idx in fgraph.clients.get(alias, []):
+                        if (
+                            client != "output"
+                            and client is not destroyer
+                            and client in fgraph.apply_nodes
+                            and client not in readers
+                        ):
+                            readers.append(client)
+                if readers:
+                    prev = order.setdefault(destroyer, [])
+                    prev.extend(r for r in readers if r not in prev)
         return order
 
 

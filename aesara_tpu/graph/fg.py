@@ -380,6 +380,16 @@ class FunctionGraph:
                         raise Exception(f"output client wrong: {var} at {idx}")
                 elif client.inputs[idx] is not var:
                     raise Exception(f"client index wrong for {var} in {client}")
+        # reverse direction: every actual use must be present in the index
+        for node in self.apply_nodes:
+            for i, inp in enumerate(node.inputs):
+                if (node, i) not in self.clients.get(inp, ()):
+                    raise Exception(
+                        f"use of {inp} by {node} at {i} missing from clients"
+                    )
+        for i, out in enumerate(self.outputs):
+            if (OUTPUT, i) not in self.clients.get(out, ()):
+                raise Exception(f"output {i} ({out}) missing from clients")
 
     def __str__(self):
         from aesara_tpu.graph.ir import as_string

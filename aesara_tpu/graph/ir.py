@@ -531,12 +531,17 @@ def vars_between(ins: Iterable[Variable], outs: Iterable[Variable]) -> list:
 
 
 def applys_between(ins: Iterable[Variable], outs: Iterable[Variable]) -> list:
-    """Apply nodes on paths from ``ins`` to ``outs``."""
-    return [
-        v.owner
-        for v in vars_between(ins, outs)
-        if v.owner is not None and v.index == 0
-    ]
+    """Apply nodes on paths from ``ins`` to ``outs``, excluding the owners
+    of the ``ins`` themselves (reference ``basic.py:947`` contract)."""
+    ins_set = set(ins)
+    seen: set = set()
+    nodes: list = []
+    for v in vars_between(ins_set, outs):
+        node = v.owner
+        if node is not None and v not in ins_set and id(node) not in seen:
+            seen.add(id(node))
+            nodes.append(node)
+    return nodes
 
 
 def orphans_between(ins, outs) -> list:
@@ -553,6 +558,34 @@ def truncated_graph_inputs(
     if ancestors_to_include is None:
         return graph_inputs(outputs)
     include = set(ancestors_to_include)
+
+    # memoized "does v depend on (or belong to) the include set?", iterative
+    # so deep chain graphs don't overflow the recursion limit
+    reach: dict = {}
+
+    def reaches_include(root) -> bool:
+        stack = [root]
+        while stack:
+            v = stack[-1]
+            if v in reach:
+                stack.pop()
+                continue
+            if v in include:
+                reach[v] = True
+                stack.pop()
+                continue
+            if v.owner is None:
+                reach[v] = False
+                stack.pop()
+                continue
+            pending = [i for i in v.owner.inputs if i not in reach]
+            if pending:
+                stack.extend(pending)
+            else:
+                reach[v] = any(reach[i] for i in v.owner.inputs)
+                stack.pop()
+        return reach[root]
+
     truncated: list = []
     seen: set = set()
     q = deque(outputs)
@@ -564,12 +597,10 @@ def truncated_graph_inputs(
         if v in include or v.owner is None:
             if v not in truncated:
                 truncated.append(v)
-        else:
-            if _reaches_include(v):
-                q.extend(v.owner.inputs)
-            else:
-                if v not in truncated:
-                    truncated.append(v)
+        elif reaches_include(v):
+            q.extend(v.owner.inputs)
+        elif v not in truncated:
+            truncated.append(v)
     return truncated
 
 
@@ -756,15 +787,19 @@ def equal_computations(
     in_xs: Optional[Sequence[Variable]] = None,
     in_ys: Optional[Sequence[Variable]] = None,
 ) -> bool:
-    """Structural equality of two graphs (reference ``basic.py:1645``)."""
+    """Structural equality of two graphs (reference ``basic.py:1645``).
+
+    Raises ``ValueError`` when ``xs``/``ys`` (or ``in_xs``/``in_ys``) have
+    mismatched lengths, matching the reference contract.
+    """
     import numpy as np
 
     if len(xs) != len(ys):
-        return False
+        raise ValueError("xs and ys must have the same length")
     in_xs = in_xs or []
     in_ys = in_ys or []
     if len(in_xs) != len(in_ys):
-        return False
+        raise ValueError("in_xs and in_ys must have the same length")
     for ix, iy in zip(in_xs, in_ys):
         if ix.type != iy.type:
             return False

@@ -13,6 +13,7 @@ copy_stack_trace:2931).
 from __future__ import annotations
 
 import functools
+import logging
 import time
 import traceback
 import warnings
@@ -24,6 +25,9 @@ from aesara_tpu.graph.features import BadOptimization, Feature
 from aesara_tpu.graph.fg import FunctionGraph, OUTPUT
 from aesara_tpu.graph.ir import Apply, AtomicVariable, Constant, Variable, io_toposort
 from aesara_tpu.graph.op import Op
+
+
+_logger = logging.getLogger("aesara_tpu.graph.rewriting")
 
 
 __all__ = [
@@ -312,6 +316,34 @@ class NodeProcessingGraphRewriter(GraphRewriter):
         self.node_rewriter = node_rewriter
         self.ignore_newtrees = ignore_newtrees
         self.failure_callback = failure_callback
+
+    @classmethod
+    def warn(cls, exc, nav, repl_pairs, node_rewriter, node):
+        """Failure callback: log the error, re-raise AssertionError
+        (reference ``rewriting/basic.py`` warn)."""
+        _logger.error(f"Rewrite failure due to: {node_rewriter}")
+        _logger.error(f"node: {node}")
+        _logger.error("TRACEBACK:", exc_info=exc)
+        if isinstance(exc, AssertionError):
+            raise exc
+
+    @classmethod
+    def warn_inplace(cls, exc, nav, repl_pairs, node_rewriter, node):
+        """Failure callback for inplace passes: an InconsistencyError just
+        means the in-place conversion is illegal here (e.g. it would
+        destroy a protected input through a view) — the replacement was
+        already reverted, so skip quietly (reference ``warn_inplace``)."""
+        from aesara_tpu.graph.destroyhandler import InconsistencyError
+
+        if isinstance(exc, InconsistencyError):
+            return
+        cls.warn(exc, nav, repl_pairs, node_rewriter, node)
+
+    @classmethod
+    def warn_ignore(cls, exc, nav, repl_pairs, node_rewriter, node):
+        """Failure callback: ignore every failure (reference name)."""
+        if isinstance(exc, AssertionError):
+            raise exc
 
     def attach_updater(self, fgraph, importer, pruner=None, chin=None, name=None):
         if self.ignore_newtrees:

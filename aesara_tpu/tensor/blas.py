@@ -584,6 +584,14 @@ def local_blas_inplace(fgraph, node):
     # the clobbered buffer)
     if z.owner is None or len(fgraph.clients.get(z, ())) != 1:
         return False
+    # z may be a VIEW of a function input or constant (e.g. x[::-1]):
+    # writing into it would clobber the protected root's storage
+    from aesara_tpu.graph.destroyhandler import droot
+    from aesara_tpu.graph.ir import Constant
+
+    zroot = droot(z)
+    if zroot.owner is None or isinstance(zroot, Constant):
+        return False
     inplace_op = {Gemm: gemm_inplace, Gemv: gemv_inplace,
                   Ger: ger_inplace}[type(op)]
     new = inplace_op(*node.inputs)
@@ -591,8 +599,15 @@ def local_blas_inplace(fgraph, node):
     return new.owner.outputs
 
 
+from aesara_tpu.graph.rewriting.basic import NodeProcessingGraphRewriter
+
 optdb.register(
-    "blas_inplace", in2out(local_blas_inplace, name="blas_inplace"),
+    "blas_inplace",
+    in2out(
+        local_blas_inplace,
+        name="blas_inplace",
+        failure_callback=NodeProcessingGraphRewriter.warn_inplace,
+    ),
     "fast_run", "inplace", position=70.0,
 )
 
