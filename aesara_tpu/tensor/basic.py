@@ -1418,7 +1418,16 @@ def tile(x, reps, ndim=None):
     for axis, r in enumerate(reps):
         if r == 1:
             continue
-        x = join(axis, *([x] * r))
+        if r < 0:
+            raise ValueError("tile reps must be non-negative")
+        if r == 0:
+            # numpy semantics: a zero rep empties that axis
+            index = tuple(
+                slice(0, 0) if d == axis else slice(None) for d in range(nd)
+            )
+            x = x[index]
+        else:
+            x = join(axis, *([x] * r))
     return x
 
 
