@@ -1173,23 +1173,23 @@ class MetaNodeRewriterSkip(AssertionError):
 
 
 def check_chain(r, *chain):
-    """Does variable r's producer chain match the given op sequence
-    (reference ``check_chain``)?"""
-    node = getattr(r, "owner", r)
-    for op in reversed(chain):
+    """Does variable ``r``'s producer chain match the given op sequence?
+    The chain is outermost-first and descends through ``inputs[0]``
+    (reference ``check_chain`` / ``_check_chain`` semantics)."""
+    if isinstance(r, Apply):
+        r = r.outputs[0]
+    for op in chain:
+        node = getattr(r, "owner", None)
         if node is None:
             return False
-        if isinstance(node, Variable):
-            node = node.owner
-            if node is None:
-                return False
         this_op = node.op
-        matches = (this_op == op or (isinstance(op, type)
-                                     and isinstance(this_op, op)))
+        matches = this_op == op or (
+            isinstance(op, type) and isinstance(this_op, op)
+        )
         if not matches:
             return False
-        node = node.inputs[0] if node.inputs else None
-    return True
+        r = node.inputs[0] if node.inputs else None
+    return r is not None
 
 
 def merge_dict(d1: dict, d2: dict) -> dict:
