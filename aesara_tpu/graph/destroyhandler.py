@@ -94,6 +94,12 @@ class DestroyHandler(Feature):
         self.do_imports_on_attach = do_imports_on_attach
         self.destroyers_map: Dict = {}
 
+    def clone(self):
+        # a handler instance is bound to ONE fgraph (self.fgraph); cloning
+        # an fgraph must give the clone its own handler, or re-attaching
+        # this instance would rebind/reset the original's tracking
+        return DestroyHandler(do_imports_on_attach=self.do_imports_on_attach)
+
     def on_attach(self, fgraph):
         if hasattr(fgraph, "destroyers"):
             raise AlreadyThere("DestroyHandler already attached")
@@ -160,13 +166,12 @@ class DestroyHandler(Feature):
         fgraph = getattr(self, "fgraph", None)
         if fgraph is None:
             return list(self.destroyers_map.get(var, []))
-        target_root = droot(var)
-        out = []
-        for v, nodes in self.destroyers_map.items():
-            live = [n for n in nodes if n in fgraph.apply_nodes]
-            if live and droot(v) is target_root:
-                out.extend(live)
-        return out
+        if not self.destroyers_map:
+            return []
+        roots = self._live_destroyed_roots(fgraph)
+        if not roots:
+            return []
+        return list(roots.get(droot(var), []))
 
     def has_destroyers(self, vars) -> bool:
         return any(self.destroyers(v) for v in vars)
@@ -195,8 +200,8 @@ class DestroyHandler(Feature):
         protected = set()
         for feature in fgraph._features:
             protected |= set(getattr(feature, "protected", ()))
+        members = self._alias_members(fgraph)
         if protected:
-            members = self._alias_members(fgraph)
             for root in roots:
                 hit = (members[root] | {root}) & protected
                 if hit:
@@ -205,7 +210,8 @@ class DestroyHandler(Feature):
                     )
         # 4. ordering feasibility: readers-before-destroyer constraints must
         # not create a cycle with the data dependencies (usage loops)
-        if _contains_cycle(fgraph, self.orderings(fgraph)):
+        order = self._orderings_impl(fgraph, roots, members)
+        if order and _contains_cycle(fgraph, order):
             raise InconsistencyError(
                 "in-place ordering constraints create a dependency cycle"
             )
@@ -216,7 +222,11 @@ class DestroyHandler(Feature):
         roots = self._live_destroyed_roots(fgraph)
         if not roots:
             return {}
-        members = self._alias_members(fgraph)
+        return self._orderings_impl(fgraph, roots, self._alias_members(fgraph))
+
+    def _orderings_impl(self, fgraph, roots, members) -> dict:
+        if not roots:
+            return {}
         order: Dict = {}
         for root, destroyers in roots.items():
             for destroyer in set(destroyers):

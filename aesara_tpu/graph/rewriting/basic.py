@@ -341,9 +341,8 @@ class NodeProcessingGraphRewriter(GraphRewriter):
 
     @classmethod
     def warn_ignore(cls, exc, nav, repl_pairs, node_rewriter, node):
-        """Failure callback: ignore every failure (reference name)."""
-        if isinstance(exc, AssertionError):
-            raise exc
+        """Failure callback: ignore every failure, AssertionError included
+        (reference ``warn_ignore`` semantics)."""
 
     def attach_updater(self, fgraph, importer, pruner=None, chin=None, name=None):
         if self.ignore_newtrees:
@@ -1174,21 +1173,32 @@ class MetaNodeRewriterSkip(AssertionError):
 
 def check_chain(r, *chain):
     """Does variable ``r``'s producer chain match the given op sequence?
-    The chain is outermost-first and descends through ``inputs[0]``
-    (reference ``check_chain`` / ``_check_chain`` semantics)."""
+    The chain is outermost-first, descending through ``inputs[0]``
+    BETWEEN elements only (never past the last match); a ``None``
+    element asserts the variable has no owner (reference
+    ``check_chain`` / ``_check_chain`` semantics)."""
     if isinstance(r, Apply):
         r = r.outputs[0]
-    for op in chain:
+    remaining = list(chain)
+    while remaining:
+        op = remaining.pop(0)
         node = getattr(r, "owner", None)
-        if node is None:
-            return False
-        this_op = node.op
-        matches = this_op == op or (
-            isinstance(op, type) and isinstance(this_op, op)
-        )
-        if not matches:
-            return False
-        r = node.inputs[0] if node.inputs else None
+        if op is None:
+            if node is not None:
+                return False
+        else:
+            if node is None:
+                return False
+            this_op = node.op
+            matches = this_op == op or (
+                isinstance(op, type) and isinstance(this_op, op)
+            )
+            if not matches:
+                return False
+        if remaining:
+            if node is None or not node.inputs:
+                return False
+            r = node.inputs[0]
     return r is not None
 
 

@@ -32,6 +32,7 @@ from aesara_tpu.compile.mode import optdb
 from aesara_tpu.graph.ir import Apply, Constant
 from aesara_tpu.graph.op import Op
 from aesara_tpu.graph.rewriting.basic import (
+    NodeProcessingGraphRewriter,
     copy_stack_trace,
     in2out,
     node_rewriter,
@@ -587,7 +588,6 @@ def local_blas_inplace(fgraph, node):
     # z may be a VIEW of a function input or constant (e.g. x[::-1]):
     # writing into it would clobber the protected root's storage
     from aesara_tpu.graph.destroyhandler import droot
-    from aesara_tpu.graph.ir import Constant
 
     zroot = droot(z)
     if zroot.owner is None or isinstance(zroot, Constant):
@@ -598,8 +598,6 @@ def local_blas_inplace(fgraph, node):
     copy_stack_trace(node.outputs[0], new)
     return new.owner.outputs
 
-
-from aesara_tpu.graph.rewriting.basic import NodeProcessingGraphRewriter
 
 optdb.register(
     "blas_inplace",

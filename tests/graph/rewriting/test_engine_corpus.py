@@ -371,3 +371,28 @@ def test_in2out_composes_node_rewriters():
         name="both",
     ).rewrite(fg)
     assert ops_in(fg) == ["op3", "op3"]
+
+
+def test_check_chain_edge_cases():
+    """Review regression: a fully-matched chain ending at a zero-input op
+    must match, and a None element asserts ownerlessness."""
+
+    class _Leaf(Op):
+        __props__ = ()
+
+        def make_node(self):
+            return Apply(self, [], [V()])
+
+        def perform(self, node, inputs, outputs):
+            outputs[0][0] = 0
+
+    leaf = _Leaf()
+    out = ident(leaf())
+    assert check_chain(out, ident, _Leaf)
+    assert check_chain(out, ident)
+    assert not check_chain(out, box)
+    # None element: next position must be ownerless
+    x = V("x")
+    out2 = ident(x)
+    assert check_chain(out2, ident, None)
+    assert not check_chain(ident(ident(x)), ident, None)

@@ -307,3 +307,22 @@ def test_compiled_inplace_never_destroys_input_through_view():
     res = f(xv, av, bv)
     np.testing.assert_allclose(res, av @ bv * 0.5 + keep[::-1], rtol=1e-5)
     np.testing.assert_array_equal(xv, keep)  # input untouched
+
+
+def test_fgraph_clone_gets_fresh_handler():
+    """Review regression: cloning an fgraph must NOT rebind/reset the
+    original's DestroyHandler (Feature.clone defaulting to self did)."""
+    x = V("x")
+    d = destroy(x)
+    fg = make_fg([x], [d])
+    assert fg.destroyers(x) == [d.owner]
+    fg2, _ = fg.clone_get_equiv()
+    # original tracking intact after the clone attached its features
+    assert fg.destroyers(x) == [d.owner]
+    assert fg.destroy_handler.fgraph is fg
+    # the clone tracks its own destroyer, not the original's
+    assert fg2.destroy_handler is not fg.destroy_handler
+    (d2,) = [n for n in fg2.apply_nodes if isinstance(n.op, DestroyOp)]
+    assert fg2.destroyers(fg2.inputs[0]) == [d2]
+    fg.validate()
+    fg2.validate()
