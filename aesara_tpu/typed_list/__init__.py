@@ -9,6 +9,7 @@ from aesara_tpu.typed_list.basic import (
     Count,
     Extend,
     GetItem,
+    Index,
     Insert,
     Length,
     MakeList,
@@ -18,6 +19,7 @@ from aesara_tpu.typed_list.basic import (
     count,
     extend,
     getitem,
+    index_,
     insert,
     length,
     make_list,

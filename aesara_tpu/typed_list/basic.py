@@ -21,7 +21,6 @@ def _as_list_variable(x):
 
 
 class GetItem(Op):
-    __props__ = ()
     view_map = {0: [0]}
     __props__ = ("static_slice",)
 

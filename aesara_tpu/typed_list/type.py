@@ -83,10 +83,14 @@ class TypedListVariable(Variable):
 
         return count(self, v)
 
-    def index(self, v):
+    def ind(self, v):
+        # named `ind` like the reference: `index` is the Variable slot
+        # recording this variable's position among its owner's outputs
         from aesara_tpu.typed_list.basic import index_
 
         return index_(self, v)
+
+    ttype = property(lambda self: self.type.ttype)
 
 
 class TypedListConstant(TypedListVariable, Constant):
