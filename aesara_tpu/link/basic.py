@@ -325,12 +325,21 @@ def unique_name_generator(external_names=None, suffix_sep="_"):
     ``link/utils.py unique_name_generator``)."""
     taken = set(external_names or [])
     counts = {}
+    memo = {}  # obj -> assigned name (reference: same obj, same name)
 
     def unique_name(obj, force_unique=False, name=None):
+        try:
+            if not force_unique and obj in memo:
+                return memo[obj]
+            memoizable = True
+        except TypeError:
+            memoizable = False
         base = name or getattr(obj, "name", None) or "tmp"
         base = "".join(c if c.isalnum() or c == "_" else "_" for c in str(base))
         if base not in taken and not force_unique:
             taken.add(base)
+            if memoizable:
+                memo[obj] = base
             return base
         k = counts.get(base, 0) + 1
         counts[base] = k
@@ -339,6 +348,8 @@ def unique_name_generator(external_names=None, suffix_sep="_"):
             k += 1
             fresh = f"{base}{suffix_sep}{k}"
         taken.add(fresh)
+        if memoizable and not force_unique:
+            memo[obj] = fresh
         return fresh
 
     return unique_name
