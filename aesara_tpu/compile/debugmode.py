@@ -26,7 +26,8 @@ from aesara_tpu.link.basic import (
 
 
 __all__ = ["DebugMode", "DebugModeError", "BadThunkOutput", "InvalidValueError",
-           "DebugLinker", "DualLinker", "CompareMode", "BadJitProgramOutput"]
+           "DebugLinker", "DualLinker", "CompareMode", "BadJitProgramOutput",
+           "RewriteCulpritReport", "find_bad_optimizations", "find_bad_rewrite"]
 
 
 class DebugModeError(Exception):

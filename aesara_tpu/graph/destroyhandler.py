@@ -93,6 +93,13 @@ class DestroyHandler(Feature):
     def __init__(self, do_imports_on_attach: bool = True):
         self.do_imports_on_attach = do_imports_on_attach
         self.destroyers_map: Dict = {}
+        # graph-mutation epoch: bumped on every import/prune/change_input so
+        # the derived root/alias maps can be cached per graph state instead
+        # of recomputed per destroyers() query (O(V^2) during inplace passes)
+        self._epoch = 0
+        self._cache_key = None
+        self._cached_roots: Dict = {}
+        self._cached_members: Dict = {}
 
     def clone(self):
         # a handler instance is bound to ONE fgraph (self.fgraph); cloning
@@ -120,12 +127,14 @@ class DestroyHandler(Feature):
         self.fgraph = None
 
     def on_import(self, fgraph, node, reason):
+        self._epoch += 1
         if node.op.destroy_map:
             for out_idx, in_idxs in node.op.destroy_map.items():
                 for i in in_idxs:
                     self.destroyers_map.setdefault(node.inputs[i], []).append(node)
 
     def on_prune(self, fgraph, node, reason):
+        self._epoch += 1
         if node.op.destroy_map:
             for out_idx, in_idxs in node.op.destroy_map.items():
                 for i in in_idxs:
@@ -134,6 +143,7 @@ class DestroyHandler(Feature):
                         lst.remove(node)
 
     def on_change_input(self, fgraph, node, i, old_var, new_var, reason=None):
+        self._epoch += 1
         if node == "output" or not getattr(node, "op", None):
             return
         if node.op.destroy_map:
@@ -144,21 +154,38 @@ class DestroyHandler(Feature):
                         lst.remove(node)
                     self.destroyers_map.setdefault(new_var, []).append(node)
 
-    def _live_destroyed_roots(self, fgraph) -> dict:
-        """{view-chain root: [live destroyer nodes]} over the current graph."""
+    def _refresh_cache(self, fgraph):
+        """Recompute the derived maps once per graph state (epoch-keyed)."""
+        key = (id(fgraph), self._epoch)
+        if self._cache_key == key:
+            return
         roots: Dict = {}
         for var, nodes in self.destroyers_map.items():
-            live = [n for n in nodes if n in fgraph.apply_nodes]
-            if live:
-                roots.setdefault(droot(var), []).extend(live)
-        return roots
-
-    def _alias_members(self, fgraph) -> dict:
-        """{root: set of all live variables whose view chain ends at root}."""
+            live = None
+            for n in nodes:
+                if n in fgraph.apply_nodes:
+                    if live is None:
+                        live = roots.setdefault(droot(var), [])
+                    # one Apply destroying two inputs with a shared root must
+                    # appear once per root (advisor r3: duplicate entries)
+                    if n not in live:
+                        live.append(n)
         members: Dict = defaultdict(set)
         for var in fgraph.variables:
             members[droot(var)].add(var)
-        return members
+        self._cached_roots = roots
+        self._cached_members = members
+        self._cache_key = key
+
+    def _live_destroyed_roots(self, fgraph) -> dict:
+        """{view-chain root: [live destroyer nodes]} over the current graph."""
+        self._refresh_cache(fgraph)
+        return self._cached_roots
+
+    def _alias_members(self, fgraph) -> dict:
+        """{root: set of all live variables whose view chain ends at root}."""
+        self._refresh_cache(fgraph)
+        return self._cached_members
 
     def destroyers(self, var) -> list:
         """Nodes that destroy ``var`` directly or through a view alias
@@ -195,12 +222,48 @@ class DestroyHandler(Feature):
                 raise InconsistencyError(
                     f"in-place op destroys constant {root} (through a view)"
                 )
-        # 3. protected variables (fgraph inputs w/o mutable flag, outputs):
+        members = self._alias_members(fgraph)
+        # 3. input aliasing (reference ``destroyhandler.py:783-806``): a
+        # destroyer whose OTHER inputs alias the destroyed root would read a
+        # buffer it clobbers in-place.  Ops may opt out per index pair via
+        # ``destroyhandler_tolerate_same`` (identical variable is fine) or
+        # ``destroyhandler_tolerate_aliased`` (any view of the same root).
+        for root, nodes in roots.items():
+            impact = members[root] | {root}
+            for app in set(nodes):
+                for destroyed_idx in {
+                    i for idxs in app.op.destroy_map.values() for i in idxs
+                }:
+                    dv = app.inputs[destroyed_idx]
+                    if droot(dv) is not root:
+                        continue
+                    tolerate_same = getattr(
+                        app.op, "destroyhandler_tolerate_same", []
+                    )
+                    tolerated = {
+                        j for i0, j in tolerate_same if i0 == destroyed_idx
+                    }
+                    tolerated.add(destroyed_idx)
+                    tolerate_aliased = getattr(
+                        app.op, "destroyhandler_tolerate_aliased", []
+                    )
+                    ignored = {
+                        j for i0, j in tolerate_aliased if i0 == destroyed_idx
+                    }
+                    for i, inp in enumerate(app.inputs):
+                        if i in ignored:
+                            continue
+                        if inp in impact and (
+                            i not in tolerated or inp is not dv
+                        ):
+                            raise InconsistencyError(
+                                f"Input aliasing: {app} ({destroyed_idx}, {i})"
+                            )
+        # 4. protected variables (fgraph inputs w/o mutable flag, outputs):
         # destroying ANY alias of a protected variable destroys it
         protected = set()
         for feature in fgraph._features:
             protected |= set(getattr(feature, "protected", ()))
-        members = self._alias_members(fgraph)
         if protected:
             for root in roots:
                 hit = (members[root] | {root}) & protected
@@ -208,7 +271,7 @@ class DestroyHandler(Feature):
                     raise InconsistencyError(
                         f"in-place op destroys protected {next(iter(hit))}"
                     )
-        # 4. ordering feasibility: readers-before-destroyer constraints must
+        # 5. ordering feasibility: readers-before-destroyer constraints must
         # not create a cycle with the data dependencies (usage loops)
         order = self._orderings_impl(fgraph, roots, members)
         if order and _contains_cycle(fgraph, order):

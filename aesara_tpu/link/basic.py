@@ -348,7 +348,9 @@ def unique_name_generator(external_names=None, suffix_sep="_"):
             k += 1
             fresh = f"{base}{suffix_sep}{k}"
         taken.add(fresh)
-        if memoizable and not force_unique:
+        if memoizable:
+            # the latest assigned name wins, including forced ones, matching
+            # the reference's objs_to_names overwrite (advisor r3)
             memo[obj] = fresh
         return fresh
 

@@ -396,3 +396,26 @@ def test_check_chain_edge_cases():
     out2 = ident(x)
     assert check_chain(out2, ident, None)
     assert not check_chain(ident(ident(x)), ident, None)
+
+
+def test_check_chain_zero_input_final_documented_divergence():
+    """Intentional divergence from the reference (advisor r3): the reference
+    expands ``chain`` to ``[op, 0, ...]`` and descends into ``inputs[0]``
+    AFTER the final op, so a fully-matched chain whose final node has no
+    inputs raises IndexError there.  Here ``check_chain`` stops at the last
+    chain element and returns True — the safer contract.  Parity audits
+    should treat this as by-design, not a bug."""
+
+    class _Nullary(Op):
+        __props__ = ()
+
+        def make_node(self):
+            return Apply(self, [], [V()])
+
+        def perform(self, node, inputs, outputs):
+            outputs[0][0] = 0
+
+    nullary = _Nullary()
+    out = ident(nullary())
+    # reference: IndexError (inputs[0] of a no-input node); here: True
+    assert check_chain(out, ident, _Nullary) is True

@@ -326,3 +326,105 @@ def test_fgraph_clone_gets_fresh_handler():
     assert fg2.destroyers(fg2.inputs[0]) == [d2]
     fg.validate()
     fg2.validate()
+
+
+# ---------------------------------------------------------------------------
+# Input aliasing (reference destroyhandler.py:783-806): a destroyer whose
+# OTHER inputs alias the destroyed root reads a buffer it clobbers in-place.
+# ---------------------------------------------------------------------------
+
+
+class DestroyFirstBin(_Base):
+    nin = 2
+    destroy_map = {0: [0]}
+
+    def make_node(self, a, b):
+        return Apply(self, [a, b], [V()])
+
+
+class DestroyFirstBinTolerateSame(DestroyFirstBin):
+    destroyhandler_tolerate_same = [(0, 1)]
+
+
+class DestroyFirstBinTolerateAliased(DestroyFirstBin):
+    destroyhandler_tolerate_aliased = [(0, 1)]
+
+
+dbin = DestroyFirstBin()
+dbin_same = DestroyFirstBinTolerateSame()
+dbin_aliased = DestroyFirstBinTolerateAliased()
+
+
+def test_input_aliasing_same_variable_rejected():
+    t = V("t")
+    out = dbin(t, t)
+    fg = make_fg([t], [out])
+    with pytest.raises(InconsistencyError, match="Input aliasing"):
+        fg.validate()
+
+
+def test_input_aliasing_through_views_rejected():
+    t = V("t")
+    out = dbin(view(t), view(t))
+    fg = make_fg([t], [out])
+    with pytest.raises(InconsistencyError, match="Input aliasing"):
+        fg.validate()
+
+
+def test_input_aliasing_destroyed_view_other_view_rejected():
+    # destroys a view of t while also reading a sibling view of t
+    t = V("t")
+    out = dbin(view(t), t)
+    fg = make_fg([t], [out])
+    with pytest.raises(InconsistencyError, match="Input aliasing"):
+        fg.validate()
+
+
+def test_tolerate_same_allows_identical_variable():
+    t = V("t")
+    out = dbin_same(t, t)
+    fg = make_fg([t], [out])
+    fg.validate()  # op declares (0, 1) may be the same variable
+
+
+def test_tolerate_same_does_not_allow_mere_aliases():
+    # tolerate_same permits the IDENTICAL variable only, not sibling views
+    t = V("t")
+    out = dbin_same(view(t), view(t))
+    fg = make_fg([t], [out])
+    with pytest.raises(InconsistencyError, match="Input aliasing"):
+        fg.validate()
+
+
+def test_tolerate_aliased_allows_sibling_views():
+    t = V("t")
+    out = dbin_aliased(view(t), view(t))
+    fg = make_fg([t], [out])
+    fg.validate()
+
+
+def test_unrelated_inputs_still_fine():
+    t, u = V("t"), V("u")
+    out = dbin(t, u)
+    fg = make_fg([t, u], [out])
+    fg.validate()
+
+
+class DestroyBoth(_Base):
+    nin = 2
+    destroy_map = {0: [0], 1: [1]}
+
+    def make_node(self, a, b):
+        return Apply(self, [a, b], [V(), V()])
+
+
+def test_destroyers_deduped_for_multi_destroy_node():
+    # one Apply destroying two DIFFERENT roots appears once per root and
+    # never twice in a destroyers() answer (advisor r3 dedup finding)
+    t, u = V("t"), V("u")
+    o1, o2 = DestroyBoth()(t, u)
+    fg = make_fg([t, u], [o1, o2])
+    (dst_t,) = fg.destroyers(t)
+    assert fg.destroyers(t).count(dst_t) == 1
+    assert fg.destroyers(u) == [dst_t]
+    fg.validate()
