@@ -314,7 +314,7 @@ class DebugMode(Mode):
 
     def __init__(self, optimizer="fast_run", check_finite=False,
                  stability_patience=None, check_aliasing=True,
-                 check_preallocated=True):
+                 check_preallocated=True, bisect=False):
         super().__init__(
             DebugLinker(
                 check_finite=check_finite,
@@ -326,6 +326,11 @@ class DebugMode(Mode):
         if stability_patience is None:
             stability_patience = config.DebugMode__patience
         self.stability_patience = stability_patience
+        #: with bisect=True every call is also checked against the py oracle
+        #: of the UNREWRITTEN graph; on divergence the culprit rewrite is
+        #: found by find_bad_optimizations and named in the BadOptimization
+        #: (reference _find_bad_optimizations, debugmode.py:699)
+        self.bisect = bisect
 
 
 class BadJitProgramOutput(DebugModeError):
@@ -417,6 +422,199 @@ class CompareMode(Mode):
 
     def __init__(self, optimizer="fast_run"):
         super().__init__(DualLinker(), optimizer)
+
+
+# --- bad-rewrite attribution (reference _find_bad_optimizations:699 +
+# _VariableEquivalenceTracker:1172) --------------------------------------------
+#
+# The reference tracks variable equivalences across every rewrite and, on a
+# numeric mismatch, indicts the specific rewrite.  Here the same capability is
+# an explicit culprit-finder: given a way to build fresh unrewritten clones
+# and the rewrite pipeline, it (1) runs the py oracle on the UNREWRITTEN
+# graph, (2) scans the pipeline stage by stage (the optdb float-position
+# prefix order — each stage is a position_cutoff increment) re-running the
+# oracle after each, and (3) replays the guilty stage transaction-by-
+# transaction by probing ``replace_all_validate`` — every rewrite application
+# commits through it with its ``reason`` — reporting the first rewrite whose
+# application flips the comparison.
+
+
+class RewriteCulpritReport:
+    """Names the rewrite that changed a program's results."""
+
+    def __init__(self, stage, rewrite, output_idx, ref_val, bad_val):
+        self.stage = stage          # stage name (optdb position entry)
+        self.rewrite = rewrite      # the NodeRewriter/reason that flipped, or None
+        self.output_idx = output_idx
+        self.ref_val = ref_val
+        self.bad_val = bad_val
+
+    @property
+    def culprit_name(self) -> str:
+        r = self.rewrite if self.rewrite is not None else self.stage
+        return str(getattr(r, "name", None) or r)
+
+    def __str__(self):
+        lines = [f"BadOptimization culprit: {self.culprit_name}",
+                 f"  pipeline stage: {self.stage}"]
+        if self.rewrite is not None:
+            lines.append(f"  rewrite: {self.rewrite}")
+        else:
+            lines.append(
+                "  (no single replace-transaction flipped the comparison; "
+                "the stage itself — a whole-graph rewriter — is the culprit)"
+            )
+        lines.append(f"  first diverging output: {self.output_idx}")
+        lines.append(str_diagnostic(self.ref_val, self.bad_val))
+        return "\n".join(lines)
+
+
+def _run_py_fgraph(fgraph, input_values):
+    """Run ``fgraph`` per-node with the NumPy oracle on copies of
+    ``input_values``; returns the output values."""
+    from aesara_tpu.link.basic import PerformLinker
+
+    linker = PerformLinker(allow_gc=False)
+    linker.fgraph = fgraph
+    in_st = [[None] for _ in fgraph.inputs]
+    out_st = [[None] for _ in fgraph.outputs]
+    thunk, _, _ = linker.make_thunk(input_storage=in_st, output_storage=out_st)
+    for cell, var, val in zip(in_st, fgraph.inputs, input_values):
+        if isinstance(val, np.ndarray):
+            val = val.copy()
+        cell[0] = var.type.filter(val, strict=False)
+    thunk()
+    return [c[0] for c in out_st]
+
+
+def _first_divergence(fgraph, vals, ref_vals):
+    """Index of the first output where ``vals`` disagrees with ``ref_vals``
+    under the type's approximate equality, or None."""
+    for i, (var, v, r) in enumerate(zip(fgraph.outputs, vals, ref_vals)):
+        if getattr(var.type, "dtype", None) is None:
+            continue
+        try:
+            ok = check_eq(var, r, v)
+        except Exception:
+            continue
+        if not ok:
+            return i
+    return None
+
+
+def find_bad_optimizations(build_fgraph, rewriter, input_values):
+    """Attribute a rewrite-introduced numeric divergence to one rewrite.
+
+    ``build_fgraph()`` must return a fresh UNREWRITTEN clone each call
+    (with ReplaceValidate attached); ``rewriter`` is the full pipeline
+    (typically ``optdb.query(...)`` — a SequentialGraphRewriter whose
+    members are the float-position stages); ``input_values`` triggers the
+    divergence.  Returns a :class:`RewriteCulpritReport`, or None when the
+    rewritten program agrees with the unrewritten oracle on these inputs.
+    """
+    ref_fg = build_fgraph()
+    ref_vals = _run_py_fgraph(ref_fg, input_values)
+
+    from aesara_tpu.graph.rewriting.basic import SequentialGraphRewriter
+
+    stages = (list(rewriter) if isinstance(rewriter, SequentialGraphRewriter)
+              else [rewriter])
+
+    # 1) prefix scan over the stage pipeline (cumulative application — the
+    # position_cutoff order), comparing the py oracle after each stage
+    fg = build_fgraph()
+    guilty_idx = None
+    divergence = None
+    for si, stage in enumerate(stages):
+        stage.rewrite(fg)
+        vals = _run_py_fgraph(fg, input_values)
+        bad = _first_divergence(fg, vals, ref_vals)
+        if bad is not None:
+            guilty_idx = si
+            divergence = (bad, ref_vals[bad], vals[bad])
+            break
+    if guilty_idx is None:
+        return None
+    stage = stages[guilty_idx]
+    stage_name = str(getattr(stage, "name", None) or type(stage).__name__)
+
+    # 2) replay: fresh clone, apply the innocent prefix, then run the guilty
+    # stage with every replace-transaction probed.  ``replace_all_validate``
+    # (and its _remove variant) is the single commit point every node
+    # rewrite goes through, carrying the rewrite as ``reason``.
+    fg2 = build_fgraph()
+    for s in stages[:guilty_idx]:
+        s.rewrite(fg2)
+    found = {"rewrite": None, "output_idx": None, "ref": None, "bad": None}
+
+    def _probe_after_commit(reason):
+        if found["rewrite"] is not None:
+            return
+        try:
+            vals = _run_py_fgraph(fg2, input_values)
+        except Exception:
+            return  # mid-pipeline graph not runnable: skip this probe point
+        bad = _first_divergence(fg2, vals, ref_vals)
+        if bad is not None:
+            found.update(rewrite=reason, output_idx=bad,
+                         ref=ref_vals[bad], bad=vals[bad])
+
+    orig_rav = fg2.replace_all_validate
+    orig_ravr = fg2.replace_all_validate_remove
+
+    def probed_rav(replacements, reason=None, **kwargs):
+        out = orig_rav(replacements, reason=reason, **kwargs)
+        _probe_after_commit(reason)
+        return out
+
+    def probed_ravr(replacements, remove, reason=None, **kwargs):
+        out = orig_ravr(replacements, remove, reason=reason, **kwargs)
+        _probe_after_commit(reason)
+        return out
+
+    fg2.replace_all_validate = probed_rav
+    fg2.replace_all_validate_remove = probed_ravr
+    try:
+        stage.rewrite(fg2)
+    finally:
+        fg2.replace_all_validate = orig_rav
+        fg2.replace_all_validate_remove = orig_ravr
+
+    if found["rewrite"] is not None:
+        return RewriteCulpritReport(
+            stage_name, found["rewrite"], found["output_idx"],
+            found["ref"], found["bad"],
+        )
+    # no single transaction flipped (whole-graph rewriter mutating without
+    # replace_all_validate, or an interaction): indict the stage
+    bad, ref_v, bad_v = divergence
+    return RewriteCulpritReport(stage_name, None, bad, ref_v, bad_v)
+
+
+def find_bad_rewrite(inputs, outputs, input_values, optimizer="fast_run"):
+    """User-level culprit finder: symbolic ``inputs``/``outputs`` plus the
+    concrete ``input_values`` that expose the wrong result.  ``optimizer``
+    is a predefined-optimizer name or a RewriteDatabaseQuery."""
+    from aesara_tpu.compile.mode import optdb, predefined_optimizers
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.graph.features import ReplaceValidate
+    from aesara_tpu.graph.ir import clone_get_equiv
+
+    if isinstance(optimizer, str) or optimizer is None:
+        optimizer = predefined_optimizers[optimizer]
+    rewriter = optdb.query(optimizer)
+
+    def build_fgraph():
+        memo = clone_get_equiv(
+            inputs, outputs, copy_inputs=True, copy_orphans=True
+        )
+        fg = FunctionGraph(
+            [memo[v] for v in inputs], [memo[v] for v in outputs], clone=False
+        )
+        fg.attach_feature(ReplaceValidate())
+        return fg
+
+    return find_bad_optimizations(build_fgraph, rewriter, input_values)
 
 
 # --- reference error taxonomy + diagnostics (debugmode.py) -------------------

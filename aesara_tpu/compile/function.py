@@ -389,6 +389,49 @@ def orig_function(
         input_storage=input_storage
     )
 
+    if getattr(mode, "bisect", False) and rewriter is not None:
+        # DebugMode(bisect=True): cross-check every call against the py
+        # oracle of the UNREWRITTEN graph; on divergence run the culprit
+        # finder and name the rewrite (reference _find_bad_optimizations)
+        import numpy as _np
+
+        from aesara_tpu.compile.debugmode import (
+            BadOptimization,
+            _first_divergence,
+            _run_py_fgraph,
+            find_bad_optimizations,
+        )
+
+        inner_thunk = thunk
+        out_cells = [c.storage for c in output_containers]
+
+        def _bisect_thunk():
+            snap = [
+                None if cell[0] is None
+                else (_np.asarray(cell[0]).copy()
+                      if isinstance(cell[0], _np.ndarray)
+                      or _np.isscalar(cell[0]) else cell[0])
+                for cell in input_storage
+            ]
+            inner_thunk()
+            ref_vals = _run_py_fgraph(_build_fgraph(), snap)
+            got_vals = [
+                None if c[0] is None else _np.asarray(c[0]) for c in out_cells
+            ]
+            bad = _first_divergence(fgraph, got_vals, ref_vals)
+            if bad is not None:
+                report = find_bad_optimizations(_build_fgraph, rewriter, snap)
+                if report is None:
+                    raise BadOptimization(
+                        f"output {bad} diverges from the unrewritten py "
+                        "oracle, but no pipeline prefix reproduces it "
+                        "(jit-path bug? try CompareMode)"
+                    )
+                raise BadOptimization(str(report))
+
+        _bisect_thunk.__dict__.update(inner_thunk.__dict__)
+        thunk = _bisect_thunk
+
     fn = Function(
         thunk=thunk,
         input_storage=input_storage,
