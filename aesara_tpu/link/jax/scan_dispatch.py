@@ -68,11 +68,32 @@ def _jax_scan(op, node=None, **kwargs):
                       else sit_inits[i - info.n_mit_sot])
             for i in range(n_rec) if info.tail_depth(i)
         )
+
+        # nit-sot rings have no init state to take a row shape from, so
+        # the rows are abstract-eval'd from the body (free under jit:
+        # static shapes, no FLOPs)
+        nit_rings = ()
+        if info.nit_tail_depths and any(info.nit_tail_depths):
+            args0 = [s[0] for s in seqs]
+            for w, taps, depth in zip(mit_inits, info.mit_sot_taps, tap_depths):
+                for tap in taps:
+                    args0.append(w[depth + tap])
+            args0.extend(sit_inits)
+            args0.extend(shared_inits)
+            args0.extend(non_seqs)
+            res_shapes = jax.eval_shape(lambda *a: tuple(body(*a)), *args0)
+            nit_shapes = res_shapes[n_rec: n_rec + info.n_nit_sot]
+            nit_rings = tuple(
+                jnp.zeros((info.nit_tail_depth(i),) + tuple(sh.shape),
+                          sh.dtype)
+                for i, sh in enumerate(nit_shapes)
+                if info.nit_tail_depth(i)
+            )
         init_carry = (tuple(mit_inits), tuple(sit_inits),
-                      tuple(shared_inits), rings)
+                      tuple(shared_inits), rings, nit_rings)
 
         def step(carry, xs):
-            mit_windows, sit_states, shared_states, rs = carry
+            mit_windows, sit_states, shared_states, rs, nit_rs = carry
             args = list(xs) if xs is not None else []
             for w, taps, depth in zip(mit_windows, info.mit_sot_taps, tap_depths):
                 for tap in taps:
@@ -104,18 +125,31 @@ def _jax_scan(op, node=None, **kwargs):
                     r = next(r_it)
                     new_rings.append(jnp.concatenate(
                         [r[1:], jnp.asarray(rec_vals[i])[None]], axis=0))
+            new_nit_rings = []
+            nr_it = iter(nit_rs)
+            for i in range(info.n_nit_sot):
+                if info.nit_tail_depth(i):
+                    r = next(nr_it)
+                    new_nit_rings.append(jnp.concatenate(
+                        [r[1:], jnp.asarray(nit_vals[i])[None]], axis=0))
             new_carry = (tuple(new_windows), tuple(sit_vals),
-                         tuple(new_shared), tuple(new_rings))
+                         tuple(new_shared), tuple(new_rings),
+                         tuple(new_nit_rings))
             ys_vals = tuple(
                 v for i, v in enumerate(rec_vals) if stacked[i]
-            ) + tuple(nit_vals)
+            ) + tuple(
+                v for i, v in enumerate(nit_vals)
+                if not info.nit_tail_depth(i)
+            )
             return new_carry, ys_vals
 
-        (final_windows, final_sit, final_shared, final_rings), ys = lax.scan(
+        (final_windows, final_sit, final_shared, final_rings,
+         final_nit_rings), ys = lax.scan(
             step, init_carry, tuple(seqs) if seqs else None, length=length
         )
         ys_it = iter(ys)
         ring_it = iter(final_rings)
+        nit_ring_it = iter(final_nit_rings)
         outs = []
         for i in range(n_rec):
             if stacked[i]:
@@ -126,7 +160,11 @@ def _jax_scan(op, node=None, **kwargs):
                 outs.append(final_windows[i][-1])
             else:
                 outs.append(final_sit[i - info.n_mit_sot])
-        outs.extend(ys_it)  # nit-sot stacks
+        for i in range(info.n_nit_sot):
+            if info.nit_tail_depth(i):
+                outs.append(next(nit_ring_it))
+            else:
+                outs.append(next(ys_it))
         return tuple(outs) + tuple(final_shared)
 
     return scan_fn

@@ -62,6 +62,13 @@ class ScanInfo:
     #: scan_save_mem (reference save_mem_new_scan, scan/rewriting.py:1176,
     #: truncates stacked buffers for arbitrary tail windows x[-k:])
     tail_depths: Tuple[int, ...] = ()
+    #: per nit-sot output: k > 0 → only the LAST k steps are returned as a
+    #: k-deep ring in the carry (the map-output windowed-loss case the
+    #: reference's save_mem_new_scan also truncates,
+    #: ``scan/rewriting.py:1176``); 0 → full (n_steps, ...) stack.
+    #: Pure x[-1] consumers use k=1 (nit-sots have no carried state, so
+    #: there is no separate final_only form).
+    nit_tail_depths: Tuple[int, ...] = ()
 
     def is_final_only(self, rec_idx: int) -> bool:
         return bool(self.final_only) and self.final_only[rec_idx]
@@ -69,6 +76,10 @@ class ScanInfo:
     def tail_depth(self, rec_idx: int) -> int:
         """Ring depth for a recurrent output (0 = full stack)."""
         return self.tail_depths[rec_idx] if self.tail_depths else 0
+
+    def nit_tail_depth(self, nit_idx: int) -> int:
+        """Ring depth for a nit-sot output (0 = full stack)."""
+        return self.nit_tail_depths[nit_idx] if self.nit_tail_depths else 0
 
     @property
     def n_mit_sot(self) -> int:
@@ -194,9 +205,11 @@ class Scan(Op, HasInnerGraph):
         for k in range(info.n_sit_sot):
             outputs.append(rec_out_type(info.n_mit_sot + k))
             idx += 1
-        for _ in range(info.n_nit_sot):
+        for nit_i in range(info.n_nit_sot):
+            tail = info.nit_tail_depth(nit_i)
+            lead = tail if tail else static_len
             outputs.append(
-                TensorType(inner[idx].type.dtype, (static_len,) + inner[idx].type.shape)()
+                TensorType(inner[idx].type.dtype, (lead,) + inner[idx].type.shape)()
             )
             idx += 1
         for _ in range(info.n_shared):
@@ -301,7 +314,12 @@ class Scan(Op, HasInnerGraph):
             output_storage[out_pos][0] = rec_result(info.n_mit_sot + i, sit_out[i])
             out_pos += 1
         for i in range(info.n_nit_sot):
-            output_storage[out_pos][0] = np.asarray(nit_out[i])
+            tail = info.nit_tail_depth(i)
+            if tail:
+                # the rewrite only fires with static n_steps >= tail
+                output_storage[out_pos][0] = np.asarray(nit_out[i][-tail:])
+            else:
+                output_storage[out_pos][0] = np.asarray(nit_out[i])
             out_pos += 1
         for i in range(info.n_shared):
             output_storage[out_pos][0] = shared_states[i]
@@ -323,10 +341,15 @@ class Scan(Op, HasInnerGraph):
                 # shape, not an (n_steps, ...) stack
                 out.append(tuple(tshape(o)[d] for d in range(o.type.ndim)))
             elif i < info.n_mit_sot + info.n_sit_sot + info.n_nit_sot:
-                rest = tuple(
-                    tshape(o)[d + 1] for d in range(o.type.ndim - 1)
-                )
-                out.append((n_steps,) + rest)
+                nit_i = i - info.n_mit_sot - info.n_sit_sot
+                if info.nit_tail_depth(nit_i):
+                    # (k, ...) ring: the output's own static shape
+                    out.append(tuple(tshape(o)[d] for d in range(o.type.ndim)))
+                else:
+                    rest = tuple(
+                        tshape(o)[d + 1] for d in range(o.type.ndim - 1)
+                    )
+                    out.append((n_steps,) + rest)
             else:
                 # shared finals: same shape as the matching init
                 init_idx = 1 + info.n_seqs + info.n_mit_sot + info.n_sit_sot + (
@@ -351,7 +374,8 @@ class Scan(Op, HasInnerGraph):
         info = self.info
         if info.as_while:
             raise NotImplementedError("R_op of a while-Scan")
-        if (info.final_only and any(info.final_only)) or any(info.tail_depths):
+        if ((info.final_only and any(info.final_only)) or any(info.tail_depths)
+                or any(info.nit_tail_depths)):
             raise NotImplementedError("R_op of a save-mem (final-only/tail) Scan")
 
         inner_in = list(self.fgraph.inputs)
@@ -474,7 +498,8 @@ class Scan(Op, HasInnerGraph):
         from aesara_tpu.tensor.subtensor import inc_subtensor, set_subtensor
 
         info = self.info
-        if info.as_while or any(info.final_only) or any(info.tail_depths):
+        if (info.as_while or any(info.final_only) or any(info.tail_depths)
+                or any(info.nit_tail_depths)):
             # save-mem scans arise from the post-grad rewrite pipeline;
             # user grads are built before scan_save_mem fires
             return [

@@ -74,9 +74,14 @@ def scan_save_mem(fgraph, node):
         return False
     info = snode.op.info
     rec_idx = scanned.index
-    if rec_idx >= info.n_mit_sot + info.n_sit_sot:
-        return False  # nit-sot finals stay stacked (not in the carry)
-    if info.is_final_only(rec_idx) or info.tail_depth(rec_idx):
+    n_rec = info.n_mit_sot + info.n_sit_sot
+    is_nit = n_rec <= rec_idx < n_rec + info.n_nit_sot
+    if rec_idx >= n_rec + info.n_nit_sot:
+        return False  # shared finals carry no stack
+    if is_nit:
+        if info.nit_tail_depth(rec_idx - n_rec):
+            return False
+    elif info.is_final_only(rec_idx) or info.tail_depth(rec_idx):
         return False
     # the stack must have NO consumer outside the tail
     clients = fgraph.clients.get(scanned, [])
@@ -92,11 +97,8 @@ def scan_save_mem(fgraph, node):
         if not _is_last_element_index(client.op.idx_list):
             pure_final = False
 
-    n_rec = info.n_mit_sot + info.n_sit_sot
-    if pure_final:
-        new_final = list(info.final_only) if info.final_only else [False] * n_rec
-        new_final[rec_idx] = True
-        new_info = ScanInfo(
+    def _mk_info(final_only, tail_depths, nit_tail_depths):
+        return ScanInfo(
             n_seqs=info.n_seqs,
             mit_sot_taps=info.mit_sot_taps,
             n_sit_sot=info.n_sit_sot,
@@ -104,37 +106,51 @@ def scan_save_mem(fgraph, node):
             n_shared=info.n_shared,
             n_non_seqs=info.n_non_seqs,
             as_while=info.as_while,
-            final_only=tuple(new_final),
-            tail_depths=info.tail_depths,
+            final_only=final_only,
+            tail_depths=tail_depths,
+            nit_tail_depths=nit_tail_depths,
         )
-    else:
-        k = max(depths)
+
+    def _static_len_above(k):
+        # a ring is always full, so the trip count must be static and
+        # exceed k (k == n_steps is a FULL-depth ring: zero memory win —
+        # keep the plain stacked buffer; local_useless_subtensor then
+        # folds the covering x[-k:])
         if info.as_while:
             return False  # ring exactness needs a known trip count
         try:
             from aesara_tpu.tensor.basic import get_scalar_constant_value
 
-            static_len = int(get_scalar_constant_value(snode.inputs[0]))
+            return int(get_scalar_constant_value(snode.inputs[0])) > k
         except Exception:
             return False
-        if static_len <= k:
-            # k == n_steps is a FULL-depth ring: zero memory win (the
-            # ring IS the stack) — keep the plain stacked buffer;
-            # local_useless_subtensor then folds the covering x[-k:]
+
+    if pure_final and not is_nit:
+        new_final = list(info.final_only) if info.final_only else [False] * n_rec
+        new_final[rec_idx] = True
+        new_info = _mk_info(tuple(new_final), info.tail_depths,
+                            info.nit_tail_depths)
+    elif is_nit:
+        # a nit-sot has no carried state, so even pure x[-1] usage becomes
+        # a depth-k ring (consumers re-index the ring) rather than a
+        # final_only form
+        k = max(depths)
+        if not _static_len_above(k):
+            return False
+        new_nit = (list(info.nit_tail_depths) if info.nit_tail_depths
+                   else [0] * info.n_nit_sot)
+        new_nit[rec_idx - n_rec] = k
+        new_info = _mk_info(info.final_only, info.tail_depths,
+                            tuple(new_nit))
+        pure_final = False  # always re-index the ring
+    else:
+        k = max(depths)
+        if not _static_len_above(k):
             return False
         new_tails = list(info.tail_depths) if info.tail_depths else [0] * n_rec
         new_tails[rec_idx] = k
-        new_info = ScanInfo(
-            n_seqs=info.n_seqs,
-            mit_sot_taps=info.mit_sot_taps,
-            n_sit_sot=info.n_sit_sot,
-            n_nit_sot=info.n_nit_sot,
-            n_shared=info.n_shared,
-            n_non_seqs=info.n_non_seqs,
-            as_while=info.as_while,
-            final_only=info.final_only,
-            tail_depths=tuple(new_tails),
-        )
+        new_info = _mk_info(info.final_only, tuple(new_tails),
+                            info.nit_tail_depths)
     new_op = Scan(
         snode.op.fgraph, new_info, snode.op.name,
         snode.op.truncate_gradient, snode.op.mode,
@@ -208,6 +224,7 @@ def scan_unused_recurrent_to_final(fgraph, node):
         as_while=info.as_while,
         final_only=tuple(new_final),
         tail_depths=info.tail_depths,
+        nit_tail_depths=info.nit_tail_depths,
     )
     new_op = Scan(
         node.op.fgraph, new_info, node.op.name,
@@ -329,6 +346,7 @@ def scan_pushout_non_seqs(fgraph, node):
         as_while=info.as_while,
         final_only=info.final_only,
         tail_depths=info.tail_depths,
+        nit_tail_depths=info.nit_tail_depths,
     )
     new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
     new_outs = new_op(*(list(node.inputs) + list(outer_values)),
@@ -430,6 +448,13 @@ def _merge_two_scans(node_a, node_b):
     ka, kb = _tails(ia), _tails(ib)
     merged_tails = (ka[: ia.n_mit_sot] + kb[: ib.n_mit_sot]
                     + ka[ia.n_mit_sot:] + kb[ib.n_mit_sot:])
+
+    def _ntails(info):
+        if info.nit_tail_depths:
+            return list(info.nit_tail_depths)
+        return [0] * info.n_nit_sot
+
+    merged_nit_tails = _ntails(ia) + _ntails(ib)
     merged_info = ScanInfo(
         n_seqs=ia.n_seqs + ib.n_seqs,
         mit_sot_taps=tuple(ia.mit_sot_taps) + tuple(ib.mit_sot_taps),
@@ -440,6 +465,8 @@ def _merge_two_scans(node_a, node_b):
         as_while=False,
         final_only=tuple(merged_final) if any(merged_final) else (),
         tail_depths=tuple(merged_tails) if any(merged_tails) else (),
+        nit_tail_depths=(tuple(merged_nit_tails)
+                         if any(merged_nit_tails) else ()),
     )
 
     def _split_outer_inputs(info, node):
@@ -684,6 +711,7 @@ def scan_pushout_seqs(fgraph, node):
         as_while=info.as_while,
         final_only=info.final_only,
         tail_depths=info.tail_depths,
+        nit_tail_depths=info.nit_tail_depths,
     )
     new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
     new_inputs = (
@@ -791,6 +819,7 @@ def scan_remove_constants_and_unused(fgraph, node):
         as_while=info.as_while,
         final_only=info.final_only,
         tail_depths=info.tail_depths,
+        nit_tail_depths=info.nit_tail_depths,
     )
     new_op = Scan(new_fg, new_info, op.name, op.truncate_gradient, op.mode)
     new_outs = new_op(
@@ -988,6 +1017,11 @@ def scan_pushout_sum(fgraph, node):
             as_while=False,
             final_only=tuple(new_final) if any(new_final) else (),
             tail_depths=tuple(new_tails) if any(new_tails) else (),
+            nit_tail_depths=(
+                tuple(info.nit_tail_depths) + (0,)
+                if info.nit_tail_depths and any(info.nit_tail_depths)
+                else ()
+            ),
         )
         new_fg = FunctionGraph(new_inner_inputs, new_inner_outputs,
                                clone=True)
