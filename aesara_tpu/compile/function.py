@@ -521,9 +521,20 @@ class Function:
             self._bucket_positions = [
                 i for i, spec in enumerate(in_specs)
                 if getattr(spec, "batched", None) is not False
+                and getattr(spec, "seq_bucketed", None) is None
                 and (getattr(spec.variable.type, "ndim", 0) or 0) >= 1
                 and getattr(spec.variable.type, "shape", (1,))[0] is None
             ]
+        # second bucketed dim: sequence length, declared per input as
+        # In(seq_bucketed=<axis>) and ZERO-padded (compile/bucketing.py);
+        # the declaration asserts pad-tolerant (masked) graph semantics
+        self._bucket_seq_positions = [
+            (i, int(s.seq_bucketed)) for i, s in enumerate(in_specs)
+            if getattr(s, "seq_bucketed", None) is not None
+        ]
+        #: memoized batch_axis_safety verdict (None = safe / not yet run)
+        self._bucket_safety_reason = None
+        self._bucket_safety_done = False
 
     @property
     def xla_compile_count(self):
@@ -555,10 +566,108 @@ class Function:
         b = bucket_for(n, policy)
         if b == n or n == 0:
             return None, None
+        # padding WILL happen on this call: gate on the safety analysis
+        # (raise / warn-and-skip / trust per config.shape_buckets_check)
+        if not self._check_bucket_safety():
+            return None, None
         for pos in self._bucket_positions:
             cell = self.input_storage[pos]
             cell[0] = pad_leading(np.asarray(cell[0]), b)
         return n, b
+
+    def _check_bucket_safety(self):
+        """Run the batch-axis safety analysis once per Function (VERDICT
+        r3 item 3a): raise/warn when the compiled graph folds replicate-
+        pad rows into real results.  Policy: config.shape_buckets_check."""
+        if not self._bucket_safety_done:
+            from aesara_tpu.compile.bucketing import batch_axis_safety
+
+            tainted = [
+                self.fgraph.inputs[pos] for pos in self._bucket_positions
+                if pos < len(self.fgraph.inputs)
+            ]
+            try:
+                self._bucket_safety_reason = batch_axis_safety(
+                    self.fgraph, tainted
+                )
+            except Exception:
+                self._bucket_safety_reason = (
+                    "bucketing safety analysis failed on this graph; "
+                    "treating as unsafe"
+                )
+            self._bucket_safety_done = True
+        reason = self._bucket_safety_reason
+        if reason is None:
+            return True
+        policy = config.shape_buckets_check
+        if policy == "raise":
+            from aesara_tpu.compile.bucketing import BucketingError
+
+            raise BucketingError(reason)
+        if policy == "warn":
+            if not getattr(self, "_bucket_safety_warned", False):
+                warnings.warn(reason + " — running unbucketed")
+                self._bucket_safety_warned = True
+            return False
+        return True  # "off": user asserted safety
+
+    def _pad_seq_to_bucket(self, policy):
+        """Zero-pad each declared sequence axis up to the policy's bucket.
+        Returns (true_len, bucket) when padding happened, else (None, None)."""
+        from aesara_tpu.compile.bucketing import bucket_for, pad_axis_zero
+
+        lengths = set()
+        for pos, axis in self._bucket_seq_positions:
+            v = self.input_storage[pos][0]
+            if not isinstance(v, np.ndarray) or v.ndim <= axis:
+                return None, None
+            lengths.add(int(v.shape[axis]))
+        if len(lengths) != 1:
+            return None, None
+        n = lengths.pop()
+        b = bucket_for(n, policy)
+        if b == n or n == 0:
+            return None, None
+        for pos, axis in self._bucket_seq_positions:
+            cell = self.input_storage[pos]
+            cell[0] = pad_axis_zero(cell[0], axis, b)
+        return n, b
+
+    def _seq_output_axes(self):
+        """Per-output seq axis (or None), tracked through the graph by the
+        same dataflow the safety analysis uses (compile/bucketing.py
+        axis_taint) — never guessed from runtime sizes, so a batch axis
+        that coincidentally equals the seq bucket is never mis-sliced."""
+        if not hasattr(self, "_seq_out_axes"):
+            from aesara_tpu.compile.bucketing import axis_taint
+
+            seeds = {
+                self.fgraph.inputs[pos]: axis
+                for pos, axis in self._bucket_seq_positions
+                if pos < len(self.fgraph.inputs)
+            }
+            try:
+                taint = axis_taint(self.fgraph, seeds)
+            except Exception:
+                taint = {}
+            axes = []
+            for out in self.fgraph.outputs:
+                ot = taint.get(out, frozenset())
+                axes.append(next(iter(ot)) if len(ot) == 1 else None)
+            self._seq_out_axes = axes
+        return self._seq_out_axes
+
+    @staticmethod
+    def _slice_seq_axis(val, axis, n, b):
+        """Slice the tracked sequence axis back to the true length."""
+        if (
+            val is None or axis is None or not hasattr(val, "shape")
+            or len(val.shape) <= axis or int(val.shape[axis]) != b
+        ):
+            return val
+        sl = [slice(None)] * len(val.shape)
+        sl[axis] = slice(0, n)
+        return val[tuple(sl)]
 
     @staticmethod
     def _slice_bucketed(val, var, n, b):
@@ -606,14 +715,21 @@ class Function:
                     raise TypeError(f"missing input {spec.variable}")
 
         bkt_n = bkt_b = None
+        seq_n = seq_b = None
         # bucketing exists to bound XLA recompiles; per-node py/cvm paths
         # run any shape natively and must see the true arrays
-        if self._bucket_positions and getattr(self.fn, "jit_fn", None) is not None:
+        if (
+            (self._bucket_positions or self._bucket_seq_positions)
+            and getattr(self.fn, "jit_fn", None) is not None
+        ):
             from aesara_tpu.compile.bucketing import parse_buckets
 
             policy = parse_buckets(config.shape_buckets)
             if policy is not None:
-                bkt_n, bkt_b = self._pad_to_bucket(policy)
+                if self._bucket_positions:
+                    bkt_n, bkt_b = self._pad_to_bucket(policy)
+                if self._bucket_seq_positions:
+                    seq_n, seq_b = self._pad_seq_to_bucket(policy)
 
         ran_subset = False
         if output_subset is not None:
@@ -640,6 +756,11 @@ class Function:
             outs = [
                 self._slice_bucketed(o, var, bkt_n, bkt_b)
                 for o, var in zip(outs, self.fgraph.outputs)
+            ]
+        if seq_n is not None:
+            outs = [
+                self._slice_seq_axis(o, ax, seq_n, seq_b)
+                for o, ax in zip(outs, self._seq_output_axes())
             ]
         specs = self.out_specs or [None] * len(outs)
         outs = [

@@ -61,6 +61,7 @@ class In(SymbolicInput):
         borrow: Optional[bool] = None,
         shared: bool = False,
         batched: Optional[bool] = None,
+        seq_bucketed: Optional[int] = None,
     ):
         if borrow is None:
             borrow = mutable if mutable is not None else False
@@ -78,6 +79,14 @@ class In(SymbolicInput):
         #: None  — heuristic (padded iff its leading dim is typed None,
         #:         unless any input in the function is marked True)
         self.batched = batched
+        #: second bucketed dim (compile/bucketing.py, sequence-length
+        #: policy): the AXIS of this input that carries a dynamic sequence
+        #: length, ZERO-padded up to the shape_buckets bucket.  Declaring
+        #: it asserts the graph is pad-tolerant at that axis (masked
+        #: attention / explicit-length semantics) — the driver pads and
+        #: re-slices, the graph author owns masking.  None — not a
+        #: sequence input.
+        self.seq_bucketed = seq_bucketed
 
 
 class SymbolicOutput:

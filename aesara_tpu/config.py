@@ -244,6 +244,12 @@ config.add("shape_buckets", StrParam("off",
                "up to the next power of two), or an explicit comma list "
                "of bucket sizes ('8,64,256'); see compile/bucketing.py "
                "for the batch-rowwise exactness contract"))
+config.add("shape_buckets_check", EnumStr("raise", ("warn", "off"),
+           doc="batch-axis safety analysis for bucketing: 'raise' errors "
+               "when a bucketed function's graph reduces/contracts over "
+               "the padded batch dim (replicated pad rows would silently "
+               "poison the result), 'warn' runs that call unbucketed with "
+               "a warning, 'off' trusts the user"))
 config.add("tensor__local_elemwise_fusion", BoolParam(True, doc="enable elemwise fusion pass"))
 config.add("lib__amdlibm", BoolParam(False, doc="parity flag; unused on TPU"))
 config.add("warn__ignore_bug_before", StrParam("all", doc="parity flag"))

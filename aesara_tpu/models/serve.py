@@ -120,18 +120,30 @@ class ContinuousBatcher:
             ups[c] = fin
         self._decode = function([], toks, updates=ups, mode=mode)
 
-        # ---- prefill: fill one slot's caches from a padded prompt --------
+        # ---- prefill: fill one slot's caches from a variable-length
+        # prompt.  The prompt input has a DYNAMIC length (None dim) and is
+        # declared In(seq_bucketed=0): the driver zero-pads it up to the
+        # pow2 ladder below, so a stream of varying-length prompts
+        # compiles O(log t_pad) XLA programs instead of one per length —
+        # and short prompts stop paying t_pad's worth of attention FLOPs
+        # (bucketing v2 integration, VERDICT r3 item 3b).  Exactness:
+        # causal attention never lets rows < plen attend pad rows, and
+        # K/V rows beyond plen are overwritten by decode before any read
+        # (the same argument the old fixed-t_pad padding relied on).
+        from aesara_tpu.compile.io import In
+
         slot = TensorType("int64", ())("slot")
-        prompt = TensorType("int64", (t_pad,))("prompt")
+        prompt = TensorType("int64", (None,))("prompt")
         plen = TensorType("int64", ())("plen")
-        x = model.embed[prompt]                           # (T_pad, D)
+        tcur = prompt.shape[0]  # static per jit trace (= the bucket)
+        x = model.embed[prompt]                           # (T_b, D)
         hh = x
         pre_ups = {}
         for i, layer in enumerate(model.layers):
-            k_rows, v_rows = layer.prefill_kv_rows(hh, t_pad)
+            k_rows, v_rows = layer.prefill_kv_rows(hh, tcur)
             kc, vc = self._caches[2 * i], self._caches[2 * i + 1]
-            pre_ups[kc] = set_subtensor(kc[slot, :t_pad], k_rows)
-            pre_ups[vc] = set_subtensor(vc[slot, :t_pad], v_rows)
+            pre_ups[kc] = set_subtensor(kc[slot, :tcur], k_rows)
+            pre_ups[vc] = set_subtensor(vc[slot, :tcur], v_rows)
             hh = layer.full(hh)
         # first generated token comes from the LAST REAL row's hidden
         h_last = hh[plen - 1]
@@ -139,8 +151,17 @@ class ContinuousBatcher:
         pre_ups[self._cur] = set_subtensor(self._cur[slot], tok0)
         pre_ups[self._pos] = set_subtensor(self._pos[slot], plen)
         pre_ups[self._act] = set_subtensor(self._act[slot], np.int64(1))
-        self._prefill = function([slot, prompt, plen], tok0,
-                                 updates=pre_ups, mode=mode)
+        self._prefill = function([slot, In(prompt, seq_bucketed=0), plen],
+                                 tok0, updates=pre_ups, mode=mode)
+        # pow2 rungs capped at t_pad (t_pad itself is always a rung, so
+        # any admitted prompt lands on a rung)
+        rungs = []
+        r = 1
+        while r < t_pad:
+            rungs.append(r)
+            r *= 2
+        rungs.append(t_pad)
+        self._prompt_buckets = ",".join(str(r) for r in rungs)
 
         # ---- host bookkeeping --------------------------------------------
         self._free: List[int] = list(range(n_slots))
@@ -169,11 +190,11 @@ class ContinuousBatcher:
         if not self._free:
             raise RuntimeError("no free slot (check free_slots() first)")
         slot = self._free.pop()
-        padded = np.zeros(self.t_pad, dtype="int64")
-        padded[: len(prompt_tokens)] = prompt_tokens
         self._act_host[slot] = 1
-        tok0 = int(self._prefill(np.int64(slot), padded,
-                                 np.int64(len(prompt_tokens))))
+        arr = np.asarray(prompt_tokens, dtype="int64")
+        with config.change_flags(shape_buckets=self._prompt_buckets):
+            tok0 = int(self._prefill(np.int64(slot), arr,
+                                     np.int64(len(prompt_tokens))))
         rid = self._rid
         self._rid += 1
         self._slot_of[rid] = slot

@@ -134,3 +134,25 @@ def test_chunked_decode_matches(model, chunk):
     # retires at the FIRST occurrence of the eos value in the stream
     first = ref.index(eos)
     assert srv2.result(rid) == ref[: first + 1]
+
+
+def test_prefill_compiles_olog_programs(model):
+    """Bucketing v2 integration (VERDICT r3 item 3b): the prefill input
+    is In(seq_bucketed=0), so a stream of varying-length prompts compiles
+    one XLA program per pow2 rung — O(log t_pad), not O(distinct lengths)."""
+    rng = np.random.default_rng(3)
+    srv = ContinuousBatcher(model, n_slots=1, t_max=64, t_pad=8)
+    refs = {}
+    for n in range(1, 9):  # every length 1..8
+        p = rng.integers(0, V, size=n).astype("int64")
+        refs[n] = (p, list(np.asarray(
+            model.generate_from_prompt_fn(n, 3, 64)(p))))
+    for n, (p, ref) in refs.items():
+        rid = srv.submit(p, max_new=3)
+        while rid not in srv._done:
+            srv.step()
+        assert srv.result(rid) == ref, (n, srv.result(rid), ref)
+    cnt = srv._prefill.xla_compile_count
+    if cnt is not None:  # None on non-jit paths
+        # rungs 1,2,4,8 -> at most 4 programs for lengths 1..8
+        assert cnt <= 4, cnt
