@@ -211,6 +211,15 @@ config.add("sparse_densify", EnumStr("auto", ("never",),
                "'never' for such graphs"))
 config.add("sparse_densify_max_mb", IntParam(512,
            doc="max dense size (MiB) the auto sparse densify bridge accepts"))
+config.add("sparse_bss", EnumStr("auto", ("never",),
+           doc="jit-bridge policy for the BSS (blocked segment-slot) "
+               "Pallas structured_dot path: 'auto' uploads a sparse "
+               "function input in BSS layout when its sparse cone is "
+               "consumed only by structured_dot/usmm/transpose (+shape) "
+               "and the layout gate passes (max cell occupancy <= 32, "
+               "VMEM fit) — measured 8.7x the densified matvec at "
+               "density 0.01 (benchmarks/README.md); 'never' disables, "
+               "falling back to the densify/BCOO bridges"))
 config.add("flash_attention", EnumStr("auto", ("on", "off"),
            doc="FusedAttention lowering policy: 'auto' uses the Pallas "
                "FlashAttention kernels on TPU where measured faster "

@@ -19,6 +19,21 @@ from aesara_tpu.config import config
 from aesara_tpu.graph.ir import Constant, Variable
 from aesara_tpu.link.basic import Container, Linker, raise_with_op
 
+import re as _re
+
+_SCOPE_BAD = _re.compile(r"[^A-Za-z0-9_.-]+")
+
+
+def _scope_name(node_idx: int, node) -> str:
+    """HLO-safe scope carrying the toposort index + op identity; the
+    ``n<idx>.`` prefix is what ``profile_attr`` greps back out of
+    ``op_name`` metadata."""
+    label = type(node.op).__name__
+    sub = getattr(node.op, "scalar_op", None)
+    if sub is not None:
+        label += "_" + type(sub).__name__
+    return f"n{node_idx}.{_SCOPE_BAD.sub('_', label)[:48]}"
+
 
 def fgraph_to_jax(fgraph, guard=None) -> Callable:
     """Compose per-node ``jax_funcify`` callables into one function over
@@ -155,7 +170,12 @@ def fgraph_to_jax(fgraph, guard=None) -> Callable:
                         if code:
                             note(jnp.int32(code), node_idx)
             if vals is None:
-                vals = fn(*ins)
+                # thread the Apply identity into HLO op_metadata so a
+                # device profile maps back to graph nodes (reference
+                # per-Apply ProfileStats, compile/profiling.py:185; the
+                # attribution reader is link/jax/profile_attr.py)
+                with jax.named_scope(_scope_name(node_idx, node)):
+                    vals = fn(*ins)
                 if not isinstance(vals, (tuple, list)):
                     vals = (vals,)
                 if guard is not None:
@@ -265,6 +285,17 @@ class JAXLinker(Linker):
 
             densify_ok = densifiable_inputs(fgraph)
 
+        # BSS plan: a sparse input whose cone is pure structured_dot/
+        # usmm/transpose work bridges in the blocked-segment-slot layout
+        # and runs the Pallas SpMV kernel (8.7x the densified matvec at
+        # density 0.01 — link/jax/bss.py); the value-side occupancy gate
+        # is applied per call in _sparse_to_device
+        bss_plan = [None] * len(fgraph.inputs)
+        if any_sparse_in and config.sparse_bss == "auto":
+            from aesara_tpu.link.jax.sparse_dispatch import bss_inputs
+
+            bss_plan = bss_inputs(fgraph)
+
         use_jit = self.use_jit if self.use_jit is not None else config.jax_jit
         donate = (
             self.donate_updated
@@ -347,6 +378,15 @@ class JAXLinker(Linker):
             hit = bcoo_memo.get(pos)
             if hit is not None and hit[0] is v:
                 return hit[1]
+            if bss_plan[pos] is not None:
+                from aesara_tpu.link.jax.bss import bss_eligible, csr_to_bss
+
+                if bss_eligible(v):
+                    b = csr_to_bss(
+                        v, with_transpose=bss_plan[pos]["transpose"]
+                    )
+                    bcoo_memo[pos] = (v, b)
+                    return b
             if (
                 densify_ok[pos]
                 and (v.shape[0] * v.shape[1] * v.dtype.itemsize)
@@ -398,6 +438,9 @@ class JAXLinker(Linker):
                     v = jax.device_put(v)
                     cell[0] = v
                 args.append(v)
+            # kept for post-hoc HLO attribution (profile_attr.attribute
+            # re-lowers the jitted program with these example args)
+            thunk.last_args = args
             results = compiled(*args)
             if guard is not None:
                 *results, err_code, err_node = results
@@ -426,7 +469,8 @@ class JAXLinker(Linker):
         thunk.jit_fn = compiled
         thunk.raw_fn = fn
         thunk.sparse_plan = tuple(
-            ("dense" if densify_ok[i] else "bcoo") if f else None
+            ("bss" if bss_plan[i] is not None
+             else "dense" if densify_ok[i] else "bcoo") if f else None
             for i, f in enumerate(sparse_in_flags)
         )
         return thunk, input_containers, output_containers

@@ -148,9 +148,100 @@ def densifiable_inputs(fgraph) -> list:
     ]
 
 
+def _bss_cols_ok(b) -> bool:
+    """rhs column count must be static and small for the BSS kernel
+    (above C_GATE one MXU matmul on the densified matrix wins)."""
+    from aesara_tpu.link.jax.bss import C_GATE
+
+    if b.type.ndim == 1:
+        return True
+    if b.type.ndim == 2:
+        c = b.type.shape[1]
+        return c is not None and c <= C_GATE
+    return False
+
+
+def bss_inputs(fgraph) -> list:
+    """Per-fgraph-input BSS bridge plan: ``{"transpose": bool}`` when
+    the input is sparse-typed and its whole sparse cone is consumed only
+    by ``StructuredDot`` (sparse lhs, static narrow rhs), ``Usmm`` (x
+    slot), ``Transpose`` and shape ops — the ops the BSS Pallas kernel
+    covers — else ``None``.  ``transpose`` records whether the bridge
+    must build the transposed layout too (the grad graph's
+    ``structured_dot(x.T, gz)`` pattern).
+
+    float32 only: BSS stores values at f32 (TPU-native), so a float64
+    graph would silently lose precision on backends where f64 is real
+    (the CPU test mesh) — those keep the densify/BCOO bridges."""
+    from aesara_tpu.sparse.basic import SparseTensorType
+    from aesara_tpu.scan.op import Scan
+    from aesara_tpu.tensor.shape import Shape, Shape_i
+
+    def plan_for(start):
+        state = {"transpose": False}
+        seen = set()
+        stack = [(fgraph, start)]
+        while stack:
+            g, v = stack.pop()
+            key = (id(g), v)
+            if key in seen:
+                continue
+            seen.add(key)
+            if v in g.outputs:
+                return None
+            clients = getattr(g, "clients", None)
+            if clients is None:
+                return None
+            for node, idx in (clients.get(v, ()) if hasattr(clients, "get")
+                              else clients(v)):
+                if node == "output":
+                    return None
+                op = getattr(node, "op", None)
+                if isinstance(op, Scan):
+                    iv = _scan_inner_input(node, idx)
+                    if iv is None:
+                        return None
+                    stack.append((op.fgraph, iv))
+                    continue
+                inner_fg = getattr(op, "fgraph", None)
+                if inner_fg is not None:
+                    if len(node.inputs) != len(inner_fg.inputs):
+                        return None
+                    stack.append((inner_fg, inner_fg.inputs[idx]))
+                    continue
+                if isinstance(op, sb.StructuredDot):
+                    if idx != 0 or not _bss_cols_ok(node.inputs[1]):
+                        return None
+                elif isinstance(op, sb.Usmm):
+                    if (idx != 1
+                            or isinstance(node.inputs[2].type,
+                                          SparseTensorType)
+                            or not _bss_cols_ok(node.inputs[2])):
+                        return None
+                elif isinstance(op, sb.Transpose):
+                    state["transpose"] = True
+                    stack.append((g, node.outputs[0]))
+                elif isinstance(op, (Shape, Shape_i)):
+                    pass
+                else:
+                    return None
+        return state
+
+    return [
+        plan_for(inp)
+        if (isinstance(inp.type, SparseTensorType)
+            and inp.type.dtype == "float32") else None
+        for inp in fgraph.inputs
+    ]
+
+
 @jax_funcify.register(sb.StructuredDot)
 def _jx_structured_dot(op, node=None, **kw):
     def structured_dot(a, b):
+        from aesara_tpu.link.jax.bss import BSSMat, bss_matmul
+
+        if isinstance(a, BSSMat):  # BSS bridge value: Pallas kernel
+            return bss_matmul(a, b)
         a = _to_bcoo(a)
         return a @ jnp.asarray(b)
 
@@ -205,6 +296,10 @@ def _jx_sparse_from_dense(op, node=None, **kw):
 @jax_funcify.register(sb.Usmm)
 def _jx_usmm(op, node=None, **kw):
     def usmm(alpha, x, y, z):
+        from aesara_tpu.link.jax.bss import BSSMat, bss_matmul
+
+        if isinstance(x, BSSMat):
+            return alpha * bss_matmul(x, jnp.asarray(y)) + z
         x = _to_bcoo(x)
         y = _to_bcoo(y)
         res = x @ y
@@ -245,6 +340,10 @@ def _jx_csm(op, node=None, **kw):
 @jax_funcify.register(sb.Transpose)
 def _jx_sparse_transpose(op, node=None, **kw):
     def transpose(x):
+        from aesara_tpu.link.jax.bss import BSSMat
+
+        if isinstance(x, BSSMat):
+            return x.transpose()
         return _to_bcoo(x).T
 
     return transpose

@@ -249,8 +249,30 @@ class Reshape(Op):
             for d, v in enumerate(vals):
                 static[d] = int(v) if int(v) != -1 else None
         except NotScalarConstantError:
-            # partially-known: try per-element through MakeVector
-            pass
+            # partially-known: extract the constant elements of a
+            # MakeVector target individually (a grad-graph reshape to
+            # (n, 1) keeps its static trailing 1 this way, which the
+            # sparse BSS bridge's narrow-rhs gate relies on)
+            mk = shp.owner
+            from aesara_tpu.tensor.basic import MakeVector
+
+            if mk is not None and isinstance(mk.op, MakeVector) and len(
+                mk.inputs
+            ) == self.ndim:
+                for d, el in enumerate(mk.inputs):
+                    try:
+                        v = int(get_scalar_constant_value(el))
+                        static[d] = v if v != -1 else None
+                    except NotScalarConstantError:
+                        pass
+            elif (
+                mk is not None
+                and isinstance(mk.op, Shape)
+                and mk.inputs[0].type.ndim == self.ndim
+            ):
+                # reshape(g, shape(x)): inherit x's static dims (the
+                # grad-of-reshape construction)
+                static = list(mk.inputs[0].type.shape)
         # resolve a single -1 when total size is known
         if (
             static.count(None) == 1

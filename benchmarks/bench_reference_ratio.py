@@ -63,7 +63,7 @@ SIZES = {
     2: dict(n=2048, d=1024, iters=30),
     3: dict(b=128, din=784, h=512, dout=10, iters=50),
     4: dict(t=128, b=32, h=128, din=64, iters=10),
-    5: dict(n=4096, d=2048, density=0.01, iters=30),
+    5: dict(n=4096, d=2048, density=0.01, iters=150),
 }
 
 _SCALE = int(os.environ.get("REFRATIO_SCALE", "1"))
@@ -96,17 +96,23 @@ def _import_side(side):
     return mod, at, sparse, RandomStream
 
 
-def _time_calls(f, args, iters, sync=None, warmup=3):
+def _time_calls(f, args, iters, sync=None, warmup=3, repeats=3):
+    """Best-of-``repeats`` timing (timeit convention): through the axon
+    tunnel a single pass has host-side jitter of up to 2x, on BOTH
+    sides' dispatch paths; the min is the reproducible number."""
     for _ in range(warmup):
         f(*args)
     if sync is not None:
         sync()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        f(*args)
-    if sync is not None:
-        sync()
-    return (time.perf_counter() - t0) / iters
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            f(*args)
+        if sync is not None:
+            sync()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
 
 
 def _sync_shared(sv):
