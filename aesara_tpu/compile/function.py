@@ -457,6 +457,12 @@ def orig_function(
         stats.equilibrium_profile = getattr(
             fgraph, "_rewrite_equilibrium_profile", None
         )
+        # device modes: per-Apply attribution through HLO op_metadata
+        # (link/jax/profile_attr; summary reads it lazily so it reflects
+        # the program as ACTUALLY compiled, after the first call)
+        import weakref
+
+        stats._function_ref = weakref.ref(fn)
         fn.profile = stats
     else:
         fn.profile = None

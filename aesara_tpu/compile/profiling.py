@@ -51,6 +51,21 @@ class ProfileStats:
         if atexit_print:
             _all_profiles.append(self)
 
+    def xla_attribution(self):
+        """Per-Apply HLO attribution (jax linker only; needs >= 1 call
+        so the thunk holds example args).  Returns the
+        ``link/jax/profile_attr.attribute`` report dict, or None when
+        the function is gone / never called / not on the jax path."""
+        fn = getattr(self, "_function_ref", lambda: None)()
+        if fn is None:
+            return None
+        try:
+            from aesara_tpu.link.jax.profile_attr import attribute
+
+            return attribute(fn)
+        except (TypeError, AttributeError):
+            return None
+
     # --- aggregation ----------------------------------------------------------
     def op_time(self):
         agg = defaultdict(float)
@@ -110,6 +125,11 @@ class ProfileStats:
             for k in ("flops", "bytes accessed", "transcendentals"):
                 if k in self.xla_cost:
                     print(f"    {k}: {self.xla_cost[k]:.3e}", file=file)
+        rep = self.xla_attribution()
+        if rep is not None:
+            from aesara_tpu.link.jax.profile_attr import print_report
+
+            print_report(rep, file=file, top=n_ops_to_print)
         for printer in _profiler_printers:
             printer(self, file)
 
