@@ -434,6 +434,9 @@ _SCALAR_IMPLS = {
     aes.ops.ArcCosh: jnp.arccosh,
     aes.ops.ArcSinh: jnp.arcsinh,
     aes.ops.ArcTanh: jnp.arctanh,
+    # 1.0/x (NOT jnp.reciprocal: integer inputs must promote to the
+    # declared float output, not truncate)
+    aes.ops.Reciprocal: lambda x: 1.0 / x,
     aes.ops.Conj: jnp.conj,
     aes.ops.Real: jnp.real,
     aes.ops.Imag: jnp.imag,

@@ -41,7 +41,7 @@ from aesara_tpu.scalar.ops import (
 
 class Erf(UnaryScalarOp):
     nfunc = staticmethod(_sp.erf)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -85,7 +85,7 @@ class Erfcinv(UnaryScalarOp):
 
 class Gamma(UnaryScalarOp):
     nfunc = staticmethod(_sp.gamma)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -95,7 +95,7 @@ class Gamma(UnaryScalarOp):
 
 class GammaLn(UnaryScalarOp):
     nfunc = staticmethod(_sp.gammaln)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -107,7 +107,7 @@ class Psi(UnaryScalarOp):
     """digamma"""
 
     nfunc = staticmethod(_sp.psi)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -117,7 +117,7 @@ class Psi(UnaryScalarOp):
 
 class TriGamma(UnaryScalarOp):
     nfunc = staticmethod(lambda x: _sp.polygamma(1, x))
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         from aesara_tpu.gradient import grad_not_implemented
@@ -129,7 +129,7 @@ class GammaInc(BinaryScalarOp):
     """Regularized lower incomplete gamma P(k, x)."""
 
     nfunc = staticmethod(_sp.gammainc)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         k, x = inputs
@@ -143,7 +143,7 @@ class GammaIncC(BinaryScalarOp):
     """Regularized upper incomplete gamma Q(k, x)."""
 
     nfunc = staticmethod(_sp.gammaincc)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         k, x = inputs
@@ -156,7 +156,7 @@ class GammaIncC(BinaryScalarOp):
 class GammaIncDer(BinaryScalarOp):
     """d/dx gammainc(k, x) = x^(k-1) e^-x / Gamma(k)."""
 
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, k, x):
         with np.errstate(over="ignore", under="ignore"):
@@ -172,7 +172,7 @@ class GammaIncGradK(BinaryScalarOp):
     """d/dk gammainc(k, x), by numerical differentiation in the oracle and
     the same finite-difference stencil in the XLA lowering."""
 
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, k, x):
         eps = 1e-5 * max(1.0, abs(float(k)))
@@ -188,7 +188,7 @@ class GammaU(BinaryScalarOp):
     """Unregularized upper incomplete gamma."""
 
     nfunc = staticmethod(lambda k, x: _sp.gammaincc(k, x) * _sp.gamma(k))
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         from aesara_tpu.gradient import grad_not_implemented
@@ -200,7 +200,7 @@ class GammaL(BinaryScalarOp):
     """Unregularized lower incomplete gamma."""
 
     nfunc = staticmethod(lambda k, x: _sp.gammainc(k, x) * _sp.gamma(k))
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         from aesara_tpu.gradient import grad_not_implemented
@@ -212,7 +212,7 @@ class Jv(BinaryScalarOp):
     """Bessel J of real order v."""
 
     nfunc = staticmethod(_sp.jv)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         v, x = inputs
@@ -225,7 +225,7 @@ class Jv(BinaryScalarOp):
 
 class J0(UnaryScalarOp):
     nfunc = staticmethod(_sp.j0)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -235,7 +235,7 @@ class J0(UnaryScalarOp):
 
 class J1(UnaryScalarOp):
     nfunc = staticmethod(_sp.j1)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -247,7 +247,7 @@ class Iv(BinaryScalarOp):
     """Modified Bessel I of real order v."""
 
     nfunc = staticmethod(_sp.iv)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         v, x = inputs
@@ -260,7 +260,7 @@ class Iv(BinaryScalarOp):
 
 class I0(UnaryScalarOp):
     nfunc = staticmethod(_sp.i0)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -270,7 +270,7 @@ class I0(UnaryScalarOp):
 
 class I1(UnaryScalarOp):
     nfunc = staticmethod(_sp.i1)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -283,7 +283,7 @@ class BetaInc(ScalarOp):
 
     nin = 3
     nfunc = staticmethod(_sp.betainc)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         a, b, x = inputs
@@ -304,7 +304,7 @@ class BetaInc(ScalarOp):
 
 class BetaIncGradA(ScalarOp):
     nin = 3
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, a, b, x):
         eps = 1e-6 * max(1.0, abs(float(a)))
@@ -318,7 +318,7 @@ class BetaIncGradA(ScalarOp):
 
 class BetaIncGradB(ScalarOp):
     nin = 3
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, a, b, x):
         eps = 1e-6 * max(1.0, abs(float(b)))
@@ -335,7 +335,7 @@ class Hyp2F1(ScalarOp):
 
     nin = 4
     nfunc = staticmethod(_sp.hyp2f1)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         a, b, c, z = inputs
@@ -355,7 +355,7 @@ class Hyp2F1(ScalarOp):
 
 class Sigmoid(UnaryScalarOp):
     nfunc = staticmethod(_sp.expit)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -367,7 +367,7 @@ class Sigmoid(UnaryScalarOp):
 class Softplus(UnaryScalarOp):
     """log(1 + exp(x)) with the standard stability branches."""
 
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, x):
         xf = np.float64(x)
@@ -388,7 +388,7 @@ class Softplus(UnaryScalarOp):
 class Log1mexp(UnaryScalarOp):
     """log(1 - exp(x)) for x <= 0 (stable)."""
 
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, x):
         if x < math.log(0.5):
@@ -441,7 +441,7 @@ class Erfcx(UnaryScalarOp):
     Erfcx — backed by gamma.c in the reference)."""
 
     nfunc = staticmethod(_sp.erfcx)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
@@ -457,7 +457,7 @@ class OwensT(BinaryScalarOp):
     """Owen's T function T(h, a) (reference ``scalar/math.py`` — scipy)."""
 
     nfunc = staticmethod(_sp.owens_t)
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
 
 class Hyp2F1Der(ScalarOp):
@@ -465,7 +465,7 @@ class Hyp2F1Der(ScalarOp):
 
     nin = 5  # a, b, c, z, wrt(0/1/2)
     nout = 1
-    output_types_preference = staticmethod(upgrade_to_float)
+    output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, a, b, c, z, wrt):
         import scipy.special as sps

@@ -112,6 +112,20 @@ def upgrade_to_float_no_complex(*types):
     return upgrade_to_float(*types)
 
 
+def complex_to_real_out(*types):
+    """Same dtype, except complex inputs map to their real component type
+    (reference ``scalar/basic.py`` Abs.make_node: complex64→float32)."""
+    out = []
+    for t in types:
+        if t.dtype == "complex64":
+            out.append(ScalarType("float32"))
+        elif t.dtype == "complex128":
+            out.append(ScalarType("float64"))
+        else:
+            out.append(t)
+    return out[:1]
+
+
 def same_out_nocomplex(*types):
     for t in types:
         if t.dtype in complex_dtypes:
@@ -367,6 +381,13 @@ class ScalarOp(Op):
             self.name = name
 
     def output_types(self, types) -> Tuple[ScalarType, ...]:
+        # ops flagged complex_error reject complex operands at BUILD time
+        # (reference scalar/basic.py: IntDiv/Mod raise "complex not
+        # supported" in output_types rather than failing in C code)
+        if getattr(self, "complex_error", False) and any(
+            t.dtype in complex_dtypes for t in types
+        ):
+            raise TypeError(f"{self} does not support complex inputs")
         return tuple(self.output_types_preference(*types))
 
     def make_node(self, *inputs) -> Apply:
@@ -543,6 +564,7 @@ class IntDiv(BinaryScalarOp):
 
 class Mod(BinaryScalarOp):
     nfunc = staticmethod(np.mod)
+    complex_error = True  # reference: "% is not defined for complex"
 
     def grad(self, inputs, output_grads):
         x, y = inputs
@@ -576,13 +598,18 @@ class Neg(UnaryScalarOp):
 
 class Abs(UnaryScalarOp):
     nfunc = staticmethod(np.abs)
-    output_types_preference = staticmethod(same_out)
+    # complex modulus is REAL: complex64→float32, complex128→float64
+    # (reference scalar/basic.py:2544-2552)
+    output_types_preference = staticmethod(complex_to_real_out)
 
     def grad(self, inputs, output_grads):
         (x,) = inputs
         (gz,) = output_grads
         if x.type.dtype in discrete_dtypes:
             return _discrete_grads(self, inputs)
+        if x.type.dtype in complex_dtypes:
+            # d|z| in the CR sense: gz * z / |z| (reference :2568)
+            return [mul(gz, true_div(x, abs_(x)))]
         return [mul(gz, sgn(x))]
 
 
@@ -1187,16 +1214,7 @@ def clip(x, min_, max_):
 # --- complex component ops (reference scalar/basic.py Real:2876, Imag:2895,
 # Angle:2914, Complex:2952, ComplexFromPolar:2990) ---------------------------
 
-def _real_out(*types):
-    out = []
-    for t in types:
-        if t.dtype == "complex64":
-            out.append(ScalarType("float32"))
-        elif t.dtype == "complex128":
-            out.append(ScalarType("float64"))
-        else:
-            out.append(t)
-    return out[:1]
+_real_out = complex_to_real_out
 
 
 class Real(UnaryScalarOp):

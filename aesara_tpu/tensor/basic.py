@@ -1072,6 +1072,11 @@ def atleast_2d(x):
 
 def flatten(x, ndim: int = 1):
     x = as_tensor_variable(x)
+    if not (1 <= ndim <= x.type.ndim):
+        # reference basic.py flatten: ndim must be in [1, x.ndim]
+        raise ValueError(
+            f"flatten ndim {ndim} out of range for input ndim {x.type.ndim}"
+        )
     if ndim == x.type.ndim:
         return x
     from aesara_tpu.tensor.shape import reshape, shape as tshape

@@ -217,6 +217,18 @@ class Elemwise(Op):
                             f"runtime broadcasting of non-broadcastable dim {d}"
                             f" (static shape {inp_var.type.shape}, got {shp})"
                         )
+        out_dts = [o.type.dtype for o in node.outputs]
+        if all(dt not in discrete_dtypes for dt in out_dts):
+            # numpy ufunc loop selection computes e.g. exp(int8) in
+            # FLOAT16 before our output cast; the reference's C code
+            # computes in the output dtype.  Pre-cast discrete inputs so
+            # the py oracle matches both (int8 exp → float32 precision).
+            tgt = _np_dtype(out_dts[0])
+            inputs = [
+                np.asarray(i).astype(tgt, copy=False)
+                if np.asarray(i).dtype.kind in "bui" else i
+                for i in inputs
+            ]
         try:
             results = self.scalar_op.impl(*inputs)
             if self.nout == 1:

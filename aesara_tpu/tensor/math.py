@@ -140,8 +140,7 @@ complex = _ew(aes.ops.complex_op, "complex")
 complex_from_polar = _ew(aes.ops.complex_from_polar, "complex_from_polar")
 
 
-def reciprocal(x):
-    return true_div(constant(1.0), x)
+reciprocal = _ew(aes.ops.reciprocal, "reciprocal")
 
 
 inv = reciprocal

@@ -1464,7 +1464,13 @@ def local_reciprocal_1_plus_exp(fgraph, node):
         ):
             from aesara_tpu.tensor.math import sigmoid
 
-            res = sigmoid(-expn.inputs[0])
+            u = expn.inputs[0]
+            # fold -(−v) directly so 1/(1+exp(-x)) lands on sigmoid(x),
+            # not sigmoid(neg(neg(x)))
+            if u.owner is not None and _is_elemwise(u.owner, aes.ops.Neg):
+                res = sigmoid(u.owner.inputs[0])
+            else:
+                res = sigmoid(-u)
             conv = node.outputs[0].type.convert_variable(res)
             if conv is None:
                 return False

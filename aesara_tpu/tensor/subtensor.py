@@ -410,7 +410,14 @@ class AdvancedSubtensor1(Op):
 
     def make_node(self, x, ilist):
         x = as_tensor_variable(x)
-        ilist = cast(as_tensor_variable(ilist), "int64")
+        ilist = as_tensor_variable(ilist)
+        if ilist.type.dtype not in discrete_dtypes or ilist.type.dtype == "bool":
+            # float indices must not silently truncate (reference
+            # subtensor.py:1925 make_node requires an integer vector)
+            raise TypeError(
+                f"index must be integers, got {ilist.type.dtype}"
+            )
+        ilist = cast(ilist, "int64")
         if ilist.type.ndim != 1:
             raise TypeError("index must be a vector")
         if x.type.ndim == 0:
@@ -536,6 +543,14 @@ class AdvancedSubtensor(Op):
     def make_node(self, x, *inputs):
         x = as_tensor_variable(x)
         inputs = [as_tensor_variable(i) for i in inputs]
+        for i in inputs:
+            if i.type.dtype not in discrete_dtypes:
+                # float/complex indices must fail at BUILD, not truncate
+                # (reference subtensor.py: advanced indices are int/bool)
+                raise TypeError(
+                    f"advanced index must be integer or boolean, "
+                    f"got {i.type.dtype}"
+                )
         out_ndim = _fancy_output_ndim(x, self.idx_list, inputs)
         return Apply(
             self,
@@ -592,6 +607,12 @@ class AdvancedIncSubtensor(Op):
         if y.type.dtype != x.type.dtype:
             y = cast(y, x.type.dtype)
         inputs = [as_tensor_variable(i) for i in inputs]
+        for i in inputs:
+            if i.type.dtype not in discrete_dtypes:
+                raise TypeError(
+                    f"advanced index must be integer or boolean, "
+                    f"got {i.type.dtype}"
+                )
         return Apply(self, [x, y] + list(inputs), [x.type()])
 
     def perform(self, node, inputs, output_storage):

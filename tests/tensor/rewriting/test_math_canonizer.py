@@ -116,8 +116,9 @@ class TestPowRewrites:
         assert equal_computations([res], [x])
 
     @pytest.mark.parametrize("p,expect_str", [
-        # reciprocal builds as true_div(1, x) in this framework
-        (2.0, "sqr"), (-1.0, "true_div"), (0.5, "sqrt"),
+        # x**-1 specializes to the Reciprocal elemwise (reference
+        # local_pow_specialize produces inv(x))
+        (2.0, "sqr"), (-1.0, "reciprocal"), (0.5, "sqrt"),
         (-0.5, "sqrt"), (-2.0, "sqr"),
     ])
     def test_pow_specialize(self, p, expect_str):
