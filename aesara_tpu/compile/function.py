@@ -108,17 +108,30 @@ def rebuild_collect_shared(
         v = k.type.filter_variable(v, allow_convert=True)
         update_pairs.append((k, v))
 
-    replace_pairs = []
-    for k, v in dict(replace or {}).items():
-        replace_pairs.append((k, k.type.filter_variable(v, allow_convert=True)))
+    if isinstance(replace, (list, tuple)):
+        replace_items = list(replace)
+        sequential = True   # reference pfunc: list-form givens apply IN
+        # ORDER, so a later pair substitutes into an earlier pair's
+        # replacement expression (chained givens)
+    else:
+        replace_items = list((replace or {}).items())
+        sequential = False
+    replace_pairs = [
+        (k, k.type.filter_variable(v, allow_convert=True))
+        for k, v in replace_items
+    ]
 
     # substitute givens
     if replace_pairs:
-        memo = {k: v for k, v in replace_pairs}
         all_roots = out_vars + [v for _, v in update_pairs]
-        replaced = clone_replace(all_roots, replace=memo)
-        out_vars = replaced[: len(out_vars)]
-        update_exprs = replaced[len(out_vars):]
+        if sequential:
+            for k, v in replace_pairs:
+                all_roots = clone_replace(all_roots, replace={k: v})
+        else:
+            memo = {k: v for k, v in replace_pairs}
+            all_roots = clone_replace(all_roots, replace=memo)
+        out_vars = all_roots[: len(out_vars)]
+        update_exprs = all_roots[len(out_vars):]
         update_pairs = [(k, e) for (k, _), e in zip(update_pairs, update_exprs)]
 
     # collect shared variables reachable from outputs and update exprs

@@ -302,6 +302,10 @@ def get_updates_and_outputs(ls):
             raise ValueError("scan fn returned two until() conditions")
         condition = raw[-1].condition
         raw = list(raw[:-1])
+        # reference form: ([out1, out2], until(...)) — the output group
+        # may itself be a list/tuple
+        if len(raw) == 1 and isinstance(raw[0], (list, tuple)):
+            raw = list(raw[0])
     outputs = [raw] if isinstance(raw, Variable) else list(raw)
     return outputs, updates, condition
 

@@ -1082,6 +1082,12 @@ def flatten(x, ndim: int = 1):
     from aesara_tpu.tensor.shape import reshape, shape as tshape
     from aesara_tpu.tensor.math import prod as tprod
 
+    static = x.type.shape
+    if ndim > 1 and all(s is not None for s in static[: ndim - 1]):
+        # leading extents statically known: emit a CONSTANT target so
+        # reshape's static inference resolves the -1 (XLA tiling wants
+        # fully-static shapes whenever the graph can provide them)
+        return reshape(x, tuple(static[: ndim - 1]) + (-1,), ndim=ndim)
     if ndim == 1:
         newshape = (tprod(tshape(x)),)
     else:

@@ -137,13 +137,26 @@ class Repeat(Op):
         self.axis = axis if axis is None else int(axis)
 
     def make_node(self, x, repeats):
+        from aesara_tpu.graph.ir import Constant
+
         x = as_tensor_variable(x)
-        repeats = cast(as_tensor_variable(repeats), "int64")
+        # scalar-constant repeats: the output extent is statically known
+        # (n·k) — keep it static so XLA keeps its tiling.  Inspect the
+        # value BEFORE the int64 cast wraps it in an Elemwise.
+        pre = as_tensor_variable(repeats)
+        k = None
+        if isinstance(pre, Constant) and pre.type.ndim == 0:
+            k = int(pre.data)
+        repeats = cast(pre, "int64")
         if self.axis is None:
-            shape = (None,)
+            n = x.type.shape[0] if x.type.ndim == 1 else None
+            shape = (n * k if (k is not None and n is not None) else None,)
         else:
             shape = list(x.type.shape)
-            shape[self.axis] = None
+            n = shape[self.axis]
+            shape[self.axis] = (
+                n * k if (k is not None and n is not None) else None
+            )
         return Apply(self, [x, repeats], [TensorType(x.type.dtype, tuple(shape))()])
 
     def perform(self, node, inputs, output_storage):

@@ -251,22 +251,39 @@ register_stabilize(local_log1p)
 
 @node_rewriter([Elemwise])
 def local_expm1(fgraph, node):
-    """exp(x) - 1 → expm1(x)"""
-    if not _is_elemwise(node, aes.ops.Sub):
+    """exp(x) - 1 → expm1(x); also the canonical add form
+    add(exp(x), -1) / add(-1, exp(x)) (reference local_expm1)."""
+    if _is_elemwise(node, aes.ops.Sub):
+        a, b = node.inputs
+        vb = _const_val(b)
+        if (
+            vb is not None
+            and np.all(np.asarray(vb) == 1)
+            and a.owner is not None
+            and _is_elemwise(a.owner, aes.ops.Exp)
+        ):
+            res = _keep_type(node.outputs[0], tm.expm1(a.owner.inputs[0]))
+            if res is None:
+                return False
+            copy_stack_trace(node.outputs[0], res)
+            return [res]
         return False
-    a, b = node.inputs
-    vb = _const_val(b)
-    if (
-        vb is not None
-        and np.all(np.asarray(vb) == 1)
-        and a.owner is not None
-        and _is_elemwise(a.owner, aes.ops.Exp)
-    ):
-        res = _keep_type(node.outputs[0], tm.expm1(a.owner.inputs[0]))
-        if res is None:
-            return False
-        copy_stack_trace(node.outputs[0], res)
-        return [res]
+    if _is_elemwise(node, aes.ops.Add) and len(node.inputs) == 2:
+        for i, j in ((0, 1), (1, 0)):
+            vc = _const_val(node.inputs[i])
+            expn = node.inputs[j].owner
+            if (
+                vc is not None
+                and np.all(np.asarray(vc) == -1)
+                and expn is not None
+                and _is_elemwise(expn, aes.ops.Exp)
+            ):
+                res = _keep_type(node.outputs[0],
+                                 tm.expm1(expn.inputs[0]))
+                if res is None:
+                    return False
+                copy_stack_trace(node.outputs[0], res)
+                return [res]
     return False
 
 
@@ -706,6 +723,28 @@ def local_pow_specialize(fgraph, node):
 
 
 register_specialize(local_pow_specialize)
+
+
+@node_rewriter([Elemwise])
+def local_mul_minus_one(fgraph, node):
+    """mul(x, -1) → neg(x) (reference ``local_mul_specialize``: a neg is
+    one VPU op, a mul reads a constant operand)."""
+    if not _is_elemwise(node, aes.ops.Mul) or len(node.inputs) != 2:
+        return False
+    for i, j in ((0, 1), (1, 0)):
+        v = _const_val(node.inputs[i])
+        if v is not None and np.asarray(v).size == 1 and np.all(
+            np.asarray(v) == -1
+        ):
+            res = _keep_type(node.outputs[0], tm.neg(node.inputs[j]))
+            if res is None:
+                return False
+            copy_stack_trace(node.outputs[0], res)
+            return [res]
+    return False
+
+
+register_specialize(local_mul_minus_one)
 
 
 @node_rewriter([Elemwise])

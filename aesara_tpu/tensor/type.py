@@ -106,6 +106,11 @@ class TensorType(Type):
                 raise TypeError(f"{self} (strict) got dtype {data.dtype}")
             converted = data
         else:
+            # python literals (floats/lists) may downcast into floatX
+            # land; float64 NDARRAYS may not without allow_downcast
+            # (reference tensor/type.py filter: silent precision loss on
+            # real data is an error, literals are convenience)
+            was_python_literal = not isinstance(data, np.ndarray)
             arr = np.asarray(data)
             if arr.dtype == np_dtype:
                 converted = arr
@@ -113,9 +118,10 @@ class TensorType(Type):
                 allow_downcast is None
                 and (
                     np.can_cast(arr.dtype, np_dtype)
-                    # floatX policy: allow float64 literals into float32 land
+                    # floatX policy: allow float64 LITERALS into float32
                     or (
-                        arr.dtype.kind == "f"
+                        was_python_literal
+                        and arr.dtype.kind == "f"
                         and self.dtype in ("float32", "bfloat16", "float16")
                     )
                     # python int literals

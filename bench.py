@@ -18,8 +18,17 @@ import numpy as np
 
 
 def main():
+    import os
+
     import aesara_tpu as atp
     import aesara_tpu.tensor as at
+
+    # wall-clock budget: a COLD persistent cache means each companion
+    # program costs minutes of tunnel-side XLA compile; skip companions
+    # rather than let the driver's timeout kill the run before the JSON
+    # prints.  (Warm cache: the whole script is ~2 min.)
+    t_start = time.perf_counter()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "480"))
 
     M = N = K = 5000
     iters = 10
@@ -71,10 +80,14 @@ def main():
     # program (amortizes the ~810 µs tunnel dispatch floor) + MFU vs the
     # ~197 TFLOP/s v5-lite bf16 peak (benchmarks/bench_mxu_roofline.py)
     try:
+        if time.perf_counter() - t_start > budget_s:
+            raise TimeoutError
         from benchmarks.bench_mxu_roofline import BF16_PEAK_TFLOPS, chained_gemm
 
-        bf16_samples = [chained_gemm(16384, "bfloat16", chain=30, iters=2)
-                        for _ in range(3)]
+        # samples=3 reuses ONE compiled program (a fresh tunnel-side
+        # compile costs minutes; the spread must measure execution)
+        bf16_samples = chained_gemm(16384, "bfloat16", chain=30, iters=2,
+                                    samples=3)
         bf16 = max(bf16_samples)  # min-time == max-throughput
         result["bf16_16384_tflops"] = round(bf16, 2)
         result["bf16_mfu"] = round(bf16 / BF16_PEAK_TFLOPS, 3)
@@ -87,10 +100,12 @@ def main():
     # fraction is framework fused-elemwise GB/s over the measured raw-jax
     # device ceiling (BASELINE north star: >=0.90).
     try:
+        if time.perf_counter() - t_start > budget_s:
+            raise TimeoutError
         from benchmarks.bench_hbm_roofline import framework_triad, raw_probe
 
         raw = raw_probe(reps=2)
-        fw_samples = [framework_triad(reps=2) for _ in range(3)]
+        fw_samples = framework_triad(reps=3, samples=True)
         fw = max(fw_samples)
         result["elemwise_gbps"] = round(fw, 1)
         result["hbm_roofline_frac"] = round(fw / raw["triad"], 3)

@@ -56,12 +56,26 @@ def _sync_time(fn, *args):
 
 def _slope(make_fn, args, reps=3):
     """Best-of-reps times at K_LO and K_HI -> seconds per iteration."""
+    return min(_slope_samples(make_fn, args, reps))
+
+
+def _slope_samples(make_fn, args, reps=3):
+    """Per-rep slope samples over the SAME two compiled programs.
+
+    Each program (K_LO / K_HI trip count) compiles ONCE; the i-th slope
+    pairs the i-th fastest timing of each, so the sample spread measures
+    execution jitter, never recompiles (a fresh XLA compile through the
+    axon tunnel costs minutes).
+    """
     times = {}
     for k in (K_LO, K_HI):
         fn = make_fn(k)
         _sync_time(fn, *args)  # compile + warm
-        times[k] = min(_sync_time(fn, *args) for _ in range(reps))
-    return (times[K_HI] - times[K_LO]) / (K_HI - K_LO)
+        times[k] = sorted(_sync_time(fn, *args) for _ in range(reps))
+    return [
+        (hi - lo) / (K_HI - K_LO)
+        for lo, hi in zip(times[K_LO], times[K_HI])
+    ]
 
 
 def raw_probe(n_side=16384, dtype="float32", reps=3):
@@ -91,7 +105,8 @@ def raw_probe(n_side=16384, dtype="float32", reps=3):
     }
 
 
-def _framework_scan_gbps(body, n_side, dtype, reps, traffic_factor):
+def _framework_scan_gbps(body, n_side, dtype, reps, traffic_factor,
+                         samples=False):
     """Slope-timed framework scan whose body is ``body(x, y)``."""
     import aesara_tpu as atp
     from aesara_tpu.scan.basic import scan
@@ -113,13 +128,16 @@ def _framework_scan_gbps(body, n_side, dtype, reps, traffic_factor):
 
         return call
 
+    if samples:
+        return [traffic_factor * nbytes / s / 1e9
+                for s in _slope_samples(make, (), reps)]
     return traffic_factor * nbytes / _slope(make, (), reps) / 1e9
 
 
-def framework_triad(n_side=16384, dtype="float32", reps=3):
+def framework_triad(n_side=16384, dtype="float32", reps=3, samples=False):
     return _framework_scan_gbps(
         lambda x, y: x + np.asarray(1e-7, dtype) * y,
-        n_side, dtype, reps, 3,
+        n_side, dtype, reps, 3, samples=samples,
     )
 
 

@@ -99,25 +99,47 @@ def model_flops(n_params, batch, seqlen, n_layers, d_model, train=True,
 
 
 def main():
-    B, T, D, L, FF = 8, 2048, 2048, 4, 8192
+    # chip/tunnel throughput fluctuates up to ~4x BETWEEN processes
+    # (measured round 4); all variants are therefore timed inside ONE
+    # process, the full step twice (first/last) with the min taken and
+    # the spread reported as jitter
+    B, T, D, L, FF = 8, 2048, 2048, 8, 8192
+    kw = dict(n_layers=L, batch=B, seqlen=T, d_model=D, d_ff=FF)
     rows = []
 
-    f, p, n_params, _ = build(train=True, attention=True)
-    t_full = timeit(f, p)
-    fl_full = model_flops(n_params, B, T, L, D)
-    rows.append(("full step", t_full, fl_full))
+    import gc
 
-    f, p, n_params_f, _ = build(train=False, attention=True)
+    # HBM: an L=8 train program + its activations is several GB; the
+    # three variants cannot coexist on the chip.  Each variant is
+    # therefore timed and FREED before the next is built.
+    f_full, p_full, n_params, layers = build(train=True, attention=True,
+                                             **kw)
+    t_full_a = timeit(f_full, p_full)
+    t_full_b = timeit(f_full, p_full)
+    fl_full = model_flops(n_params, B, T, L, D)
+    t_full = min(t_full_a, t_full_b)
+    jitter = abs(t_full_a - t_full_b) / t_full
+    del f_full, p_full, layers
+    gc.collect()
+
+    f, p, n_params_f, lyr = build(train=False, attention=True, **kw)
     t_fwd = timeit(f, p, sync_output=True)
+    del f, p, lyr
+    gc.collect()
+
+    f, p, n_params_na, lyr = build(train=True, attention=False, **kw)
+    t_na = timeit(f, p)
+    del f, p, lyr
+    gc.collect()
+
+    rows.append(("full step", t_full, fl_full))
     rows.append(("forward only", t_fwd,
                  model_flops(n_params_f, B, T, L, D, train=False)))
-
-    f, p, n_params_na, _ = build(train=True, attention=False)
-    t_na = timeit(f, p)
     rows.append(("no attention", t_na,
                  model_flops(n_params_na, B, T, L, D, attention=False)))
 
-    print(f"model-scale breakdown  {L}L d={D} ff={FF} B={B} T={T} bf16")
+    print(f"model-scale breakdown  {L}L d={D} ff={FF} B={B} T={T} bf16 "
+          f"({n_params / 1e6:.0f}M params, full-step jitter {jitter:.1%})")
     for name, t, fl in rows:
         tf = fl / t / 1e12
         print(f"  {name:14s} {t * 1e3:7.1f} ms   {tf:6.1f} TFLOP/s   "

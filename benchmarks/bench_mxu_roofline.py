@@ -45,7 +45,8 @@ def _sync(shared_var):
         np.asarray(val)
 
 
-def chained_gemm(M, dtype, chain=10, iters=3, check_donation=False):
+def chained_gemm(M, dtype, chain=10, iters=3, check_donation=False,
+                 samples=1):
     import aesara_tpu as atp
     import aesara_tpu.tensor as at
 
@@ -77,12 +78,18 @@ def chained_gemm(M, dtype, chain=10, iters=3, check_donation=False):
     _sync(a)
     f()
     _sync(a)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        f()
-    _sync(a)
-    dt = (time.perf_counter() - t0) / iters
-    return 2.0 * M * M * M * chain / dt / 1e12
+    # repeated timing windows over the SAME compiled function: the
+    # sample spread measures execution jitter, not recompiles (a fresh
+    # XLA compile through the axon tunnel costs minutes)
+    out = []
+    for _ in range(max(1, samples)):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            f()
+        _sync(a)
+        dt = (time.perf_counter() - t0) / iters
+        out.append(2.0 * M * M * M * chain / dt / 1e12)
+    return out if samples > 1 else out[0]
 
 
 def int8_matmul(M=4096, iters=5):

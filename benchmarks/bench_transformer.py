@@ -95,7 +95,10 @@ def run_model_scale(iters=10):
     config — d_model 2048, ff 8192, seq 2048, bf16 — measured end to
     end through the full pipeline, with a residual accounting of where
     the non-MXU time goes (printed below)."""
-    n_layers, batch, seqlen = 4, 8, 2048
+    # 8 layers: the depth amortizes the per-step non-matmul share —
+    # measured 56.9% MFU vs 53.7% at 4L, 51.8% at 12L (HBM pressure),
+    # 36.7% at d=4096/B=4 (benchmarks/README.md round-4 accounting)
+    n_layers, batch, seqlen = 8, 8, 2048
     d_model, n_heads, d_ff = 2048, 16, 8192
     (nl, dm, dff, b, t, n_params, tok_s, tflops, sec) = run_variant(
         "bfloat16", iters=iters, n_layers=n_layers, batch=batch,

@@ -51,7 +51,7 @@ class TestPolicyHelpers:
 
 class TestBucketedExecution:
     def _model(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         w = atp.shared(
             rng.normal(size=(4, 3)).astype("float32"), name="w")
         return x, at.tanh(at.dot(x, w)), w
@@ -70,8 +70,8 @@ class TestBucketedExecution:
     def test_differential_vs_py(self):
         from aesara_tpu.compile.io import In
 
-        x = at.matrix("x")
-        b = at.vector("b")
+        x = at.matrix("x", dtype="float64")
+        b = at.vector("b", dtype="float64")
         out = at.log1p(at.exp(x)) + b.dimshuffle("x", 0)  # rowwise
         # b's leading dim is None but it is NOT the batch — mark it so
         ins = [In(x, batched=True), In(b, batched=False)]
@@ -89,8 +89,8 @@ class TestBucketedExecution:
     def test_batched_true_selects_only_marked(self):
         from aesara_tpu.compile.io import In
 
-        x = at.matrix("x")
-        b = at.vector("b")
+        x = at.matrix("x", dtype="float64")
+        b = at.vector("b", dtype="float64")
         out = at.tanh(x) * b.dimshuffle("x", 0)
         f = function([In(x, batched=True), In(b)], out, mode="FAST_RUN")
         assert f._bucket_positions == [0]
@@ -121,8 +121,8 @@ class TestBucketedExecution:
         np.testing.assert_array_equal(res, np.arange(20.0).reshape(10, 2)[iv])
 
     def test_mismatched_lengths_fall_back(self):
-        x = at.matrix("x")
-        y = at.matrix("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         out = at.dot(x, y)  # x is (n,k), y is (k,m): lengths differ
         f = function([x, y], out, mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2"):
@@ -141,7 +141,7 @@ class TestBucketedExecution:
 
     def test_updates_ride_through(self):
         # shared counter update unaffected by batch padding
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         c = atp.shared(np.int64(0), name="c")
         f = function([x], (x * 2.0), updates={c: c + 1}, mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2"):
@@ -151,7 +151,7 @@ class TestBucketedExecution:
 
     def test_scalar_output_not_sliced(self):
         # outputs without a dynamic leading dim are returned as computed
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         out = at.diag(at.dot(x.T, x)).sum()  # scalar; batch-reduced
         f = function([x], [out, x * 1.0], mode="FAST_RUN")
         with config.change_flags(shape_buckets="off"):

@@ -51,13 +51,13 @@ class TestSafetyAnalysis:
     def test_rowwise_dot_safe(self):
         # x @ W: batch rides axis 0 of x, contraction over features
         w = atp.shared(rng.normal(size=(4, 3)), name="w")
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], at.dot(x, w), mode="FAST_RUN")
         assert batch_axis_safety(f.fgraph, f.fgraph.inputs[:1]) is None
 
     def test_gram_matrix_unsafe(self):
         # x.T @ x contracts over the batch
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], at.dot(x.T, x), mode="FAST_RUN")
         r = batch_axis_safety(f.fgraph, f.fgraph.inputs[:1])
         assert r is not None and "contracts" in r
@@ -89,7 +89,7 @@ class TestSafetyAnalysis:
     def test_scan_consumer_unsafe(self):
         from aesara_tpu.scan import scan
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         outs, _ = scan(fn=lambda row: row * 2.0, sequences=[x],
                        outputs_info=[None], n_steps=4)
         f = function([x], outs, mode="FAST_RUN")
@@ -105,7 +105,7 @@ class TestSafetyAnalysis:
 
 class TestSafetyEnforcement:
     def test_unsafe_graph_raises_when_padding(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], x.mean(axis=0), mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2"):
             with pytest.raises(BucketingError, match="batch"):
@@ -113,7 +113,7 @@ class TestSafetyEnforcement:
 
     def test_unsafe_graph_fine_when_no_padding_needed(self):
         # exact bucket size: no padding, no error — numbers are exact
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], x.mean(axis=0), mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2"):
             xv = rng.normal(size=(4, 4))
@@ -121,7 +121,7 @@ class TestSafetyEnforcement:
                 np.asarray(f(xv)), xv.mean(axis=0), rtol=1e-6)
 
     def test_warn_mode_runs_unbucketed_and_exact(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], x.mean(axis=0), mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2",
                                  shape_buckets_check="warn"):
@@ -133,7 +133,7 @@ class TestSafetyEnforcement:
 
     def test_off_mode_trusts_user(self):
         # the documented-footgun behavior survives behind an explicit flag
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], x.sum(axis=0), mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2",
                                  shape_buckets_check="off"):
@@ -144,7 +144,7 @@ class TestSafetyEnforcement:
 
     def test_safe_graph_buckets_and_is_exact(self):
         w = atp.shared(rng.normal(size=(5, 3)).astype("float64"), name="w")
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], at.tanh(at.dot(x, w)), mode="FAST_RUN")
         f_py = function([x], at.tanh(at.dot(x, w)), mode="PY")
         with config.change_flags(shape_buckets="pow2"):
@@ -158,7 +158,7 @@ class TestSafetyEnforcement:
         # accumulating batch statistics into a shared is the documented
         # footgun: it must now raise, not silently grow the state
         s = atp.shared(np.zeros(4), name="s")
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([x], [], updates=[(s, s + x.sum(axis=0))],
                      mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2"):
@@ -169,7 +169,7 @@ class TestSafetyEnforcement:
 class TestSeqBucketing:
     def test_seq_axis_pads_and_slices_back(self):
         # axis-1 sequence dim, rowwise op: exact after slice-back
-        x = at.matrix("x")  # (B fixed 2 at runtime, T dynamic)
+        x = at.matrix("x", dtype="float64")  # (B fixed 2 at runtime, T dynamic)
         f = function([In(x, seq_bucketed=1)], at.tanh(x) * 2.0,
                      mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2"):
@@ -197,7 +197,7 @@ class TestSeqBucketing:
     def test_seq_zero_pad_with_length_mask_exact(self):
         # the masked-semantics contract: the graph consumes an explicit
         # length and masks pad positions, so zero-padding is exact
-        x = at.matrix("x")      # (B, T) scores
+        x = at.matrix("x", dtype="float64")      # (B, T) scores
         tlen = at.lscalar("tlen")
         ar = at.arange(x.shape[1])
         mask = at.lt(ar, tlen).astype("float64")
@@ -210,8 +210,8 @@ class TestSeqBucketing:
                 np.testing.assert_allclose(res, xv.sum(axis=1), rtol=1e-6)
 
     def test_seq_inputs_disagreeing_lengths_fall_back(self):
-        a = at.matrix("a")
-        b = at.matrix("b")
+        a = at.matrix("a", dtype="float64")
+        b = at.matrix("b", dtype="float64")
         f = function([In(a, seq_bucketed=1), In(b, seq_bucketed=1)],
                      a.sum(axis=1) + b.sum(axis=1), mode="FAST_RUN")
         with config.change_flags(shape_buckets="pow2"):
@@ -222,7 +222,7 @@ class TestSeqBucketing:
 
     def test_seq_declared_input_excluded_from_batch_heuristic(self):
         # a seq-declared input must not ALSO be replicate-padded on axis 0
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = function([In(x, seq_bucketed=1)], at.exp(x), mode="FAST_RUN")
         assert f._bucket_positions == []
         assert f._bucket_seq_positions == [(0, 1)]

@@ -14,14 +14,14 @@ rng = np.random.default_rng(5)
 
 
 def test_simple_function():
-    x = at.scalar("x")
-    y = at.scalar("y")
+    x = at.scalar("x", dtype="float64")
+    y = at.scalar("y", dtype="float64")
     f = function([x, y], x + y)
     assert np.isclose(f(2.0, 3.0), 5.0)
 
 
 def test_multiple_outputs():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = function([x], [x.sum(), x.max()])
     res = f(np.array([1.0, 2.0, 3.0], dtype="float32"))
     assert isinstance(res, list) and len(res) == 2
@@ -29,8 +29,8 @@ def test_multiple_outputs():
 
 
 def test_named_inputs():
-    x = at.scalar("x")
-    y = at.scalar("y")
+    x = at.scalar("x", dtype="float64")
+    y = at.scalar("y", dtype="float64")
     f = function([x, y], x - y)
     assert np.isclose(f(y=1.0, x=4.0), 3.0)
 
@@ -60,16 +60,16 @@ def test_two_functions_share_state():
 
 
 def test_givens():
-    x = at.scalar("x")
-    y = at.scalar("y")
+    x = at.scalar("x", dtype="float64")
+    y = at.scalar("y", dtype="float64")
     z = x * 2.0 + y
     f = function([y], z, givens={x: np.float32(5.0)})
     assert np.isclose(f(1.0), 11.0)
 
 
 def test_unused_input_policy():
-    x = at.scalar("x")
-    y = at.scalar("y")
+    x = at.scalar("x", dtype="float64")
+    y = at.scalar("y", dtype="float64")
     with pytest.raises(UnusedInputError):
         function([x, y], x + 1.0)
     f = function([x, y], x + 1.0, on_unused_input="ignore")
@@ -77,7 +77,7 @@ def test_unused_input_policy():
 
 
 def test_input_validation():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     f = function([x], x.sum())
     with pytest.raises(TypeError):
         f(np.zeros(3, dtype="float32"))  # wrong ndim
@@ -93,7 +93,7 @@ def test_in_default_value():
 
 def test_shared_in_inputs_rejected():
     s = shared(1.0)
-    x = at.scalar("x")
+    x = at.scalar("x", dtype="float64")
     with pytest.raises(TypeError):
         function([x, s], x * s)
 

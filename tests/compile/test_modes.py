@@ -136,7 +136,7 @@ def test_debugmode_catches_wrong_lowering():
     def _evil(op, node=None, **kw):
         return lambda v: jnp.asarray(v) * 3.0  # deliberately wrong
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     xv = np.arange(3.0, dtype="float32")
     # healthy graph is clean
     f = atp.function([x], at.math.exp(x) * 2, mode=DebugMode())
@@ -149,7 +149,7 @@ def test_debugmode_catches_wrong_lowering():
 
 def test_stability_patience_clean_pipeline():
     # the real pipeline is deterministic: patience > 1 compiles cleanly
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = function([x], at.math.exp(x) + 1.0,
                  mode=DebugMode(stability_patience=3))
     xv = np.arange(3.0, dtype="float32")
@@ -180,7 +180,7 @@ def test_stability_patience_catches_stochastic_rewriter():
 
     m = _M(PerformLinker(), None)
     m.stability_patience = 3
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     with pytest.raises(StochasticOrder):
         function([x, y], at.math.add(x, y), mode=m)

@@ -17,11 +17,11 @@ from aesara_tpu.tensor.elemwise import Elemwise
 
 
 def test_inline_ofg_expands():
-    x = at.tensor.vector("x")
-    y = at.tensor.vector("y")
+    x = at.tensor.vector("x", dtype="float64")
+    y = at.tensor.vector("y", dtype="float64")
     ofg = OpFromGraph([x, y], [tm.add(tm.mul(x, y), x)], inline=True)
-    a = at.tensor.vector("a")
-    b = at.tensor.vector("b")
+    a = at.tensor.vector("a", dtype="float64")
+    b = at.tensor.vector("b", dtype="float64")
     f = function([a, b], ofg(a, b))
     fg = f.maker.fgraph if hasattr(f, "maker") else f._fgraph
     assert not any(isinstance(n.op, OpFromGraph) for n in fg.toposort())
@@ -31,11 +31,11 @@ def test_inline_ofg_expands():
 
 
 def test_noninline_ofg_stays():
-    x = at.tensor.vector("x")
-    y = at.tensor.vector("y")
+    x = at.tensor.vector("x", dtype="float64")
+    y = at.tensor.vector("y", dtype="float64")
     ofg = OpFromGraph([x, y], [tm.add(x, y)], inline=False)
-    a = at.tensor.vector("a")
-    b = at.tensor.vector("b")
+    a = at.tensor.vector("a", dtype="float64")
+    b = at.tensor.vector("b", dtype="float64")
     f = function([a, b], ofg(a, b))
     fg = f.maker.fgraph if hasattr(f, "maker") else f._fgraph
     assert any(isinstance(n.op, OpFromGraph) for n in fg.toposort())
@@ -43,7 +43,7 @@ def test_noninline_ofg_stays():
 
 
 def test_meta_node_rewriter_dispatch():
-    xv = at.tensor.vector("xv")
+    xv = at.tensor.vector("xv", dtype="float64")
     out = tm.mul(xv, 2.0)
     fg = FunctionGraph([xv], [out])
     meta = MetaNodeRewriter()
@@ -72,24 +72,24 @@ def test_compositef32_narrows():
 
 def test_gemv_ger_gemm():
     rng = np.random.default_rng(0)
-    z = at.tensor.vector("z")
-    a = at.tensor.matrix("a")
-    x = at.tensor.vector("x")
+    z = at.tensor.vector("z", dtype="float64")
+    a = at.tensor.matrix("a", dtype="float64")
+    x = at.tensor.vector("x", dtype="float64")
     zv = rng.normal(size=3)
     av = rng.normal(size=(3, 4))
     xv = rng.normal(size=4)
     f = function([z, a, x], tm.gemv(z, 0.5, a, x, 2.0), mode="PY")
     assert np.allclose(f(zv, av, xv), zv * 2.0 + 0.5 * (av @ xv))
 
-    M = at.tensor.matrix("M")
+    M = at.tensor.matrix("M", dtype="float64")
     Mv = rng.normal(size=(3, 4))
     g = function([z, x, M], tm.ger(M, 1.5, z, x), mode="PY")
     assert np.allclose(g(zv, xv, Mv), Mv + 1.5 * np.outer(zv, xv))
 
-    B = at.tensor.matrix("B")
+    B = at.tensor.matrix("B", dtype="float64")
     Bv = rng.normal(size=(4, 5))
     Cv = rng.normal(size=(3, 5))
-    C = at.tensor.matrix("C")
+    C = at.tensor.matrix("C", dtype="float64")
     h = function([C, a, B], tm.gemm(C, 2.0, a, B, 0.5), mode="PY")
     assert np.allclose(h(Cv, av, Bv), Cv * 0.5 + 2.0 * (av @ Bv))
 

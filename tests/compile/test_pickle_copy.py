@@ -48,7 +48,7 @@ def test_pydotprint_and_d3viz(tmp_path):
     from aesara_tpu.printing import pydotprint
     from aesara_tpu.d3viz import d3viz, d3write
 
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     y = at.tanh(at.dot(x, x.T)).sum()
     dot = pydotprint(y, return_image=True)
     assert "digraph" in dot and "->" in dot

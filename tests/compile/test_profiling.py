@@ -81,7 +81,7 @@ def test_device_trace_context(tmp_path):
     import aesara_tpu.tensor as at
     from aesara_tpu.compile.profiling import device_trace
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = atp.function([x], (x * 2).sum(), mode="JAX")
     logdir = str(tmp_path / "trace")
     with device_trace(logdir):

@@ -29,7 +29,7 @@ def test_pattern_rewriter_log_exp():
     rewrite = PatternNodeRewriter(
         (log.elemwise_op, (exp.elemwise_op, "x")), "x", name="log_exp"
     )
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     z = log(exp(x)) + 1.0
     fg = FunctionGraph(outputs=[z], clone=False)
     WalkingGraphRewriter(rewrite).rewrite(fg)
@@ -48,7 +48,7 @@ def test_node_rewriter_decorator_and_tracking():
             return [inner.owner.inputs[0]]
         return False
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     z = neg(neg(x)) + 1.0
     fg = FunctionGraph(outputs=[z], clone=False)
     in2out(local_neg_neg).rewrite(fg)
@@ -64,7 +64,7 @@ def test_equilibrium_runs_to_fixed_point():
             return [inner.owner.inputs[0]]
         return False
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     z = x
     for _ in range(6):  # neg applied 6x → identity
         z = neg(z)
@@ -74,8 +74,8 @@ def test_equilibrium_runs_to_fixed_point():
 
 
 def test_merge_optimizer_cse():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     a = (x + y) * (x + y)  # two separate add nodes
     fg = FunctionGraph(outputs=[a], clone=True)
     n_before = len(fg.apply_nodes)
@@ -85,7 +85,7 @@ def test_merge_optimizer_cse():
 
 
 def test_merge_constants():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     c1 = at.constant(np.array([1.0, 2.0], dtype="float32"))
     c2 = at.constant(np.array([1.0, 2.0], dtype="float32"))
     fg = FunctionGraph(outputs=[(x + c1) * (x + c2)], clone=True)
@@ -115,7 +115,7 @@ def test_sequence_db_ordering_and_query():
     db.register("a", R("a"), "fast_run", position=1)
     db.register("c", R("c"), "slow_only", position=0.5)
     seq = db.query(RewriteDatabaseQuery(include=["fast_run"]))
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     fg = FunctionGraph(outputs=[x + 1.0], clone=False)
     seq.rewrite(fg)
     assert applied == ["a", "b"]

@@ -70,7 +70,7 @@ def test_fresh_scopes_variables():
 
 
 def test_conso_heado_tailo_decompose_graphs():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     expr = texp(x)
     op_lv, args_lv = var(), var()
     sols = run(2, (op_lv, args_lv), conso(op_lv, args_lv, expr))
@@ -86,7 +86,7 @@ def test_conso_heado_tailo_decompose_graphs():
 
 def test_multi_goal_relation_log_exp():
     """The reference's doc example shape: op-swap written with conso."""
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     args = var()
     q = var()
     goal = lall(
@@ -104,9 +104,9 @@ def test_multi_goal_relation_log_exp():
 
 def test_factor_shared_term_topology_and_value():
     """a*x + a*y -> a*(x+y) via the registered conde relation."""
-    a = at.vector("a")
-    x = at.vector("x")
-    y = at.vector("y")
+    a = at.vector("a", dtype="float64")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     res = rewrite_graph(a * x + a * y, include=("canonicalize", "specialize"))
     muls = _count_scalar_op(res, "mul")
     assert muls == 1, f"expected factored single mul, got {muls}"
@@ -117,9 +117,9 @@ def test_factor_shared_term_topology_and_value():
 
 
 def test_factor_shared_term_commuted_placements():
-    a = at.vector("a")
-    x = at.vector("x")
-    y = at.vector("y")
+    a = at.vector("a", dtype="float64")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     for expr in (x * a + a * y, a * x + y * a, x * a + y * a):
         res = rewrite_graph(expr, include=("canonicalize", "specialize"))
         assert _count_scalar_op(res, "mul") == 1, expr
@@ -137,8 +137,8 @@ def test_factor_skips_constant_factor():
         distribute_relation,
     )
 
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     two = at.as_tensor_variable(np.float64(2.0))
     q = var()
     got = _factored_only(
@@ -152,9 +152,9 @@ def test_distribute_direction_via_run():
     the distributed form (not registered, but expressible)."""
     from aesara_tpu.tensor.rewriting.math import distribute_relation
 
-    a = at.vector("a")
-    x = at.vector("x")
-    y = at.vector("y")
+    a = at.vector("a", dtype="float64")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     q = var()
     from aesara_tpu.graph.unify import eval_if_etuple
 
@@ -183,7 +183,7 @@ class _SplitHalves(Op):
 
 
 def test_multi_output_relation_fires():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     node_out = _SplitHalves()(x)
     assert isinstance(node_out, list) and len(node_out) == 2
 
@@ -215,7 +215,7 @@ def test_multi_output_relation_fires():
 
 def test_unify_relation_sub_still_single_output_sugar():
     """UnifyRelationSub keeps its pattern-pair surface on the new core."""
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     lv = var("q")
     rel = UnifyRelationSub(
         [((tlog.elemwise_op, (texp.elemwise_op, lv)), lv)]
@@ -244,7 +244,7 @@ def test_relational_inverse_rules_fire_through_optdb():
 
     import aesara_tpu as atp
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     cases = [
         (-(-x), lambda v: v, "neg_neg"),
         (tlog(texp(x)), lambda v: v, "exp_log"),
@@ -280,7 +280,7 @@ def test_relational_exp_log_no_wrong_direction():
 
     import aesara_tpu as atp
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = atp.function([x], texp(tlog(x)), mode="FAST_RUN")
     out = f(np.array([-1.0, 2.0], dtype="float32"))
     assert np.isnan(out[0]) and abs(out[1] - 2.0) < 1e-6

@@ -307,8 +307,8 @@ def test_clone_get_equiv_memo_and_coverage():
 
 
 def test_clone_replace_dict_and_pairs():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     z = x + y
     w = clone_replace(z, {x: y})
     f_in = graph_inputs([w])
@@ -319,7 +319,7 @@ def test_clone_replace_dict_and_pairs():
 
 
 def test_clone_replace_converts_value_types():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     z = x * 2.0
     # raw numpy data is filtered into a constant of x's type
     w = clone_replace(z, {x: np.ones(3, dtype=x.dtype)})
@@ -345,7 +345,7 @@ def test_equal_computations_contract():
 
 
 def test_equal_computations_same_structure():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     e1 = at.exp(x) + x
     e2 = at.exp(x) + x
     assert equal_computations([e1], [e2])
@@ -353,7 +353,7 @@ def test_equal_computations_same_structure():
 
 
 def test_equal_computations_multi_output():
-    m = at.matrix("m")
+    m = at.matrix("m", dtype="float64")
     ma1 = max_and_argmax(m)
     ma2 = max_and_argmax(m)
     assert equal_computations(list(ma1), list(ma2))
@@ -362,7 +362,7 @@ def test_equal_computations_multi_output():
 
 
 def test_equal_computations_in_mappings():
-    x, y = at.vector("x"), at.vector("y")
+    x, y = at.vector("x", dtype="float64"), at.vector("y", dtype="float64")
     e1 = x * 2
     e2 = y * 2
     assert not equal_computations([e1], [e2])
@@ -401,8 +401,8 @@ def test_nominal_variable_equality_hash():
 
 
 def test_variable_eval_caches_and_pickles_clean():
-    x = at.scalar("x")
-    y = at.scalar("y")
+    x = at.scalar("x", dtype="float64")
+    y = at.scalar("y", dtype="float64")
     w = 2 * (x + y)
     assert float(w.eval({x: 1.0, y: 2.0})) == 6.0
     assert hasattr(w, "_fn_cache")
@@ -419,8 +419,8 @@ def test_auto_name_monotonic():
 
 
 def test_get_var_by_name():
-    x = at.vector("x")
-    y = at.vector("lookup_me")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("lookup_me", dtype="float64")
     z = x + y
     found = get_var_by_name([z], "lookup_me")
     assert found == (y,)
@@ -444,9 +444,9 @@ def test_as_string_renders_structure():
 
 
 def test_io_connection_pattern_diamond():
-    x = at.vector("x")
-    y = at.vector("y")
-    z = at.vector("z")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
+    z = at.vector("z", dtype="float64")
     out1 = x + y
     out2 = y * z
     pat = io_connection_pattern([x, y, z], [out1, out2])
@@ -517,8 +517,8 @@ def test_key_to_cmp():
 
 
 def test_sort_apply_nodes_with_comparator():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     a = x + y
     b = x * y
     out = a - b

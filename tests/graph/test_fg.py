@@ -8,8 +8,8 @@ from aesara_tpu.graph.fg import FunctionGraph, MissingInputError
 
 
 def build_fg():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     z = (x + y) * at.exp(x)
     fg = FunctionGraph([x, y], [z], clone=False)
     return x, y, z, fg
@@ -40,14 +40,14 @@ def test_replace():
 
 def test_replace_type_mismatch_raises():
     x, y, z, fg = build_fg()
-    bad = at.matrix("m")
+    bad = at.matrix("m", dtype="float64")
     with pytest.raises(TypeError):
         fg.replace(z, bad, reason="test")
 
 
 def test_missing_input_raises():
     x, y, z, fg = build_fg()
-    w = at.vector("w")
+    w = at.vector("w", dtype="float64")
     with pytest.raises(MissingInputError):
         fg.replace(z.owner.inputs[0], x + w, reason="test")
 

@@ -76,8 +76,8 @@ twoout = _TwoOut()
 
 
 def test_init_clone_isolates_original():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     z = x + y
     fg = FunctionGraph([x, y], [z], clone=True)
     assert fg.outputs[0] is not z
@@ -87,7 +87,7 @@ def test_init_clone_isolates_original():
 
 
 def test_init_infers_inputs_excluding_constants():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     z = x + np.ones(3)
     fg = FunctionGraph(outputs=[z], clone=False)
     assert fg.inputs == [x]
@@ -180,7 +180,7 @@ def test_change_output_updates_clients():
 
 
 def test_change_node_input_type_check():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     i = at.iscalar("i")
     out = x * 2
     fg = FunctionGraph([x, i], [out], clone=False)
@@ -189,7 +189,7 @@ def test_change_node_input_type_check():
 
 
 def test_replace_filters_raw_values():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     out = x * 2
     fg = FunctionGraph([x], [out], clone=False)
     # raw data is converted through x's type into a Constant
@@ -284,8 +284,8 @@ def test_check_integrity_detects_missing_node():
 
 
 def test_pickle_roundtrip_preserves_structure():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     fg = FunctionGraph([x, y], [x * y + 1], clone=True)
     fg2 = pickle.loads(pickle.dumps(fg))
     assert len(fg2.inputs) == 2 and len(fg2.outputs) == 1
@@ -295,7 +295,7 @@ def test_pickle_roundtrip_preserves_structure():
 
 
 def test_clone_preserves_update_mapping():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     out = x * 2
     fg = FunctionGraph([x], [out], clone=False, update_mapping={0: 0})
     fg2 = fg.clone()

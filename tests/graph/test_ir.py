@@ -19,8 +19,8 @@ from aesara_tpu.graph.ir import (
 
 
 def build():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     z = (x + y) * at.exp(x)
     return x, y, z
 
@@ -64,22 +64,22 @@ def test_clone_is_structurally_equal():
 
 def test_clone_replace():
     x, y, z = build()
-    w = at.vector("w")
+    w = at.vector("w", dtype="float64")
     z2 = clone_replace(z, {y: w})
     assert w in graph_inputs([z2])
     assert y not in graph_inputs([z2])
 
 
 def test_equal_computations_distinguishes():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     assert equal_computations([x + y], [x + y])
     assert not equal_computations([x + y], [x - y])
     assert not equal_computations([x + y], [x + x])
 
 
 def test_equal_computations_constants():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     a = x + np.asarray([1.0, 2.0], dtype="float32")
     b = x + np.asarray([1.0, 2.0], dtype="float32")
     c = x + np.asarray([1.0, 3.0], dtype="float32")
@@ -96,7 +96,7 @@ def test_vars_applys_between():
 
 
 def test_variable_eval():
-    x = at.scalar("x")
-    y = at.scalar("y")
+    x = at.scalar("x", dtype="float64")
+    y = at.scalar("y", dtype="float64")
     z = x + y
     assert np.isclose(z.eval({x: 2.0, y: 3.0}), 5.0)

@@ -14,8 +14,8 @@ class TestDestroyHandler:
         from aesara_tpu.tensor.subtensor import IncSubtensor
         from aesara_tpu.tensor.subtensor import encode_indices
 
-        x = at.vector("x")
-        y = at.vector("y")
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         idx_list, _ = encode_indices((slice(0, 2),))
         inc = IncSubtensor(idx_list, inplace=True)
         a = inc(x, y[0:2])
@@ -30,8 +30,8 @@ class TestDestroyHandler:
         from aesara_tpu.graph.destroyhandler import DestroyHandler
         from aesara_tpu.tensor.subtensor import IncSubtensor, encode_indices
 
-        x = at.vector("x")
-        y = at.vector("y")
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         reader = at.exp(x)
         idx_list, _ = encode_indices((slice(0, 2),))
         destroyer = IncSubtensor(idx_list, inplace=True)(x, y[0:2])
@@ -58,7 +58,7 @@ class TestSched:
     def test_sort_schedule_fn(self):
         from aesara_tpu.graph.sched import key_to_cmp, sort_schedule_fn
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         a = at.exp(x)
         b = at.log(at.abs(x) + 1.0)
         out = a.sum() + b.sum()
@@ -77,7 +77,7 @@ class TestUnify:
         from aesara_tpu.graph.ir import equal_computations
         from aesara_tpu.tensor.math import exp as texp, log as tlog
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         lv = var("q")
         s = unify((texp.elemwise_op, lv), (texp.elemwise_op, x), {})
         assert s is not None and s[lv] is x
@@ -95,8 +95,8 @@ class TestUnify:
         from aesara_tpu.graph.unify import ConstrainedVar, unify
 
         cv = ConstrainedVar(lambda v: getattr(v.type, "ndim", -1) == 1)
-        x = at.vector("x")
-        m = at.matrix("m")
+        x = at.vector("x", dtype="float64")
+        m = at.matrix("m", dtype="float64")
         assert unify(cv, x, {}) is not None
         assert unify(cv, m, {}) is None
 

@@ -41,12 +41,12 @@ def _v(*shape, pos=False, dtype="float64"):
 
 
 def test_structural_family():
-    a, b = at.vector("a"), at.vector("b")
+    a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
     j = at.join(0, a, b)
     s1, s2 = at.split(j, at.as_tensor_variable(np.array([3, 2])), 2, axis=0)
     compare([a, b], [j, s1, s2], [_v(3), _v(2)])
 
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     compare([x], [x.T, x.reshape((6,)), x.dimshuffle(1, 0, "x"),
                   at.roll(x, 1, axis=0), at.flatten(x)],
             [_v(2, 3)])
@@ -54,14 +54,14 @@ def test_structural_family():
     # sizes derived from INPUT SHAPES lower fine (static under jit);
     # runtime-scalar sizes are a documented dynamic-shape limit asserted
     # in test_dynamic_shape_limits_raise_actionably
-    y = at.matrix("y")
+    y = at.matrix("y", dtype="float64")
     compare([y], [at.eye(y.shape[0], y.shape[0], 0), at.arange(y.shape[1]),
                   at.alloc(np.float64(2.5), y.shape[0], 2)],
             [_v(4, 3)])
 
 
 def test_elemwise_and_special_family():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     compare([x], [tm.tanh(x), tm.erf(x), tm.erfc(x), tm.erfcx(x),
                   tm.sigmoid(x), tm.softplus(x), tm.expm1(x),
                   tm.sign(x), tm.floor(x), tm.ceil(x)],
@@ -71,7 +71,7 @@ def test_elemwise_and_special_family():
             [_v(7, pos=True)])
     from aesara_tpu.tensor.special import log_softmax, softmax
 
-    m = at.matrix("m")
+    m = at.matrix("m", dtype="float64")
     compare([m], [softmax(m, axis=-1), log_softmax(m, axis=-1)],
             [_v(3, 5)])
 
@@ -87,8 +87,8 @@ def test_reduction_family():
 
 
 def test_dot_family():
-    a, b = at.matrix("a"), at.matrix("b")
-    v = at.vector("v")
+    a, b = at.matrix("a", dtype="float64"), at.matrix("b", dtype="float64")
+    v = at.vector("v", dtype="float64")
     compare([a, b, v], [tm.dot(a, b), tm.dot(a, v), tm.dot(v, a),
                         at.tensordot(a, b, axes=[[1], [0]]),
                         at.outer(v, v)],
@@ -98,7 +98,7 @@ def test_dot_family():
 
 
 def test_subtensor_family():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     i = at.lvector("i")
     from aesara_tpu.tensor.subtensor import inc_subtensor, set_subtensor
 
@@ -134,7 +134,7 @@ def test_linalg_family():
 
 
 def test_extra_ops_family():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     xi = at.lvector("xi")
     compare([x], [at.cumsum(x), at.cumprod(x)], [_v(6)])
     # bincount/unique have data-dependent output shapes: py-oracle only
@@ -144,14 +144,14 @@ def test_extra_ops_family():
     assert np.array_equal(np.asarray(b), np.bincount(iv))
     assert np.array_equal(np.asarray(u), np.unique(iv))
     compare([xi], [at.repeat(xi, 2)], [iv])
-    m = at.matrix("m")
+    m = at.matrix("m", dtype="float64")
     compare([m], [at.diff(m, axis=0), m.ravel(),
                   at.broadcast_to(m[:1], (3, 4))],
             [_v(2, 4)])
 
 
 def test_sort_family():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     from aesara_tpu.tensor.sort import argsort, sort, topk
 
     compare([x], [sort(x), argsort(x), topk(x, 3)], [_v(7)])
@@ -169,8 +169,8 @@ def test_fft_family():
 def test_gradient_composites():
     """Grad graphs differ structurally from forward graphs — sweep a
     few full backward pipelines."""
-    x = at.matrix("x")
-    w = at.matrix("w")
+    x = at.matrix("x", dtype="float64")
+    w = at.matrix("w", dtype="float64")
     from aesara_tpu.gradient import grad
 
     loss = tm.sum(tm.tanh(tm.dot(x, w)) ** 2)
@@ -189,7 +189,7 @@ def test_scan_composites():
     from aesara_tpu.gradient import grad
     from aesara_tpu.scan import scan
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     h, _ = scan(lambda a, acc: tm.tanh(acc * 1.1 + a), sequences=[x],
                 outputs_info=[at.constant(np.float64(0.0))])
     cost = h.sum()
@@ -201,7 +201,7 @@ def test_ifelse_and_switch():
     from aesara_tpu.ifelse import ifelse
 
     c = at.iscalar("c")
-    a, b = at.vector("a"), at.vector("b")
+    a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
     compare([c, a, b], [ifelse(at.gt(c, 0), a * 2, b - 1),
                         at.switch(at.gt(a, 0), a, b)],
             [np.int32(1), _v(4), _v(4)])

@@ -118,7 +118,7 @@ def test_output_subset_lazy_on_cvm():
             calls[self.key] += 1
             out[0][0] = np.asarray(inputs[0])
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     a = Tick("a")(at.math.exp(x))
     b = Tick("b")(at.math.log(at.math.abs(x) + 1))
     f = atp.function([x], [a, b], mode="CVM")
@@ -145,7 +145,7 @@ def test_output_subset_full_run_fallback_jax():
     import aesara_tpu as atp
     import aesara_tpu.tensor as at
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = atp.function([x], [at.math.exp(x), at.math.log(at.math.abs(x) + 1)])
     xv = np.arange(1.0, 4.0, dtype="float32")
     r = f(xv, output_subset=[1])
@@ -185,8 +185,8 @@ def test_cvm_lazy_ifelse_runs_only_taken_branch():
 
     t_op = _CountingExp()
     f_op = _CountingExp()
-    c = at.scalar("c")
-    x = at.vector("x")
+    c = at.scalar("c", dtype="float64")
+    x = at.vector("x", dtype="float64")
     out = ifelse(c > 0, t_op(x), f_op(x * 2.0))
     fn = function([c, x], out, mode=Mode(CVMLinker(), OPT_NONE))
 
@@ -209,8 +209,8 @@ def test_cvm_lazy_ifelse_nested_condition_chain():
     from aesara_tpu.ifelse import ifelse
     from aesara_tpu.link.c.vm_linker import CVMLinker
 
-    c = at.scalar("c")
-    x = at.vector("x")
+    c = at.scalar("c", dtype="float64")
+    x = at.vector("x", dtype="float64")
     inner = ifelse(c > 1, at.exp(x), x + 100.0)
     out = ifelse(c > 0, inner * 2.0, x - 100.0)
     fn = function([c, x], out, mode=Mode(CVMLinker(), OPT_NONE))
@@ -226,7 +226,7 @@ def test_cvm_applies_update_pairs_in_vm():
     from aesara_tpu.graph.fg import FunctionGraph
     from aesara_tpu.link.c.vm_linker import CVMLinker
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     new_x = x * 2.0
     fg = FunctionGraph([x], [new_x])
     linker = CVMLinker(update_map={0: 0})

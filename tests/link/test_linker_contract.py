@@ -27,8 +27,8 @@ floatX = atp.config.floatX
 
 
 def make_fg():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     out = at.exp(x) + y
     return FunctionGraph([x, y], [out], clone=True)
 
@@ -37,7 +37,7 @@ def make_fg():
 
 
 def test_container_filters_on_set():
-    t = at.vector("v").type
+    t = at.vector("v", dtype="float64").type
     c = Container(t, [None])
     c.data = [1.0, 2.0]  # list is filtered into an ndarray of the type
     assert isinstance(c.data, np.ndarray)
@@ -45,14 +45,14 @@ def test_container_filters_on_set():
 
 
 def test_container_strict_rejects_downcast():
-    t = at.vector("v").type  # floatX
+    t = at.vector("v", dtype="float64").type  # floatX
     c = Container(t, [None], strict=True)
     with pytest.raises((TypeError, ValueError)):
         c.data = np.zeros(3, dtype="complex128")
 
 
 def test_container_readonly():
-    t = at.vector("v").type
+    t = at.vector("v", dtype="float64").type
     c = Container(t, [None], readonly=True)
     with pytest.raises(Exception):
         c.data = np.zeros(3, dtype=t.dtype)
@@ -61,7 +61,7 @@ def test_container_readonly():
 def test_container_pickles_value():
     import pickle
 
-    t = at.vector("v").type
+    t = at.vector("v", dtype="float64").type
     c = Container(t, [np.ones(2, t.dtype)])
     c2 = pickle.loads(pickle.dumps(c))
     np.testing.assert_array_equal(c2.data, np.ones(2))
@@ -145,7 +145,7 @@ def test_raise_with_op_annotates():
 def test_compiled_function_error_names_culprit_node():
     from aesara_tpu.raise_op import assert_op
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     out = assert_op(x * 2, at.all(x > 0))
     f = atp.function([x], out, mode="PY")
     with pytest.raises(Exception) as einfo:
@@ -159,8 +159,8 @@ def test_compiled_function_error_names_culprit_node():
 
 def test_unique_name_generator():
     gen = unique_name_generator(["taken"])
-    a = at.vector("taken")
-    b = at.vector("taken")
+    a = at.vector("taken", dtype="float64")
+    b = at.vector("taken", dtype="float64")
     n1 = gen(a)
     n2 = gen(b)
     assert n1 != "taken" and n2 != "taken" and n1 != n2

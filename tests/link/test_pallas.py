@@ -36,8 +36,8 @@ def test_composite_pallas_kernel_cpu_interpret():
     from aesara_tpu.tensor.rewriting.elemwise import FusionOptimizer
     from aesara_tpu.tensor.elemwise import Elemwise
 
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     out = at.exp(x) * at.math.sigmoid(y) + at.tanh(x)
     fg = FunctionGraph(outputs=[out], clone=True)
     FusionOptimizer().rewrite(fg)

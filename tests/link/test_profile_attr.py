@@ -22,7 +22,7 @@ def _hlo_of(f):
 
 
 def test_named_scopes_reach_hlo_metadata():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     w = atp.shared(np.random.rand(32, 16).astype("float32"), name="w")
     out = at.tanh(at.dot(x, w)).sum()
     f = atp.function([x], out, mode="FAST_RUN")
@@ -34,7 +34,7 @@ def test_named_scopes_reach_hlo_metadata():
 
 def test_dot_flops_and_rows():
     m, k, n = 64, 128, 32
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     w = atp.shared(np.random.rand(k, n).astype("float32"), name="w")
     out = at.dot(x, w).sum()
     f = atp.function([x], out, mode="FAST_RUN")
@@ -53,7 +53,7 @@ def test_dot_flops_and_rows():
 
 
 def test_fused_elemwise_lists_constituents():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     y = at.tanh(x * 2.0 + 1.0) + at.exp(x)
     f = atp.function([x], y, mode="FAST_RUN")
     f(np.random.rand(64, 64).astype("float32"))
@@ -90,7 +90,7 @@ def test_transformer_step_attribution_meets_90pct():
 
 
 def test_profile_summary_includes_attribution():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     w = atp.shared(np.random.rand(32, 16).astype("float32"), name="w")
     out = at.dot(x, w).sum()
     f = atp.function([x], out, mode="FAST_RUN", profile=True)
@@ -103,7 +103,7 @@ def test_profile_summary_includes_attribution():
 
 
 def test_attribute_needs_a_call_first():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = atp.function([x], x * 2, mode="FAST_RUN")
     with pytest.raises(TypeError, match="called at least once"):
         attribute(f)

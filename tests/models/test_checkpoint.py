@@ -13,8 +13,8 @@ from aesara_tpu.models.optim import adamw
 
 def _build():
     w = shared(np.zeros(4, dtype="float32"), name="w")
-    x = at.matrix("x")
-    y = at.vector("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     loss = ((at.dot(x, w) - y) ** 2).mean()
     updates = adamw(loss, [w], lr=0.05)
     step = atp.function([x, y], loss, updates=updates, mode="PY")

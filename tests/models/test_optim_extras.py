@@ -18,8 +18,8 @@ from aesara_tpu.models.optim import (
 
 def _problem():
     w = shared(np.zeros(4, dtype="float32"), name="w")
-    x = at.matrix("x")
-    y = at.vector("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     loss = ((at.dot(x, w) - y) ** 2).mean()
     xv = np.ones((3, 4), dtype="float32")
     yv = np.arange(3, dtype="float32")
@@ -38,7 +38,7 @@ def test_adamw_trains_and_decays():
 
     # decoupled decay: with zero gradient the weights still shrink
     w2 = shared(np.ones(3, dtype="float32") * 2.0, name="w2")
-    z = at.vector("z")
+    z = at.vector("z", dtype="float64")
     cost = (z * 0.0).sum() + w2.sum() * 0.0
     step2 = atp.function([z], cost,
                          updates=adamw(cost, [w2], lr=0.1, weight_decay=0.5),
@@ -78,7 +78,7 @@ def test_warmup_cosine_shape():
 class TestLossScaling:
     def test_skips_update_on_nonfinite_and_backs_off(self):
         w = shared(np.zeros(2, dtype="float32"), name="w")
-        z = at.vector("z")
+        z = at.vector("z", dtype="float64")
         cost = (w * z).sum()
         upd = scaled_loss_updates(cost, [w], 0.1, init_scale=2.0 ** 10,
                                   backoff_factor=0.5)
@@ -93,7 +93,7 @@ class TestLossScaling:
 
     def test_scale_grows_after_clean_interval(self):
         w = shared(np.zeros(2, dtype="float32"), name="w")
-        z = at.vector("z")
+        z = at.vector("z", dtype="float64")
         cost = (w * z).sum()
         upd = scaled_loss_updates(cost, [w], 0.01, init_scale=4.0,
                                   growth_interval=3, growth_factor=2.0)
@@ -140,7 +140,7 @@ class TestGradAccumulation:
         from aesara_tpu.models.optim import accumulate_gradients
 
         w = shared(np.zeros(3, dtype="float32"), name="w")
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         loss = ((at.dot(x, w) - 1.0) ** 2).mean()
         upd = accumulate_gradients(loss, [w], 0.1, every=4)
         step = atp.function([x], loss, updates=upd, mode="PY")
@@ -166,7 +166,7 @@ class TestGradAccumulation:
         from aesara_tpu.models.optim import accumulate_gradients
 
         w = shared(np.zeros(2, dtype="float32"), name="w")
-        z = at.vector("z")
+        z = at.vector("z", dtype="float64")
         loss = ((w - z) ** 2).sum()
         upd = accumulate_gradients(loss, [w], 0.25, every=2)
         step = atp.function([z], loss, updates=upd, mode="PY")
@@ -184,7 +184,7 @@ def test_ema_tracks_params():
     from aesara_tpu.models.optim import ema_updates
 
     w = shared(np.zeros(2, dtype="float32"), name="w")
-    z = at.vector("z")
+    z = at.vector("z", dtype="float64")
     loss = ((w - z) ** 2).sum()
     upd = [(w, w - 0.5 * atp.grad(loss, w))]
     ema_upd, (w_ema,) = ema_updates([w], decay=0.5)

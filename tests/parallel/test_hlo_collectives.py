@@ -106,7 +106,7 @@ def test_tp_transformer_two_allreduce_per_layer():
 
     mesh = par.make_mesh({"model": 8})
     D, H, FF = 64, 8, 128
-    x = at.tensor3("x")
+    x = at.tensor3("x", dtype="float64")
     model = TransformerEncoderLayer(D, H, FF).shard_tp("model")
     out = model(x)
     f = par.pjit_function([x], out, mesh=mesh, in_specs=[None])

@@ -47,17 +47,17 @@ def _tp_decode_graph(lm, n_steps, t_max):
     FF = layer.w1.get_value().shape[1]
     ff_loc = FF // NDEV
 
-    embed = at.matrix("embed")            # replicated (vocab, D)
-    wq = at.matrix("wq")                  # shard (D, h_loc*dh)
-    wk = at.matrix("wk")
-    wv = at.matrix("wv")
-    wo = at.matrix("wo")                  # shard (h_loc*dh, D)
-    w1 = at.matrix("w1")                  # shard (D, ff_loc)
-    b1 = at.vector("b1")                  # shard (ff_loc,)
-    w2 = at.matrix("w2")                  # shard (ff_loc, D)
-    b2 = at.vector("b2")                  # replicated (D,)
-    ln1_g, ln1_b = at.vector("ln1_g"), at.vector("ln1_b")
-    ln2_g, ln2_b = at.vector("ln2_g"), at.vector("ln2_b")
+    embed = at.matrix("embed", dtype="float64")            # replicated (vocab, D)
+    wq = at.matrix("wq", dtype="float64")                  # shard (D, h_loc*dh)
+    wk = at.matrix("wk", dtype="float64")
+    wv = at.matrix("wv", dtype="float64")
+    wo = at.matrix("wo", dtype="float64")                  # shard (h_loc*dh, D)
+    w1 = at.matrix("w1", dtype="float64")                  # shard (D, ff_loc)
+    b1 = at.vector("b1", dtype="float64")                  # shard (ff_loc,)
+    w2 = at.matrix("w2", dtype="float64")                  # shard (ff_loc, D)
+    b2 = at.vector("b2", dtype="float64")                  # replicated (D,)
+    ln1_g, ln1_b = at.vector("ln1_g", dtype="float64"), at.vector("ln1_b", dtype="float64")
+    ln2_g, ln2_b = at.vector("ln2_g", dtype="float64"), at.vector("ln2_b", dtype="float64")
     tok0 = at.lscalar("tok0")
 
     def ln(x, g, c, eps=1e-5):

@@ -36,7 +36,7 @@ def _map_ref(sv):
 
 class TestNitTailTopology:
     def test_tail_slice_becomes_ring(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: at.tanh(a) * 2.0, sequences=[s],
                        outputs_info=[None], n_steps=16)
         f = function([s], outs[-4:].sum(), mode="FAST_RUN")
@@ -48,7 +48,7 @@ class TestNitTailTopology:
         assert nodes[0].outputs[0].type.shape == (4,)
 
     def test_last_element_becomes_depth1_ring(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: a * 3.0, sequences=[s],
                        outputs_info=[None], n_steps=8)
         f = function([s], outs[-1], mode="FAST_RUN")
@@ -56,7 +56,7 @@ class TestNitTailTopology:
         assert op.info.nit_tail_depths == (1,)
 
     def test_mixed_consumers_max_depth(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: a + 1.0, sequences=[s],
                        outputs_info=[None], n_steps=8)
         f = function([s], outs[-1] * 2.0 + outs[-3:].sum(), mode="FAST_RUN")
@@ -64,7 +64,7 @@ class TestNitTailTopology:
         assert op.info.nit_tail_depths == (3,)
 
     def test_non_tail_consumer_blocks(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: a + 1.0, sequences=[s],
                        outputs_info=[None], n_steps=8)
         f = function([s], outs.sum(), mode="FAST_RUN")
@@ -73,7 +73,7 @@ class TestNitTailTopology:
 
     def test_full_depth_window_keeps_stack(self):
         # k == n_steps: the ring IS the stack — no rewrite
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: a + 1.0, sequences=[s],
                        outputs_info=[None], n_steps=8)
         f = function([s], outs[-8:].sum(), mode="FAST_RUN")
@@ -82,7 +82,7 @@ class TestNitTailTopology:
 
     def test_mixed_rec_and_nit_rings(self):
         # one sit-sot tail ring AND one nit-sot tail ring in the same scan
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         (acc, mapped), _ = scan(
             fn=lambda a, acc: (acc * 0.9 + a, at.exp(a)),
             sequences=[s],
@@ -100,7 +100,7 @@ class TestNitTailValues:
     @pytest.mark.parametrize("mode", ["FAST_RUN", "PY"])
     @pytest.mark.parametrize("k", [1, 3, 7])
     def test_tail_window_matches_full_stack(self, mode, k):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: at.tanh(a) * 2.0, sequences=[s],
                        outputs_info=[None], n_steps=16)
         f = function([s], outs[-k:], mode=mode)
@@ -110,7 +110,7 @@ class TestNitTailValues:
     @pytest.mark.parametrize("mode", ["FAST_RUN", "PY"])
     @pytest.mark.parametrize("j", [1, 2, 5])
     def test_negative_element_matches(self, mode, j):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: at.tanh(a) * 2.0, sequences=[s],
                        outputs_info=[None], n_steps=16)
         f = function([s], outs[-j], mode=mode)
@@ -119,7 +119,7 @@ class TestNitTailValues:
 
     def test_matrix_rows_ring(self):
         # nit rows with extra dims: ring rows are (3,)-vectors
-        s = at.matrix("s")
+        s = at.matrix("s", dtype="float64")
         outs, _ = scan(fn=lambda a: a * a, sequences=[s],
                        outputs_info=[None], n_steps=10)
         f = function([s], outs[-4:], mode="FAST_RUN")
@@ -132,7 +132,7 @@ class TestNitTailValues:
         # grad is built BEFORE scan_save_mem fires (compile pipeline), so
         # d(sum(mapped[-k:]))/ds must match the dense formulation even
         # though the compiled forward uses a ring
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: at.tanh(a) * 2.0, sequences=[s],
                        outputs_info=[None], n_steps=16)
         loss = outs[-4:].sum()
@@ -146,7 +146,7 @@ class TestNitTailValues:
     def test_grad_windowed_loss_with_recurrence(self):
         # windowed loss over a map output of a recurrent quantity: the
         # common long-horizon BPTT shape this transform exists for
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         (acc, sq), _ = scan(
             fn=lambda a, acc: (acc * 0.5 + a, (acc * 0.5 + a) ** 2),
             sequences=[s],
@@ -167,7 +167,7 @@ class TestNitTailValues:
     def test_updates_and_shared_unaffected(self):
         # nit ring coexists with shared-state updates
         w = atp.shared(np.float64(1.0), name="w")
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, updates = scan(
             fn=lambda a: a * w, sequences=[s], outputs_info=[None],
             n_steps=6,
@@ -183,7 +183,7 @@ class TestNitTailHBM:
     def test_compiled_buffer_is_ring_sized(self):
         # the (n_steps, d) stack must not exist in the compiled program:
         # peak temp for the scanned output is (k, d)
-        s = at.matrix("s")
+        s = at.matrix("s", dtype="float64")
         outs, _ = scan(fn=lambda a: at.tanh(a), sequences=[s],
                        outputs_info=[None], n_steps=256)
         f = function([s], outs[-2:].sum(), mode="FAST_RUN")

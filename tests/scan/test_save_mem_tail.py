@@ -33,7 +33,7 @@ def _np_ewma(sv, decay=0.9, init=0.0):
 
 class TestTailTopology:
     def test_tail_slice_shrinks_buffer(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc * 0.9 + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=16)
@@ -46,7 +46,7 @@ class TestTailTopology:
         assert nodes[0].outputs[0].type.shape == (4,)
 
     def test_pure_final_still_uses_final_only(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=8)
@@ -57,7 +57,7 @@ class TestTailTopology:
 
     def test_negative_element_index(self):
         # x[-3] needs only a 3-deep ring, not the full stack
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=10)
@@ -66,7 +66,7 @@ class TestTailTopology:
         assert op.info.tail_depths == (3,)
 
     def test_mixed_consumers_max_depth(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=8)
@@ -75,7 +75,7 @@ class TestTailTopology:
         assert op.info.tail_depths == (2,)
 
     def test_non_tail_consumer_blocks(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=8)
@@ -86,7 +86,7 @@ class TestTailTopology:
 
     def test_symbolic_n_steps_blocks_ring(self):
         # ring exactness needs a static trip count ≥ k
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))])
         f = function([s], outs[-2:].sum(), mode="FAST_RUN")
@@ -96,7 +96,7 @@ class TestTailTopology:
 
 class TestTailValues:
     def test_ewma_window_matches_py(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc * 0.9 + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=16)
@@ -110,7 +110,7 @@ class TestTailValues:
             np.asarray(fj(sv)), _np_ewma(sv)[-4:], rtol=1e-6)
 
     def test_mixed_consumer_values(self):
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=8)
@@ -123,7 +123,7 @@ class TestTailValues:
 
     def test_window_equals_full_depth(self):
         # k == n_steps: the ring is the whole (small) history
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],
                        n_steps=4)
@@ -134,7 +134,7 @@ class TestTailValues:
 
     def test_window_with_inner_index(self):
         # stacked[-2:, 0]: the extra index re-applies inside the ring
-        s = at.matrix("s")
+        s = at.matrix("s", dtype="float64")
         init = at.as_tensor_variable(np.zeros(3))
         outs, _ = scan(fn=lambda a, acc: acc + a, sequences=[s],
                        outputs_info=[init], n_steps=5)
@@ -147,7 +147,7 @@ class TestTailValues:
 
     def test_mit_sot_tail_window(self):
         # Fibonacci-ish mit-sot with taps [-2, -1], consumed via [-3:]
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         init = at.as_tensor_variable(np.array([1.0, 1.0]))
         outs, _ = scan(
             fn=lambda a, m2, m1: m2 + m1 + a,
@@ -169,7 +169,7 @@ class TestTailValues:
     def test_bptt_windowed_loss_grad(self):
         # grads are built BEFORE save-mem fires; the rewrite then applies
         # to the grad graph's scans where legal — end-to-end value check
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         w = atp.shared(np.float64(0.8), name="w")
         outs, _ = scan(fn=lambda a, acc: acc * w + a, sequences=[s],
                        outputs_info=[at.as_tensor_variable(np.float64(0.0))],

@@ -124,7 +124,7 @@ def test_bss_eligibility_gate():
 def test_function_bridges_bss_and_matches_py():
     x_sp = _rand_csr(256, 384, 0.02, seed=5)
     x = shared(x_sp, name="x")
-    w = at.vector("w")
+    w = at.vector("w", dtype="float64")
     out = sb.structured_dot(x, at.shape_padright(w)).flatten()
     f = function([w], out, mode="FAST_RUN")
     f_py = function([w], out, mode="PY")

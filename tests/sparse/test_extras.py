@@ -25,8 +25,8 @@ def mats():
 
 def test_hstack_vstack(mats):
     xv, yv = mats
-    x = spb.csr_matrix("x")
-    y = spb.csr_matrix("y")
+    x = spb.csr_matrix("x", dtype="float64")
+    y = spb.csr_matrix("y", dtype="float64")
     f = function([x, y], spb.dense_from_sparse(spb.hstack([x, y], format="csr")),
                  mode="PY")
     assert np.allclose(f(xv, yv), sp.hstack([xv, yv]).toarray())
@@ -37,8 +37,8 @@ def test_hstack_vstack(mats):
 
 def test_hstack_vstack_grad(mats):
     xv, yv = mats
-    x = spb.csr_matrix("x")
-    y = spb.csr_matrix("y")
+    x = spb.csr_matrix("x", dtype="float64")
+    y = spb.csr_matrix("y", dtype="float64")
     h = spb.hstack([x, y], format="csr")
     gx = grad(spb.sp_sum(spb.mul(h, h), sparse_grad=False), x)
     fg = function([x, y], spb.dense_from_sparse(gx), mode="PY")
@@ -51,8 +51,8 @@ def test_hstack_vstack_grad(mats):
 
 def test_comparisons(mats):
     xv, yv = mats
-    x = spb.csr_matrix("x")
-    y = spb.csr_matrix("y")
+    x = spb.csr_matrix("x", dtype="float64")
+    y = spb.csr_matrix("y", dtype="float64")
     for name, sym, ref in [
         ("lt", spb.lt, lambda a, b: a < b),
         ("gt", spb.gt, lambda a, b: a > b),
@@ -67,7 +67,7 @@ def test_comparisons(mats):
 
 def test_get_item_2d_and_scalar(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     f2 = function([x], spb.dense_from_sparse(
         spb.get_item_2d(x, slice(1, 4), slice(None))), mode="PY")
     assert np.allclose(f2(xv), xv[1:4, :].toarray())
@@ -77,7 +77,7 @@ def test_get_item_2d_and_scalar(mats):
 
 def test_structured_elemwise_keeps_pattern(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     f = function([x], spb.dense_from_sparse(spb.structured_sigmoid(x)), mode="PY")
     res = f(xv)
     mask = xv.toarray() != 0
@@ -87,7 +87,7 @@ def test_structured_elemwise_keeps_pattern(mats):
 
 def test_cast_diag_square_diag_clean(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     fc = function([x], spb.dense_from_sparse(spb.sp_cast(x, "float32")), mode="PY")
     assert fc(xv).dtype == np.float32
 
@@ -96,7 +96,7 @@ def test_cast_diag_square_diag_clean(mats):
     fd = function([x], spb.diag(x), mode="PY")
     assert np.allclose(fd(sq), sq.toarray().diagonal())
 
-    d = at.tensor.vector("d")
+    d = at.tensor.vector("d", dtype="float64")
     fsq = function([d], spb.dense_from_sparse(spb.square_diagonal(d)), mode="PY")
     assert np.allclose(fsq(np.arange(4.0)), np.diag(np.arange(4.0)))
 
@@ -111,7 +111,7 @@ def test_cast_diag_square_diag_clean(mats):
 
 
 def test_square_diagonal_grad():
-    d = at.tensor.vector("d")
+    d = at.tensor.vector("d", dtype="float64")
     sq = spb.square_diagonal(d)
     g = grad(spb.sp_sum(spb.mul(sq, sq), sparse_grad=False), d)
     f = function([d], g, mode="PY")
@@ -121,8 +121,8 @@ def test_square_diagonal_grad():
 
 def test_mul_s_v_and_grad(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
-    v = at.tensor.vector("v")
+    x = spb.csr_matrix("x", dtype="float64")
+    v = at.tensor.vector("v", dtype="float64")
     vv = np.arange(1.0, 8.0)
     f = function([x, v], spb.dense_from_sparse(spb.mul_s_v(x, v)), mode="PY")
     assert np.allclose(f(xv, vv), xv.toarray() * vv)
@@ -134,8 +134,8 @@ def test_mul_s_v_and_grad(mats):
 
 def test_structured_add_s_v(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
-    v = at.tensor.vector("v")
+    x = spb.csr_matrix("x", dtype="float64")
+    v = at.tensor.vector("v", dtype="float64")
     vv = np.arange(1.0, 8.0)
     f = function([x, v], spb.dense_from_sparse(spb.structured_add_s_v(x, v)),
                  mode="PY")
@@ -150,7 +150,7 @@ def test_structured_add_s_v(mats):
 
 def test_get_item_list_and_grad(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     idx = at.tensor.as_tensor_variable(np.array([2, 0, 2], dtype="int64"))
     gl = spb.get_item_list(x, idx)
     f = function([x], spb.dense_from_sparse(gl), mode="PY")
@@ -165,13 +165,13 @@ def test_get_item_list_and_grad(mats):
 
 def test_get_item_2lists_and_construct(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     f = function([x], spb.get_item_2lists(
         x, np.array([0, 1], dtype="int64"), np.array([1, 2], dtype="int64")),
         mode="PY")
     assert np.allclose(f(xv), [xv[0, 1], xv[1, 2]])
 
-    vals = at.tensor.matrix("vals")
+    vals = at.tensor.matrix("vals", dtype="float64")
     idx = at.tensor.as_tensor_variable(np.array([2, 0, 2], dtype="int64"))
     # reference signature: (x supplying the shape, values, ilist)
     cs = spb.construct_sparse_from_list(
@@ -187,7 +187,7 @@ def test_get_item_2lists_and_construct(mats):
 
 def test_pattern_samplers(mats):
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     f = function([x], spb.dense_from_sparse(spb.poisson(x)), mode="PY")
     out = f(xv)
     assert np.all(out[xv.toarray() == 0] == 0)  # pattern preserved (or shrunk)
@@ -198,8 +198,8 @@ def test_pattern_samplers(mats):
 def test_true_dot_sparse_result(mats):
     xv, _ = mats                      # 5x7 csr
     wv = np.random.RandomState(2).standard_normal((7, 3))
-    x = spb.csr_matrix("x")
-    w = at.tensor.matrix("w")
+    x = spb.csr_matrix("x", dtype="float64")
+    w = at.tensor.matrix("w", dtype="float64")
     out = spb.true_dot(x, w)
     assert isinstance(out.type, type(x.type))
     f = function([x, w], spb.dense_from_sparse(out), mode="PY")
@@ -207,7 +207,7 @@ def test_true_dot_sparse_result(mats):
     # sparse @ sparse stays sparse
     yv = sp.random(7, 4, density=0.4, format="csr",
                    random_state=np.random.RandomState(3))
-    y = spb.csr_matrix("y")
+    y = spb.csr_matrix("y", dtype="float64")
     g = function([x, y], spb.dense_from_sparse(spb.true_dot(x, y)), mode="PY")
     assert np.allclose(g(xv, yv), (xv @ yv).toarray())
 
@@ -215,8 +215,8 @@ def test_true_dot_sparse_result(mats):
 def test_true_dot_grad(mats):
     xv, _ = mats
     wv = np.random.RandomState(4).standard_normal((7, 3)).astype("float64")
-    x = spb.csr_matrix("x")
-    w = at.tensor.matrix("w")
+    x = spb.csr_matrix("x", dtype="float64")
+    w = at.tensor.matrix("w", dtype="float64")
     cost = spb.sp_sum(spb.true_dot(x, w))
     gw = grad(cost, w)
     f = function([x, w], gw, mode="PY")
@@ -232,10 +232,10 @@ def test_col_row_scale_values(mats):
     rv = np.random.RandomState(6).standard_normal(5)
     for fmt in ("csr", "csc"):
         x = spb.matrix(fmt, "x")
-        s = at.tensor.vector("s")
+        s = at.tensor.vector("s", dtype="float64")
         f = function([x, s], spb.dense_from_sparse(spb.col_scale(x, s)), mode="PY")
         assert np.allclose(f(xv.asformat(fmt), sv), xv.toarray() * sv[None, :])
-        r = at.tensor.vector("r")
+        r = at.tensor.vector("r", dtype="float64")
         g = function([x, r], spb.dense_from_sparse(spb.row_scale(x, r)), mode="PY")
         assert np.allclose(g(xv.asformat(fmt), rv), xv.toarray() * rv[:, None])
 
@@ -243,8 +243,8 @@ def test_col_row_scale_values(mats):
 def test_col_scale_grad(mats):
     xv, _ = mats
     sv = np.random.RandomState(7).standard_normal(7)
-    x = spb.csc_matrix("x")
-    s = at.tensor.vector("s")
+    x = spb.csc_matrix("x", dtype="float64")
+    s = at.tensor.vector("s", dtype="float64")
     cost = spb.sp_sum(spb.col_scale(x, s))
     gs = grad(cost, s)
     f = function([x, s], gs, mode="PY")
@@ -256,8 +256,8 @@ def test_add_s_s_data(mats):
     xv, _ = mats
     yv = xv.copy()
     yv.data = np.random.RandomState(8).standard_normal(len(xv.data))
-    x = spb.csr_matrix("x")
-    y = spb.csr_matrix("y")
+    x = spb.csr_matrix("x", dtype="float64")
+    y = spb.csr_matrix("y", dtype="float64")
     f = function([x, y], spb.dense_from_sparse(spb.add_s_s_data(x, y)), mode="PY")
     assert np.allclose(f(xv, yv), (xv + yv).toarray())
     cost = spb.sp_sum(spb.add_s_s_data(x, y))
@@ -270,8 +270,8 @@ def test_add_s_s_data(mats):
 def test_sparse_dense_comparisons(mats):
     xv, _ = mats
     dv = np.random.RandomState(9).standard_normal((5, 7))
-    x = spb.csr_matrix("x")
-    d = at.tensor.matrix("d")
+    x = spb.csr_matrix("x", dtype="float64")
+    d = at.tensor.matrix("d", dtype="float64")
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
         for fn, npop in ((spb.lt, np.less), (spb.gt, np.greater),
@@ -287,8 +287,8 @@ def test_sparse_dense_comparisons(mats):
 
 def test_sparse_operator_sugar(mats):
     xv, yv = mats
-    x = spb.csr_matrix("x")
-    y = spb.csr_matrix("y")
+    x = spb.csr_matrix("x", dtype="float64")
+    y = spb.csr_matrix("y", dtype="float64")
     out = (-x) * y + x - y
     f = function([x, y], spb.dense_from_sparse(out), mode="PY")
     want = (-xv.toarray()) * yv.toarray() + xv.toarray() - yv.toarray()
@@ -304,7 +304,7 @@ def test_get_item_2lists_grad(mats):
     xv, _ = mats
     rows = np.array([0, 2, 4])
     cols = np.array([1, 3, 6])
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     cost = spb.get_item_2lists(x, rows, cols).sum()
     gx = grad(cost, x)
     f = function([x], spb.dense_from_sparse(gx), mode="PY")
@@ -317,7 +317,7 @@ def test_get_item_2lists_grad(mats):
 def test_sparse_function_output_stays_sparse(mats):
     # regression: Function._to_host used to np.asarray sparse outputs
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     f = function([x], spb.transpose(x), mode="PY")
     out = f(xv)
     assert sp.issparse(out)
@@ -329,7 +329,7 @@ def test_sparse_sandbox_sp2(mats):
     from aesara_tpu.sparse.sandbox import sp2
 
     xv, _ = mats
-    x = spb.csr_matrix("x")
+    x = spb.csr_matrix("x", dtype="float64")
     f = function([x], sp2.poisson(x), mode="PY")
     out = f((xv * 5).tocsr())
     assert sp.issparse(out) and out.shape == xv.shape

@@ -34,7 +34,7 @@ def ops_in(out, *roots):
 
 
 def test_dense_sparse_roundtrips():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     res = rewrite_graph(sb.dense_from_sparse(SparseFromDense("csr")(x)))
     assert equal_computations([res], [x])
 
@@ -47,7 +47,7 @@ def test_dense_sparse_roundtrips():
 
 
 def test_csm_properties_of_csm():
-    d = at.vector("d")
+    d = at.vector("d", dtype="float64")
     i = at.vector("i", dtype="int32")
     p = at.vector("p", dtype="int32")
     shp = at.vector("shp", dtype="int32")
@@ -71,7 +71,7 @@ def test_csm_of_csm_properties():
 
 def test_dot_to_structured_dot():
     s = sb.csr_matrix("s")
-    y = at.matrix("y")
+    y = at.matrix("y", dtype="float64")
     out = Dot()(s, y)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     assert any(isinstance(op, StructuredDot) for op in ops_in(res, s, y))
@@ -85,7 +85,7 @@ def test_dot_to_structured_dot():
 
 def test_dense_dot_of_dense_from_sparse():
     s = sb.csr_matrix("s")
-    y = at.matrix("y")
+    y = at.matrix("y", dtype="float64")
     out = at.dot(sb.dense_from_sparse(s), y)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     ops = ops_in(res, s, y)
@@ -100,9 +100,9 @@ def test_dense_dot_of_dense_from_sparse():
 
 def test_usmm_fusion():
     s = sb.csr_matrix("s")
-    y = at.matrix("y")
-    z = at.matrix("z")
-    alpha = at.scalar("alpha")
+    y = at.matrix("y", dtype="float64")
+    z = at.matrix("z", dtype="float64")
+    alpha = at.scalar("alpha", dtype="float64")
     out = z + alpha * Dot()(s, y)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     assert any(isinstance(op, Usmm) for op in ops_in(res, s, y, z, alpha))
@@ -118,8 +118,8 @@ def test_usmm_fusion():
 
 def test_usmm_fusion_no_alpha():
     s = sb.csr_matrix("s")
-    y = at.matrix("y")
-    z = at.matrix("z")
+    y = at.matrix("y", dtype="float64")
+    z = at.matrix("z", dtype="float64")
     out = z + Dot()(s, y)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     assert any(isinstance(op, Usmm) for op in ops_in(res, s, y, z))
@@ -171,13 +171,13 @@ def test_ensure_sorted_indices_idempotent():
 
 
 def test_diag_of_square_diagonal():
-    v = at.vector("v")
+    v = at.vector("v", dtype="float64")
     res = rewrite_graph(sb.diag(sb.square_diagonal(v)))
     assert equal_computations([res], [v]) or res is v
 
 
 def test_dense_from_sparse_of_square_diagonal():
-    v = at.vector("v")
+    v = at.vector("v", dtype="float64")
     out = sb.dense_from_sparse(sb.square_diagonal(v))
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     assert not any(
@@ -196,7 +196,7 @@ def test_fast_run_pipeline_with_sparse_graph():
     sv = rand_csr(20, 6)
     s = sb.sparse_shared(sv, name="S")
     w = atp.shared(np.zeros(6), name="w")
-    y = at.vector("y")
+    y = at.vector("y", dtype="float64")
     pred = sb.structured_dot(s, w.dimshuffle(0, "x")).flatten()
     loss = ((pred - y) ** 2).mean()
     g = atp.grad(loss, w)

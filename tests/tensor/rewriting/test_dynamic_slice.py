@@ -27,78 +27,78 @@ def _spec(out):
 
 class TestAffineSliceRecognition:
     def test_minibatch_idiom(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         i = at.iscalar("i")
         res = _spec(x[i * 4 : (i + 1) * 4])
         assert "DynamicSlice" in op_labels(res)
         assert "Subtensor" not in op_labels(res)
 
     def test_start_plus_const(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         s = at.lscalar("s")
         res = _spec(x[s : s + 7])
         assert "DynamicSlice" in op_labels(res)
 
     def test_shifted_window(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         s = at.lscalar("s")
         res = _spec(x[s + 2 : s + 9])
         assert "DynamicSlice" in op_labels(res)
 
     def test_two_axis_window(self):
-        x = at.tensor3("x")
+        x = at.tensor3("x", dtype="float64")
         i, j = at.iscalar("i"), at.iscalar("j")
         res = _spec(x[i : i + 2, j * 3 : (j + 1) * 3])
         lbls = op_labels(res)
         assert "DynamicSlice" in lbls
 
     def test_full_leading_axis_then_window(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         j = at.iscalar("j")
         res = _spec(x[:, j : j + 5])
         assert "DynamicSlice" in op_labels(res)
 
     def test_non_constant_window_stays(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         s, t = at.lscalar("s"), at.lscalar("t")
         res = _spec(x[s:t])
         assert "DynamicSlice" not in op_labels(res)
         assert "Subtensor" in op_labels(res)
 
     def test_negative_window_stays(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         s = at.lscalar("s")
         res = _spec(x[s : s - 3])
         assert "DynamicSlice" not in op_labels(res)
 
     def test_strided_stays(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         s = at.lscalar("s")
         res = _spec(x[s : s + 6 : 2])
         assert "DynamicSlice" not in op_labels(res)
 
     def test_window_larger_than_static_dim_stays(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         i = at.iscalar("i")
         xk = at.specify_shape(x, (3, 4))
         res = _spec(xk[i : i + 8])
         assert "DynamicSlice" not in op_labels(res)
 
     def test_static_slices_untouched(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         res = _spec(x[1:3])
         assert "DynamicSlice" not in op_labels(res)
 
     def test_inc_subtensor_dual(self):
-        x = at.matrix("x")
-        v = at.matrix("v")
+        x = at.matrix("x", dtype="float64")
+        v = at.matrix("v", dtype="float64")
         i = at.iscalar("i")
         res = _spec(at.set_subtensor(x[i * 2 : (i + 1) * 2], v))
         assert "DynamicIncSubtensor" in op_labels(res)
 
     def test_inc_subtensor_add_dual(self):
-        x = at.vector("x")
-        v = at.vector("v")
+        x = at.vector("x", dtype="float64")
+        v = at.vector("v", dtype="float64")
         s = at.lscalar("s")
         res = _spec(at.inc_subtensor(x[s : s + 3], v))
         assert "DynamicIncSubtensor" in op_labels(res)
@@ -134,7 +134,7 @@ class TestDynamicSliceValues:
         )
 
     def test_grad_wrt_base(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         s = at.lscalar("s")
         out = at.sum(at.sqr(x[s : s + 3]))
         g = atp.grad(out, x)
@@ -162,7 +162,7 @@ class TestDynamicSliceValues:
 
     def test_set_window_roundtrip(self):
         Xd = atp.shared(np.zeros((8, 2), "float32"), name="Xd")
-        v = at.matrix("v")
+        v = at.matrix("v", dtype="float64")
         i = at.iscalar("i")
         upd = at.set_subtensor(Xd[i * 2 : (i + 1) * 2], v)
         f = atp.function([i, v], [], updates={Xd: upd}, mode="FAST_RUN")
@@ -171,8 +171,8 @@ class TestDynamicSliceValues:
         assert (got[2:4] == 1).all() and (got[:2] == 0).all() and (got[4:] == 0).all()
 
     def test_inc_window_accumulates(self):
-        x = at.vector("x")
-        v = at.vector("v")
+        x = at.vector("x", dtype="float64")
+        v = at.vector("v", dtype="float64")
         s = at.lscalar("s")
         out = at.inc_subtensor(x[s : s + 2], v)
         f = atp.function([x, v, s], out, mode="FAST_RUN")
@@ -182,7 +182,7 @@ class TestDynamicSliceValues:
     def test_py_oracle_matches_xla_clamping(self):
         """Documented lax clamp semantics hold on BOTH backends."""
         op = DynamicSlice((3,))
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         s = at.lscalar("s")
         out = op(x, s)
         f_py = atp.function([x, s], out, mode="PY")
@@ -195,8 +195,8 @@ class TestDynamicSliceValues:
 
     def test_dynamic_inc_py_oracle_matches_xla(self):
         op = DynamicIncSubtensor((2,))
-        x = at.vector("x")
-        y = at.vector("y")
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         s = at.lscalar("s")
         out = op(x, y, s)
         f_py = atp.function([x, y, s], out, mode="PY")

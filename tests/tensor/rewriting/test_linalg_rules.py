@@ -134,4 +134,4 @@ class TestSpectralRadiusBound:
         with pytest.raises(ValueError):
             spectral_radius_bound(X, 0)
         with pytest.raises(TypeError):
-            spectral_radius_bound(at.vector("v"), 2)
+            spectral_radius_bound(at.vector("v", dtype="float64"), 2)

@@ -49,7 +49,7 @@ class TestMulCanonizer:
     def test_div_self(self):
         from aesara_tpu.scalar import ops as aeso
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         res = rewrite_graph(x / x)
         assert n_ops(res, aeso.TrueDiv) == 0
         f = function([x], res, mode="PY")
@@ -58,7 +58,7 @@ class TestMulCanonizer:
     def test_nested_div_flattens(self):
         from aesara_tpu.scalar import ops as aeso
 
-        a, b, c = at.vector("a"), at.vector("b"), at.vector("c")
+        a, b, c = at.vector("a", dtype="float64"), at.vector("b", dtype="float64"), at.vector("c", dtype="float64")
         out = (a / b) / c
         res = rewrite_graph(out)
         # one division in the canonical form
@@ -69,25 +69,25 @@ class TestMulCanonizer:
     def test_mul_div_cancellation(self):
         from aesara_tpu.scalar import ops as aeso
 
-        a, b = at.vector("a"), at.vector("b")
+        a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
         out = (a * b) / b
         res = rewrite_graph(out)
         assert equal_computations([res], [a])
 
     def test_constants_fold_across_div(self):
-        a = at.vector("a")
+        a = at.vector("a", dtype="float64")
         out = (2.0 * a) / 2.0
         res = rewrite_graph(out)
         assert equal_computations([res], [a])
 
     def test_neg_cancellation_add(self):
-        a, b = at.vector("a"), at.vector("b")
+        a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
         out = (a + b) - b
         res = rewrite_graph(out)
         assert equal_computations([res], [a])
 
     def test_sub_self_is_zero(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         res = rewrite_graph(x - x)
         f = function([x], res, mode="PY")
         np.testing.assert_allclose(f(rng.normal(size=5)), 0.0)
@@ -99,7 +99,7 @@ class TestMulCanonizer:
         np.testing.assert_allclose(np.asarray(f(np.array([2, 4]))), 1.0)
 
     def test_deep_expression_differential(self):
-        a, b, c = at.vector("a"), at.vector("b"), at.vector("c")
+        a, b, c = at.vector("a", dtype="float64"), at.vector("b", dtype="float64"), at.vector("c", dtype="float64")
         out = ((a * b * 3.0) / (b * 1.5)) * (c / c)
         res = rewrite_graph(out)
         av, bv, cv = (rng.normal(size=6) + 3 for _ in range(3))
@@ -108,7 +108,7 @@ class TestMulCanonizer:
 
 class TestPowRewrites:
     def test_pow_zero_one(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         assert "1" in str(rewrite_graph(x ** 0.0).eval({x: np.zeros(2, "float64")})[0].__class__) or True
         f0 = function([x], rewrite_graph(x ** 0.0), mode="PY")
         np.testing.assert_allclose(f0(rng.normal(size=3)), 1.0)
@@ -124,7 +124,7 @@ class TestPowRewrites:
     def test_pow_specialize(self, p, expect_str):
         from aesara_tpu.scalar import ops as aeso
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         out = x ** p
         res = rewrite_graph(out, include=["canonicalize", "specialize"])
         assert n_ops(res, aeso.Pow) == 0
@@ -137,7 +137,7 @@ class TestPowRewrites:
     def test_mul_to_sqr(self):
         from aesara_tpu.scalar import ops as aeso
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         res = rewrite_graph(x * x, include=["canonicalize", "specialize"])
         assert n_ops(res, aeso.Mul) == 0
         check_values_match([x], x * x, res, [rng.normal(size=4)])
@@ -145,12 +145,12 @@ class TestPowRewrites:
 
 class TestMiscAlgebra:
     def test_reciprocal_reciprocal(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         res = rewrite_graph(tm.reciprocal(tm.reciprocal(x)))
         assert equal_computations([res], [x])
 
     def test_zero_div(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         res = rewrite_graph(at.zeros_like(x) * 0.0 / x)
         f = function([x], res, mode="PY")
         np.testing.assert_allclose(f(rng.normal(size=3) + 1), 0.0)
@@ -161,7 +161,7 @@ class TestMiscAlgebra:
         assert equal_computations([res], [x])
 
     def test_abs_of_abs_and_neg(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         res = rewrite_graph(at.abs(at.abs(x)))
         assert equal_computations([res], [at.abs(x)])
         res = rewrite_graph(at.abs(-x))
@@ -175,7 +175,7 @@ class TestMiscAlgebra:
     def test_abs_merge(self):
         from aesara_tpu.scalar import ops as aeso
 
-        a, b = at.vector("a"), at.vector("b")
+        a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
         out = at.abs(a) * at.abs(b)
         res = rewrite_graph(out, include=["canonicalize", "specialize"])
         assert n_ops(res, aeso.Abs) == 1
@@ -185,7 +185,7 @@ class TestMiscAlgebra:
     def test_add_neg_to_sub(self):
         from aesara_tpu.scalar import ops as aeso
 
-        a, b = at.vector("a"), at.vector("b")
+        a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
         out = a + (-b)
         res = rewrite_graph(out, include=["canonicalize", "specialize"])
         assert n_ops(res, aeso.Neg) == 0
@@ -195,7 +195,7 @@ class TestMiscAlgebra:
 
 class TestStabilizations:
     def test_exp_log_nan_switch(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         out = at.exp(at.log(x))
         res = rewrite_graph(out, include=["canonicalize", "specialize"])
         f = function([x], res, mode="PY")
@@ -205,7 +205,7 @@ class TestStabilizations:
     def test_log_sqrt(self):
         from aesara_tpu.scalar import ops as aeso
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         out = at.log(at.sqrt(x))
         res = rewrite_graph(out, include=["canonicalize", "stabilize"])
         assert n_ops(res, aeso.Sqrt) == 0
@@ -213,7 +213,7 @@ class TestStabilizations:
         check_values_match([x], out, res, [v], rtol=1e-6)
 
     def test_log_add_exp(self):
-        a, b = at.vector("a"), at.vector("b")
+        a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
         out = at.log(at.exp(a) + at.exp(b))
         res = rewrite_graph(out, include=["canonicalize", "stabilize"])
         # overflow-proof: huge inputs no longer overflow
@@ -223,7 +223,7 @@ class TestStabilizations:
         assert np.all(np.isfinite(got)) and np.allclose(got, 1000.0)
 
     def test_logsumexp_rewrite(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         out = at.log(at.sum(at.exp(x), axis=1))
         res = rewrite_graph(out, include=["canonicalize", "stabilize"])
         f = function([x], res, mode="PY")
@@ -235,21 +235,21 @@ class TestStabilizations:
     def test_1msigmoid(self):
         from aesara_tpu.scalar import ops as aeso
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         out = 1.0 - at.math.sigmoid(x)
         res = rewrite_graph(out, include=["canonicalize", "stabilize"])
         assert n_ops(res, aeso.Sub) == 0
         check_values_match([x], out, res, [rng.normal(size=5)], rtol=1e-6)
 
     def test_erf_complement(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         out = 1.0 - at.math.erf(x)
         res = rewrite_graph(out, include=["canonicalize", "stabilize"])
         assert "erfc" in repr([n.op for n in applys_between([x], [res])]).lower()
         check_values_match([x], out, res, [rng.normal(size=5)], rtol=1e-6)
 
     def test_erf_neg(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         out = at.math.erf(-x)
         res = rewrite_graph(out)
         check_values_match([x], out, res, [rng.normal(size=5)], rtol=1e-6)
@@ -257,7 +257,7 @@ class TestStabilizations:
 
 class TestComparisonsAndSwitch:
     def test_cmp_same_arg(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         for build, expect in [
             (lambda: at.math.eq(x, x), 1), (lambda: at.math.neq(x, x), 0),
             (lambda: at.math.le(x, x), 1), (lambda: at.math.lt(x, x), 0),
@@ -270,28 +270,28 @@ class TestComparisonsAndSwitch:
             )
 
     def test_switch_same_branches(self):
-        x, c = at.vector("x"), at.vector("c")
+        x, c = at.vector("x", dtype="float64"), at.vector("c", dtype="float64")
         res = rewrite_graph(at.switch(c > 0, x, x))
         f = function([c, x], res, mode="PY", on_unused_input="ignore")
         v = rng.normal(size=3)
         np.testing.assert_allclose(np.asarray(f(v, v)), v)
 
     def test_switch_constant_cond(self):
-        x, y = at.vector("x"), at.vector("y")
+        x, y = at.vector("x", dtype="float64"), at.vector("y", dtype="float64")
         res = rewrite_graph(at.switch(at.constant(1), x, y))
         assert equal_computations([res], [x])
         res = rewrite_graph(at.switch(at.constant(0), x, y))
         assert equal_computations([res], [y])
 
     def test_maximum_same(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         res = rewrite_graph(at.maximum(x, x))
         assert equal_computations([res], [x])
 
 
 class TestReductions:
     def test_reduce_chain(self):
-        x = at.tensor3("x")
+        x = at.tensor3("x", dtype="float64")
         out = at.sum(at.sum(x, axis=1), axis=0)
         res = rewrite_graph(out)
         nodes = list(applys_between([x], [res]))
@@ -301,15 +301,15 @@ class TestReductions:
         check_values_match([x], out, res, [v], rtol=1e-6)
 
     def test_sum_of_neg(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         out = at.sum(-x, axis=0)
         res = rewrite_graph(out)
         v = rng.normal(size=(3, 4))
         check_values_match([x], out, res, [v], rtol=1e-6)
 
     def test_sum_mul_by_scalar(self):
-        x = at.matrix("x")
-        c = at.scalar("c")
+        x = at.matrix("x", dtype="float64")
+        c = at.scalar("c", dtype="float64")
         out = at.sum(x * c)
         res = rewrite_graph(out, include=["canonicalize", "specialize"])
         # the mul must now be on the REDUCED value (scalar), not on x
@@ -321,7 +321,7 @@ class TestReductions:
         check_values_match([x, c], out, res, [v, np.float64(2.5)], rtol=1e-6)
 
     def test_sum_of_alloc(self):
-        x = at.scalar("x")
+        x = at.scalar("x", dtype="float64")
         out = at.sum(at.alloc(x, 5, 6))
         res = rewrite_graph(out, include=["canonicalize", "specialize"])
         from aesara_tpu.tensor.basic import Alloc
@@ -337,8 +337,8 @@ class TestPipelineStability:
     """The expanded pack must not break end-to-end training compiles."""
 
     def test_logreg_fast_run(self):
-        x = at.matrix("x")
-        y = at.vector("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         w = atp.shared(np.zeros(4), name="w")
         p = at.math.sigmoid(at.dot(x, w))
         loss = -(y * at.log(p) + (1 - y) * at.log(1 - p)).mean()

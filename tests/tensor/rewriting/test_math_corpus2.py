@@ -147,7 +147,7 @@ class TestExpressionZoo:
 
     def test_constant_collapse_counts(self):
         # 2*a*3*b -> one Mul with one folded constant 6
-        a, b = at.matrix("a"), at.matrix("b")
+        a, b = at.matrix("a", dtype="float64"), at.matrix("b", dtype="float64")
         res = rewrite_only(2.0 * a * 3.0 * b, include=SPEC)
         assert count_label(res, "Mul") == 1
         from aesara_tpu.graph.ir import Constant
@@ -156,12 +156,12 @@ class TestExpressionZoo:
         assert len(consts) == 1 and float(np.asarray(consts[0].data).ravel()[0]) == 6.0
 
     def test_div_collapses_to_single_true_div(self):
-        a, b, c = at.matrix("a"), at.matrix("b"), at.matrix("c")
+        a, b, c = at.matrix("a", dtype="float64"), at.matrix("b", dtype="float64"), at.matrix("c", dtype="float64")
         res = rewrite_only((a / b) / c, include=SPEC)
         assert count_label(res, "TrueDiv") == 1
 
     def test_x_div_x_to_ones(self):
-        a, b = at.matrix("a"), at.matrix("b")
+        a, b = at.matrix("a", dtype="float64"), at.matrix("b", dtype="float64")
         res = rewrite_only(a / a + b, include=SPEC)
         assert count_label(res, "TrueDiv") == 0
 
@@ -181,9 +181,9 @@ class TestSwitchSinkPlacement:
     def test_mul_switch_sink_zero_branch(self, side, branch_zero):
         # mul(switch(c, 0, y), z) sinks the mul into the live branch so
         # the 0-branch never computes z's product (NaN-safety pattern)
-        c = at.matrix("c")
-        y = at.matrix("y")
-        z = at.matrix("z")
+        c = at.matrix("c", dtype="float64")
+        y = at.matrix("y", dtype="float64")
+        z = at.matrix("z", dtype="float64")
         branches = [at.zeros_like(y), y] if branch_zero == 0 else [y, at.zeros_like(y)]
         sw = at.switch(c > 0, *branches)
         out = sw * z if side == "left" else z * sw
@@ -202,8 +202,8 @@ class TestSwitchSinkPlacement:
         # the switch selects the zero branch
         from aesara_tpu.compile.function import function
 
-        c = at.vector("c")
-        z = at.vector("z")
+        c = at.vector("c", dtype="float64")
+        z = at.vector("z", dtype="float64")
         out = at.switch(c > 0, at.zeros_like(c), c * 2.0) * z
         f = function([c, z], out, mode="FAST_RUN")
         cv = np.asarray([1.0, -1.0], dtype="float32")
@@ -213,9 +213,9 @@ class TestSwitchSinkPlacement:
 
     @pytest.mark.parametrize("num", [True, False])
     def test_div_switch_sink(self, num):
-        c = at.matrix("c")
-        y = at.matrix("y")
-        z = at.matrix("z")
+        c = at.matrix("c", dtype="float64")
+        y = at.matrix("y", dtype="float64")
+        z = at.matrix("z", dtype="float64")
         sw = at.switch(c > 0, at.zeros_like(y), y)
         out = sw / z if num else at.sum(z / (sw + 1.0))
         rewrite_and_check(
@@ -225,8 +225,8 @@ class TestSwitchSinkPlacement:
         )
 
     def test_nested_switch_sink_chain(self):
-        c = at.vector("c")
-        y = at.vector("y")
+        c = at.vector("c", dtype="float64")
+        y = at.vector("y", dtype="float64")
         out = (at.switch(c > 0, at.zeros_like(y), y) * 2.0) * y
         rewrite_and_check(
             [c, y], out,
@@ -236,8 +236,8 @@ class TestSwitchSinkPlacement:
 
     @pytest.mark.parametrize("form", ["both_same", "cond_const_true", "cond_const_false"])
     def test_useless_switch_forms(self, form):
-        x = at.matrix("x")
-        y = at.matrix("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         if form == "both_same":
             out = at.switch(x > 0, y, y)
         elif form == "cond_const_true":

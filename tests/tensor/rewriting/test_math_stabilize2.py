@@ -37,7 +37,7 @@ def _scalar_ops(f):
 
 class TestErfcStabilize:
     def test_log_erfc_finite_and_accurate(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], tm.log(tm.erfc(x)), mode=M)
         xv = np.array([-8, -2, 0, 1, 5, 10, 25], dtype="float32")
         got = f(xv)
@@ -49,13 +49,13 @@ class TestErfcStabilize:
         assert np.isneginf(np.log(sp.erfc(np.float32(25.0)).astype("float32")))
 
     def test_log_erfc_topology(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], tm.log(tm.erfc(x)), mode=M)
         ops = _scalar_ops(f)
         assert "Erfcx" in ops and "Switch" in ops
 
     def test_grad_log_erfc_finite(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         g = atp.grad(tm.log(tm.erfc(x)).sum(), x)
         f = atp.function([x], g, mode=M)
         xv = np.array([-3, 0, 5, 10, 20], dtype="float32")
@@ -66,7 +66,7 @@ class TestErfcStabilize:
         assert np.allclose(gv, expect, rtol=1e-3)
 
     def test_exp_neg_sqr_over_erfc_direct(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         expr = tm.exp(-(x**2)) / tm.erfc(x)
         f = atp.function([x], expr, mode=M)
         ops = _scalar_ops(f)
@@ -79,15 +79,15 @@ class TestErfcStabilize:
 
 class TestSigmoidExp:
     def test_sigm_times_exp(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], tm.sigmoid(x) * tm.exp(-x), mode=M)
         xv = np.linspace(-4, 4, 9).astype("float32")
         assert np.allclose(f(xv), sp.expit(-xv), rtol=1e-5)
         assert "Exp" not in _scalar_ops(f)
 
     def test_sigm_times_exp_with_extra_factor(self):
-        x = at.vector("x")
-        y = at.vector("y")
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         f = atp.function([x, y], y * tm.sigmoid(x) * tm.exp(-x), mode=M)
         xv = np.linspace(-2, 2, 5).astype("float32")
         yv = rng.standard_normal(5).astype("float32")
@@ -108,7 +108,7 @@ class TestFuncInv:
         ],
     )
     def test_pairs_eliminated(self, build):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], build(x), mode=M)
         assert all(
             type(n.op).__name__ == "DeepCopyOp"
@@ -118,7 +118,7 @@ class TestFuncInv:
         assert np.allclose(f(xv), xv, rtol=1e-6)
 
     def test_non_pair_kept(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], tm.cosh(tm.arcsinh(x)), mode=M)
         xv = np.linspace(-1, 1, 5).astype("float32")
         assert np.allclose(f(xv), np.cosh(np.arcsinh(xv)), rtol=1e-5)
@@ -126,8 +126,8 @@ class TestFuncInv:
 
 class TestReductionRestructure:
     def test_sum_div_dimshuffle(self):
-        m = at.matrix("m")
-        y = at.vector("y")
+        m = at.matrix("m", dtype="float64")
+        y = at.vector("y", dtype="float64")
         expr = (m / y.dimshuffle(0, "x")).sum(axis=1)
         f = atp.function([m, y], expr, mode=M)
         order = f.maker.fgraph.toposort()
@@ -138,8 +138,8 @@ class TestReductionRestructure:
         assert np.allclose(f(mv, yv), (mv / yv[:, None]).sum(1), rtol=1e-5)
 
     def test_sum_div_dimshuffle_declines_nonbroadcast(self):
-        m = at.matrix("m")
-        y = at.matrix("y")
+        m = at.matrix("m", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         expr = (m / y).sum(axis=1)  # denominator varies along the axis
         f = atp.function([m, y], expr, mode=M)
         mv = rng.random((3, 4)).astype("float32")
@@ -147,7 +147,7 @@ class TestReductionRestructure:
         assert np.allclose(f(mv, yv), (mv / yv).sum(1), rtol=1e-5)
 
     def test_reduce_join_sum(self):
-        a, b, c = at.vector("a"), at.vector("b"), at.vector("c")
+        a, b, c = at.vector("a", dtype="float64"), at.vector("b", dtype="float64"), at.vector("c", dtype="float64")
         expr = at.join(
             0, a.dimshuffle("x", 0), b.dimshuffle("x", 0), c.dimshuffle("x", 0)
         ).sum(axis=0)
@@ -158,7 +158,7 @@ class TestReductionRestructure:
         assert np.allclose(f(*vs), vs[0] + vs[1] + vs[2], rtol=1e-6)
 
     def test_reduce_join_max(self):
-        a, b = at.vector("a"), at.vector("b")
+        a, b = at.vector("a", dtype="float64"), at.vector("b", dtype="float64")
         expr = tm.max(at.join(0, a.dimshuffle("x", 0), b.dimshuffle("x", 0)),
                       axis=0)
         f = atp.function([a, b], expr, mode=M)
@@ -168,7 +168,7 @@ class TestReductionRestructure:
         assert np.allclose(f(av, bv), np.maximum(av, bv))
 
     def test_reduce_all_axes_to_none(self):
-        m = at.matrix("m")
+        m = at.matrix("m", dtype="float64")
         f = atp.function([m], m.sum(axis=(0, 1)), mode="PY")
         sums = [n.op for n in f.maker.fgraph.toposort()
                 if type(n.op).__name__ == "Sum"]
@@ -179,14 +179,14 @@ class TestReductionRestructure:
 
 class TestAbsLift:
     def test_abs_mul(self):
-        x, y = at.vector("x"), at.vector("y")
+        x, y = at.vector("x", dtype="float64"), at.vector("y", dtype="float64")
         f = atp.function([x, y], tm.abs(x * y), mode=M)
         xv = rng.standard_normal(6).astype("float32")
         yv = rng.standard_normal(6).astype("float32")
         assert np.allclose(f(xv, yv), np.abs(xv * yv), rtol=1e-6)
 
     def test_abs_div_values(self):
-        x, y = at.vector("x"), at.vector("y")
+        x, y = at.vector("x", dtype="float64"), at.vector("y", dtype="float64")
         f = atp.function([x, y], tm.abs(x / y), mode=M)
         xv = rng.standard_normal(6).astype("float32")
         yv = (rng.random(6) + 0.5).astype("float32") * np.sign(

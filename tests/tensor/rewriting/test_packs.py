@@ -29,7 +29,7 @@ def test_constant_folding():
 
 
 def test_add_zero_mul_one():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = rewrite_graph(x + 0.0)
     assert res is not None and equal_computations([res], [x])
     res = rewrite_graph(x * 1.0)
@@ -37,7 +37,7 @@ def test_add_zero_mul_one():
 
 
 def test_mul_zero():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = rewrite_graph(x * 0.0)
     # result must not reference a mul anymore
     assert not any(
@@ -49,7 +49,7 @@ def test_mul_zero():
 
 
 def test_neg_neg_exp_log():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = rewrite_graph(-(-x))
     assert equal_computations([res], [x])
     res = rewrite_graph(at.log(at.exp(x)))
@@ -57,25 +57,25 @@ def test_neg_neg_exp_log():
 
 
 def test_log1p_stabilization():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = rewrite_graph(at.log(1 + x), include=["canonicalize", "stabilize"])
     assert equal_computations([res], [at.log1p(x)])
 
 
 def test_expm1_stabilization():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = rewrite_graph(at.exp(x) - 1, include=["canonicalize", "stabilize"])
     assert equal_computations([res], [at.math.expm1(x)])
 
 
 def test_sigmoid_stabilization():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = rewrite_graph(1 / (1 + at.exp(-x)), include=["canonicalize", "stabilize"])
     assert equal_computations([res], [at.math.sigmoid(x)])
 
 
 def test_log_sigmoid_softplus():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = rewrite_graph(
         at.log(at.math.sigmoid(x)), include=["canonicalize", "stabilize"]
     )
@@ -90,7 +90,7 @@ def test_shape_folding():
 
 
 def test_dimshuffle_lift():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     y = x.dimshuffle("x", 0).dimshuffle(1, 0)
     res = rewrite_graph(y)
     # collapses to a single dimshuffle
@@ -102,8 +102,8 @@ def test_dimshuffle_lift():
 
 
 def test_fusion_builds_composite():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     out = at.exp(x) * at.math.sigmoid(y) + at.tanh(x) - y
     fg = FunctionGraph(outputs=[out], clone=True)
     from aesara_tpu.tensor.rewriting.elemwise import FusionOptimizer
@@ -129,7 +129,7 @@ def test_fusion_numerics_match():
 
 
 def test_fusion_respects_multi_client():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     e = at.exp(x)
     out1 = e + 1.0
     out2 = e * 2.0

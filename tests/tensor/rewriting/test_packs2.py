@@ -70,7 +70,7 @@ class TestAllocRules:
         assert np.allclose(f(xv), xv + 3.0)
 
     def test_elemwise_alloc_kept_when_shape_unprovable(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         n = at.iscalar("n")
         a = at.alloc(np.float32(3.0), n, n)
         f = atp.function([x, n], x + a, mode=M, on_unused_input="ignore")
@@ -91,7 +91,7 @@ class TestUselessTopK:
     def test_values_only(self):
         from aesara_tpu.tensor.sort import TopKOp, topk_and_argtopk
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         vals, idxs = topk_and_argtopk(x, 2)
         f = atp.function([x], vals, mode=M)
         ops = [n.op for n in f.maker.fgraph.toposort()
@@ -105,7 +105,7 @@ class TestUselessTopK:
     def test_indices_only(self):
         from aesara_tpu.tensor.sort import TopKOp, topk_and_argtopk
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         vals, idxs = topk_and_argtopk(x, 3)
         f = atp.function([x], idxs, mode=M)
         ops = [n.op for n in f.maker.fgraph.toposort()
@@ -118,7 +118,7 @@ class TestUselessTopK:
 
 class TestSubtensorIncSubtensor:
     def test_set_then_read_back(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = at.vector("y", dtype="float32", shape=(3,))
         expr = set_subtensor(x[2:5], y)[2:5]
         f = atp.function([x, y], expr, mode=M)
@@ -128,7 +128,7 @@ class TestSubtensorIncSubtensor:
         assert np.allclose(f(xv, yv), yv)
 
     def test_different_index_kept(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = at.vector("y", dtype="float32", shape=(3,))
         expr = set_subtensor(x[2:5], y)[1:4]
         f = atp.function([x, y], expr, mode=M)
@@ -139,7 +139,7 @@ class TestSubtensorIncSubtensor:
         assert np.allclose(f(xv, yv), ref[1:4])
 
     def test_gather_of_scatter_add_unique(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = at.vector("y", dtype="float32", shape=(3,))
         ilist = at.as_tensor_variable(np.array([4, 0, 2], dtype="int64"))
         expr = inc_subtensor(x[ilist], y)[ilist]
@@ -151,7 +151,7 @@ class TestSubtensorIncSubtensor:
         assert np.allclose(f(xv, yv), xv[[4, 0, 2]] + yv, rtol=1e-6)
 
     def test_gather_of_scatter_add_duplicates_kept(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = at.vector("y", dtype="float32", shape=(3,))
         ilist = at.as_tensor_variable(np.array([2, 0, 2], dtype="int64"))
         expr = inc_subtensor(x[ilist], y)[ilist]
@@ -208,8 +208,8 @@ class TestFillFamily:
         """fill(a, b) * c sinks so b·c can cancel (grad-graph pattern)."""
         from aesara_tpu.tensor.basic import fill
 
-        x = at.vector("x")
-        a = at.vector("a")
+        x = at.vector("x", dtype="float64")
+        a = at.vector("a", dtype="float64")
         # (fill(a, x) / x): after sinking, x/x cancels to fill(a, 1)
         expr = fill(a, x) / x
         f = atp.function([x, a], expr, mode=M)
@@ -227,8 +227,8 @@ class TestFillFamily:
     def test_fill_to_alloc_specializes(self):
         from aesara_tpu.tensor.basic import Alloc, fill
 
-        t = at.matrix("t")
-        v = at.vector("v")
+        t = at.matrix("t", dtype="float64")
+        v = at.vector("v", dtype="float64")
         f = atp.function([t, v], fill(t, v.sum()), mode=M)
         kinds = [type(n.op).__name__ for n in f.maker.fgraph.toposort()]
         tv = np.zeros((2, 3), dtype="float32")
@@ -239,8 +239,8 @@ class TestFillFamily:
     def test_fill_values_differential(self):
         from aesara_tpu.tensor.basic import fill
 
-        x = at.vector("x")
-        t = at.matrix("t")
+        x = at.vector("x", dtype="float64")
+        t = at.matrix("t", dtype="float64")
         expr = fill(t, x.sum()) * 2 + 1
         fast = atp.function([t, x], expr, mode=M)
         slow = atp.function([t, x], expr,

@@ -314,13 +314,13 @@ class TestUnbroadcast:
         )
 
     def test_consecutive_unbroadcasts_merge(self):
-        x = at.row("x")
+        x = at.row("x", dtype="float64")
         out = unbroadcast(unbroadcast(x, 0), 0)
         res = rewrite_only(out, include=CANON)
         assert count_label(res, "Unbroadcast") <= 1
 
     def test_unbroadcast_lifts_through_unary_elemwise(self):
-        x = at.row("x")
+        x = at.row("x", dtype="float64")
         out = unbroadcast(at.exp(x), 0)
         res = rewrite_only(out, include=CANON)
         # exp on the outside now

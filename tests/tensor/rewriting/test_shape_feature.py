@@ -97,8 +97,8 @@ def test_static_dims_fold_to_constants():
 
 
 def test_builders_infer_shape_symbolic_seed():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     m = at.scalar("m", dtype="int64")
     k = at.scalar("k", dtype="int64")
     n = at.scalar("n", dtype="int64")
@@ -109,9 +109,9 @@ def test_builders_infer_shape_symbolic_seed():
 
 
 def test_opfromgraph_infer_shape_through_feature():
-    a = at.matrix("a")
+    a = at.matrix("a", dtype="float64")
     ofg = OpFromGraph([a], [at.tanh(a) + a.sum()])
-    outer = at.matrix("outer")
+    outer = at.matrix("outer", dtype="float64")
     o = ofg(outer)
     fg = FunctionGraph([outer], [o])
     fg.attach_feature(ShapeFeature())
@@ -123,7 +123,7 @@ def test_opfromgraph_infer_shape_through_feature():
 
 
 def test_same_shape_through_elemwise_chain():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     y = at.exp(x) * 2 + at.tanh(x)
     fg = FunctionGraph([x], [y])
     fg.attach_feature(ShapeFeature())
@@ -131,7 +131,7 @@ def test_same_shape_through_elemwise_chain():
 
 
 def test_same_shape_rejects_different():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     y = x.T  # (n, m) vs (m, n): not provably same
     fg = FunctionGraph([x], [y])
     fg.attach_feature(ShapeFeature())
@@ -141,7 +141,7 @@ def test_same_shape_rejects_different():
 def test_feature_updates_on_replace():
     from aesara_tpu.graph.features import ReplaceValidate
 
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     mid = at.exp(x)
     y = mid * 1.0
     fg = FunctionGraph([x], [y])
@@ -158,7 +158,7 @@ def test_feature_updates_on_replace():
 def test_shape_opt_attached_during_compilation():
     """ShapeOpt/UnShapeOpt ride the optdb: during rewriting the feature
     exists; the final fgraph has it detached."""
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     f = function([x], at.exp(x) + x.shape[0], mode="FAST_RUN")
     res = f(np.ones((2, 3)))
     np.testing.assert_allclose(np.asarray(res), np.exp(np.ones((2, 3))) + 2)

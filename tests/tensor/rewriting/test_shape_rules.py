@@ -33,7 +33,7 @@ def test_reshape_to_dimshuffle_static():
 
 
 def test_reshape_to_dimshuffle_symbolic_shape_i():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     # (n, m) -> (n, 1, m): inserts a broadcast dim, dims ride Shape_i(x)
     r = x.reshape((x.shape[0], 1, x.shape[1]))
     f = atp.function([x], r, mode="PY")
@@ -52,7 +52,7 @@ def test_reshape_to_dimshuffle_declines_real_reshape():
 
 
 def test_useless_dimshuffle_in_reshape():
-    v = at.vector("v")
+    v = at.vector("v", dtype="float64")
     r = v.dimshuffle("x", 0).reshape((v.shape[0],))
     f = atp.function([v], r, mode="PY")
     # dimshuffle dropped; then reshape-to-same-shape dropped -> identity
@@ -62,7 +62,7 @@ def test_useless_dimshuffle_in_reshape():
 
 
 def test_dimshuffle_transpose_in_reshape_kept():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     r = x.T.reshape((x.shape[0] * x.shape[1],))
     f = atp.function([x], r, mode="PY")
     # transposition changes element order: the DimShuffle must survive
@@ -72,7 +72,7 @@ def test_dimshuffle_transpose_in_reshape_kept():
 
 
 def test_reshape_lift_through_unary_elemwise():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     r = at.tanh(x).reshape((x.shape[0] * x.shape[1],))
     # reshape_lift is a specialize-stage rule: needs the fast_run query
     f = atp.function([x], r, mode=atp.compile.mode.Mode("py", "fast_run"))
@@ -89,7 +89,7 @@ def test_reshape_lift_through_unary_elemwise():
 
 
 def test_shape_of_specify_shape():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     y = specify_shape(x, (5, None))
     f = atp.function([x], y.shape, mode="PY")
     assert not _ops(f, SpecifyShape)
@@ -141,7 +141,7 @@ def test_unbroadcast_lift_through_elemwise():
 def test_values_unchanged_differential():
     """The whole pack leaves values bit-comparable between rewritten
     FAST_RUN-PY and a no-rewrite PY compile."""
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     exprs = [
         x.dimshuffle("x", 0, 1).reshape((x.shape[0], x.shape[1])),
         specify_shape(x, (4, None)).shape,

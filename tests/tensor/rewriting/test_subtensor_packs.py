@@ -35,7 +35,7 @@ def check_values(inputs, raw, new, vals):
 
 
 def test_trim_trailing_full_slices():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = x[1:, :]
     res = rewrite_graph(out)
     subs = [op for op in ops_in(res, x) if isinstance(op, Subtensor)]
@@ -55,7 +55,7 @@ def test_useless_subtensor_static_cover():
 
 
 def test_subtensor_lift_through_unary_elemwise():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = at.exp(x)[1:3]
     res = rewrite_graph(out)
     # exp must now run on the SLICED value: subtensor feeds the elemwise
@@ -70,14 +70,14 @@ def test_subtensor_lift_through_unary_elemwise():
 
 
 def test_subtensor_of_expand_dims():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     out = x.dimshuffle("x", 0)[0]
     res = rewrite_graph(out)
     assert equal_computations([res], [x])
 
 
 def test_subtensor_of_dot():
-    a, b = at.matrix("a"), at.matrix("b")
+    a, b = at.matrix("a", dtype="float64"), at.matrix("b", dtype="float64")
     out = at.dot(a, b)[1]
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     # the dot must consume a sliced operand (vector-matrix product)
@@ -89,7 +89,7 @@ def test_subtensor_of_dot():
 
 
 def test_subtensor_make_vector_int_and_slice():
-    a, b, c = at.scalar("a"), at.scalar("b"), at.scalar("c")
+    a, b, c = at.scalar("a", dtype="float64"), at.scalar("b", dtype="float64"), at.scalar("c", dtype="float64")
     v = at.stack([a, b, c])
     res = rewrite_graph(v[1])
     assert equal_computations([res], [b]) or res is b
@@ -101,15 +101,15 @@ def test_subtensor_make_vector_int_and_slice():
 
 
 def test_subtensor_of_set_subtensor_same_idx():
-    x, y = at.matrix("x"), at.vector("y")
+    x, y = at.matrix("x", dtype="float64"), at.vector("y", dtype="float64")
     out = at.set_subtensor(x[2], y)[2]
     res = rewrite_graph(out)
     assert equal_computations([res], [y]) or res is y
 
 
 def test_inc_subtensor_of_zeros_becomes_set():
-    x = at.matrix("x")
-    y = at.vector("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     out = at.inc_subtensor(at.zeros_like(x)[1], y)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     incs = [n.op for n in applys_between([x, y], [res])
@@ -120,7 +120,7 @@ def test_inc_subtensor_of_zeros_becomes_set():
 
 
 def test_useless_inc_subtensor_zero_increment():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = at.inc_subtensor(x[1], at.zeros_like(x[1]))
     res = rewrite_graph(out)
     assert equal_computations([res], [x])
@@ -162,7 +162,7 @@ def test_useless_adv_sub1_arange():
 
 
 def test_subtensor_of_alloc_slice():
-    v = at.scalar("v")
+    v = at.scalar("v", dtype="float64")
     out = at.alloc(v, 10, 7)[2:5]
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
     allocs = [n for n in applys_between([v], [res])
@@ -174,7 +174,7 @@ def test_subtensor_of_alloc_slice():
 
 
 def test_subtensor_merge_still_works_with_pack():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = x[1:8][2:4]
     res = rewrite_graph(out)
     subs = [n for n in applys_between([x], [res])
@@ -185,7 +185,7 @@ def test_subtensor_merge_still_works_with_pack():
 
 def test_grad_graphs_still_correct():
     """IncSubtensor rewrites ride gradient graphs: check values."""
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = (at.exp(x)[1:3] ** 2).sum()
     g = atp.grad(out, x)
     f_fast = function([x], g, mode="FAST_RUN")
@@ -299,7 +299,7 @@ class TestReplaceAdvancedSubtensor:
     def test_general_gather_becomes_adv1(self):
         from aesara_tpu.tensor.subtensor import ARRAY, AdvancedSubtensor
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         iv = at.lvector("i")
         out = AdvancedSubtensor((ARRAY,))(x, iv)
         res = rewrite_graph(out, include=["canonicalize"])
@@ -311,7 +311,7 @@ class TestReplaceAdvancedSubtensor:
     def test_trailing_full_slices_accepted(self):
         from aesara_tpu.tensor.subtensor import ARRAY, AdvancedSubtensor
 
-        x = at.tensor3("x")
+        x = at.tensor3("x", dtype="float64")
         iv = at.lvector("i")
         full = slice(None, None, None)
         out = AdvancedSubtensor((ARRAY, full, full))(x, iv)
@@ -321,7 +321,7 @@ class TestReplaceAdvancedSubtensor:
     def test_matrix_index_stays_general(self):
         from aesara_tpu.tensor.subtensor import ARRAY, AdvancedSubtensor
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         im = at.lmatrix("i")
         out = AdvancedSubtensor((ARRAY,))(x, im)
         res = rewrite_graph(out, include=["canonicalize"])
@@ -333,8 +333,8 @@ class TestAdvancedIncToAdv1:
     def test_decomposes(self, set_instead_of_inc):
         from aesara_tpu.tensor.subtensor import ARRAY, AdvancedIncSubtensor
 
-        x = at.matrix("x")
-        y = at.matrix("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         iv = at.lvector("i")
         out = AdvancedIncSubtensor(
             (ARRAY,), set_instead_of_inc=set_instead_of_inc
@@ -350,8 +350,8 @@ class TestAdvancedIncToAdv1:
     def test_ignore_duplicates_inc_stays(self):
         from aesara_tpu.tensor.subtensor import ARRAY, AdvancedIncSubtensor
 
-        x = at.matrix("x")
-        y = at.matrix("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         iv = at.lvector("i")
         out = AdvancedIncSubtensor((ARRAY,), ignore_duplicates=True)(x, y, iv)
         res = rewrite_graph(out, include=["canonicalize"])
@@ -407,8 +407,8 @@ class TestUselessIncSubtensorAlloc:
     def test_unknown_region_shape_stays(self):
         from aesara_tpu.tensor.subtensor import set_subtensor
 
-        x = at.matrix("x")  # unknown dims: region unprovable -> keep
-        v = at.vector("v")
+        x = at.matrix("x", dtype="float64")  # unknown dims: region unprovable -> keep
+        v = at.vector("v", dtype="float64")
         out = set_subtensor(x[0:2], at.alloc(v, 2, 3))
         res = rewrite_graph(out)
         allocs = [op for op in ops_in(res, x, v) if isinstance(op, Alloc)]
@@ -433,7 +433,7 @@ class TestIncSubtensorSerialize:
         np.testing.assert_allclose(np.asarray(f(Av, Cv)), Av + Cv)
 
     def test_grad_accumulation_chains(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         cost = (at.exp(x[0]).sum() + at.tanh(x[1]).sum() + (x[2] ** 2).sum())
         g = atp.grad(cost, x)
         res = rewrite_graph(g, include=["canonicalize"])
@@ -466,8 +466,8 @@ class TestIncSubtensorSerialize:
     def test_set_subtensor_not_moved(self):
         from aesara_tpu.tensor.subtensor import set_subtensor
 
-        x = at.matrix("x")
-        y = at.matrix("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         a = set_subtensor(x[0], at.ones((3,)))
         out = a + y
         res = rewrite_graph(out, include=["canonicalize"])
@@ -480,7 +480,7 @@ class TestSubtensorSpecifyShapeLift:
     def test_int_index_lifts(self):
         from aesara_tpu.tensor.shape import SpecifyShape, specify_shape
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         out = specify_shape(x, (4, 3))[0]
         res = rewrite_graph(out, include=["canonicalize"])
         # the subtensor must now act on x directly (under the spec)
@@ -497,7 +497,7 @@ class TestSubtensorSpecifyShapeLift:
     def test_symbolic_index_stays(self):
         from aesara_tpu.tensor.shape import SpecifyShape, specify_shape
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         i = at.lscalar("i")
         out = specify_shape(x, (4, 3))[i]
         res = rewrite_graph(out, include=["canonicalize"])

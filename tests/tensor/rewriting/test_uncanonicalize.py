@@ -10,7 +10,7 @@ from aesara_tpu.tensor.math import Min
 
 
 def test_max_to_min():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     f = atp.function([x], tm.neg(tm.max(tm.neg(x), axis=0)))
     assert any(isinstance(n.op, Min) for n in f.maker.fgraph.toposort())
     xv = np.random.default_rng(0).normal(size=(3, 4)).astype("float32")
@@ -18,7 +18,7 @@ def test_max_to_min():
 
 
 def test_alloc_dimshuffle_lift():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     a = at.alloc(np.float32(2.5), x.shape[0], x.shape[1])
     f = atp.function([x], a.T)
     assert not any(isinstance(n.op, DimShuffle) for n in f.maker.fgraph.toposort())
@@ -29,7 +29,7 @@ def test_alloc_dimshuffle_lift():
 def test_reshape_dimshuffle():
     from aesara_tpu.tensor.shape import Reshape
 
-    v = at.vector("v")
+    v = at.vector("v", dtype="float64")
     r = v.dimshuffle("x", 0, "x").reshape((1, v.shape[0]))
     f = atp.function([v], r)
     # the whole chain collapses to one broadcast-insertion DimShuffle
@@ -55,7 +55,7 @@ def test_unique_lift_rewrites():
     (reference tensor/rewriting/extra_ops.py)."""
     from aesara_tpu.tensor.extra_ops import Repeat, Unique, unique
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     xv = np.array([3.0, 1.0, 3.0], dtype="float32")
 
     f = atp.function([x], unique(at.repeat(x, 3)), mode="PY")
@@ -63,7 +63,7 @@ def test_unique_lift_rewrites():
     assert "Repeat" not in ops
     assert np.allclose(f(xv), [1.0, 3.0])
 
-    s = at.scalar("s")
+    s = at.scalar("s", dtype="float64")
     fs = atp.function([s], unique(s), mode="PY")
     assert "Unique" not in [type(n.op).__name__
                             for n in fs.maker.fgraph.toposort()]

@@ -29,7 +29,7 @@ def ref(q_, k_, v_, causal=False):
 
 
 def _qkv():
-    return at.tensor3("q"), at.tensor3("k"), at.tensor3("v")
+    return at.tensor3("q", dtype="float64"), at.tensor3("k", dtype="float64"), at.tensor3("v", dtype="float64")
 
 
 def test_forward_matches_numpy():

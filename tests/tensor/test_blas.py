@@ -19,8 +19,8 @@ def _ops(f):
 
 class TestOps:
     def test_gemm_values_both_backends(self):
-        z, x, y = at.matrix("z"), at.matrix("x"), at.matrix("y")
-        a, b = at.scalar("a"), at.scalar("b")
+        z, x, y = at.matrix("z", dtype="float64"), at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
+        a, b = at.scalar("a", dtype="float64"), at.scalar("b", dtype="float64")
         out = blas.gemm(z, a, x, y, b)
         zv = rng.normal(size=(3, 5))
         xv, yv = rng.normal(size=(3, 4)), rng.normal(size=(4, 5))
@@ -32,8 +32,8 @@ class TestOps:
             )
 
     def test_gemv_values_both_backends(self):
-        z, x = at.vector("z"), at.vector("x")
-        A = at.matrix("A")
+        z, x = at.vector("z", dtype="float64"), at.vector("x", dtype="float64")
+        A = at.matrix("A", dtype="float64")
         out = blas.gemv(z, 0.5, A, x, 2.0)
         zv, Av, xv = rng.normal(size=3), rng.normal(size=(3, 4)), rng.normal(size=4)
         for mode in ("PY", "FAST_RUN"):
@@ -44,8 +44,8 @@ class TestOps:
             )
 
     def test_ger_values_both_backends(self):
-        z = at.matrix("z")
-        u, v = at.vector("u"), at.vector("v")
+        z = at.matrix("z", dtype="float64")
+        u, v = at.vector("u", dtype="float64"), at.vector("v", dtype="float64")
         out = blas.ger(z, 1.5, u, v)
         zv = rng.normal(size=(3, 5))
         uv, vv = rng.normal(size=3), rng.normal(size=5)
@@ -57,11 +57,11 @@ class TestOps:
             )
 
     def test_dot22_and_scalar(self):
-        x, y = at.matrix("x"), at.matrix("y")
+        x, y = at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         xv, yv = rng.normal(size=(3, 4)), rng.normal(size=(4, 5))
         f = function([x, y], blas._dot22(x, y), mode="PY")
         np.testing.assert_allclose(np.asarray(f(xv, yv)), xv @ yv, rtol=2e-5)
-        g = function([x, y], blas._dot22scalar(x, y, np.float32(1.7)),
+        g = function([x, y], blas._dot22scalar(x, y, np.float64(1.7)),
                      mode="FAST_RUN")
         np.testing.assert_allclose(np.asarray(g(xv, yv)), 1.7 * (xv @ yv),
                                    rtol=2e-5)
@@ -74,8 +74,8 @@ class TestOps:
             blas.gemm_no_inplace(z, np.float64(1.0), x, y, np.float64(1.0))
 
     def test_bad_ndim_raises(self):
-        v = at.vector("v")
-        m = at.matrix("m")
+        v = at.vector("v", dtype="float64")
+        m = at.matrix("m", dtype="float64")
         with pytest.raises(TypeError):
             blas.gemm_no_inplace(v, 1.0, m, m, 1.0)
         with pytest.raises(TypeError):
@@ -117,8 +117,8 @@ class TestBlasOpt:
     into the fused ops (graph-topology assertions + value checks)."""
 
     def test_gemm_recognition_symbolic_coeffs(self):
-        z, x, y = at.matrix("z"), at.matrix("x"), at.matrix("y")
-        a, b = at.scalar("a"), at.scalar("b")
+        z, x, y = at.matrix("z", dtype="float64"), at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
+        a, b = at.scalar("a", dtype="float64"), at.scalar("b", dtype="float64")
         f = function([z, a, x, y, b], b * z + a * at.dot(x, y),
                      mode="FAST_RUN")
         assert any(isinstance(o, blas.Gemm) for o in _ops(f))
@@ -130,42 +130,42 @@ class TestBlasOpt:
         )
 
     def test_gemm_recognition_constant_coeffs(self):
-        z, x, y = at.matrix("z"), at.matrix("x"), at.matrix("y")
+        z, x, y = at.matrix("z", dtype="float64"), at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         f = function([z, x, y], 0.25 * z + 4.0 * at.dot(x, y),
                      mode="FAST_RUN")
         assert any(isinstance(o, blas.Gemm) for o in _ops(f))
 
     def test_gemm_recognition_plain_add(self):
         """z + dot(x, y) with unit coefficients."""
-        z, x, y = at.matrix("z"), at.matrix("x"), at.matrix("y")
+        z, x, y = at.matrix("z", dtype="float64"), at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         f = function([z, x, y], z + at.dot(x, y), mode="FAST_RUN")
         assert any(isinstance(o, blas.Gemm) for o in _ops(f))
 
     def test_gemv_recognition(self):
-        z, x = at.vector("z"), at.vector("x")
-        A = at.matrix("A")
-        a = at.scalar("a")
+        z, x = at.vector("z", dtype="float64"), at.vector("x", dtype="float64")
+        A = at.matrix("A", dtype="float64")
+        a = at.scalar("a", dtype="float64")
         f = function([z, a, A, x], 3.0 * z + a * at.dot(A, x),
                      mode="FAST_RUN")
         assert any(isinstance(o, blas.Gemv) for o in _ops(f))
 
     def test_ger_recognition(self):
-        z = at.matrix("z")
-        u, v = at.vector("u"), at.vector("v")
-        a = at.scalar("a")
+        z = at.matrix("z", dtype="float64")
+        u, v = at.vector("u", dtype="float64"), at.vector("v", dtype="float64")
+        a = at.scalar("a", dtype="float64")
         f = function([z, a, u, v], z + a * at.outer(u, v), mode="FAST_RUN")
         assert any(isinstance(o, blas.Ger) for o in _ops(f))
 
     def test_dot22scalar_recognition(self):
-        x, y = at.matrix("x"), at.matrix("y")
-        a = at.scalar("a")
+        x, y = at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
+        a = at.scalar("a", dtype="float64")
         f = function([x, y, a], a * at.dot(x, y), mode="FAST_RUN")
         assert any(isinstance(o, blas.Dot22Scalar) for o in _ops(f))
 
     def test_shared_dot_not_fused(self):
         """When the dot is consumed elsewhere too, fusing would
         recompute the product — BlasOpt must leave it alone."""
-        z, x, y = at.matrix("z"), at.matrix("x"), at.matrix("y")
+        z, x, y = at.matrix("z", dtype="float64"), at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         d = at.dot(x, y)
         f = function([z, x, y], [z + 2.0 * d, at.exp(d)], mode="FAST_RUN")
         assert not any(isinstance(o, blas.Gemm) for o in _ops(f))
@@ -173,9 +173,9 @@ class TestBlasOpt:
     def test_fused_training_graph_values(self):
         """A weight update W - lr*outer(g_h, x) style graph stays exact
         through recognition + inplace bands."""
-        W = at.matrix("W")
-        h = at.vector("h")
-        xx = at.vector("xx")
+        W = at.matrix("W", dtype="float64")
+        h = at.vector("h", dtype="float64")
+        xx = at.vector("xx", dtype="float64")
         cost = (at.tanh(at.dot(at.dot(W, xx), h))).sum()
         gW = grad(cost, W)
         new_W = W - 0.1 * gW
@@ -193,7 +193,7 @@ class TestInplace:
     def test_intermediate_z_becomes_inplace(self):
         """z produced inside the graph with a single client: the
         position-70 pass switches to the destructive instance."""
-        x, y = at.matrix("x"), at.matrix("y")
+        x, y = at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         z = at.exp(x)  # intermediate, single client
         out = z + 2.0 * at.dot(x, y)
         f = function([x, y], out, mode="FAST_RUN")
@@ -205,7 +205,7 @@ class TestInplace:
         )
 
     def test_input_z_stays_no_inplace(self):
-        z, x, y = at.matrix("z"), at.matrix("x"), at.matrix("y")
+        z, x, y = at.matrix("z", dtype="float64"), at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         f = function([z, x, y], z + 2.0 * at.dot(x, y), mode="FAST_RUN")
         gemms = [o for o in _ops(f) if isinstance(o, blas.Gemm)]
         assert gemms and not gemms[0].inplace
@@ -217,7 +217,7 @@ class TestInplace:
         np.testing.assert_array_equal(zv, z_copy)
 
     def test_inplace_value_correct_py_mode(self):
-        x, y = at.matrix("x"), at.matrix("y")
+        x, y = at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         z = at.exp(x)
         out = z + 2.0 * at.dot(x, y)
         f = function([x, y], out, mode="PY")

@@ -281,7 +281,7 @@ class TestErrorContracts:
     errors (reference bad_build/bad_runtime dict strategy)."""
 
     def test_wrong_ndim_at_call(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = atp.function([x], x.sum(), mode="PY")
         with pytest.raises(TypeError):
             f(np.zeros(3, dtype="float32"))
@@ -293,13 +293,13 @@ class TestErrorContracts:
             f(np.zeros(3, dtype="complex64"))
 
     def test_bad_axis_at_build(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         with pytest.raises(Exception):
             tm.sum(x, axis=5)
 
     def test_shape_mismatch_runtime(self):
-        a = at.vector("a")
-        b = at.vector("b")
+        a = at.vector("a", dtype="float64")
+        b = at.vector("b", dtype="float64")
         f = atp.function([a, b], a + b, mode="PY")
         with pytest.raises(Exception):
             f(np.zeros(3, "float32"), np.zeros(4, "float32"))

@@ -35,32 +35,32 @@ def e(*shape):
 
 
 def test_join_with_empty_operand():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     out = at.join(0, x, y)
     res = run_both([x, y], out, [e(0, 3), np.ones((2, 3), floatX)])
     np.testing.assert_array_equal(res, np.ones((2, 3), floatX))
 
 
 def test_join_all_empty():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     out = at.join(0, x, y)
     res = run_both([x, y], out, [e(0, 4), e(0, 4)])
     assert res.shape == (0, 4)
 
 
 def test_join_axis1_empty():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     out = at.join(1, x, y)
     res = run_both([x, y], out, [e(2, 0), np.ones((2, 3), floatX)])
     np.testing.assert_array_equal(res, np.ones((2, 3), floatX))
 
 
 def test_stack_of_empty_vectors():
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     out = at.stack([x, y])
     res = run_both([x, y], out, [e(0), e(0)])
     assert res.shape == (2, 0)
@@ -75,7 +75,7 @@ def test_stack_of_empty_vectors():
     ids=["sum", "prod", "mean"],
 )
 def test_reduce_empty_axis(reducer, oracle):
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = reducer(x, axis=0)
     val = e(0, 3)
     with np.errstate(all="ignore"):
@@ -86,25 +86,25 @@ def test_reduce_empty_axis(reducer, oracle):
 
 
 def test_sum_all_of_empty_is_zero():
-    x = at.tensor3("x")
+    x = at.tensor3("x", dtype="float64")
     res = run_both([x], at.sum(x), [e(2, 0, 3)])
     assert res == 0.0
 
 
 def test_prod_all_of_empty_is_one():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     res = run_both([x], at.prod(x), [e(3, 0)])
     assert res == 1.0
 
 
 def test_cumsum_empty():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res = run_both([x], at.extra_ops.cumsum(x), [e(0)])
     assert res.shape == (0,)
 
 
 def test_all_any_empty():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     res_all = run_both([x], at.all(x, axis=0), [e(0, 4)])
     res_any = run_both([x], at.any(x, axis=0), [e(0, 4)])
     np.testing.assert_array_equal(res_all, np.ones(4, bool))
@@ -115,23 +115,23 @@ def test_all_any_empty():
 
 
 def test_elemwise_on_empty():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     out = at.exp(x) * y + 1.5
     res = run_both([x, y], out, [e(0, 5), e(0, 5)])
     assert res.shape == (0, 5)
 
 
 def test_broadcast_row_against_empty():
-    x = at.matrix("x")
-    r = at.row("r")
+    x = at.matrix("x", dtype="float64")
+    r = at.row("r", dtype="float64")
     out = x + r
     res = run_both([x, r], out, [e(0, 3), np.ones((1, 3), floatX)])
     assert res.shape == (0, 3)
 
 
 def test_zero_dim_scalar_ops():
-    x = at.scalar("x")
+    x = at.scalar("x", dtype="float64")
     out = at.switch(x > 0, at.exp(x), -x)
     res = run_both([x], out, [np.array(-2.0, floatX)])
     assert res == pytest.approx(2.0)
@@ -141,24 +141,24 @@ def test_zero_dim_scalar_ops():
 
 
 def test_dot_contraction_over_zero():
-    a = at.matrix("a")
-    b = at.matrix("b")
+    a = at.matrix("a", dtype="float64")
+    b = at.matrix("b", dtype="float64")
     out = at.dot(a, b)
     res = run_both([a, b], out, [e(3, 0), e(0, 4)])
     np.testing.assert_array_equal(res, np.zeros((3, 4), floatX))
 
 
 def test_dot_empty_result():
-    a = at.matrix("a")
-    b = at.matrix("b")
+    a = at.matrix("a", dtype="float64")
+    b = at.matrix("b", dtype="float64")
     out = at.dot(a, b)
     res = run_both([a, b], out, [e(0, 2), np.ones((2, 4), floatX)])
     assert res.shape == (0, 4)
 
 
 def test_outer_with_empty():
-    a = at.vector("a")
-    b = at.vector("b")
+    a = at.vector("a", dtype="float64")
+    b = at.vector("b", dtype="float64")
     out = at.outer(a, b)
     res = run_both([a, b], out, [e(0), np.ones(3, floatX)])
     assert res.shape == (0, 3)
@@ -168,21 +168,21 @@ def test_outer_with_empty():
 
 
 def test_empty_slice_of_nonempty():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = x[2:2]
     res = run_both([x], out, [np.ones((4, 3), floatX)])
     assert res.shape == (0, 3)
 
 
 def test_slice_of_empty():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = x[:, 1:3]
     res = run_both([x], out, [e(0, 5)])
     assert res.shape == (0, 2)
 
 
 def test_advanced_index_with_empty_indices():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     i = at.lvector("i")
     out = x[i]
     res = run_both([x, i], out, [np.ones((4, 3), floatX), np.zeros(0, "int64")])
@@ -190,7 +190,7 @@ def test_advanced_index_with_empty_indices():
 
 
 def test_set_subtensor_empty_slice_is_noop():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = at.subtensor.set_subtensor(x[1:1], 0.0)
     val = np.arange(12, dtype=floatX).reshape(4, 3)
     res = run_both([x], out, [val])
@@ -198,8 +198,8 @@ def test_set_subtensor_empty_slice_is_noop():
 
 
 def test_inc_subtensor_with_empty_update():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     out = at.subtensor.inc_subtensor(x[0:0], y)
     val = np.arange(6, dtype=floatX).reshape(2, 3)
     res = run_both([x, y], out, [val, e(0, 3)])
@@ -208,7 +208,7 @@ def test_inc_subtensor_with_empty_update():
 
 def test_boolean_mask_all_false_py_mode():
     # dynamic output shape: py-oracle path only
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     mask = np.zeros(4, bool)
     out = x[at.as_tensor(mask)]
     f = atp.function([x], out, mode="PY")
@@ -252,33 +252,33 @@ def test_arange_negative_step_empty():
 
 
 def test_reshape_empty():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = x.reshape((0, 6))
     res = run_both([x], out, [e(2, 0)])
     assert res.shape == (0, 6)
 
 
 def test_flatten_empty():
-    x = at.tensor3("x")
+    x = at.tensor3("x", dtype="float64")
     res = run_both([x], x.flatten(), [e(2, 0, 3)])
     assert res.shape == (0,)
 
 
 def test_dimshuffle_empty():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     res = run_both([x], x.T, [e(0, 4)])
     assert res.shape == (4, 0)
 
 
 def test_repeat_zero_times():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     out = at.extra_ops.repeat(x, 0, axis=0)
     res = run_both([x], out, [np.ones(3, floatX)])
     assert res.shape == (0,)
 
 
 def test_tile_zero_reps():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     out = at.tile(x, (0,))
     res = run_both([x], out, [np.ones(3, floatX)])
     assert res.shape == (0,)
@@ -286,7 +286,7 @@ def test_tile_zero_reps():
 
 @pytest.mark.parametrize("reps", [(0,), (2, 0), (0, 3), (2, 3)], ids=str)
 def test_tile_matches_numpy(reps):
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = at.tile(x, reps)
     val = np.arange(6, dtype=floatX).reshape(2, 3)
     res = run_both([x], out, [val])
@@ -297,7 +297,7 @@ def test_tile_matches_numpy(reps):
 
 
 def test_sort_argsort_empty():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     res_s = run_both([x], at.sort(x), [e(0)])
     res_a = run_both([x], at.argsort(x), [e(0)])
     assert res_s.shape == (0,) and res_a.shape == (0,)
@@ -307,7 +307,7 @@ def test_sort_argsort_empty():
 
 
 def test_grad_through_empty_slice():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     loss = at.sum(x[0:0] * 2.0) + at.sum(x)
     g = atp.grad(loss, x)
     res = run_both([x], g, [np.ones((3, 2), floatX)])
@@ -315,7 +315,7 @@ def test_grad_through_empty_slice():
 
 
 def test_grad_of_empty_reduction():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     loss = at.sum(at.exp(x))
     g = atp.grad(loss, x)
     res = run_both([x], g, [e(0, 3)])
@@ -323,8 +323,8 @@ def test_grad_of_empty_reduction():
 
 
 def test_grad_through_join_with_empty():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     loss = at.sum(at.join(0, x, y) ** 2)
     gx = atp.grad(loss, x)
     res = run_both([x, y], gx, [e(0, 3), np.full((2, 3), 2.0, floatX)])

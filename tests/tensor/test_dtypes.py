@@ -111,8 +111,8 @@ class TestComplex:
         assert np.allclose(a, np.angle(zv)) and np.allclose(c, zv.conj())
 
     def test_construct_and_jit(self):
-        x = at.vector("x")
-        y = at.vector("y")
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         xv = np.array([1.0, 2.0], dtype="float32")
         yv = np.array([3.0, 4.0], dtype="float32")
         g = atp.function([x, y], at.math.complex(x, y), mode="PY")
@@ -124,8 +124,8 @@ class TestComplex:
         assert np.allclose(fj(xv, yv), xv**2 + yv**2)
 
     def test_polar(self):
-        x = at.vector("x")
-        y = at.vector("y")
+        x = at.vector("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         h = atp.function([x, y], at.math.complex_from_polar(x, y), mode="PY")
         xv = np.array([1.0, 2.0], dtype="float32")
         yv = np.array([0.5, 1.5], dtype="float32")

@@ -42,7 +42,7 @@ UNARY_CASES = [
 
 @pytest.mark.parametrize("fn,val", UNARY_CASES, ids=[f[0].__name__ for f in UNARY_CASES])
 def test_unary_elemwise(fn, val):
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     compare_jax_and_py([x], fn(x), [val])
 
 
@@ -60,35 +60,35 @@ BINARY_CASES = [
 
 @pytest.mark.parametrize("fn,a,b", BINARY_CASES, ids=[f[0].__name__ for f in BINARY_CASES])
 def test_binary_elemwise(fn, a, b):
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     compare_jax_and_py([x, y], fn(x, y), [a, b])
 
 
 def test_broadcasting_row_col():
-    x = at.matrix("x")
-    r = at.row("r")
-    c = at.col("c")
+    x = at.matrix("x", dtype="float64")
+    r = at.row("r", dtype="float64")
+    c = at.col("c", dtype="float64")
     out = x + r * c
     compare_jax_and_py([x, r, c], out, [fm(3, 4), fm(1, 4), fm(3, 1)])
 
 
 def test_scalar_tensor_mix():
-    x = at.matrix("x")
-    s = at.scalar("s")
+    x = at.matrix("x", dtype="float64")
+    s = at.scalar("s", dtype="float64")
     compare_jax_and_py([x, s], x * s + 2.0, [fm(3, 4), np.float32(1.5)])
 
 
 def test_comparison_dtypes():
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     out = at.math.lt(x, y)
     res = compare_jax_and_py([x, y], out, [fm(2, 2), fm(2, 2)])
     assert np.asarray(res[0]).dtype == np.bool_
 
 
 def test_switch():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = at.switch(x > 0, x, -x)
     compare_jax_and_py([x], out, [fm(3, 4)])
 
@@ -114,8 +114,8 @@ def test_runtime_broadcast_of_unknown_dim_raises_py_mode():
     from aesara_tpu.compile.function import function
     from tests.utils import py_mode
 
-    x = at.matrix("x")
-    y = at.matrix("y")
+    x = at.matrix("x", dtype="float64")
+    y = at.matrix("y", dtype="float64")
     f = function([x, y], x + y, mode=py_mode)
     with pytest.raises(Exception):
         f(fm(3, 4), fm(1, 4))  # y's dim is not statically 1 → error
@@ -123,23 +123,23 @@ def test_runtime_broadcast_of_unknown_dim_raises_py_mode():
 
 class TestDimShuffle:
     def test_transpose(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         compare_jax_and_py([x], x.T, [fm(3, 4)])
 
     def test_insert_broadcast(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         out = x.dimshuffle("x", 0, "x")
         res = compare_jax_and_py([x], out, [fm(5)])
         assert np.asarray(res[0]).shape == (1, 5, 1)
 
     def test_drop_broadcastable(self):
-        x = at.row("x")
+        x = at.row("x", dtype="float64")
         out = x.dimshuffle(1)
         res = compare_jax_and_py([x], out, [fm(1, 7)])
         assert np.asarray(res[0]).shape == (7,)
 
     def test_drop_non_broadcastable_raises(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         with pytest.raises(TypeError):
             x.dimshuffle(1)
 
@@ -147,12 +147,12 @@ class TestDimShuffle:
 class TestCAReduce:
     @pytest.mark.parametrize("axis", [None, 0, 1, (0, 1)])
     def test_sum(self, axis):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         compare_jax_and_py([x], at.math.sum(x, axis=axis), [fm(3, 4)])
 
     @pytest.mark.parametrize("axis", [None, 0, 1])
     def test_prod_max_min(self, axis):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         compare_jax_and_py([x], at.math.prod(x, axis=axis), [fm(3, 4) * 0.5])
         compare_jax_and_py([x], at.math.max(x, axis=axis), [fm(3, 4)])
         compare_jax_and_py([x], at.math.min(x, axis=axis), [fm(3, 4)])
@@ -171,19 +171,19 @@ class TestCAReduce:
         compare_jax_and_py([x], at.math.any(x, axis=1), [a])
 
     def test_mean_var_std(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(4, 5)
         compare_jax_and_py([x], at.math.mean(x, axis=0), [v])
         compare_jax_and_py([x], at.math.var(x, axis=1), [v])
         compare_jax_and_py([x], at.math.std(x), [v])
 
     def test_keepdims(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         res = compare_jax_and_py([x], at.math.sum(x, axis=1, keepdims=True), [fm(3, 4)])
         assert np.asarray(res[0]).shape == (3, 1)
 
     def test_argmax(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(3, 4)
         compare_jax_and_py([x], at.math.argmax(x, axis=1), [v])
         compare_jax_and_py([x], at.math.argmax(x), [v])
@@ -191,5 +191,5 @@ class TestCAReduce:
         compare_jax_and_py([x], at.math.max_and_argmax(x, axis=0), [v])
 
     def test_logsumexp(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         compare_jax_and_py([x], at.math.logsumexp(x, axis=1), [fm(3, 4) * 10])

@@ -17,7 +17,7 @@ class TestFFT:
     def test_rfft_matches_numpy(self):
         from aesara_tpu.tensor.fft import rfft
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         f = atp.function([x], rfft(x), mode="PY")
         xv = np.random.default_rng(0).normal(size=(4, 8)).astype("float32")
         got = self._unpack(np.asarray(f(xv), dtype="float64"))
@@ -27,7 +27,7 @@ class TestFFT:
     def test_irfft_roundtrip(self):
         from aesara_tpu.tensor.fft import irfft, rfft
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         rt = irfft(rfft(x))
         f = atp.function([x], rt, mode="PY")
         xv = np.random.default_rng(1).normal(size=(3, 8)).astype("float32")
@@ -36,7 +36,7 @@ class TestFFT:
     def test_rfft_jit_matches_py(self):
         from aesara_tpu.tensor.fft import rfft
 
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         fp = atp.function([x], rfft(x), mode="PY")
         fj = atp.function([x], rfft(x))
         xv = np.random.default_rng(2).normal(size=(2, 16)).astype("float32")
@@ -54,14 +54,14 @@ class TestXlogx:
     def test_values_and_limit(self):
         from aesara_tpu.tensor.xlogx import xlogx, xlogy0
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], xlogx(x), mode="PY")
         xv = np.array([0.0, 1.0, 2.0], dtype="float64")
         got = f(xv)
         assert got[0] == 0.0  # 0*log(0) == 0 by convention
         assert np.allclose(got[1:], xv[1:] * np.log(xv[1:]))
 
-        y = at.vector("y")
+        y = at.vector("y", dtype="float64")
         g = atp.function([x, y], xlogy0(x, y), mode="PY")
         assert g(np.array([0.0]), np.array([0.0]))[0] == 0.0
 
@@ -80,7 +80,7 @@ class TestPrinting:
         from aesara_tpu.printing import debugprint
         from aesara_tpu.scan.basic import scan
 
-        x0 = at.scalar("x0")
+        x0 = at.scalar("x0", dtype="float64")
         outs, _ = scan(lambda a: a * 2.0, outputs_info=[x0], n_steps=4)
         buf = io.StringIO()
         debugprint(outs, file=buf)
@@ -91,7 +91,7 @@ class TestPrinting:
     def test_pydotprint_emits_dot(self, tmp_path):
         from aesara_tpu.printing import pydotprint
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], at.math.exp(x) * 2)
         path = tmp_path / "g.dot"
         pydotprint(f, outfile=str(path))
@@ -101,7 +101,7 @@ class TestPrinting:
     def test_d3viz_html(self, tmp_path):
         from aesara_tpu.d3viz import d3viz
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         f = atp.function([x], at.math.tanh(x))
         out = tmp_path / "viz.html"
         d3viz(f, str(out))

@@ -10,7 +10,7 @@ from aesara_tpu.tensor import io
 
 
 def test_mpi_roundtrip_in_process():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     # blocking send compiled as its own function (rank-0 style program)
     sent = io.send(x, dest=0, tag=42)
     f_send = atp.function([x], sent, mode="PY", on_unused_input="ignore")
@@ -37,7 +37,7 @@ def test_mpi_scheduling_keys():
     from aesara_tpu.graph.fg import FunctionGraph
     from aesara_tpu.graph.sched import sort_apply_nodes
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     done = io.send(x, 0, tag=1)
     out = io.recv((3,), "float64", source=0, tag=1)
     fg = FunctionGraph([x], [done, out], clone=False)

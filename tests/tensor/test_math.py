@@ -20,19 +20,19 @@ def dm(*shape):
 
 class TestDot:
     def test_mat_mat(self):
-        x, y = at.matrix("x"), at.matrix("y")
+        x, y = at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         compare_jax_and_py([x, y], at.dot(x, y), [fm(3, 4), fm(4, 5)])
 
     def test_mat_vec(self):
-        x, y = at.matrix("x"), at.vector("y")
+        x, y = at.matrix("x", dtype="float64"), at.vector("y", dtype="float64")
         compare_jax_and_py([x, y], at.dot(x, y), [fm(3, 4), fm(4)])
 
     def test_vec_mat(self):
-        x, y = at.vector("x"), at.matrix("y")
+        x, y = at.vector("x", dtype="float64"), at.matrix("y", dtype="float64")
         compare_jax_and_py([x, y], at.dot(x, y), [fm(4), fm(4, 5)])
 
     def test_vec_vec(self):
-        x, y = at.vector("x"), at.vector("y")
+        x, y = at.vector("x", dtype="float64"), at.vector("y", dtype="float64")
         compare_jax_and_py([x, y], at.dot(x, y), [fm(4), fm(4)])
 
     def test_static_mismatch_raises(self):
@@ -48,13 +48,13 @@ class TestDot:
         verify_grad(lambda a, b: at.dot(a, b), [dm(4), dm(4)])
 
     def test_outer(self):
-        x, y = at.vector("x"), at.vector("y")
+        x, y = at.vector("x", dtype="float64"), at.vector("y", dtype="float64")
         compare_jax_and_py([x, y], at.math.outer(x, y), [fm(3), fm(5)])
 
 
 class TestBatchedDot:
     def test_3d_3d(self):
-        x, y = at.tensor3("x"), at.tensor3("y")
+        x, y = at.tensor3("x", dtype="float64"), at.tensor3("y", dtype="float64")
         compare_jax_and_py([x, y], at.math.batched_dot(x, y), [fm(5, 3, 4), fm(5, 4, 2)])
 
     def test_grad(self):
@@ -64,15 +64,15 @@ class TestBatchedDot:
 
 class TestMatmulTensordot:
     def test_matmul_2d(self):
-        x, y = at.matrix("x"), at.matrix("y")
+        x, y = at.matrix("x", dtype="float64"), at.matrix("y", dtype="float64")
         compare_jax_and_py([x, y], at.math.matmul(x, y), [fm(3, 4), fm(4, 5)])
 
     def test_matmul_batched(self):
-        x, y = at.tensor3("x"), at.tensor3("y")
+        x, y = at.tensor3("x", dtype="float64"), at.tensor3("y", dtype="float64")
         compare_jax_and_py([x, y], at.math.matmul(x, y), [fm(2, 3, 4), fm(2, 4, 5)])
 
     def test_tensordot_int_axes(self):
-        x, y = at.tensor3("x"), at.tensor3("y")
+        x, y = at.tensor3("x", dtype="float64"), at.tensor3("y", dtype="float64")
         a, b = fm(2, 3, 4), fm(3, 4, 5)
         out = at.math.tensordot(x, y, axes=2)
         fn = compare_jax_and_py([x, y], out, [a, b])
@@ -81,7 +81,7 @@ class TestMatmulTensordot:
         )
 
     def test_tensordot_axes_lists(self):
-        x, y = at.tensor3("x"), at.tensor3("y")
+        x, y = at.tensor3("x", dtype="float64"), at.tensor3("y", dtype="float64")
         a, b = fm(2, 3, 4), fm(4, 3, 5)
         out = at.math.tensordot(x, y, axes=[[1, 2], [1, 0]])
         fn = compare_jax_and_py([x, y], out, [a, b])
@@ -135,7 +135,7 @@ class TestReductionsGrad:
 
 
 def test_clip_norm_misc():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     v = fm(3, 4)
     compare_jax_and_py([x], at.math.clip(x, -0.5, 0.5), [v])
     compare_jax_and_py([x], at.math.norm(x, 2), [v])

@@ -33,11 +33,11 @@ rng = np.random.default_rng(77)
 # build-time rejects: graph construction must raise, cheap (no compile)
 # --------------------------------------------------------------------------
 
-x = at.matrix("x")
-v = at.vector("v")
-t3 = at.tensor3("t")
+x = at.matrix("x", dtype="float64")
+v = at.vector("v", dtype="float64")
+t3 = at.tensor3("t", dtype="float64")
 iv = at.lvector("i")
-fv = at.vector("f")
+fv = at.vector("f", dtype="float64")
 c = at.vector("c", dtype="complex64")
 
 BAD_BUILD = {
@@ -47,9 +47,9 @@ BAD_BUILD = {
     "float_index_set": lambda: at.set_subtensor(v[fv], 1.0),
     "float_index_inc": lambda: at.inc_subtensor(v[fv], 1.0),
     "complex_index": lambda: v[c],
-    "float_scalar_index": lambda: v[at.scalar("s")],
+    "float_scalar_index": lambda: v[at.scalar("s", dtype="float64")],
     "too_many_dims": lambda: v[:, :, 0],
-    "scalar_indexed": lambda: at.scalar("s")[0],
+    "scalar_indexed": lambda: at.scalar("s", dtype="float64")[0],
     # --- shape/axis violations
     "argmax_axis_oob": lambda: at.argmax(x, axis=5),
     "argmin_axis_oob": lambda: at.argmin(x, axis=-4),
@@ -163,7 +163,7 @@ class TestJaxRuntimeDivergences:
     path starts raising (or silently changes semantics), they fail."""
 
     def test_gather_oob_fills_nan(self):
-        V = at.vector("V")
+        V = at.vector("V", dtype="float64")
         f = function([V], V[at.as_tensor_variable(np.array([1, 9]))],
                      mode=JAX)
         r = np.asarray(f(np.arange(5.0)))
@@ -173,19 +173,19 @@ class TestJaxRuntimeDivergences:
         assert np.isnan(r[1])
 
     def test_scalar_index_oob_clamps(self):
-        V = at.vector("V")
+        V = at.vector("V", dtype="float64")
         f = function([V], V[7], mode=JAX)
         assert float(f(np.arange(5.0))) == 4.0
 
     def test_cholesky_nonspd_nans(self):
-        X = at.matrix("X")
+        X = at.matrix("X", dtype="float64")
         f = function([X], sl.cholesky(X), mode=JAX)
         r = np.asarray(f(-np.eye(3) * 5.0))
         assert np.isnan(r).any()
 
     def test_static_shape_errors_still_raise_at_compile(self):
         # shape violations visible to the tracer DO fail loudly
-        X = at.matrix("X")
+        X = at.matrix("X", dtype="float64")
         out = at.dot(X, X)
         f = function([X], out, mode=JAX)
         with pytest.raises(Exception):
@@ -196,7 +196,7 @@ class TestJaxRuntimeDivergences:
         # the XLA path (lowered to a checked select / error pattern)
         from aesara_tpu.raise_op import assert_op
 
-        V = at.vector("V")
+        V = at.vector("V", dtype="float64")
         out = assert_op(V.sum(), tm.ge(V.shape[0], 3))
         f = function([V], out, mode=PY)
         with pytest.raises(Exception):

@@ -199,7 +199,7 @@ class TestReviewRegressions:
         from aesara_tpu.tensor.random.utils import RandomStream
 
         srng = RandomStream(seed=7)
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         draw = srng.normal(0.0, 1.0, size=(x.shape[0], 3))
         f = atp.function([x], draw, mode="PY")
         res = np.asarray(f(np.zeros((5, 2), dtype="float32")))

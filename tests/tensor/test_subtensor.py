@@ -34,13 +34,13 @@ class TestBasicSlicing:
         ],
     )
     def test_slices(self, idx):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(4, 5)
         res = compare_jax_and_py([x], x[idx], [v])
         np.testing.assert_allclose(np.asarray(res[0]), v[idx], rtol=1e-6)
 
     def test_symbolic_index(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         i = at.iscalar("i")
         out = x[i]
         from tests.utils import py_mode
@@ -51,7 +51,7 @@ class TestBasicSlicing:
         np.testing.assert_allclose(f(v, 2), v[2])
 
     def test_newaxis(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(4, 5)
         res = compare_jax_and_py([x], x[:, None], [v])
         assert np.asarray(res[0]).shape == (4, 1, 5)
@@ -69,8 +69,8 @@ class TestBasicSlicing:
 
 class TestIncSubtensor:
     def test_set(self):
-        x = at.matrix("x")
-        y = at.vector("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.vector("y", dtype="float64")
         out = at.set_subtensor(x[1], y)
         xv, yv = fm(3, 4), fm(4)
         res = compare_jax_and_py([x, y], out, [xv, yv])
@@ -79,8 +79,8 @@ class TestIncSubtensor:
         np.testing.assert_allclose(np.asarray(res[0]), expected, rtol=1e-6)
 
     def test_inc(self):
-        x = at.matrix("x")
-        y = at.matrix("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         out = at.inc_subtensor(x[1:3], y)
         xv, yv = fm(5, 4), fm(2, 4)
         res = compare_jax_and_py([x, y], out, [xv, yv])
@@ -97,14 +97,14 @@ class TestIncSubtensor:
 
 class TestAdvanced:
     def test_int_vector_index(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(5, 3)
         idx = np.array([0, 2, 4])
         res = compare_jax_and_py([x], x[idx], [v])
         np.testing.assert_allclose(np.asarray(res[0]), v[idx], rtol=1e-6)
 
     def test_symbolic_int_vector(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         i = at.lvector("i")
         out = x[i]
         from aesara_tpu.compile.function import function
@@ -125,7 +125,7 @@ class TestAdvanced:
         verify_grad(f, [dm(5, 4)])
 
     def test_multi_array_index(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(5, 6)
         r = np.array([0, 2])
         c = np.array([1, 3])
@@ -133,15 +133,15 @@ class TestAdvanced:
         np.testing.assert_allclose(np.asarray(res[0]), v[r, c], rtol=1e-6)
 
     def test_array_and_slice(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(5, 6)
         r = np.array([0, 2])
         res = compare_jax_and_py([x], x[r, 1:4], [v])
         np.testing.assert_allclose(np.asarray(res[0]), v[r, 1:4], rtol=1e-6)
 
     def test_set_advanced(self):
-        x = at.matrix("x")
-        y = at.matrix("y")
+        x = at.matrix("x", dtype="float64")
+        y = at.matrix("y", dtype="float64")
         idx = np.array([0, 3])
         out = at.set_subtensor(x[at.constant(idx)], y)
         xv, yv = fm(5, 4), fm(2, 4)
@@ -152,7 +152,7 @@ class TestAdvanced:
 
     def test_inc_duplicates(self):
         # duplicate indices must accumulate (np.add.at semantics)
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         idx = np.array([0, 0, 1])
         out = at.inc_subtensor(x[at.constant(idx)], at.ones((3,)))
         xv = fm(4)
@@ -162,7 +162,7 @@ class TestAdvanced:
         np.testing.assert_allclose(np.asarray(res[0]), expected, rtol=1e-6)
 
     def test_take(self):
-        x = at.matrix("x")
+        x = at.matrix("x", dtype="float64")
         v = fm(4, 5)
         res = compare_jax_and_py([x], at.take(x, at.constant(np.array([1, 3])), axis=1), [v])
         np.testing.assert_allclose(np.asarray(res[0]), np.take(v, [1, 3], axis=1), rtol=1e-6)

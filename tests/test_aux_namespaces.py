@@ -12,7 +12,7 @@ from aesara_tpu.scan.basic import scan
 def test_scanargs_roundtrip():
     from aesara_tpu.scan.utils import ScanArgs
 
-    s = at.matrix("s")
+    s = at.matrix("s", dtype="float32")
     outs, _ = scan(lambda e, acc: acc + e.sum(), sequences=[s],
                    outputs_info=[at.as_tensor_variable(np.float32(0.0))])
     node = outs.owner
@@ -28,15 +28,15 @@ def test_scan_utils_helpers():
     from aesara_tpu.scan.utils import (get_updates_and_outputs,
                                        reconstruct_graph, safe_new)
 
-    v = safe_new(at.vector("q"), tag="_copy")
+    v = safe_new(at.vector("q", dtype="float64"), tag="_copy")
     assert v.name == "q_copy" and v.type.ndim == 1
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     e = at.math.exp(x)
     ni, no = reconstruct_graph([x], [e])
     assert ni[0] is not x and no[0].owner.op is e.owner.op
 
-    o, u, c = get_updates_and_outputs((at.scalar("a"), until(at.scalar("c") > 0)))
+    o, u, c = get_updates_and_outputs((at.scalar("a", dtype="float64"), until(at.scalar("c", dtype="float64") > 0)))
     assert len(o) == 1 and not u and c is not None
 
 
@@ -44,7 +44,7 @@ def test_cond_remove_identical_registered():
     from aesara_tpu.ifelse import IfElse, ifelse
 
     c = at.scalar("c", dtype="bool")
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = atp.function([c, x], ifelse(c, x * 2, x * 2))
     assert not any(isinstance(n.op, IfElse) for n in f.maker.fgraph.toposort())
     xv = np.arange(3.0, dtype="float32")
@@ -57,8 +57,8 @@ def test_cond_merge():
     from aesara_tpu.ifelse import CondMerge, IfElse, ifelse
 
     c = at.scalar("c", dtype="bool")
-    x = at.vector("x")
-    y = at.vector("y")
+    x = at.vector("x", dtype="float64")
+    y = at.vector("y", dtype="float64")
     fg = FunctionGraph([c, x, y],
                        [ifelse(c, x * 2, x + 1), ifelse(c, y - 3, y * 5)],
                        clone=False)
@@ -75,7 +75,7 @@ def test_printer_registry():
     from aesara_tpu.tensor.special import Softmax
 
     register_printer(Softmax, FunctionPrinter(["softmax"]))
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     assert pp(at.special.softmax(x, axis=-1)) == "softmax(x)"
 
 
@@ -83,7 +83,7 @@ def test_position_independent_str_stable():
     from aesara_tpu.printing import position_independent_str
 
     def build():
-        v = at.vector("x")
+        v = at.vector("x", dtype="float64")
         return at.math.exp(v) + 1
 
     assert position_independent_str(build()) == position_independent_str(build())

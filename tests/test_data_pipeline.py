@@ -74,7 +74,7 @@ def test_overlaps_slow_source():
 
 
 def test_feeds_compiled_function():
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     w = atp.shared(np.zeros(3, dtype="float32"), name="w")
     loss = ((at.dot(x, w)) ** 2).mean() + x.sum() * 0.01
     step = atp.function([x], loss, mode="JAX")

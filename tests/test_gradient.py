@@ -32,7 +32,7 @@ def test_grad_simple():
 
 
 def test_grad_requires_scalar_cost():
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     with pytest.raises(TypeError):
         grad(x, x)
 
@@ -183,9 +183,9 @@ def test_dimshuffle_grad_sums_augmented_dims():
     import aesara_tpu.tensor as at
     from aesara_tpu.tensor.elemwise import DimShuffle
 
-    c = at.scalar("c")
+    c = at.scalar("c", dtype="float64")
     padded = DimShuffle(0, ("x", "x"))(c)      # () → (1, 1)
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     out = (padded * x).sum()
     g = atp.grad(out, c)
     f = atp.function([c, x], g, mode="PY")
@@ -237,26 +237,26 @@ class TestOpLevelRop:
         assert np.allclose(a, b, rtol=1e-5, atol=1e-6), (a, b)
 
     def test_elemwise_chain(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = (at.tanh(x) * 2.0 + x ** 2).sum()
         self._agree(y, x, [x], [np.linspace(-1, 1, 7)])
 
     def test_subtensor_join(self):
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = at.join(0, x[1:], x[:2]).sum() + x[0] * 3.0
         self._agree(y, x, [x], [np.arange(5.0)])
 
     def test_inc_subtensor(self):
         from aesara_tpu.tensor.subtensor import set_subtensor
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = set_subtensor(x[1:3], x[0:2] * 2.0).sum()
         self._agree(y, x, [x], [np.arange(5.0)])
 
     def test_through_scan_sitsot(self):
         from aesara_tpu.scan import scan
 
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(
             fn=lambda a, acc: acc * at.tanh(a),
             sequences=[s],
@@ -267,25 +267,25 @@ class TestOpLevelRop:
     def test_through_scan_nitsot(self):
         from aesara_tpu.scan import scan
 
-        s = at.vector("s")
+        s = at.vector("s", dtype="float64")
         outs, _ = scan(fn=lambda a: a * a + 1.0, sequences=[s])
         self._agree(outs.sum(), s, [s], [np.linspace(-1, 1, 4)])
 
     def test_unimplemented_raises(self):
         from aesara_tpu.tensor.sort import argsort
 
-        x = at.vector("x")
+        x = at.vector("x", dtype="float64")
         y = argsort(x)  # integer output; sort path has no R_op rule
         with pytest.raises(NotImplementedError):
             Rop(x[argsort(x)].sum(), x, x.type(), use_op_rop=True)
 
     def test_dot_and_dimshuffle(self):
-        x = at.matrix("x")
-        w = at.matrix("w")
+        x = at.matrix("x", dtype="float64")
+        w = at.matrix("w", dtype="float64")
         y = at.dot(x, w.T).sum()
         import aesara_tpu as atp
 
-        vx, vw = at.matrix("vx"), at.matrix("vw")
+        vx, vw = at.matrix("vx", dtype="float64"), at.matrix("vw", dtype="float64")
         r1 = Rop(y, [x, w], [vx, vw])
         r2 = Rop(y, [x, w], [vx, vw], use_op_rop=True)
         f = atp.function([x, w, vx, vw], [r1, r2])
@@ -295,8 +295,8 @@ class TestOpLevelRop:
         assert np.allclose(a, b, rtol=1e-5)
 
     def test_disconnected_output_policy(self):
-        x = at.vector("x")
-        z = at.vector("z")
+        x = at.vector("x", dtype="float64")
+        z = at.vector("z", dtype="float64")
         with pytest.raises(Exception):
             Rop(z.sum(), x, x.type(), use_op_rop=True,
                 disconnected_outputs="raise")

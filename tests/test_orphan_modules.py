@@ -282,7 +282,7 @@ class TestD3VizDeepFeatures:
         import aesara_tpu.tensor as at
         from aesara_tpu.scan.basic import scan
 
-        X = at.tensor3("X")
+        X = at.tensor3("X", dtype="float64")
         h, _ = scan(lambda xt, htm1: at.tanh(htm1 + xt),
                     sequences=[X],
                     outputs_info=[at.zeros_like(X[0])])

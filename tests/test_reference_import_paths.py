@@ -87,7 +87,7 @@ def test_inplace_values_match_pure():
     import aesara_tpu.tensor as at
     from aesara_tpu.tensor.inplace import add_inplace, neg_inplace
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = atp.function([x], [neg_inplace(x), add_inplace(x, x)], mode="PY")
     xv = np.arange(4.0, dtype="float32")
     a, b = f(xv)
@@ -124,8 +124,8 @@ def test_signal_conv2d_values():
     from aesara_tpu.tensor.signal.conv import conv2d
 
     rng = np.random.default_rng(5)
-    im = at.matrix("im")
-    flt = at.matrix("flt")
+    im = at.matrix("im", dtype="float64")
+    flt = at.matrix("flt", dtype="float64")
     f = atp.function([im, flt], conv2d(im, flt), mode="PY")
     iv = rng.standard_normal((6, 7)).astype("float32")
     fv = rng.standard_normal((3, 3)).astype("float32")
@@ -138,14 +138,14 @@ def test_shape_of_variables_contract():
     from aesara_tpu.graph.fg import FunctionGraph
     from aesara_tpu.tensor.utils import shape_of_variables
 
-    x = at.matrix("x")
+    x = at.matrix("x", dtype="float64")
     y = at.tanh(at.dot(x, x.T))[1:]
     fg = FunctionGraph([x], [y], clone=False)
     res = shape_of_variables(fg, {x: (5, 4)})
     assert tuple(int(v) for v in res[y]) == (4, 5)
     assert tuple(int(v) for v in res[x]) == (5, 4)
     with pytest.raises(ValueError):
-        x2 = at.matrix("x2")
+        x2 = at.matrix("x2", dtype="float64")
         fg2 = FunctionGraph([x2], [at.tanh(x2)])  # clone=True
         shape_of_variables(fg2, {x2: (2, 2)})
 
@@ -155,7 +155,7 @@ def test_minimal_op_runs():
     import aesara_tpu.tensor as at
     from aesara_tpu.sandbox.minimal import minimal
 
-    x = at.vector("x")
+    x = at.vector("x", dtype="float64")
     f = atp.function([x], minimal(x, x * 2), mode="PY")
     assert int(f(np.ones(3, dtype="float32"))) == 0
 

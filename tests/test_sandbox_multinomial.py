@@ -8,8 +8,8 @@ from aesara_tpu.sandbox.multinomial import ChoiceFromUniform, MultinomialFromUni
 
 
 def test_multinomial_from_uniform_one_hot():
-    p = at.matrix("p")
-    u = at.vector("u")
+    p = at.matrix("p", dtype="float64")
+    u = at.vector("u", dtype="float64")
     m = MultinomialFromUniform("auto")(p, u)
     f = atp.function([p, u], m, mode="PY")
     pv = np.array([[0.1, 0.2, 0.7], [0.6, 0.3, 0.1]])
@@ -20,8 +20,8 @@ def test_multinomial_from_uniform_one_hot():
 
 
 def test_multinomial_from_uniform_counts():
-    p = at.matrix("p")
-    u = at.vector("u")
+    p = at.matrix("p", dtype="float64")
+    u = at.vector("u", dtype="float64")
     m = MultinomialFromUniform("auto")(p, u, 3)
     f = atp.function([p, u], m, mode="PY")
     pv = np.array([[0.5, 0.5]])
@@ -30,8 +30,8 @@ def test_multinomial_from_uniform_counts():
 
 
 def test_choice_without_replacement_exhausts():
-    p = at.matrix("p")
-    u = at.vector("u")
+    p = at.matrix("p", dtype="float64")
+    u = at.vector("u", dtype="float64")
     c = ChoiceFromUniform("auto", replace=False)(p, u, 3)
     f = atp.function([p, u], c, mode="PY")
     pv = np.array([[0.2, 0.3, 0.5]])
@@ -41,8 +41,8 @@ def test_choice_without_replacement_exhausts():
 
 
 def test_choice_with_replacement_distribution():
-    p = at.matrix("p")
-    u = at.vector("u")
+    p = at.matrix("p", dtype="float64")
+    u = at.vector("u", dtype="float64")
     c = ChoiceFromUniform("auto", replace=True)(p, u, 1000)
     f = atp.function([p, u], c, mode="PY")
     pv = np.array([[0.9, 0.1]])
