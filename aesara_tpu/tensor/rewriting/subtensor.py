@@ -215,12 +215,24 @@ def local_useless_inc_subtensor(fgraph, node):
     with full slices also covers the whole tensor."""
     if not node.op.set_instead_of_inc:
         return False
-    if not all(
-        isinstance(e, slice) and e == slice(None, None, None)
-        for e in node.op.idx_list
-    ):
-        return False
     x, y = node.inputs[0], node.inputs[1]
+
+    def _is_full(d, e):
+        # full window in any spelling: [:], [0:], [::1], [0:n] with n
+        # >= the static extent (same contract as local_useless_subtensor)
+        if not isinstance(e, slice):
+            return False
+        if e.step not in (None, 1) or (e.start or 0) != 0:
+            return False
+        if e.stop is None:
+            return True
+        static = x.type.shape[d]
+        return (
+            e.stop is not SYM and static is not None and e.stop >= static
+        )
+
+    if not all(_is_full(d, e) for d, e in enumerate(node.op.idx_list)):
+        return False
     if len(node.op.idx_list) > x.type.ndim:
         return False
     if y.type.ndim != x.type.ndim:
@@ -494,7 +506,10 @@ def local_subtensor_make_vector(fgraph, node):
         if e.start is SYM or e.stop is SYM or e.step is SYM:
             return False
         picked = elems[e]
-        if len(picked) == len(elems):
+        if list(picked) == list(elems):
+            # identity slice: rewriting would recreate the same node
+            # forever; a REORDERING full slice (e.g. [::-1]) still
+            # simplifies to a fresh MakeVector and must fire
             return False
         res = MakeVector(inner.op.dtype)(*picked) if picked else constant(
             np.zeros((0,), dtype=inner.op.dtype)
