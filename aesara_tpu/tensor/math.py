@@ -513,7 +513,9 @@ def norm(x, L=2, axis=None, keepdims=False):
     if L == 1:
         return sum(abs(x), axis=axis, keepdims=keepdims)
     if L == 2:
-        return sqrt(sum(sqr(x), axis=axis, keepdims=keepdims))
+        # complex: sum of |z|^2 (real), NOT sum of z^2 — numpy contract
+        sq = sqr(abs(x)) if x.type.dtype.startswith("complex") else sqr(x)
+        return sqrt(sum(sq, axis=axis, keepdims=keepdims))
     if np.isinf(L):
         if L > 0:
             return max(abs(x), axis=axis, keepdims=keepdims)

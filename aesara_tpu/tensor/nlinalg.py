@@ -221,12 +221,15 @@ class Eigh(_MatrixUnaryOp):
 
     def _out_types(self, x):
         n = x.type.shape[0]
-        return [TensorType(x.type.dtype, (n,))(), TensorType(x.type.dtype, (n, n))()]
+        # Hermitian eigenvalues are REAL even for complex input
+        # (numpy/LAPACK contract: complex128 → float64 w)
+        w_dtype = str(np.zeros(0, dtype=x.type.dtype).real.dtype)
+        return [TensorType(w_dtype, (n,))(), TensorType(x.type.dtype, (n, n))()]
 
     def perform(self, node, inputs, output_storage):
         (x,) = inputs
         w, v = np.linalg.eigh(x, UPLO=self.UPLO)
-        output_storage[0][0] = w.astype(x.dtype)
+        output_storage[0][0] = w.astype(_np_dtype(node.outputs[0].type.dtype))
         output_storage[1][0] = v.astype(x.dtype)
 
     def infer_shape(self, fgraph, node, input_shapes):
@@ -346,7 +349,9 @@ class SVD(Op):
             raise TypeError("svd requires a matrix")
         m, n = x.type.shape
         k = None if (m is None or n is None) else min(m, n)
-        s_t = TensorType(x.type.dtype, (k,))()
+        # singular values are REAL even for complex input
+        s_dtype = str(np.zeros(0, dtype=x.type.dtype).real.dtype)
+        s_t = TensorType(s_dtype, (k,))()
         if not self.compute_uv:
             return Apply(self, [x], [s_t])
         if self.full_matrices:
@@ -362,11 +367,13 @@ class SVD(Op):
         if self.compute_uv:
             u, s, vt = np.linalg.svd(x, full_matrices=self.full_matrices)
             output_storage[0][0] = u.astype(x.dtype)
-            output_storage[1][0] = s.astype(x.dtype)
+            output_storage[1][0] = s.astype(
+                _np_dtype(node.outputs[1].type.dtype))
             output_storage[2][0] = vt.astype(x.dtype)
         else:
             s = np.linalg.svd(x, compute_uv=False)
-            output_storage[0][0] = s.astype(x.dtype)
+            output_storage[0][0] = s.astype(
+                _np_dtype(node.outputs[0].type.dtype))
 
     def grad(self, inputs, output_grads):
         from aesara_tpu.gradient import grad_not_implemented
@@ -494,7 +501,9 @@ def norm(x, ord=None):
         return tm.norm(x, 2 if ord is None else ord)
     if x.type.ndim == 2:
         if ord in (None, "fro"):
-            return tm.sqrt(tm.sum(tm.sqr(x)))
+            sq = (tm.sqr(tm.abs(x))
+                  if x.type.dtype.startswith("complex") else tm.sqr(x))
+            return tm.sqrt(tm.sum(sq))
         if ord == 1:
             return tm.max(tm.sum(tm.abs(x), axis=0))
         if ord == np.inf:
