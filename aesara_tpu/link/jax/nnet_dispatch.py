@@ -74,12 +74,12 @@ def _jx_fused_attention(op, node=None, **kw):
 
         q = jnp.asarray(q)
         scale = 1.0 / float(_np.sqrt(q.shape[-1]))
-        # measured crossovers on v5-lite: f32 flash fwd wins from
-        # T~2048; bf16 XLA keeps pace until ~4096 (its matmuls double in
-        # speed while the kernel's exp stays VPU-bound), where flash
-        # ties on time and wins on (T,T)-score memory
-        fwd_min = 4096 if q.dtype == jnp.bfloat16 else 2048
-        if use_flash_for(q.shape, q.dtype, min_seqlen=fwd_min):
+        # measured crossovers on v5-lite (round 5, single-pass kernel +
+        # exp2 + mask elision): flash fwd wins from T=1024 in BOTH
+        # dtypes — f32 1.56x/2.20x/2.79x and bf16 1.95x/1.50x/1.66x at
+        # T=1024/2048/4096, causal bf16 1.65x/1.13x/1.25x
+        # (benchmarks/README.md round-5 table)
+        if use_flash_for(q.shape, q.dtype, min_seqlen=1024):
             return flash_attention(q, jnp.asarray(k), jnp.asarray(v),
                                    causal=op.causal, scale=scale)
         return _attention_ref(q, jnp.asarray(k), jnp.asarray(v),

@@ -168,86 +168,183 @@ def use_flash_for(shape, dtype, min_seqlen: int) -> bool:
     return on_tpu and shape[1] >= min_seqlen
 
 
-def _flash_tiling(T, D):
-    BQ = min(512, _round_up(T, 8))
-    BK = min(512, _round_up(T, 8))
-    return BQ, BK, _round_up(T, max(BQ, BK)), _round_up(D, 128)
+_LOG2E = 1.4426950408889634  # log2(e): score dots are computed in log2
+_NEG = -0.7 * 3.4e38         # finite -inf stand-in (exp2 underflows to 0)
+
+
+def _flash_tiling(T, D, dtype=None, causal=False):
+    """Pick (BQ, BK, T_pad, D_pad).
+
+    Single-pass mode (BK == T_pad, non-causal): the whole K/V panel is
+    VMEM-resident per head, so softmax needs no online max/denominator
+    bookkeeping at all — one rowmax + exp2 + rowsum per q tile.  This
+    is the winning formulation in the bf16 T=2048 regime where the
+    online-rescale loop is VPU-bound (benchmarks/README.md round 5).
+    Falls back to the 512-tile online-softmax grid when K/V or the
+    (BQ, T) score tile would not fit the VMEM budget, or when causal
+    (where tile-skip over dead k tiles wins instead).
+    """
+    D_pad = _round_up(D, 128)
+    gran = 16 if (dtype is not None and
+                  np.dtype(dtype) == np.dtype("bfloat16")) else 8
+    bytes_ = 2 if gran == 16 else 4
+    if not causal:
+        T_sp = _round_up(T, gran)
+        kv_bytes = 2 * T_sp * D_pad * bytes_
+        if kv_bytes <= 4 * 2**20:
+            for BQ in (512, 256, 128):
+                BQ_eff = min(BQ, T_sp)
+                T_pad = _round_up(T, BQ_eff)
+                if BQ_eff * T_pad * 4 <= 4 * 2**20:
+                    return BQ_eff, T_pad, T_pad, D_pad
+    BQ = min(512, _round_up(T, gran))
+    BK = min(512, _round_up(T, gran))
+    return BQ, BK, _round_up(T, max(BQ, BK)), D_pad
 
 
 def _flash_forward(qp, kp, vp, *, T, causal, scale, dot_dtype,
                    BQ, BK, T_pad, D_pad, with_lse):
-    """The online-softmax forward pallas_call; single source of truth
-    for both the user-facing forward and the backward's recompute.
-    Returns out_pad or (out_pad, lse_pad)."""
+    """The flash forward pallas_call; single source of truth for both
+    the user-facing forward and the backward's recompute.  Returns
+    out_pad or (out_pad, lse2_pad) — the logsumexp is in **log2 units**
+    (scores are computed as log2e·scale·QKᵀ so the softmax runs on
+    ``exp2``, saving the per-element ln2 multiply inside every exp).
+
+    VPU-work elision (the bf16 T=2048 fix, round 5): masking iota/
+    compare/select only runs on tiles that can actually contain masked
+    entries (padded tail tiles, causal diagonal tiles); causal dead
+    tiles are skipped entirely; and when BK == T_pad (single-pass mode,
+    see ``_flash_tiling``) the online max/denominator rescale loop
+    disappears — softmax is one rowmax/exp2/rowsum per q tile.
+    """
     pl, pltpu = _pl()
     BH = qp.shape[0]
     nq = T_pad // BQ
     nk = T_pad // BK
+    single = (nk == 1)
+    pad_cols = (T_pad != T)
+    lscale = scale * _LOG2E
 
-    def kernel(q_ref, k_ref, v_ref, *outs_and_scratch):
-        if with_lse:
-            o_ref, lse_ref, m_ref, l_ref, acc_ref = outs_and_scratch
-        else:
-            o_ref, m_ref, l_ref, acc_ref = outs_and_scratch
-            lse_ref = None
-        qi = pl.program_id(1)
-        j = pl.program_id(2)
-
-        @pl.when(j == 0)
-        def _init():
-            m_ref[:] = jnp.full((BQ, 128), -jnp.inf, dtype=jnp.float32)
-            l_ref[:] = jnp.zeros((BQ, 128), dtype=jnp.float32)
-            acc_ref[:] = jnp.zeros((BQ, D_pad), dtype=jnp.float32)
-
-        qt = (q_ref[0] * scale).astype(dot_dtype)
-        kt = k_ref[0].astype(dot_dtype)
-        vt = v_ref[0].astype(dot_dtype)
-        s = jax.lax.dot_general(
-            qt, kt, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )                                                   # (BQ, BK)
+    def _masked_s(s, qi, j):
         col = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
         valid = col < T
         if causal:
             row = qi * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
             valid = jnp.logical_and(valid, col <= row)
-        s = jnp.where(valid, s, -jnp.inf)
+        return jnp.where(valid, s, _NEG)
 
-        m_prev = m_ref[:, :1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        m_safe = jnp.where(jnp.isfinite(m_new), m_new, 0.0)
-        p = jnp.exp(s - m_safe)
-        p = jnp.where(valid, p, 0.0)
-        alpha = jnp.where(jnp.isfinite(m_prev), jnp.exp(m_prev - m_safe), 0.0)
-        l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p.astype(dot_dtype), vt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_ref[:] = alpha * acc_ref[:] + pv
-        m_ref[:] = jnp.broadcast_to(m_new, (BQ, 128))
-        l_ref[:] = jnp.broadcast_to(l_new, (BQ, 128))
+    def kernel(q_ref, k_ref, v_ref, *outs_and_scratch):
+        if with_lse:
+            o_ref, lse_ref = outs_and_scratch[:2]
+            scratch = outs_and_scratch[2:]
+        else:
+            o_ref = outs_and_scratch[0]
+            lse_ref = None
+            scratch = outs_and_scratch[1:]
+        qi = pl.program_id(1)
+        j = pl.program_id(2) if not single else 0
+
+        qt = (q_ref[0] * lscale).astype(dot_dtype)
+        kt = k_ref[0].astype(dot_dtype)
+        vt = v_ref[0].astype(dot_dtype)
+
+        def _s():
+            return jax.lax.dot_general(
+                qt, kt, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )                                               # (BQ, BK)
+
+        if single:
+            # one-pass softmax: no running state, no rescale
+            s = _s()
+            if pad_cols or causal:
+                s = _masked_s(s, qi, j)
+            m = jnp.max(s, axis=1, keepdims=True)
+            p = jnp.exp2(s - m)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(dot_dtype), vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0] = (pv / l).astype(o_ref.dtype)
+            if with_lse:
+                lse_ref[0] = jnp.broadcast_to(
+                    m + jnp.log2(l), (BQ, 128)).astype(jnp.float32)
+            return
+
+        m_ref, l_ref, acc_ref = scratch
+
+        @pl.when(j == 0)
+        def _init():
+            m_ref[:] = jnp.full((BQ, 128), _NEG, dtype=jnp.float32)
+            l_ref[:] = jnp.zeros((BQ, 128), dtype=jnp.float32)
+            acc_ref[:] = jnp.zeros((BQ, D_pad), dtype=jnp.float32)
+
+        # causal: tiles fully above the diagonal contribute nothing
+        live = (j * BK <= qi * BQ + BQ - 1) if causal else (j >= 0)
+        # masking only where masked entries can exist: padded tail
+        # tiles, or causal tiles crossing the diagonal
+        needs = jnp.array(False)
+        if pad_cols:
+            needs = jnp.logical_or(needs, (j + 1) * BK > T)
+        if causal:
+            needs = jnp.logical_or(needs, (j + 1) * BK - 1 > qi * BQ)
+
+        def _accum(s, guarded):
+            m_prev = m_ref[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            if guarded:
+                # a fully-masked row has m_new == _NEG and p == 1 on
+                # every masked entry; zero them (can only happen on
+                # masked tiles)
+                p = jnp.where(s == _NEG, 0.0, p)
+            alpha = jnp.exp2(m_prev - m_new)
+            l_new = alpha * l_ref[:, :1] + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(dot_dtype), vt, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_ref[:] = alpha * acc_ref[:] + pv
+            m_ref[:] = jnp.broadcast_to(m_new, (BQ, 128))
+            l_ref[:] = jnp.broadcast_to(l_new, (BQ, 128))
+
+        if pad_cols or causal:
+            @pl.when(jnp.logical_and(live, needs))
+            def _masked():
+                _accum(_masked_s(_s(), qi, j), guarded=True)
+
+            @pl.when(jnp.logical_and(live, jnp.logical_not(needs)))
+            def _clean():
+                _accum(_s(), guarded=False)
+        else:
+            _accum(_s(), guarded=False)
 
         @pl.when(j == nk - 1)
         def _finish():
             l_f = jnp.where(l_ref[:, :1] == 0.0, 1.0, l_ref[:, :1])
             o_ref[0] = (acc_ref[:] / l_f).astype(o_ref.dtype)
             if with_lse:
-                m_fin = jnp.where(
-                    jnp.isfinite(m_ref[:, :1]), m_ref[:, :1], 0.0
-                )
+                m_fin = jnp.where(m_ref[:, :1] == _NEG, 0.0, m_ref[:, :1])
                 lse_ref[0] = jnp.broadcast_to(
-                    m_fin + jnp.log(l_f), (BQ, 128)
+                    m_fin + jnp.log2(l_f), (BQ, 128)
                 ).astype(jnp.float32)
 
     out_shape = jax.ShapeDtypeStruct((BH, T_pad, D_pad), qp.dtype)
-    out_spec = pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
-                            memory_space=pltpu.VMEM)
+    grid = (BH, nq) if single else (BH, nq, nk)
+
+    def _qmap(b, i, j=0):
+        return (b, i, 0)
+
+    def _kmap(b, i, j=None):
+        return (b, 0, 0) if single else (b, j, 0)
+
+    out_spec = pl.BlockSpec((1, BQ, D_pad), _qmap, memory_space=pltpu.VMEM)
     if with_lse:
         out_shapes = (out_shape,
                       jax.ShapeDtypeStruct((BH, T_pad, 128), jnp.float32))
         out_specs = (out_spec,
-                     pl.BlockSpec((1, BQ, 128), lambda b, i, j: (b, i, 0),
+                     pl.BlockSpec((1, BQ, 128), _qmap,
                                   memory_space=pltpu.VMEM))
     else:
         out_shapes = out_shape
@@ -255,17 +352,14 @@ def _flash_forward(qp, kp, vp, *, T, causal, scale, dot_dtype,
     return pl.pallas_call(
         kernel,
         out_shape=out_shapes,
-        grid=(BH, nq, nk),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, BQ, D_pad), lambda b, i, j: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BK, D_pad), lambda b, i, j: (b, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BQ, D_pad), _qmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), _kmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BK, D_pad), _kmap, memory_space=pltpu.VMEM),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
+        scratch_shapes=[] if single else [
             pltpu.VMEM((BQ, 128), jnp.float32),
             pltpu.VMEM((BQ, 128), jnp.float32),
             pltpu.VMEM((BQ, D_pad), jnp.float32),
@@ -291,7 +385,7 @@ def flash_attention(q, k, v, causal: bool = False, scale: float | None = None,
     BH, T, D = q.shape
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
-    BQ, BK, T_pad, D_pad = _flash_tiling(T, D)
+    BQ, BK, T_pad, D_pad = _flash_tiling(T, D, q.dtype, causal)
 
     def padp(a):
         return jnp.pad(a, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
@@ -325,7 +419,11 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
     BH, T, D = q.shape
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
-    BQ, BK, T_pad, D_pad = _flash_tiling(T, D)
+    gran = 16 if q.dtype == jnp.bfloat16 else 8
+    BQ = BK = min(512, _round_up(T, gran))
+    T_pad = _round_up(T, BK)
+    D_pad = _round_up(D, 128)
+    lscale = scale * _LOG2E
 
     def padp(a):
         return jnp.pad(a, ((0, 0), (0, T_pad - T), (0, D_pad - D)))
@@ -333,13 +431,20 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
     qp, kp, vp, dop = padp(q), padp(k), padp(v), padp(do.astype(q.dtype))
     nq = T_pad // BQ
     nk = T_pad // BK
+    pad_cols = (T_pad != T)
     dot_dtype = (jnp.bfloat16 if (bf16_dots or q.dtype == jnp.bfloat16)
                  else jnp.float32)
 
-    # ---- pass 1: the SAME forward kernel, keeping O + row logsumexp ----
+    # ---- pass 1: the forward kernel, keeping O + the row logsumexp
+    # (log2 units — the grad kernels recompute p via exp2).  Use the
+    # single-pass forward tiling when it matches this T_pad, else the
+    # same tile grid as the grad kernels.
+    fBQ, fBK, fT_pad, _ = _flash_tiling(T, D, q.dtype, causal)
+    if fT_pad != T_pad:
+        fBQ, fBK = BQ, BK
     o_pad, lse = _flash_forward(
         qp, kp, vp, T=T, causal=causal, scale=scale, dot_dtype=dot_dtype,
-        BQ=BQ, BK=BK, T_pad=T_pad, D_pad=D_pad, with_lse=True,
+        BQ=fBQ, BK=fBK, T_pad=T_pad, D_pad=D_pad, with_lse=True,
     )
 
     # D_i = rowsum(dO ⊙ O), broadcast into the (…, 128) lane layout
@@ -358,23 +463,31 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
             acc_ref[:] = jnp.zeros((BQ, D_pad), dtype=jnp.float32)
 
         live = ((j * BK) <= (qi * BQ + BQ - 1)) if causal else (j >= 0)
+        needs = jnp.array(False)
+        if pad_cols:
+            needs = jnp.logical_or(needs, (j + 1) * BK > T)
+        if causal:
+            needs = jnp.logical_or(needs, (j + 1) * BK - 1 > qi * BQ)
 
-        @pl.when(live)
-        def _accum():
-            qt = (q_ref[0] * scale).astype(dot_dtype)
+        def _accum(masked):
+            qt = (q_ref[0] * lscale).astype(dot_dtype)
             kt = k_ref[0].astype(dot_dtype)
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            col = j * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-            valid = col < T
-            if causal:
-                row = qi * BQ + jax.lax.broadcasted_iota(
-                    jnp.int32, (BQ, BK), 0
+            p = jnp.exp2(s - lse_ref[0][:, :1])
+            if masked:
+                col = j * BK + jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ, BK), 1
                 )
-                valid = jnp.logical_and(valid, col <= row)
-            p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
+                valid = col < T
+                if causal:
+                    row = qi * BQ + jax.lax.broadcasted_iota(
+                        jnp.int32, (BQ, BK), 0
+                    )
+                    valid = jnp.logical_and(valid, col <= row)
+                p = jnp.where(valid, p, 0.0)
             dp = jax.lax.dot_general(
                 do_ref[0].astype(dot_dtype), v_ref[0].astype(dot_dtype),
                 (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
@@ -384,6 +497,17 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
                 ds.astype(dot_dtype), kt, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+
+        if pad_cols or causal:
+            @pl.when(jnp.logical_and(live, needs))
+            def _masked():
+                _accum(masked=True)
+
+            @pl.when(jnp.logical_and(live, jnp.logical_not(needs)))
+            def _clean():
+                _accum(masked=False)
+        else:
+            _accum(masked=False)
 
         @pl.when(j == nk - 1)
         def _finish():
@@ -424,22 +548,33 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
             dv_acc[:] = jnp.zeros((BK, D_pad), dtype=jnp.float32)
 
         live = ((j * BQ + BQ - 1) >= (ki * BK)) if causal else (j >= 0)
+        needs = jnp.array(False)
+        if pad_cols:
+            needs = jnp.logical_or(needs, (ki + 1) * BK > T)
+            needs = jnp.logical_or(needs, (j + 1) * BQ > T)
+        if causal:
+            needs = jnp.logical_or(needs, (ki + 1) * BK - 1 > j * BQ)
 
-        @pl.when(live)
-        def _accum():
-            qt = (q_ref[0] * scale).astype(dot_dtype)
+        def _accum(masked):
+            qt = (q_ref[0] * lscale).astype(dot_dtype)
             kt = k_ref[0].astype(dot_dtype)
             s = jax.lax.dot_general(
                 qt, kt, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            col = ki * BK + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 1)
-            valid = col < T
-            row = j * BQ + jax.lax.broadcasted_iota(jnp.int32, (BQ, BK), 0)
-            valid = jnp.logical_and(valid, row < T)
-            if causal:
-                valid = jnp.logical_and(valid, col <= row)
-            p = jnp.where(valid, jnp.exp(s - lse_ref[0][:, :1]), 0.0)
+            p = jnp.exp2(s - lse_ref[0][:, :1])
+            if masked:
+                col = ki * BK + jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ, BK), 1
+                )
+                valid = col < T
+                row = j * BQ + jax.lax.broadcasted_iota(
+                    jnp.int32, (BQ, BK), 0
+                )
+                valid = jnp.logical_and(valid, row < T)
+                if causal:
+                    valid = jnp.logical_and(valid, col <= row)
+                p = jnp.where(valid, p, 0.0)
             dot = do_ref[0].astype(dot_dtype)
             dv_acc[:] += jax.lax.dot_general(
                 p.astype(dot_dtype), dot, (((0,), (0,)), ((), ())),
@@ -455,11 +590,22 @@ def flash_attention_grads(q, k, v, do, causal: bool = False,
                 preferred_element_type=jnp.float32,
             )
 
+        if pad_cols or causal:
+            @pl.when(jnp.logical_and(live, needs))
+            def _masked():
+                _accum(masked=True)
+
+            @pl.when(jnp.logical_and(live, jnp.logical_not(needs)))
+            def _clean():
+                _accum(masked=False)
+        else:
+            _accum(masked=False)
+
         @pl.when(j == nq - 1)
         def _finish():
-            # dS already carries one factor of scale through qt; dK needs
-            # exactly one overall — qt folded it in, so none extra here
-            dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+            # dS carries scale·log2e through qt; dK needs exactly one
+            # factor of scale overall, so divide the log2e back out
+            dk_ref[0] = (dk_acc[:] * (1.0 / _LOG2E)).astype(dk_ref.dtype)
             dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
 
     dk, dv = pl.pallas_call(

@@ -191,6 +191,110 @@ optdb.register(
 )
 
 
+def _prefix_need_of(idx_list):
+    """Steps needed to serve a prefix read of the time dim, or None.
+
+    ``x[j]`` (j ≥ 0) → j+1; ``x[:j]``/``x[a:j]``/``x[a:j, ...]`` with
+    static non-negative bounds → j.  Anything negative, symbolic, or
+    strided belongs to the tail rule / no rule.
+    """
+    if not idx_list:
+        return None
+    first = idx_list[0]
+    if isinstance(first, slice):
+        if not (first.start is None
+                or (isinstance(first.start, (int, np.integer))
+                    and not isinstance(first.start, bool)
+                    and first.start >= 0)):
+            return None
+        if not (first.step is None
+                or (isinstance(first.step, (int, np.integer)) and first.step == 1)):
+            return None
+        if (isinstance(first.stop, (int, np.integer))
+                and not isinstance(first.stop, bool) and first.stop > 0):
+            return int(first.stop)
+        return None
+    if (isinstance(first, (int, np.integer))
+            and not isinstance(first, bool) and first >= 0):
+        return int(first) + 1
+    return None
+
+
+@node_rewriter([Scan])
+def scan_save_mem_prefix(fgraph, node):
+    """Shorten a Scan's trip count when every observed output is read
+    only through a static prefix window (reference ``save_mem_new_scan``
+    stop extraction, ``scan/rewriting.py:1176,1318-1323``): a
+    10,000-step scan whose output feeds ``x[:10]`` runs — and stores —
+    10 steps.
+
+    Fires only when ALL live outputs tolerate truncation: stacked
+    outputs read via ``x[j]`` / ``x[a:j]`` with static non-negative
+    bounds (steps needed = j+1 / j), everything else dead.  A consumed
+    final state, tail ring, or shared final genuinely needs the full
+    trip count, so any such client blocks the rewrite (matching the
+    reference's global-window minimum).
+    """
+    from aesara_tpu.tensor.basic import constant, get_scalar_constant_value
+
+    info = node.op.info
+    if info.as_while:
+        return False
+    try:
+        N = int(get_scalar_constant_value(node.inputs[0]))
+    except Exception:
+        return False
+    n_rec = info.n_mit_sot + info.n_sit_sot
+    n_stack_end = n_rec + info.n_nit_sot
+    required = 0
+    consumers = []  # (out_idx, client)
+    for i, out in enumerate(node.outputs):
+        clients = fgraph.clients.get(out, [])
+        if not clients:
+            continue
+        if i >= n_stack_end:
+            return False  # an observed shared final needs all N steps
+        if i < n_rec and (info.is_final_only(i) or info.tail_depth(i)):
+            return False  # observed final state / tail ring: all N steps
+        if n_rec <= i < n_stack_end and info.nit_tail_depth(i - n_rec):
+            return False
+        for client, _ in clients:
+            if client == "output" or not isinstance(client.op, Subtensor):
+                return False
+            need = _prefix_need_of(client.op.idx_list)
+            if need is None:
+                return False
+            required = max(required, need)
+            consumers.append(client)
+    if required == 0 or required >= N:
+        return False
+    new_outs = node.op(
+        constant(np.int64(required)), *node.inputs[1:], return_list=True
+    )
+    replacements = {}
+    for client in consumers:
+        out_idx = node.outputs.index(client.inputs[0])
+        repl = client.op(new_outs[out_idx], *client.inputs[1:])
+        conv = client.outputs[0].type.convert_variable(repl)
+        if conv is None:
+            return False
+        replacements[client.outputs[0]] = conv
+        copy_stack_trace(client.outputs[0], conv)
+    return replacements
+
+
+optdb.register(
+    "scan_save_mem_prefix",
+    in2out(scan_save_mem_prefix, name="scan_save_mem_prefix"),
+    "fast_run", "scan", position=1.615,
+)
+optdb.register(
+    "scan_save_mem_prefix_late",
+    in2out(scan_save_mem_prefix, name="scan_save_mem_prefix_late"),
+    "fast_run", "scan", position=50.55,
+)
+
+
 @node_rewriter([Scan])
 def scan_unused_recurrent_to_final(fgraph, node):
     """A recurrent (mit/sit-sot) stacked output with NO consumers keeps
