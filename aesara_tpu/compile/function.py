@@ -54,11 +54,32 @@ def function(
     allow_input_downcast: Optional[bool] = None,
     profile=None,
     on_unused_input: Optional[str] = None,
+    steps_per_call: int = 1,
 ) -> "Function":
     """Compile a callable from symbolic inputs/outputs
-    (reference ``compile/function/__init__.py:86``)."""
+    (reference ``compile/function/__init__.py:86``).
+
+    ``steps_per_call=k`` compiles the k-step update-only loop as ONE
+    XLA program: each call applies the updates k times (bit-equal to k
+    sequential calls, including RNG state threading) and returns the
+    per-step outputs stacked on a new leading (k,) axis — one device
+    dispatch and one host readback per k steps.  This is the measured
+    production pattern on TPU, where a per-call dispatch pays the
+    ~0.8 ms tunnel floor (benchmarks/README.md round-3/5 fused-loop
+    tables); the hand-written ``scan`` training loop it replaces is the
+    reference's hot-loop contract
+    (``/root/reference/aesara/compile/function/types.py:791``).
+    """
     if isinstance(inputs, (Variable, In)):
         raise TypeError("inputs must be a list/tuple")
+    if steps_per_call != 1:
+        return _pfunc_ksteps(
+            params=list(inputs), outputs=outputs, mode=mode,
+            updates=updates, givens=givens,
+            no_default_updates=no_default_updates, name=name,
+            allow_input_downcast=allow_input_downcast, profile=profile,
+            on_unused_input=on_unused_input, k=int(steps_per_call),
+        )
     return pfunc(
         params=list(inputs),
         outputs=outputs,
@@ -72,6 +93,113 @@ def function(
         profile=profile,
         on_unused_input=on_unused_input,
     )
+
+
+def _pfunc_ksteps(params, outputs, mode, updates, givens,
+                  no_default_updates, name, allow_input_downcast,
+                  profile, on_unused_input, k):
+    """``function(..., steps_per_call=k)``: wrap the user's step in a
+    k-step Scan.  Explicit update targets AND default updates (RNG state
+    rotation) become sit-sot carries, so step t+1 reads step t's state —
+    exactly k sequential calls.  Explicit inputs are loop-invariant
+    (each of the k steps sees the same values, as k identical calls
+    would).  Per-step outputs stack as nit-sots: one (k, ...) readback.
+    """
+    if k < 1:
+        raise ValueError(f"steps_per_call must be >= 1, got {k}")
+    from aesara_tpu.graph.ir import clone_replace
+    from aesara_tpu.scan import scan
+
+    in_specs = []
+    for p in params:
+        if isinstance(p, In):
+            if p.update is not None:
+                raise NotImplementedError(
+                    "steps_per_call>1 does not support In(update=...) "
+                    "inputs; use a shared variable for the looped state"
+                )
+            in_specs.append(p)
+        elif isinstance(p, Variable):
+            if isinstance(p, SharedVariable):
+                raise TypeError(
+                    "shared variables do not belong in `inputs`: they are "
+                    "implicit; pass updates={shared: expr} instead"
+                )
+            in_specs.append(In(p, allow_downcast=allow_input_downcast))
+        else:
+            raise TypeError(f"invalid function input {p!r}")
+
+    # stage 1: resolve givens + collect explicit AND default updates on
+    # the single-step graph (the same path a k=1 function takes)
+    out_vars, _shared, update_pairs, single = rebuild_collect_shared(
+        outputs, inputs=[s.variable for s in in_specs], replace=givens,
+        updates=dict(updates or {}), no_default_updates=no_default_updates,
+    )
+    from aesara_tpu.tensor.type import TensorType
+
+    user_target_ids = {id(t) for t in (dict(updates or {}))}
+    targets, exprs = [], []
+    for tgt, expr in update_pairs:
+        if not isinstance(tgt, SharedVariable):
+            raise NotImplementedError(
+                "steps_per_call>1 requires all update targets to be "
+                "shared variables"
+            )
+        if isinstance(tgt.type, TensorType):
+            targets.append(tgt)
+            exprs.append(expr)
+        elif id(tgt) in user_target_ids:
+            raise NotImplementedError(
+                "steps_per_call>1 cannot carry a non-tensor explicit "
+                f"update target ({tgt}); only default updates (RNG state "
+                "rotation) thread automatically"
+            )
+        # non-tensor DEFAULT updates (RNG state rotation): the body clone
+        # recreates the draw applies fresh, so scan's own shared-update
+        # threading rotates the state per step (scan/basic.py epoch
+        # discriminator) — exactly k sequential calls' worth of draws
+
+    def body(*carries):
+        repl = dict(zip(targets, carries))
+        new = clone_replace(exprs + out_vars, replace=repl)
+        new = list(new) if isinstance(new, (list, tuple)) else [new]
+        return new if len(new) > 1 else new[0]
+
+    outputs_info = list(targets) + [None] * len(out_vars)
+    if not outputs_info:
+        raise ValueError(
+            "steps_per_call>1 needs at least one output or update"
+        )
+    res, scan_updates = scan(body, outputs_info=outputs_info, n_steps=k)
+    res = list(res) if isinstance(res, (list, tuple)) else [res]
+
+    # state after k steps = last carried value (scan_save_mem turns the
+    # [-1] reads into final-only carries: no (k, ...) state stacks);
+    # scan_updates carries the threaded RNG finals
+    new_updates = {t: res[i][-1] for i, t in enumerate(targets)}
+    new_updates.update(scan_updates or {})
+    stacked = res[len(targets):]
+
+    # re-apply the caller's Out specs (borrow flags) to the stacks
+    new_outputs = None
+    if outputs is not None:
+        raw = [outputs] if isinstance(outputs, (Variable, Out)) else list(outputs)
+        new_outputs = [
+            Out(s, borrow=o.borrow) if isinstance(o, Out) else s
+            for o, s in zip(raw, stacked)
+        ]
+        if single:
+            new_outputs = new_outputs[0]
+
+    fn = pfunc(
+        params=in_specs, outputs=new_outputs, mode=mode,
+        updates=new_updates, givens=None,
+        no_default_updates=True,  # stage 1 already collected them
+        name=name, allow_input_downcast=allow_input_downcast,
+        profile=profile, on_unused_input=on_unused_input,
+    )
+    fn.steps_per_call = k
+    return fn
 
 
 def rebuild_collect_shared(

@@ -166,11 +166,21 @@ class LocalLinker(Linker):
 class PerformLinker(LocalLinker):
     """Pure-Python oracle backend: one ``Op.perform`` thunk per node
     (reference ``link/basic.py:285``).  This is the differential-testing
-    reference implementation, never the production path."""
+    reference implementation, never the production path.
+
+    ``schedule``: optional ``fgraph -> [Apply]`` refining the toposort
+    (reference linkers' scheduler hook) — e.g.
+    ``graph.sched.sort_schedule_fn(*tensor.io.mpi_cmps)`` orders MPI
+    sends/recvs early and waits late, the cross-rank deadlock-avoidance
+    pattern."""
+
+    def __init__(self, allow_gc=None, schedule=None):
+        super().__init__(allow_gc=allow_gc)
+        self.schedule = schedule
 
     def make_all(self, input_storage=None, output_storage=None, storage_map=None):
         fgraph = self.fgraph
-        order = fgraph.toposort()
+        order = self.schedule(fgraph) if self.schedule else fgraph.toposort()
         input_storage, output_storage, storage_map = map_storage(
             fgraph, order, input_storage, output_storage, storage_map
         )

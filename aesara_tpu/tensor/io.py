@@ -78,7 +78,14 @@ try:
     comm = _MPI.COMM_WORLD
     mpi_enabled = True
 except ImportError:
-    mpi_enabled = False
+    # no mpi4py: a real multi-process TCP transport when launched with
+    # ATP_MPI_RANK/SIZE/BASE_PORT (the mpiexec role — see
+    # ``tensor/mpi_transport.py`` and tests/tensor/test_io_mpi.py's
+    # 2-rank roundtrip), else the single-process tag mailbox
+    from aesara_tpu.tensor.mpi_transport import from_env as _sock_from_env
+
+    _sock = _sock_from_env()
+    mpi_enabled = _sock is not None
 
     class _InProcRequest:
         def __init__(self, wait_fn=None):
@@ -114,7 +121,7 @@ except ImportError:
             return _InProcRequest(_wait)
 
 
-    comm = _InProcComm()
+    comm = _sock if _sock is not None else _InProcComm()
 
 
 class MPIRecv(Op):
@@ -251,3 +258,19 @@ def mpi_tag_key(a):
 
 
 mpi_cmps = [mpi_send_wait_key, mpi_tag_key]
+
+
+def mpi_mode():
+    """A compile Mode whose linker schedules with the MPI sort keys:
+    sends/recvs post early, waits run late (the reference's
+    ``sort_schedule_fn(*mpi_cmps)`` linker pattern,
+    ``/root/reference/aesara/tensor/io.py:294``) — without it, two ranks
+    that each send-then-recv can both block in their waits before either
+    send is posted."""
+    from aesara_tpu.compile.mode import Mode
+    from aesara_tpu.graph.sched import key_to_cmp, sort_schedule_fn
+    from aesara_tpu.link.basic import PerformLinker
+
+    cmps = [key_to_cmp(k) for k in (mpi_send_wait_key, mpi_tag_key)]
+    return Mode(linker=PerformLinker(schedule=sort_schedule_fn(*cmps)),
+                optimizer=None)

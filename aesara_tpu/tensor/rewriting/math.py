@@ -150,75 +150,75 @@ def local_div_one(fgraph, node):
 register_canonicalize(local_div_one)
 
 
-# --- relational inverse-pair rules (KanrenRelationSub) ----------------------
-# -(-x) → x ; log(exp(x)) → x ; sqr(sqrt(x)) → x ; sqrt(sqr(x)) → |x|
-# (reference ``math.py:283`` local_exp_log and friends), re-expressed as
-# composed relational goals per SURVEY §2.2 — the declarative authoring
-# surface the reference positions in graph/rewriting/kanren.py:13.  The
-# imperative versions' tests are the spec (tests/tensor/rewriting).
+# --- relational rules (KanrenRelationSub, clause-derived gates) -------------
+# -(-x) → x ; log(exp(x)) → x ; sqr(sqrt(x)) → x ; sqrt(sqr(x)) → |x| ;
+# 1/(1/x) → x ; log(sqrt(x)) → 0.5·log(x) ; log1p(expm1(x)) → x ;
+# conj(conj(x)) → x ; floor/ceil/sgn idempotent chains
+# (reference ``math.py:283`` local_exp_log, local_func_inv and friends),
+# re-expressed as declarative clauses per SURVEY §2.2 — the authoring
+# surface the reference positions in graph/rewriting/kanren.py:13.
+# The structural gate AND the tracked-op list are DERIVED from the
+# clause heads by ``clause_relation_sub`` — no per-rule node_filter
+# boilerplate (VERDICT r4 item 7).  Patterns here are fixed-arity
+# chains; the n-ary canonical families (log1p/expm1 over flattened
+# adds, mul-switch-sink over n-ary muls) stay imperative because
+# matching them needs segment variables the goal algebra doesn't model.
 # NOTE exp(log(x)) is deliberately NOT a clause: only valid for x > 0
 # (the value-domain caveat the imperative version documented).
 
-def _unary_chain_filter(*outer_inner):
-    """Cheap gate: node is Elemwise(outer) over an Elemwise(inner)
-    application, for any (outer, inner) scalar-op class pair given."""
+def _relational_rule(name, clauses):
+    """Clause tuples → KanrenRelationSub with derived gate/trackers and
+    the ``_keep_type`` postcondition (never narrow a runtime shape)."""
+    from aesara_tpu.graph.rewriting.kanren import clause_relation_sub
 
-    def node_filter(node):
-        if not isinstance(node.op, Elemwise) or len(node.inputs) != 1:
-            return False
-        inner = node.inputs[0].owner
-        if inner is None or not isinstance(inner.op, Elemwise):
-            return False
-        return any(
-            isinstance(node.op.scalar_op, o) and isinstance(
-                inner.op.scalar_op, i)
-            for o, i in outer_inner
-        )
-
-    return node_filter
+    return clause_relation_sub(name, clauses, postprocess=_keep_type)
 
 
-def _relational_rule(name, clause_spec):
-    """One KanrenRelationSub from clause specs
-    ``[(outer_ctor, inner_ctor, rhs_ctor_or_None), ...]`` — rhs None
-    means "the matched x itself"."""
-    from aesara_tpu.graph.rewriting.kanren import (
-        KanrenRelationSub, conde, eq, var,
-    )
+def _rel_clauses():
+    from aesara_tpu.graph.rewriting.kanren import var
 
-    def relation(in_expr, out_lv):
-        x = var("x")
-        clauses = []
-        for outer, inner, rhs in clause_spec:
-            lhs = (outer.elemwise_op, (inner.elemwise_op, x))
-            out = x if rhs is None else (rhs.elemwise_op, x)
-            clauses.append([eq(lhs, in_expr), eq(out_lv, out)])
-        return conde(*clauses)
+    x = var("x")
+    E = lambda f: f.elemwise_op  # tensor builder → its Elemwise op
+    return {
+        "local_neg_neg": [((E(tm.neg), (E(tm.neg), x)), x)],
+        "local_exp_log": [((E(tm.log), (E(tm.exp), x)), x)],
+        "local_sqr_sqrt": [
+            ((E(tm.sqr), (E(tm.sqrt), x)), x),
+            ((E(tm.sqrt), (E(tm.sqr), x)), (E(tm.abs), x)),
+        ],
+        # migrated from the imperative local_reciprocal_reciprocal
+        # (ref local_func_inv)
+        "local_reciprocal_reciprocal": [
+            ((E(tm.reciprocal), (E(tm.reciprocal), x)), x)
+        ],
+        # migrated from the imperative local_log_sqrt (valid on sqrt's
+        # x>0 domain)
+        "local_log_sqrt": [
+            ((E(tm.log), (E(tm.sqrt), x)), (E(tm.mul), 0.5, (E(tm.log), x)))
+        ],
+        # exact inverse pair on the reals (ref local_exp_log family)
+        "local_log1p_expm1": [((E(tm.log1p), (E(tm.expm1), x)), x)],
+        "local_conj_conj": [((E(tm.conj), (E(tm.conj), x)), x)],
+        # integer-valued results are fixed points of floor/ceil
+        "local_round_idempotent": [
+            ((E(tm.floor), (E(tm.floor), x)), (E(tm.floor), x)),
+            ((E(tm.ceil), (E(tm.ceil), x)), (E(tm.ceil), x)),
+            ((E(tm.floor), (E(tm.ceil), x)), (E(tm.ceil), x)),
+            ((E(tm.ceil), (E(tm.floor), x)), (E(tm.floor), x)),
+            ((E(tm.sgn), (E(tm.sgn), x)), (E(tm.sgn), x)),
+        ],
+    }
 
-    gates = tuple(
-        (type(outer.elemwise_op.scalar_op), type(inner.elemwise_op.scalar_op))
-        for outer, inner, _ in clause_spec
-    )
-    return KanrenRelationSub(
-        relation,
-        node_filter=_unary_chain_filter(*gates),
-        postprocess=_keep_type,
-        name=name,
-    )
 
-
-local_neg_neg = _relational_rule(
-    "local_neg_neg", [(tm.neg, tm.neg, None)])
-local_exp_log = _relational_rule(
-    "local_exp_log", [(tm.log, tm.exp, None)])
-local_sqr_sqrt = _relational_rule(
-    "local_sqr_sqrt",
-    [(tm.sqr, tm.sqrt, None), (tm.sqrt, tm.sqr, tm.abs)],
-)
-
-register_canonicalize(local_neg_neg, name="local_neg_neg")
-register_canonicalize(local_exp_log, name="local_exp_log")
-register_canonicalize(local_sqr_sqrt, name="local_sqr_sqrt")
+_REL_STABILIZE = {"local_log_sqrt"}
+for _rname, _rclauses in _rel_clauses().items():
+    _rule = _relational_rule(_rname, _rclauses)
+    globals()[_rname] = _rule
+    if _rname in _REL_STABILIZE:
+        register_stabilize(_rule, name=_rname)
+    else:
+        register_canonicalize(_rule, name=_rname)
+del _rname, _rclauses, _rule
 
 
 # ---------------------------------------------------------------------------
@@ -766,21 +766,6 @@ register_specialize(local_mul_to_sqr)
 
 
 @node_rewriter([Elemwise])
-def local_reciprocal_reciprocal(fgraph, node):
-    """reciprocal(reciprocal(x)) → x (ref local_func_inv)."""
-    if not _is_elemwise(node, aes.ops.Reciprocal):
-        return False
-    inner = node.inputs[0].owner
-    if inner is not None and _is_elemwise(inner, aes.ops.Reciprocal):
-        res = _keep_type(node.outputs[0], inner.inputs[0])
-        return [res] if res is not None else False
-    return False
-
-
-register_canonicalize(local_reciprocal_reciprocal)
-
-
-@node_rewriter([Elemwise])
 def local_zero_div(fgraph, node):
     """0 / x → zeros (ref local_zero_div)."""
     if not _is_elemwise(node, (aes.ops.TrueDiv, aes.ops.IntDiv)):
@@ -914,24 +899,6 @@ def local_exp_log_nan_switch(fgraph, node):
 
 
 register_specialize(local_exp_log_nan_switch)
-
-
-@node_rewriter([Elemwise])
-def local_log_sqrt(fgraph, node):
-    """log(sqrt(x)) → 0.5 * log(x) (valid on sqrt's x>0 domain)."""
-    if not _is_elemwise(node, aes.ops.Log):
-        return False
-    inner = node.inputs[0].owner
-    if inner is None or not _is_elemwise(inner, aes.ops.Sqrt):
-        return False
-    res = _keep_type(node.outputs[0], 0.5 * tm.log(inner.inputs[0]))
-    if res is None:
-        return False
-    copy_stack_trace(node.outputs[0], res)
-    return [res]
-
-
-register_stabilize(local_log_sqrt)
 
 
 @node_rewriter([Elemwise])

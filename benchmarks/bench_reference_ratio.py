@@ -73,6 +73,21 @@ if _SCALE > 1:
         for _k in _keys:
             SIZES[_cfg][_k] *= _SCALE
 
+# REFRATIO_KSTEP=k: the TPU side compiles through the PUBLIC
+# function(..., steps_per_call=k) API — no hand-written scan — so each
+# dispatch runs k steps and per-step time divides by k.  The reference
+# side keeps its own public per-call function() (it has no equivalent).
+_KSTEP = int(os.environ.get("REFRATIO_KSTEP", "0"))
+
+
+def _mk_function(mod, side, *fargs, **fkw):
+    """mod.function(...), with steps_per_call on the TPU side under
+    REFRATIO_KSTEP.  Returns (callable, k)."""
+    if side == "tpu" and _KSTEP > 1:
+        fkw["steps_per_call"] = _KSTEP
+        return mod.function(*fargs, **fkw), _KSTEP
+    return mod.function(*fargs, **fkw), 1
+
 
 def _import_side(side):
     if side == "ref":
@@ -158,10 +173,12 @@ def run_config(cfg, side):
         nll = -at.mean(Y * at.log(p + eps) + (1 - Y) * at.log(1 - p + eps))
         gw, gb = mod.grad(nll, [w, b])
         lr = np.asarray(0.1, dtype=floatX)
-        f = mod.function(
-            [], [], updates={w: w - lr * gw, b: b - lr * gb}, mode="FAST_RUN"
+        f, k = _mk_function(
+            mod, side, [], [],
+            updates={w: w - lr * gw, b: b - lr * gb}, mode="FAST_RUN",
         )
-        dt = _time_calls(f, (), S["iters"], sync=_sync_shared(w))
+        dt = _time_calls(f, (), max(3, S["iters"] // k),
+                         sync=_sync_shared(w)) / k
         return {"metric": "sgd_steps_per_s", "value": 1.0 / dt}
 
     if cfg == 2:
@@ -174,8 +191,8 @@ def run_config(cfg, side):
             lse = at.log(at.sum(at.exp(sm), axis=1, keepdims=True))
             h = sm * np.asarray(1.1, floatX) + at.tanh(lse)
         out = at.sum(h)
-        f = mod.function([], out, mode="FAST_RUN")
-        dt = _time_calls(f, (), S["iters"])
+        f, k = _mk_function(mod, side, [], out, mode="FAST_RUN")
+        dt = _time_calls(f, (), max(3, S["iters"] // k)) / k
         return {"metric": "calls_per_s", "value": 1.0 / dt}
 
     if cfg == 3:
@@ -212,8 +229,8 @@ def run_config(cfg, side):
         )
         idx = at.iscalar("idx")
         B = S["b"]
-        f = mod.function(
-            [idx], [], updates=ups,
+        f, k = _mk_function(
+            mod, side, [idx], [], updates=ups,
             givens={x: Xd[idx * B:(idx + 1) * B], y: Yd[idx * B:(idx + 1) * B]},
             mode="FAST_RUN",
         )
@@ -223,7 +240,8 @@ def run_config(cfg, side):
             _f(state["i"] % nbatch)
             state["i"] += 1
 
-        dt = _time_calls(lambda: call(), (), S["iters"], sync=_sync_shared(ws[0]))
+        dt = _time_calls(lambda: call(), (), max(3, S["iters"] // k),
+                         sync=_sync_shared(ws[0])) / k
         return {"metric": "sgd_steps_per_s", "value": 1.0 / dt}
 
     if cfg == 4:
@@ -246,8 +264,9 @@ def run_config(cfg, side):
         grads = mod.grad(loss, [wx, wh, bh])
         lr = np.asarray(0.01, floatX)
         ups = {p: p - lr * g for p, g in zip([wx, wh, bh], grads)}
-        f = mod.function([], [], updates=ups, mode="FAST_RUN")
-        dt = _time_calls(f, (), S["iters"], sync=_sync_shared(wx))
+        f, k = _mk_function(mod, side, [], [], updates=ups, mode="FAST_RUN")
+        dt = _time_calls(f, (), max(3, S["iters"] // k),
+                         sync=_sync_shared(wx)) / k
         return {
             "metric": "seq_steps_per_s",
             "value": S["t"] / dt,
@@ -295,8 +314,10 @@ def run_config(cfg, side):
             return {"metric": "mc_sgd_steps_per_s", "value": 1.0 / dt}
 
         wnew = glm_step(w)
-        f = mod.function([], [], updates={w: wnew}, mode="FAST_RUN")
-        dt = _time_calls(f, (), S["iters"], sync=_sync_shared(w))
+        f, k = _mk_function(mod, side, [], [], updates={w: wnew},
+                            mode="FAST_RUN")
+        dt = _time_calls(f, (), max(3, S["iters"] // k),
+                         sync=_sync_shared(w)) / k
         return {"metric": "mc_sgd_steps_per_s", "value": 1.0 / dt}
 
     raise SystemExit(f"unknown config {cfg}")
