@@ -195,10 +195,24 @@ def bss_eligible(x) -> bool:
 
 
 def bss_matmul(a: BSSMat, b):
-    """``a @ b`` for BSS ``a`` and dense ``b`` of shape (d,) or (d, C),
-    C <= C_GATE.  Returns (n,) / (n, C).  Runs the Pallas TPU kernel on
-    TPU backends and the Pallas interpreter elsewhere (tests on the
-    8-device virtual CPU mesh exercise the same kernel body)."""
+    """``a @ b`` for BSS ``a`` and dense ``b`` of shape (d,) or (d, C).
+    Returns (n,) / (n, C).  Two kernels, auto-routed by C:
+
+    * C <= C_GATE: the lane-gather SpMV kernel (one
+      ``take_along_axis`` + multiply-accumulate per segment per column).
+    * C > C_GATE (the ML SpMM shape — sparse weights x dense activation
+      batch): per (row-tile, 128-wide C tile) the kernel densifies each
+      128x128 segment block IN VMEM from the slot layout (P
+      compare-select passes — no scatter, Mosaic has none) and runs it
+      through the MXU against the rhs segment, f32 accumulation.  The
+      block build costs P*128*128 VPU selects per segment and is reused
+      across the whole 128-column tile; bf16 operands run the MXU in
+      native bf16 (round 5; measured crossover table in
+      benchmarks/README.md).
+
+    Runs the Pallas TPU kernel on TPU backends and the Pallas
+    interpreter elsewhere (tests on the 8-device virtual CPU mesh
+    exercise the same kernel bodies)."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -211,7 +225,7 @@ def bss_matmul(a: BSSMat, b):
     b2 = b[:, None] if vec else b
     C = b2.shape[1]
     if C > C_GATE:
-        raise ValueError(f"bss_matmul rhs has {C} columns (> {C_GATE})")
+        return _bss_matmul_wide(a, b2)
     out_dtype = jnp.result_type(a.val.dtype, b.dtype)
 
     # pad rhs into (C, S, 128) segment planes (traced; XLA fuses)
@@ -252,3 +266,175 @@ def bss_matmul(a: BSSMat, b):
     )(a.val, a.lo, bseg)
     res = jnp.transpose(out[:, :, 0, :], (0, 2, 1)).reshape(T * LANE, C)[:n]
     return res[:, 0] if vec else res
+
+
+def _bss_matmul_wide(a: BSSMat, b2):
+    """Wide-rhs SpMM: block-densify each segment in VMEM, MXU matmul.
+
+    Grid (T, C_tiles); per step loops the S segments, expanding the
+    (P, LANE) slot stack into the dense (LANE_rows, LANE_cols) block via
+    P compare-select passes against a column iota, then accumulates
+    ``block @ b_seg`` (MXU, f32 accumulate).  Padded slots carry
+    ``val == 0`` and are masked, so implicit zeros never touch b.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, d = a.shape
+    T, S, P = a.T, a.S, a.P
+    C = b2.shape[1]
+    out_dtype = jnp.result_type(a.val.dtype, b2.dtype)
+    dot_dtype = (jnp.bfloat16
+                 if (a.val.dtype == jnp.bfloat16 or b2.dtype == jnp.bfloat16)
+                 else jnp.float32)
+    CT = 128
+    C_pad = _round_up_bss(C, CT)
+    nc = C_pad // CT
+    bp = jnp.pad(b2.astype(dot_dtype),
+                 ((0, S * LANE - d), (0, C_pad - C)))
+
+    def kernel(val_ref, lo_ref, b_ref, out_ref, acc_ref):
+        s = pl.program_id(2)
+
+        @pl.when(s == 0)
+        def _init():
+            acc_ref[:] = jnp.zeros((LANE, CT), jnp.float32)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (LANE, LANE), 1)
+        vals = val_ref[0]
+        los = lo_ref[0].astype(jnp.int32)
+        # dense (rows, cols) block: rows are lanes of the slot stack, so
+        # slot plane p scatters val[p, r] to (r, lo[p, r]) — expressed
+        # as a compare-select against the column iota (no scatter on
+        # Mosaic); distinct slots of one cell always carry distinct lo
+        # (duplicates were summed at layout build), so writes never race
+        block = jnp.zeros((LANE, LANE), dot_dtype)
+        for p in range(P):
+            lo_r = los[p, :][:, None]                      # (LANE, 1)
+            v_r = vals[p, :][:, None].astype(dot_dtype)
+            hit = jnp.logical_and(col == lo_r, v_r != 0)
+            block = jnp.where(hit, v_r, block)
+        acc_ref[:] += jax.lax.dot_general(
+            block, b_ref[0, 0].astype(dot_dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        @pl.when(s == S - 1)
+        def _finish():
+            out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, LANE, C_pad), out_dtype),
+        grid=(T, nc, S),
+        in_specs=[
+            pl.BlockSpec((1, P, LANE), lambda t, j, s: (t, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, LANE), lambda t, j, s: (t, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANE, CT), lambda t, j, s: (0, s, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, LANE, CT), lambda t, j, s: (t, 0, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((LANE, CT), jnp.float32)],
+        interpret=interpret,
+    )(a.val, a.lo, bp.reshape(1, S, LANE, C_pad))
+    return out.reshape(T * LANE, C_pad)[:n, :C]
+
+
+def _round_up_bss(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def bss_sddmm(a: BSSMat, gz, b):
+    """SDDMM — ``(gz @ bᵀ)`` sampled at ``a``'s pattern, returned as a
+    BCOO matrix (the native StructuredDotGradA, reference
+    ``sparse/basic.py`` gA).
+
+    Per (row-tile, segment) the kernel computes the dense 128x128 grad
+    block ``G = gz_tile @ b_segᵀ`` on the MXU, then lane-gathers
+    ``G[lane, lo]`` per slot plane — the only gather Mosaic supports.
+    Slot coordinates are DERIVABLE from the layout (row = tile·128+lane,
+    col = seg·128+lo), so the BCOO indices are pure iota/lo arithmetic:
+    no serialized nnz-long gather anywhere.  Padded slots emit explicit
+    zeros (valid coords, zero data) — harmless to BCOO consumers.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.experimental import sparse as jsparse
+
+    n, d = a.shape
+    T, S, P = a.T, a.S, a.P
+    gz = jnp.asarray(gz)
+    b = jnp.asarray(b)
+    gz2 = gz[:, None] if gz.ndim == 1 else gz
+    b2 = b[:, None] if b.ndim == 1 else b
+    C = b2.shape[1]
+    C_pad = _round_up_bss(C, LANE if C > 8 else 8)
+    dot_dtype = (jnp.bfloat16
+                 if (gz2.dtype == jnp.bfloat16 or b2.dtype == jnp.bfloat16)
+                 else jnp.float32)
+    gzp = jnp.pad(gz2.astype(dot_dtype),
+                  ((0, T * LANE - gz2.shape[0]), (0, C_pad - C)))
+    bp = jnp.pad(b2.astype(dot_dtype),
+                 ((0, S * LANE - d), (0, C_pad - C)))
+    out_dtype = a.val.dtype
+
+    def kernel(gz_ref, b_ref, val_ref, lo_ref, out_ref):
+        g = jax.lax.dot_general(
+            gz_ref[0], b_ref[0, 0], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # (LANE_r, LANE_c)
+        los = lo_ref[0].astype(jnp.int32)             # (P, LANE)
+        vals = val_ref[0]
+        idx = jnp.concatenate(
+            [jnp.transpose(los),
+             jnp.zeros((LANE, LANE - P), jnp.int32)], axis=1,
+        )                                             # (LANE_r, LANE)
+        got = jnp.take_along_axis(g, idx, axis=1)     # [r, p] = g[r, lo]
+        sampled = jnp.transpose(got[:, :P])           # (P, LANE)
+        out_ref[0] = jnp.where(vals == 0, 0.0,
+                               sampled).astype(out_ref.dtype)
+
+    interpret = jax.default_backend() not in ("tpu", "axon")
+    slot_vals = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((T, S * P, LANE), out_dtype),
+        grid=(T, S),
+        in_specs=[
+            pl.BlockSpec((1, LANE, C_pad), lambda t, s: (0, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANE, C_pad), lambda t, s: (0, s, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, LANE), lambda t, s: (t, s, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, P, LANE), lambda t, s: (t, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, P, LANE), lambda t, s: (t, s, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(gzp.reshape(1, T * LANE, C_pad), bp.reshape(1, S, LANE, C_pad),
+      a.val, a.lo)
+
+    # slot coords from layout arithmetic (no gather): row = t·128+lane,
+    # col = s·128+lo
+    rows = jnp.broadcast_to(
+        (jnp.arange(T, dtype=jnp.int32)[:, None, None] * LANE
+         + jnp.arange(LANE, dtype=jnp.int32)[None, None, :]),
+        (T, S * P, LANE))
+    seg = jnp.broadcast_to(
+        (jnp.arange(S, dtype=jnp.int32)[:, None] * LANE)
+        .repeat(P, axis=0)[None, :, :1],
+        (T, S * P, LANE))
+    cols = seg + a.lo.astype(jnp.int32)
+    indices = jnp.stack([rows.reshape(-1), cols.reshape(-1)], axis=1)
+    data = slot_vals.reshape(-1)
+    return jsparse.BCOO((data, indices), shape=(n, d))

@@ -149,15 +149,13 @@ def densifiable_inputs(fgraph) -> list:
 
 
 def _bss_cols_ok(b) -> bool:
-    """rhs column count must be static and small for the BSS kernel
-    (above C_GATE one MXU matmul on the densified matrix wins)."""
-    from aesara_tpu.link.jax.bss import C_GATE
-
+    """rhs column count must be static: ``bss_matmul`` routes narrow C
+    to the lane-gather SpMV kernel and wide C to the block-densify MXU
+    SpMM kernel (round 5), so any static width is admissible."""
     if b.type.ndim == 1:
         return True
     if b.type.ndim == 2:
-        c = b.type.shape[1]
-        return c is not None and c <= C_GATE
+        return b.type.shape[1] is not None
     return False
 
 
@@ -211,6 +209,11 @@ def bss_inputs(fgraph) -> list:
                     continue
                 if isinstance(op, sb.StructuredDot):
                     if idx != 0 or not _bss_cols_ok(node.inputs[1]):
+                        return None
+                elif isinstance(op, sb.StructuredDotGradA):
+                    # pattern-only use (slot 2): the native SDDMM kernel
+                    # reads the layout's lo/val planes directly
+                    if idx != 2:
                         return None
                 elif isinstance(op, sb.Usmm):
                     if (idx != 1
@@ -487,6 +490,12 @@ def _jx_structured_dot_grad_a(op, node=None, **kw):
     def structured_dot_grad_a(gz, b, a):
         from jax.experimental import sparse as jsparse
 
+        from aesara_tpu.link.jax.bss import BSSMat, bss_sddmm
+
+        if isinstance(a, BSSMat):
+            # native SDDMM Pallas kernel: MXU per-block gz@bᵀ +
+            # lane-gather sampling; coords from layout arithmetic
+            return bss_sddmm(a, gz, b)
         a = _to_bcoo(a)
         gz = jnp.asarray(gz)
         b = jnp.asarray(b)

@@ -179,6 +179,12 @@ class Scan(Op, HasInnerGraph):
             from aesara_tpu.tensor.basic import get_scalar_constant_value
 
             static_len = int(get_scalar_constant_value(n_steps))
+            if static_len < 0:
+                raise ValueError(
+                    f"scan n_steps must be non-negative, got {static_len}"
+                )
+        except ValueError:
+            raise
         except Exception:
             # a symbolic n_steps may be SMALLER than any sequence's static
             # length (scan truncates sequences to the trip count), so no

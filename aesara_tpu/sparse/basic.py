@@ -881,6 +881,10 @@ class SpSum(Op):
     __props__ = ("axis", "structured")
 
     def __init__(self, axis=None, sparse_grad=True):
+        if axis not in (None, 0, 1):
+            raise ValueError(
+                f"sp_sum axis must be None, 0 or 1 (2-d sparse); got {axis}"
+            )
         self.axis = axis
         self.structured = bool(sparse_grad)
 

@@ -36,11 +36,22 @@ class SparseTensorType(TensorType):
                 raise TypeError(f"{self} (strict) got dtype {data.dtype}")
             return data
         if sp.issparse(data):
-            converted = data.asformat(self.format).astype(self.dtype)
+            converted = data.asformat(self.format)
         else:
-            converted = self.format_cls[self.format](
-                np.asarray(data, dtype=self.dtype)
-            )
+            converted = self.format_cls[self.format](np.asarray(data))
+        if converted.dtype != np.dtype(self.dtype):
+            # reference filter (sparse/type.py): format conversion is
+            # free, but a precision-LOSING dtype cast needs an explicit
+            # allow_downcast — never silent
+            if not allow_downcast:
+                from aesara_tpu.scalar.ops import upcast
+
+                if upcast(self.dtype, converted.dtype.name) != self.dtype:
+                    raise TypeError(
+                        f"{self}: expected {self.dtype}, got "
+                        f"{converted.dtype} (pass allow_downcast to cast)"
+                    )
+            converted = converted.astype(self.dtype)
         for want, got in zip(self.shape, converted.shape):
             if want is not None and want != got:
                 raise TypeError(f"{self}: shape mismatch {converted.shape}")

@@ -164,15 +164,90 @@ def test_usmm_bridges_bss():
         f(), 0.5 * (x_sp @ yv) + zv, rtol=2e-5, atol=2e-5)
 
 
-def test_wide_rhs_falls_back():
-    # rhs with 32 static columns exceeds C_GATE: the plan must NOT
-    # choose BSS; values still correct through densify/BCOO
+def test_wide_rhs_rides_bss_mxu_kernel():
+    # rhs with 32 static columns exceeds C_GATE: round 5 routes it to
+    # the block-densify MXU SpMM kernel — the plan stays BSS
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.link.jax.sparse_dispatch import bss_inputs
+
     x_sp = _rand_csr(128, 128, 0.05, seed=12)
     x = shared(x_sp, name="x")
     bv = np.random.RandomState(13).normal(size=(128, 32)).astype(np.float32)
     out = sb.structured_dot(x, at.as_tensor_variable(bv))
+    xv = sb.SparseTensorType("csr", "float32", (None, None))("xv")
+    b2 = at.matrix("b2", dtype="float32")
+    b2.type = type(b2.type)(b2.type.dtype, (None, 32))
+    fg = FunctionGraph(
+        [xv], [sb.structured_dot(xv, at.as_tensor_variable(bv))], clone=True)
+    assert bss_inputs(fg)[0] is not None
     f = function([], out, mode="FAST_RUN")
     np.testing.assert_allclose(f(), x_sp @ bv, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("C", [16, 128, 200])
+def test_bss_wide_spmm_matches_scipy(C):
+    x = _rand_csr(200, 330, 0.04, seed=21)
+    a = csr_to_bss(x)
+    bv = np.random.RandomState(22).normal(size=(330, C)).astype(np.float32)
+    got = np.asarray(bss_matmul(a, bv))
+    np.testing.assert_allclose(got, x @ bv, rtol=3e-5, atol=3e-5)
+
+
+def test_bss_wide_spmm_bf16():
+    import jax.numpy as jnp
+
+    x = _rand_csr(128, 256, 0.05, seed=23)
+    a = csr_to_bss(x)
+    bv = np.random.RandomState(24).normal(size=(256, 64)).astype(np.float32)
+    got = np.asarray(bss_matmul(a, jnp.asarray(bv, dtype=jnp.bfloat16)),
+                     dtype=np.float32)
+    ref = x @ bv
+    # bf16 MXU dots with f32 accumulate: ~3 decimal digits
+    np.testing.assert_allclose(got, ref, rtol=3e-2, atol=3e-2)
+
+
+def test_bss_sddmm_matches_pattern_sampling():
+    from aesara_tpu.link.jax.bss import bss_sddmm
+
+    n, d, C = 150, 260, 24
+    x = _rand_csr(n, d, 0.03, seed=25)
+    rs = np.random.RandomState(26)
+    gz = rs.normal(size=(n, C)).astype(np.float32)
+    bv = rs.normal(size=(d, C)).astype(np.float32)
+    got = np.asarray(bss_sddmm(csr_to_bss(x), gz, bv).todense())
+    dense_ga = gz @ bv.T
+    ref = x.copy()
+    rows = np.repeat(np.arange(n), np.diff(x.indptr))
+    ref.data = dense_ga[rows, x.indices]
+    np.testing.assert_allclose(got, ref.todense(), rtol=1e-4, atol=1e-4)
+
+
+def test_grad_wrt_sparse_rides_bss():
+    """d/d(sparse values) of sum(structured_dot(x, b)): the cone admits
+    StructuredDotGradA at the pattern slot; values match PY mode."""
+    from aesara_tpu.graph.fg import FunctionGraph
+    from aesara_tpu.link.jax.sparse_dispatch import bss_inputs
+    from aesara_tpu.gradient import grad
+
+    from aesara_tpu.tensor.type import TensorType
+
+    x_sp = _rand_csr(96, 140, 0.05, seed=27)
+    xv = sb.SparseTensorType("csr", "float32", (None, None))("xv")
+    # static column count: the BSS kernels unroll over C
+    b = TensorType("float32", (None, 8))("b")
+    out = at.sum(sb.structured_dot(xv, b) ** 2)
+    # grad graph contains StructuredDotGradA(gz, b, xv)
+    gb = grad(out, b)
+    fg = FunctionGraph([xv, b], [gb], clone=True)
+    # grad wrt b uses transpose(xv): admitted with transpose plan
+    plan = bss_inputs(fg)[0]
+    assert plan is not None and plan["transpose"]
+
+    bv = np.random.RandomState(28).normal(size=(140, 8)).astype(np.float32)
+    f_fast = function([xv, b], gb, mode="FAST_RUN")
+    f_py = function([xv, b], gb, mode="PY")
+    np.testing.assert_allclose(f_fast(x_sp, bv), f_py(x_sp, bv),
+                               rtol=2e-4, atol=2e-4)
 
 
 def test_unsafe_cone_falls_back():

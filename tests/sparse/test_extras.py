@@ -231,7 +231,7 @@ def test_col_row_scale_values(mats):
     sv = np.random.RandomState(5).standard_normal(7)
     rv = np.random.RandomState(6).standard_normal(5)
     for fmt in ("csr", "csc"):
-        x = spb.matrix(fmt, "x")
+        x = spb.matrix(fmt, "x", dtype="float64")
         s = at.tensor.vector("s", dtype="float64")
         f = function([x, s], spb.dense_from_sparse(spb.col_scale(x, s)), mode="PY")
         assert np.allclose(f(xv.asformat(fmt), sv), xv.toarray() * sv[None, :])
@@ -340,7 +340,8 @@ def test_sparse_sandbox_sp2(mats):
                   mode="PY")
     assert fb().shape == (3, 4)
 
-    pv = sp.csr_matrix(np.array([[0.5, 0.5, 0.0], [0.0, 0.2, 0.8]]))
+    pv = sp.csr_matrix(np.array([[0.5, 0.5, 0.0], [0.0, 0.2, 0.8]],
+                               dtype="float32"))
     p = spb.csr_matrix("p")
     fm = function([p], sp2.multinomial(9, p), mode="PY")
     assert np.all(np.asarray(fm(pv).sum(axis=1)).ravel() == 9)

@@ -38,7 +38,7 @@ def test_dense_sparse_roundtrips():
     res = rewrite_graph(sb.dense_from_sparse(SparseFromDense("csr")(x)))
     assert equal_computations([res], [x])
 
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     res = rewrite_graph(SparseFromDense("csr")(sb.dense_from_sparse(s)))
     assert res is s or equal_computations([res], [s])
     # format mismatch must NOT fold
@@ -58,7 +58,7 @@ def test_csm_properties_of_csm():
 
 
 def test_csm_of_csm_properties():
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     parts = csm_properties(s)
     rebuilt = CSM("csr")(*parts)
     res = rewrite_graph(rebuilt)
@@ -70,7 +70,7 @@ def test_csm_of_csm_properties():
 
 
 def test_dot_to_structured_dot():
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     y = at.matrix("y", dtype="float64")
     out = Dot()(s, y)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
@@ -84,7 +84,7 @@ def test_dot_to_structured_dot():
 
 
 def test_dense_dot_of_dense_from_sparse():
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     y = at.matrix("y", dtype="float64")
     out = at.dot(sb.dense_from_sparse(s), y)
     res = rewrite_graph(out, include=["canonicalize", "specialize"])
@@ -99,7 +99,7 @@ def test_dense_dot_of_dense_from_sparse():
 
 
 def test_usmm_fusion():
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     y = at.matrix("y", dtype="float64")
     z = at.matrix("z", dtype="float64")
     alpha = at.scalar("alpha", dtype="float64")
@@ -117,7 +117,7 @@ def test_usmm_fusion():
 
 
 def test_usmm_fusion_no_alpha():
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     y = at.matrix("y", dtype="float64")
     z = at.matrix("z", dtype="float64")
     out = z + Dot()(s, y)
@@ -132,7 +132,7 @@ def test_usmm_fusion_no_alpha():
 
 
 def test_neg_neg_and_transpose_transpose():
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     res = rewrite_graph(sb.neg(sb.neg(s)))
     assert res is s or equal_computations([res], [s])
     res = rewrite_graph(sb.transpose(sb.transpose(s)))
@@ -162,7 +162,7 @@ def test_cast_cast_and_same_dtype():
 
 
 def test_ensure_sorted_indices_idempotent():
-    s = sb.csr_matrix("s")
+    s = sb.csr_matrix("s", dtype="float64")
     out = sb.EnsureSortedIndices()(sb.EnsureSortedIndices()(s))
     res = rewrite_graph(out)
     ensures = [op for op in ops_in(res, s)
