@@ -291,9 +291,20 @@ class Expm(Op):
         return input_shapes
 
     def grad(self, inputs, output_grads):
-        from aesara_tpu.gradient import grad_not_implemented
+        # VJP via the block-matrix Fréchet identity (reference implements
+        # this as an eig-based ExpmGrad C op, slinalg.py:631; the block
+        # form is the TPU-first formulation — it reuses expm itself, so
+        # it lowers and re-differentiates wherever expm does):
+        #   expm([[Aᵀ, G], [0, Aᵀ]]) = [[e^{Aᵀ}, L(Aᵀ)(G)], [0, e^{Aᵀ}]]
+        # and VJP_expm(A)[G] = L(Aᵀ)(G).
+        from aesara_tpu.tensor.basic import join, zeros_like
 
-        return [grad_not_implemented(self, 0, inputs[0])]
+        (A,) = inputs
+        (gz,) = output_grads
+        n = A.shape[0]
+        Z = zeros_like(A)
+        blk = join(0, join(1, A.T, gz), join(1, Z, A.T))
+        return [Expm()(blk)[:n, n:]]
 
 
 expm = Expm()

@@ -19,22 +19,27 @@ def _sync(x):
     float(jnp.sum(x))
 
 
-def bench_one(n, d, density, C, dtype="float32", iters=20):
+def bench_one(n, d, density, C, dtype="float32", iters=20,
+              with_bcoo=False):
     x = sps.random(n, d, density=density, format="csr", dtype="float32",
                    random_state=np.random.RandomState(0))
     a = csr_to_bss(x)
     rng = np.random.default_rng(1)
     b = jnp.asarray(rng.normal(size=(d, C)).astype("float32"), dtype=dtype)
     dense = jnp.asarray(x.toarray(), dtype=dtype)
-    from jax.experimental import sparse as jsparse
-
-    bcoo = jsparse.BCOO.from_scipy_sparse(x)
 
     cands = {
         "bss": jax.jit(lambda bb: bss_matmul(a, bb)),
         "densified": jax.jit(lambda bb: dense @ bb),
-        "bcoo": jax.jit(lambda bb: bcoo @ bb),
     }
+    if with_bcoo:
+        # XLA:TPU compiles the BCOO gather program into a serialized loop
+        # — COMPILE time alone is minutes at this nnz, so the sweep
+        # probes it once (round-4 measured ~14 ms/SpMV at 1.3M nnz)
+        from jax.experimental import sparse as jsparse
+
+        bcoo = jsparse.BCOO.from_scipy_sparse(x)
+        cands["bcoo"] = jax.jit(lambda bb: bcoo @ bb)
     row = {}
     for name, fn in cands.items():
         try:
@@ -59,10 +64,14 @@ def bench_one(n, d, density, C, dtype="float32", iters=20):
 
 
 if __name__ == "__main__":
+    import sys
+
     print(f"BSS crossover sweep on {jax.devices()[0]}")
     N, D = 16384, 8192
     for density in (0.001, 0.01, 0.05):
         for C in (1, 8, 128, 512):
-            bench_one(N, D, density, C)
+            bench_one(N, D, density, C,
+                      with_bcoo=("--bcoo" in sys.argv and C == 1
+                                 and density == 0.01))
     print("bf16 rhs:")
     bench_one(N, D, 0.01, 128, dtype="bfloat16")

@@ -23,7 +23,8 @@ def _sync(shared_var):
     return float(np.asarray(shared_var.get_value().ravel()[0]))
 
 
-def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype):
+def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype,
+               use_remat=False):
     import aesara_tpu as atp
     import aesara_tpu.tensor as at
     from aesara_tpu.gradient import grad
@@ -44,8 +45,16 @@ def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype):
     # overlaps transfers; the tunnel cannot)
     x = atp.shared(xv, name="x")
     h = x
-    for layer in layers:
-        h = layer(h)
+    if use_remat:
+        from aesara_tpu.compile.builders import remat
+
+        for layer in layers:
+            out = layer(h)
+            op = remat([h] + layer.params, [out])
+            h = op(h, *layer.params)
+    else:
+        for layer in layers:
+            h = layer(h)
     loss = tm.mean(tm.sqr(h))
     params = [p for layer in layers for p in layer.params]
     # Out(borrow=True): the loss stays a device array, so calls queue
@@ -59,13 +68,14 @@ def build_step(n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype):
 
 
 def run_variant(dtype, iters=20, n_layers=4, batch=8, seqlen=1024,
-                d_model=1024, n_heads=16, d_ff=4096):
+                d_model=1024, n_heads=16, d_ff=4096, use_remat=False):
     import aesara_tpu as atp
 
     with atp.config.change_flags(floatX=dtype,
                                  jax_default_matmul_precision="default"):
         step, params, n_params = build_step(
-            n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype
+            n_layers, batch, seqlen, d_model, n_heads, d_ff, dtype,
+            use_remat=use_remat,
         )
 
         step()  # compile + first run
@@ -88,6 +98,27 @@ def run_variant(dtype, iters=20, n_layers=4, batch=8, seqlen=1024,
 
 
 BF16_PEAK = 197.0  # v5e bf16 MXU peak, TFLOP/s (MFU denominator)
+
+
+def run_model_scale_remat(iters=10, n_layers=12):
+    """VERDICT r4 weak 5: the 12L config droops to ~52% MFU from HBM
+    pressure — remat() per layer trades recompute FLOPs for O(layers)
+    less activation memory.  Measures both variants in ONE process."""
+    results = {}
+    for use_remat in (False, True):
+        (nl, dm, dff, b, t, n_params, tok_s, tflops, sec) = run_variant(
+            "bfloat16", iters=iters, n_layers=n_layers, batch=8,
+            seqlen=2048, d_model=2048, n_heads=16, d_ff=8192,
+            use_remat=use_remat,
+        )
+        mfu = tflops / BF16_PEAK
+        results[use_remat] = (tok_s, tflops, mfu, sec)
+        print(f"model-scale {nl}L bf16 remat={use_remat}: "
+              f"{tok_s:>9,.0f} tok/s  {tflops:5.1f} TF/s  MFU {mfu:6.1%}  "
+              f"({sec*1e3:.1f} ms/step)", flush=True)
+        import gc
+        gc.collect()
+    return results
 
 
 def run_model_scale(iters=10):
@@ -142,7 +173,9 @@ def main():
 if __name__ == "__main__":
     import sys
 
-    if "--model-scale" in sys.argv:
+    if "--model-scale-remat" in sys.argv:
+        run_model_scale_remat()
+    elif "--model-scale" in sys.argv:
         run_model_scale()
     else:
         main()
