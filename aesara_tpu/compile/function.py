@@ -72,6 +72,15 @@ def function(
     """
     if isinstance(inputs, (Variable, In)):
         raise TypeError("inputs must be a list/tuple")
+    if isinstance(updates, (list, tuple)):
+        # dict() below would silently keep only the LAST pair per target —
+        # two updates for one variable is a user error (reference pfunc
+        # test_duplicate_updates)
+        _keys = [k for k, _ in updates]
+        if len({id(k) for k in _keys}) != len(_keys):
+            raise ValueError(
+                "duplicate update targets: "
+                f"{[k for k in _keys if _keys.count(k) > 1][:2]}")
     if steps_per_call != 1:
         return _pfunc_ksteps(
             params=list(inputs), outputs=outputs, mode=mode,
@@ -225,6 +234,14 @@ def rebuild_collect_shared(
         output_list = list(outputs)
     out_vars = [o.variable if isinstance(o, Out) else o for o in output_list]
 
+    if isinstance(updates, (list, tuple)):
+        # dict() would silently keep only the LAST pair per key — two
+        # updates for one variable is a user error (reference pfunc
+        # test_duplicate_updates)
+        keys = [k for k, _ in updates]
+        if len({id(k) for k in keys}) != len(keys):
+            dupes = [k for k in keys if keys.count(k) > 1]
+            raise ValueError(f"duplicate update targets: {dupes[:2]}")
     updates = dict(updates or {})
     update_pairs = []
     input_ids = {id(v) for v in inputs}
@@ -277,9 +294,12 @@ def rebuild_collect_shared(
             seen.add(id(k))
             shared_vars.append(k)
 
-    # default updates (RandomStream state rotation etc.)
+    # default updates (RandomStream state rotation etc.).
+    # no_default_updates: True = drop ALL, a list = drop only those
+    # (reference pfunc contract) — a non-empty list is truthy, so test
+    # identity with True, not truthiness
     explicit_targets = {id(k) for k, _ in update_pairs}
-    if not no_default_updates:
+    if no_default_updates is not True:
         changed = True
         while changed:
             changed = False

@@ -263,8 +263,26 @@ def grad(
                 f"{node.op}.L_op returned {len(igrads)} gradients for "
                 f"{len(node.inputs)} inputs"
             )
-        for inp, ig in zip(node.inputs, igrads):
+        # edge-level connectivity: an input slot only receives gradient
+        # through outputs it is CONNECTED to (op.connection_pattern) that
+        # themselves carry a real gradient — a slot whose every connected
+        # output has zero/disconnected ograd stays out of grad_dict, so
+        # wrt it is reported disconnected (reference uses the pattern in
+        # its connectivity walk, gradient.py:1029)
+        pattern = None
+        if hasattr(node.op, "connection_pattern"):
+            try:
+                pattern = node.op.connection_pattern(node)
+            except Exception:
+                pattern = None
+        live = [o in grad_dict and not _is_disconnected(grad_dict[o])
+                for o in node.outputs]
+        for slot, (inp, ig) in enumerate(zip(node.inputs, igrads)):
             if ig is None or _is_disconnected(ig):
+                continue
+            if pattern is not None and not any(
+                pattern[slot][j] for j in range(len(live)) if live[j]
+            ):
                 continue
             if inp not in influences and inp not in cc:
                 continue

@@ -222,14 +222,20 @@ def missing_test_message(msg: str) -> None:
 
 
 def get_test_value(v):
-    """Return the test value attached to variable ``v`` (constants fold to
-    their data)."""
+    """Return the test value attached to variable ``v`` — constants fold
+    to their data, shared variables to their current value, tagged
+    values are FILTERED through the variable's type so an impossible tag
+    (wrong ndim/dtype) errors at the op that consumes it (reference
+    ``op.py:?get_test_value`` filters the same way)."""
     if isinstance(v, Constant):
         return v.data
     if not isinstance(v, Variable):
         return v
     if hasattr(v.tag, "test_value"):
-        return v.tag.test_value
+        return v.type.filter(v.tag.test_value, strict=False)
+    get_value = getattr(v, "get_value", None)
+    if get_value is not None:  # SharedVariable: live state IS the value
+        return get_value(borrow=True)
     raise TestValueError(f"{v} has no test value")
 
 

@@ -32,6 +32,11 @@ class IfElse(Op):
         self.n_outs = int(n_outs)
         self.as_view = bool(as_view)
         self.name = name
+        # view_map cannot express "one of two inputs" (reference
+        # ifelse.py:68 hits the same limit and declares the then-branch);
+        # perform() therefore COPIES the else branch so the declaration
+        # is never a lie (DebugMode alias check)
+        self.view_map = {k: [1 + k] for k in range(self.n_outs)}
 
     def make_node(self, condition, *args):
         if len(args) != 2 * self.n_outs:
@@ -63,7 +68,11 @@ class IfElse(Op):
 
     def perform(self, node, inputs, output_storage):
         cond, *rest = inputs
-        branch = rest[: self.n_outs] if bool(cond) else rest[self.n_outs:]
+        if bool(cond):
+            branch = rest[: self.n_outs]          # declared view
+        else:
+            branch = [np.array(v, copy=True)      # undeclared → copy
+                      for v in rest[self.n_outs:]]
         for storage, val in zip(output_storage, branch):
             storage[0] = val
 

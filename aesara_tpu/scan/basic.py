@@ -153,7 +153,27 @@ def scan(
                 taps_list.append([-1])
 
     # ---- build inner placeholder variables and call fn ------------------------
-    inner_seq_vars = [_step_type(s)(f"{s.name or 'seq'}[t]") for s in seq_vars]
+    def _seed_test_value(placeholder, outer, row=None):
+        """Derive the inner placeholder's test value from the outer
+        variable's (reference scan/basic.py does the same slicing) so
+        ``compute_test_value`` keeps working through scan bodies."""
+        from aesara_tpu.config import config as _cfg
+        from aesara_tpu.graph.op import get_test_value as _gtv
+        from aesara_tpu.utils import TestValueError as _TVE
+
+        if _cfg.compute_test_value == "off":
+            return placeholder
+        try:
+            val = _gtv(outer)
+        except _TVE:
+            return placeholder
+        placeholder.tag.test_value = val if row is None else val[row]
+        return placeholder
+
+    inner_seq_vars = [
+        _seed_test_value(_step_type(s)(f"{s.name or 'seq'}[t]"), s, row=0)
+        for s in seq_vars
+    ]
 
     inner_tap_vars_per_out: List[List[Variable]] = []
     if outs_info is not None:
@@ -161,12 +181,14 @@ def scan(
             if kind == "nit":
                 inner_tap_vars_per_out.append([])
             elif kind == "sit":
-                v = init.type(f"{init.name or 'h'}[t-1]")
+                v = _seed_test_value(
+                    init.type(f"{init.name or 'h'}[t-1]"), init)
                 inner_tap_vars_per_out.append([v])
             else:  # mit: init is a (k, ...) buffer; one var per tap
                 step_t = _step_type(init)
                 inner_tap_vars_per_out.append(
-                    [step_t(f"h[t{t}]") for t in taps]
+                    [_seed_test_value(step_t(f"h[t{t}]"), init, row=k)
+                     for k, t in enumerate(taps)]
                 )
 
     fn_args = list(inner_seq_vars)

@@ -355,7 +355,12 @@ class Scan(Op, HasInnerGraph):
                     rest = tuple(
                         tshape(o)[d + 1] for d in range(o.type.ndim - 1)
                     )
-                    out.append((n_steps,) + rest)
+                    # a while-scan stops early: the stack's leading dim is
+                    # the EXECUTED count, only knowable from the output
+                    # itself (replacing it with n_steps mis-sized every
+                    # grad-of-until reverse sweep)
+                    lead = tshape(o)[0] if info.as_while else n_steps
+                    out.append((lead,) + rest)
             else:
                 # shared finals: same shape as the matching init
                 init_idx = 1 + info.n_seqs + info.n_mit_sot + info.n_sit_sot + (
@@ -504,13 +509,13 @@ class Scan(Op, HasInnerGraph):
         from aesara_tpu.tensor.subtensor import inc_subtensor, set_subtensor
 
         info = self.info
-        if (info.as_while or any(info.final_only) or any(info.tail_depths)
+        if (any(info.final_only) or any(info.tail_depths)
                 or any(info.nit_tail_depths)):
             # save-mem scans arise from the post-grad rewrite pipeline;
             # user grads are built before scan_save_mem fires
             return [
                 grad_not_implemented(self, i, inp,
-                                     "gradient through while/save-mem Scan "
+                                     "gradient through save-mem Scan "
                                      "not supported")
                 for i, inp in enumerate(inputs)
             ]
@@ -659,6 +664,31 @@ class Scan(Op, HasInnerGraph):
         from aesara_tpu.graph.ir import clone_replace
 
         T = n_steps
+        if info.as_while:
+            # gradient through ``until`` (reference test_grad_until,
+            # tests/scan/test_basic.py:2376): the reverse sweep covers
+            # the EXECUTED steps only — read the trip count off a
+            # stacked output's leading dim.  Steps never run contribute
+            # zero gradient (the seq-tail padding below handles it).
+            if thread_shared:
+                return [disconnected_type()] + [
+                    grad_not_implemented(
+                        self, 1 + i, inp,
+                        "gradient through a while-Scan whose gradient "
+                        "reads shared state is not supported (the "
+                        "replay would re-run the condition)",
+                    )
+                    for i, inp in enumerate(inputs[1:])
+                ]
+            probe = list(rec_outs) + list(nit_outs)
+            if not probe:
+                return [disconnected_type()] + [
+                    grad_not_implemented(self, 1 + i, inp,
+                                         "while-Scan with no stacked "
+                                         "outputs has no trip count")
+                    for i, inp in enumerate(inputs[1:])
+                ]
+            T = tb.cast(probe[0].shape[0], "int64")
         trunc = self.truncate_gradient
         if trunc is not None and trunc != -1:
             n_back = tm.minimum(tb.cast(tb.as_tensor_variable(trunc), "int64"),
@@ -878,10 +908,71 @@ class Scan(Op, HasInnerGraph):
 
 
     def connection_pattern(self, node):
+        """Real edge-level connectivity from the INNER graph (reference
+        ``scan/op.py:2092``): inner-input → inner-output reachability,
+        closed transitively over the recurrences (a value reaching a
+        recurrent output also reaches anything that output's tap
+        placeholders reach on later steps, and likewise through shared
+        states)."""
+        from aesara_tpu.graph.ir import ancestors
+
         info = self.info
-        n_in = len(node.inputs)
-        n_out = len(node.outputs)
-        # conservative: everything connected except n_steps
-        pattern = [[True] * n_out for _ in range(n_in)]
-        pattern[0] = [False] * n_out
-        return pattern
+        inner_in = self.fgraph.inputs
+        inner_out = self.fgraph.outputs
+        n_rec = info.n_recurrent
+        n_out = len(node.outputs)  # rec + nit + shared (no while-cond)
+
+        # direct reachability: inner input index -> set of inner out idx
+        anc = [set(ancestors([o])) for o in inner_out[:n_out]]
+        direct = [
+            {j for j in range(n_out) if iv in anc[j]} for iv in inner_in
+        ]
+
+        # structural feeds: output j's next-step consumers (tap/shared
+        # placeholders)
+        p = info.n_seqs
+        taps_slots = []  # per recurrent output: its inner tap input idxs
+        for taps in list(info.mit_sot_taps) + [(-1,)] * info.n_sit_sot:
+            taps_slots.append(list(range(p, p + len(taps))))
+            p += len(taps)
+        shared_slots = list(range(p, p + info.n_shared))
+
+        def feeds(j):
+            if j < n_rec:
+                return taps_slots[j]
+            if j >= n_rec + info.n_nit_sot:
+                return [shared_slots[j - n_rec - info.n_nit_sot]]
+            return []
+
+        # transitive closure over steps
+        changed = True
+        while changed:
+            changed = False
+            for reach in direct:
+                extra = set()
+                for j in reach:
+                    for slot in feeds(j):
+                        extra |= direct[slot]
+                if not extra <= reach:
+                    reach |= extra
+                    changed = True
+
+        # outer rows: [n_steps, seqs, mit inits, sit inits, shared, nonseqs]
+        rows = [[False] * n_out]  # n_steps
+        p = info.n_seqs
+        for s in range(info.n_seqs):
+            rows.append([j in direct[s] for j in range(n_out)])
+        for r in range(n_rec):  # init buffers enter via the first taps
+            reach = set()
+            for slot in taps_slots[r]:
+                reach |= direct[slot]
+            rows.append([j in reach for j in range(n_out)])
+        for slot in shared_slots:
+            rows.append([j in direct[slot] for j in range(n_out)])
+        n_nonseq_slots = len(inner_in) - info.n_seqs - sum(
+            len(t) for t in taps_slots) - info.n_shared
+        base = len(inner_in) - n_nonseq_slots
+        for k in range(n_nonseq_slots):
+            rows.append([j in direct[base + k] for j in range(n_out)])
+        assert len(rows) == len(node.inputs), (len(rows), len(node.inputs))
+        return rows

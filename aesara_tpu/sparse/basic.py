@@ -664,8 +664,12 @@ class SamplingDot(Op):
 
         x, y, p = inputs
         (gz,) = output_grads
-        gx = dot(gz, y)
-        gy = dot(transpose(gz), x)
+        # out_ij = p_ij · (x yᵀ)_ij — p's DATA weighs the sample (see
+        # perform), so the VJP carries p ∘ gz, not gz alone (reference
+        # SamplingDot.grad, sparse/basic.py:4088)
+        pgz = mul(p, gz)
+        gx = dot(pgz, y)
+        gy = dot(transpose(pgz), x)
         return [gx, gy, grad_not_implemented(self, 2, p)]
 
 
@@ -692,6 +696,36 @@ class Usmm(Op):
         if sp.issparse(res):
             res = np.asarray(res.todense())
         output_storage[0][0] = np.asarray(res, dtype=node.outputs[0].type.dtype)
+
+    def grad(self, inputs, output_grads):
+        # out = alpha·(x@y) + z (reference UsmmCscDense rides the same
+        # math; grads follow gemm rules, structured on a sparse operand's
+        # pattern via sampling_dot)
+        from aesara_tpu.gradient import grad_not_implemented
+        from aesara_tpu.tensor import math as _tm
+
+        alpha, x, y, z = inputs
+        (gz,) = output_grads
+        x_sparse = isinstance(x.type, SparseTensorType)
+        y_sparse = isinstance(y.type, SparseTensorType)
+        xy = dot(x, y) if (x_sparse or y_sparse) else _tm.dot(x, y)
+        g_alpha = _tm.sum(_tm.mul(gz, xy))
+        agz = gz * alpha
+        if x_sparse:
+            gx = sampling_dot(agz, dense_from_sparse(y) if y_sparse else y,
+                              sp_ones_like(x))
+        elif y_sparse:
+            gx = dot(agz, transpose(y))
+        else:
+            gx = _tm.dot(agz, y.T)
+        if y_sparse:
+            xd = dense_from_sparse(x) if x_sparse else x
+            gy = sampling_dot(xd.T, agz.T, sp_ones_like(y))
+        elif x_sparse:
+            gy = structured_dot(transpose(x), agz)
+        else:
+            gy = _tm.dot(x.T, agz)
+        return [g_alpha, gx, gy, gz]
 
 
 def usmm(alpha, x, y, z):
@@ -1275,8 +1309,67 @@ class StructuredElemwise(Op):
         out.data = self.np_fn(out.data).astype(node.outputs[0].type.dtype)
         output_storage[0][0] = out
 
+    def grad(self, inputs, output_grads):
+        # Structured VJP: f applies to stored entries only, so the
+        # gradient is f'(data) placed back on x's pattern, times gz
+        # (``mul`` dispatches MulSS/MulSD for sparse/dense gz).  The
+        # reference writes one grad per generated op
+        # (sparse/basic.py structured_monoid family); here one table of
+        # scalar derivative expressions serves them all.
+        (x,) = inputs
+        (gz,) = output_grads
+        deriv = _STRUCTURED_DERIVS.get(self.fn_name)
+        if deriv is None:
+            from aesara_tpu.gradient import grad_not_implemented
+
+            return [grad_not_implemented(self, 0, x,
+                                         f"structured_{self.fn_name}")]
+        data, indices, indptr, shape = csm_properties(x)
+        fprime = CSM(x.type.format)(deriv(data), indices, indptr, shape)
+        return [mul(fprime, gz)]
+
     def __str__(self):
         return f"structured_{self.fn_name}"
+
+
+def _make_structured_derivs():
+    """Scalar derivative expressions f'(d) on the stored-data vector, for
+    every smooth structured op (f(0)=0 family).  Step functions
+    (trunc/sgn/ceil/floor/conj) stay unlisted → grad_not_implemented."""
+    import aesara_tpu.tensor.basic as _tb
+    import aesara_tpu.tensor.math as _tm
+
+    return {
+        "sigmoid": lambda d: _tm.sigmoid(d) * (1.0 - _tm.sigmoid(d)),
+        "exp": lambda d: _tm.exp(d),
+        "log": lambda d: 1.0 / d,
+        "log1p": lambda d: 1.0 / (1.0 + d),
+        "sqrt": lambda d: 0.5 / _tm.sqrt(d),
+        "sqr": lambda d: 2.0 * d,
+        "deg2rad": lambda d: _tb.ones_like(d) * (np.pi / 180.0),
+        "rad2deg": lambda d: _tb.ones_like(d) * (180.0 / np.pi),
+        "sin": lambda d: _tm.cos(d),
+        "tan": lambda d: 1.0 + _tm.sqr(_tm.tan(d)),
+        "arcsin": lambda d: 1.0 / _tm.sqrt(1.0 - _tm.sqr(d)),
+        "arctan": lambda d: 1.0 / (1.0 + _tm.sqr(d)),
+        "sinh": lambda d: _tm.cosh(d),
+        "tanh": lambda d: 1.0 - _tm.sqr(_tm.tanh(d)),
+        "arcsinh": lambda d: 1.0 / _tm.sqrt(1.0 + _tm.sqr(d)),
+        "arctanh": lambda d: 1.0 / (1.0 - _tm.sqr(d)),
+    }
+
+
+class _LazyDerivTable(dict):
+    """Defer the tensor.math import to first gradient request (sparse
+    imports before tensor.math finishes initializing)."""
+
+    def get(self, key, default=None):
+        if not self:
+            self.update(_make_structured_derivs())
+        return super().get(key, default)
+
+
+_STRUCTURED_DERIVS = _LazyDerivTable()
 
 
 def _structured(name, np_fn):
@@ -1328,6 +1421,17 @@ class Diag(Op):
 
     def perform(self, node, inputs, output_storage):
         output_storage[0][0] = np.asarray(inputs[0].diagonal())
+
+    def grad(self, inputs, output_grads):
+        # VJP: scatter gz back onto the diagonal (reference Diag.grad
+        # returns square_diagonal(gz), sparse/basic.py:3640)
+        (gz,) = output_grads
+        return [square_diagonal(gz)]
+
+    def infer_shape(self, fgraph, node, shapes):
+        from aesara_tpu.tensor.math import minimum
+
+        return [(minimum(shapes[0][0], shapes[0][1]),)]
 
 
 class SquareDiagonal(Op):

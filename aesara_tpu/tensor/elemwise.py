@@ -301,16 +301,26 @@ class Elemwise(Op):
         directly so broadcast inputs aren't over-counted."""
         from aesara_tpu.gradient import DisconnectedType, NullType
 
-        # 1. scalar gradient graph
-        s_inputs = [ScalarType(i.type.dtype)() for i in inputs]
-        s_node = self.scalar_op.make_node(*s_inputs)
-        s_ograds = [ScalarType(g.type.dtype)() if not isinstance(g.type, (DisconnectedType, NullType)) else g
-                    for g in ograds]
-        s_igrads = self.scalar_op.L_op(
-            s_inputs,
-            s_node.outputs,
-            s_ograds,
-        )
+        # 1. scalar gradient graph — a TEMPLATE over fresh scalar
+        # placeholders, so test-value propagation must be off while it
+        # is built (the placeholders can never carry values; the lifted
+        # tensor graph re-propagates them — reference disables test
+        # values around the same template construction)
+        from aesara_tpu.config import config as _config
+
+        with _config.change_flags(compute_test_value="off"):
+            s_inputs = [ScalarType(i.type.dtype)() for i in inputs]
+            s_node = self.scalar_op.make_node(*s_inputs)
+            s_ograds = [
+                ScalarType(g.type.dtype)()
+                if not isinstance(g.type, (DisconnectedType, NullType)) else g
+                for g in ograds
+            ]
+            s_igrads = self.scalar_op.L_op(
+                s_inputs,
+                s_node.outputs,
+                s_ograds,
+            )
         # 2. lift scalar graph → tensor graph (scalar leaf ↦ tensor arg)
         mapping = dict(zip(s_inputs, inputs))
         for s_out, t_out in zip(s_node.outputs, outs):
@@ -341,6 +351,11 @@ class Elemwise(Op):
                 mapping[s_var] = bad
                 return bad
             t_node = Elemwise(s_var.owner.op).make_node(*t_ins)
+            if _config.compute_test_value != "off":
+                # make_node bypasses Op.__call__'s test-value propagation
+                from aesara_tpu.graph.op import compute_test_value as _ctv
+
+                _ctv(t_node)
             for s_o, t_o in zip(s_var.owner.outputs, t_node.outputs):
                 mapping[s_o] = t_o
             return mapping[s_var]

@@ -39,6 +39,13 @@ class CumOp(Op):
 
     def make_node(self, x):
         x = as_tensor_variable(x)
+        if self.axis is not None and not (
+            -x.type.ndim <= self.axis < max(x.type.ndim, 1)
+        ):
+            raise ValueError(
+                f"cum{self.mode}: axis {self.axis} out of range for "
+                f"{x.type.ndim}-d input"
+            )
         if self.axis is None:
             total = 1
             known = all(s is not None for s in x.type.shape)
@@ -616,6 +623,13 @@ def bincount(x, weights=None, minlength=None):
             length = tmaximum(
                 length, cast(as_tensor_variable(minlength), "int64")
             )
+    # negative values would WRAP through the scatter (numpy raises);
+    # guard like numpy does
+    from aesara_tpu.raise_op import Assert as _Assert
+    from aesara_tpu.tensor.math import all as _tall, ge as _tge
+
+    x = _Assert("bincount: negative values not allowed")(
+        x, _tall(_tge(x, 0)))
     if weights is None:
         out = zeros((length,), dtype="int64")
         from aesara_tpu.tensor.basic import ones_like

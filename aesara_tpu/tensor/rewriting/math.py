@@ -1396,7 +1396,12 @@ def local_useless_reduce(fgraph, node):
     local_useless_reduce)."""
     op = node.op
     x = node.inputs[0]
-    if op.axis is None or tuple(op.axis) != ():
+    # axis=() reduces nothing; axis=None on a 0-d input likewise reduces
+    # over zero axes — both are the identity (modulo acc dtype)
+    if op.axis is None:
+        if x.type.ndim != 0:
+            return False
+    elif tuple(op.axis) != ():
         return False
     res = x
     if res.type.dtype != node.outputs[0].type.dtype:

@@ -101,17 +101,21 @@ class TestPaddedWhile:
 
 
 class TestWhileGrads:
-    def test_grad_through_while_raises(self):
-        """Reference contract: no gradient through a while-scan — the
-        data-dependent trip count makes BPTT ill-defined; NullType
-        surfaces as NullTypeGradError (reference Scan.grad as_while)."""
-        from aesara_tpu.gradient import NullTypeGradError
-
+    def test_grad_through_while_executed_steps(self):
+        """Round-5 upgrade (reference test_grad_until contract): the
+        reverse sweep covers the EXECUTED steps, read off the stacked
+        output's length.  acc_t = x^t; with x=2, until x^t>100 fires
+        entering the step after acc=64: 7 steps run, final = 2^7, so
+        d(final)/dx = 7·2^6 — the trip count is treated as locally
+        constant, exactly the reference's semantics."""
         x = at.scalar("x", dtype="float64")
         out, _ = scan(lambda acc: (acc * x, until(acc * x > 100.0)),
                       outputs_info=[c64(1.0)], n_steps=50)
-        with pytest.raises((NullTypeGradError, Exception)):
-            grad(out[-1], x)
+        g = grad(out[-1], x)
+        f = function([x], [out[-1], g], mode="PY")
+        val, gv = f(np.float64(2.0))
+        assert float(val) == 2.0 ** 7
+        assert abs(float(gv) - 7 * 2.0 ** 6) < 1e-9
 
     def test_bounded_alternative_is_differentiable(self):
         """The sanctioned route: run the FIXED bound and select — grads
