@@ -51,6 +51,8 @@ def BoolParam(default: bool, mutable=True, doc="") -> ConfigParam:
     def apply(v):
         if isinstance(v, bool):
             return v
+        if isinstance(v, int) and v in (0, 1):  # reference accepts 0/1
+            return bool(v)
         if isinstance(v, str):
             if v.lower() in ("1", "true", "yes", "on"):
                 return True

@@ -450,10 +450,24 @@ def Rop(f, wrt, eval_points, disconnected_outputs="raise",
         cost=None, wrt=us,
         known_grads={inner: _ones_like_cost(inner)},
         disconnected_inputs="ignore",
-        return_disconnected="zero",
+        return_disconnected="disconnected",
     )
     if not isinstance(rops, (list, tuple)):
         rops = [rops]
+    # honor the disconnected_outputs policy on the default path too: an
+    # output whose dummy cotangent u_i never reaches <g, v> is an output
+    # no tangent can touch
+    for i, (fi, r) in enumerate(zip(fs, rops)):
+        if r is None or _is_disconnected(r):
+            if disconnected_outputs == "raise":
+                raise DisconnectedInputError(
+                    f"Rop: output {fi} is not connected to any wrt"
+                )
+            if disconnected_outputs == "warn":
+                warnings.warn(
+                    f"Rop: output {fi} is not connected to any wrt"
+                )
+            rops[i] = _zeros_like_var(fi)
     # the result is linear in u and value-independent of it, but broadcast
     # templates (fill/second) can still reference u syntactically —
     # substitute a zero of the right shape

@@ -887,6 +887,27 @@ def _jax_unbroadcast(op, node=None, **kwargs):
 def _jax_subtensor(op, node=None, **kwargs):
     idx_list = op.idx_list
 
+    if node is not None and len(node.inputs) > 1:
+        # a slice whose bound/step is a RUNTIME value has a dynamic-length
+        # result — no XLA answer exists (the affine-window rewrite,
+        # local_affine_slice_to_dynamic, catches the compilable cases
+        # first).  Raise at funcify time so the linker's py fallback takes
+        # the whole cone, like other dynamic-shape ops (unique, bincount).
+        from aesara_tpu.graph.ir import Constant as _Const
+
+        sym_idx = tst.indices_from_subtensor(node.inputs[1:], idx_list)
+        for e in (sym_idx if isinstance(sym_idx, tuple) else (sym_idx,)):
+            if isinstance(e, slice) and any(
+                p is not None and hasattr(p, "type")
+                and not isinstance(p, _Const)
+                for p in (e.start, e.stop, e.step)
+            ):
+                raise NoLoweringError(
+                    "Subtensor with non-constant slice bounds is "
+                    "dynamic-shaped; py path (or let the affine-slice "
+                    "rewrite prove a constant window)"
+                )
+
     def subtensor(x, *index_inputs):
         idx = tst.indices_from_subtensor(
             [_maybe_int(i) for i in index_inputs], idx_list

@@ -782,6 +782,19 @@ class BatchedDot(Op):
             gy = cast(gy, y.type.dtype)
         return [gx, gy]
 
+    def R_op(self, inputs, eval_points):
+        # bilinear product rule: d(x·y)[vx, vy] = vx·y + x·vy
+        x, y = inputs
+        vx, vy = eval_points
+        terms = []
+        if vx is not None:
+            terms.append(batched_dot(vx, y))
+        if vy is not None:
+            terms.append(batched_dot(x, vy))
+        if not terms:
+            return [None]
+        return [terms[0] if len(terms) == 1 else add(*terms)]
+
     def __str__(self):
         return "batched_dot"
 

@@ -151,6 +151,16 @@ class Det(_MatrixUnaryOp):
 
         return [mul(gz, det(x), matrix_inverse(x).T)]
 
+    def R_op(self, inputs, eval_points):
+        # Jacobi's formula forward rule: d det(A)[V] = det(A)·tr(A⁻¹ V)
+        (x,) = inputs
+        (v,) = eval_points
+        if v is None:
+            return [None]
+        from aesara_tpu.tensor.math import dot, mul
+
+        return [mul(det(x), trace(dot(matrix_inverse(x), v)))]
+
 
 det = Det()
 

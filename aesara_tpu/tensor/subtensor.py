@@ -733,6 +733,29 @@ def take_slice(x, args):
     if not isinstance(args, tuple):
         args = (args,)
 
+    # symbolic slices (SliceType, reference tensor/type_other.py): a
+    # MakeSlice output unpacks back to its components; a SliceConstant
+    # folds to its python slice
+    def _unwrap_slice(a):
+        from aesara_tpu.graph.ir import Constant as _Const
+        from aesara_tpu.tensor.type_other import MakeSlice, NoneTypeT, SliceType
+
+        if not (hasattr(a, "type") and isinstance(a.type, SliceType)):
+            return a
+        if isinstance(a, _Const):
+            return a.data
+        if a.owner is not None and isinstance(a.owner.op, MakeSlice):
+            parts = [
+                None if isinstance(p.type, NoneTypeT) else p
+                for p in a.owner.inputs
+            ]
+            return slice(*parts)
+        raise NotImplementedError(
+            "free symbolic slice variables are not indexable; build "
+            "them with make_slice(start, stop, step)")
+
+    args = tuple(_unwrap_slice(a) for a in args)
+
     # expand Ellipsis — a rank-k boolean mask consumes k input dims
     # (review finding: counting it as 1 made '...' over-expand)
     n_real = sum(

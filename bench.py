@@ -70,6 +70,26 @@ def main():
             _sync(c)
             samples.append(time.perf_counter() - t0)
         elapsed = min(samples)
+        # calibration guard (round-5 variance root-cause,
+        # benchmarks/bench_variance_probe.py): fresh processes agree
+        # within ~4% — there is NO per-connection fast/slow lane; the
+        # historical "up to 4x between processes" was TRANSIENT slow
+        # epochs (host load starving the tunnel client — the same
+        # mechanism as the measured 3x pytest-concurrency inflation).
+        # So when a run looks like it hit a slow epoch (large spread),
+        # take another round of samples; the global min is the chip.
+        calibration = {"loadavg_1m": round(os.getloadavg()[0], 2)}
+        spread = (max(samples) - min(samples)) / min(samples)
+        if spread > 0.5 or calibration["loadavg_1m"] > 4.0:
+            for _ in range(5):
+                t0 = time.perf_counter()
+                for _ in range(iters):
+                    f()
+                _sync(c)
+                samples.append(time.perf_counter() - t0)
+            elapsed = min(samples)
+            calibration["slow_epoch_retry"] = True
+            calibration["spread_first5"] = round(spread, 3)
     except _Deadline:
         print(json.dumps({
             "metric": "gemm_f32_5000_tflops", "value": 0.0,
@@ -88,9 +108,10 @@ def main():
         "vs_baseline": round(baseline_time / elapsed, 3),
         "jitter": {
             "gemm_f32": round((max(samples) - min(samples)) / min(samples), 3),
-            "n_samples": 5,
+            "n_samples": len(samples),
             "canonical": "min-time over samples",
         },
+        "calibration": calibration,
     }
     # MXU roofline companion: tile-aligned bf16 gemm CHAIN in one XLA
     # program (amortizes the ~810 µs tunnel dispatch floor) + MFU vs the
@@ -109,6 +130,12 @@ def main():
         result["bf16_mfu"] = round(bf16 / BF16_PEAK_TFLOPS, 3)
         result["jitter"]["bf16"] = round(
             (max(bf16_samples) - min(bf16_samples)) / max(bf16_samples), 3)
+    except _Deadline:
+        # the SIGALRM is ONE-SHOT: swallowing it here once left the
+        # remaining companions unbounded and the driver killed the run
+        # before the JSON printed — print immediately instead
+        print(json.dumps(result))
+        return
     except Exception:
         pass
     # HBM roofline companion (benchmarks/bench_hbm_roofline.py): slope-timed
@@ -127,6 +154,9 @@ def main():
         result["hbm_roofline_frac"] = round(fw / raw["triad"], 3)
         result["jitter"]["elemwise"] = round(
             (max(fw_samples) - min(fw_samples)) / max(fw_samples), 3)
+    except _Deadline:
+        print(json.dumps(result))
+        return
     except Exception:
         pass
     # flagship transformer tokens/s is benchmarked separately
