@@ -41,6 +41,17 @@ class UnusedInputError(Exception):
     pass
 
 
+def _check_duplicate_updates(updates):
+    """Reject two updates for one target in list form — dict() would
+    silently keep only the LAST pair (reference pfunc
+    test_duplicate_updates)."""
+    if isinstance(updates, (list, tuple)):
+        keys = [k for k, _ in updates]
+        if len({id(k) for k in keys}) != len(keys):
+            dupes = [k for k in keys if keys.count(k) > 1]
+            raise ValueError(f"duplicate update targets: {dupes[:2]}")
+
+
 def function(
     inputs: Sequence,
     outputs=None,
@@ -72,15 +83,9 @@ def function(
     """
     if isinstance(inputs, (Variable, In)):
         raise TypeError("inputs must be a list/tuple")
-    if isinstance(updates, (list, tuple)):
-        # dict() below would silently keep only the LAST pair per target —
-        # two updates for one variable is a user error (reference pfunc
-        # test_duplicate_updates)
-        _keys = [k for k, _ in updates]
-        if len({id(k) for k in _keys}) != len(_keys):
-            raise ValueError(
-                "duplicate update targets: "
-                f"{[k for k in _keys if _keys.count(k) > 1][:2]}")
+    # checked here (not only in rebuild_collect_shared) because the
+    # steps_per_call path below returns before reaching it
+    _check_duplicate_updates(updates)
     if steps_per_call != 1:
         return _pfunc_ksteps(
             params=list(inputs), outputs=outputs, mode=mode,
@@ -234,14 +239,7 @@ def rebuild_collect_shared(
         output_list = list(outputs)
     out_vars = [o.variable if isinstance(o, Out) else o for o in output_list]
 
-    if isinstance(updates, (list, tuple)):
-        # dict() would silently keep only the LAST pair per key — two
-        # updates for one variable is a user error (reference pfunc
-        # test_duplicate_updates)
-        keys = [k for k, _ in updates]
-        if len({id(k) for k in keys}) != len(keys):
-            dupes = [k for k in keys if keys.count(k) > 1]
-            raise ValueError(f"duplicate update targets: {dupes[:2]}")
+    _check_duplicate_updates(updates)
     updates = dict(updates or {})
     update_pairs = []
     input_ids = {id(v) for v in inputs}

@@ -390,6 +390,24 @@ def _rop_via_op_rop(fs, wrts, evs):
     return [tangents.get(f) for f in fs]  # None = disconnected
 
 
+def _apply_disconnected_output_policy(results, fs, policy, zeros_fn):
+    """Shared raise/warn/zeros handling for Rop outputs no tangent can
+    reach — one implementation for both the Lop-of-Lop and the
+    per-op-R_op paths (review finding: the two copies could drift)."""
+    for i, (fi, r) in enumerate(zip(fs, results)):
+        if r is None or _is_disconnected(r):
+            if policy == "raise":
+                raise DisconnectedInputError(
+                    f"Rop: output {fi} is not connected to any wrt"
+                )
+            if policy == "warn":
+                warnings.warn(
+                    f"Rop: output {fi} is not connected to any wrt"
+                )
+            results[i] = zeros_fn(fi)
+    return results
+
+
 def Rop(f, wrt, eval_points, disconnected_outputs="raise",
         use_op_rop=False):
     """R-operator: (df/dx) v.
@@ -410,20 +428,10 @@ def Rop(f, wrt, eval_points, disconnected_outputs="raise",
         )
 
     if use_op_rop:
-        results = _rop_via_op_rop(fs, wrts, evs)
-        for i, (fi, r) in enumerate(zip(fs, results)):
-            if r is None:  # output untouched by any tangent
-                if disconnected_outputs == "raise":
-                    raise DisconnectedInputError(
-                        f"Rop: output {fi} is not connected to any wrt"
-                    )
-                if disconnected_outputs == "warn":
-                    warnings.warn(
-                        f"Rop: output {fi} is not connected to any wrt"
-                    )
-                from aesara_tpu.tensor.basic import zeros_like as _zl
+        from aesara_tpu.tensor.basic import zeros_like as _zl
 
-                results[i] = _zl(fi)
+        results = _apply_disconnected_output_policy(
+            _rop_via_op_rop(fs, wrts, evs), fs, disconnected_outputs, _zl)
         return results[0] if single else results
 
     # dummy cotangents u, one per output
@@ -457,17 +465,8 @@ def Rop(f, wrt, eval_points, disconnected_outputs="raise",
     # honor the disconnected_outputs policy on the default path too: an
     # output whose dummy cotangent u_i never reaches <g, v> is an output
     # no tangent can touch
-    for i, (fi, r) in enumerate(zip(fs, rops)):
-        if r is None or _is_disconnected(r):
-            if disconnected_outputs == "raise":
-                raise DisconnectedInputError(
-                    f"Rop: output {fi} is not connected to any wrt"
-                )
-            if disconnected_outputs == "warn":
-                warnings.warn(
-                    f"Rop: output {fi} is not connected to any wrt"
-                )
-            rops[i] = _zeros_like_var(fi)
+    rops = _apply_disconnected_output_policy(
+        rops, fs, disconnected_outputs, _zeros_like_var)
     # the result is linear in u and value-independent of it, but broadcast
     # templates (fill/second) can still reference u syntactically —
     # substitute a zero of the right shape

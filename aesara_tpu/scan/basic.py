@@ -186,9 +186,16 @@ def scan(
                 inner_tap_vars_per_out.append([v])
             else:  # mit: init is a (k, ...) buffer; one var per tap
                 step_t = _step_type(init)
+                # the buffer row serving tap t at step 0 is depth+t with
+                # depth = -min(taps), the same convention Scan.perform
+                # uses at runtime — NOT the tap's position in the list
+                # (review finding: taps [-3,-1] seeded h[t-1] with
+                # h[t-2]'s row)
+                depth = -min(taps)
                 inner_tap_vars_per_out.append(
-                    [_seed_test_value(step_t(f"h[t{t}]"), init, row=k)
-                     for k, t in enumerate(taps)]
+                    [_seed_test_value(step_t(f"h[t{t}]"), init,
+                                      row=depth + t)
+                     for t in taps]
                 )
 
     fn_args = list(inner_seq_vars)

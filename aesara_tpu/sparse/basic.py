@@ -1423,10 +1423,22 @@ class Diag(Op):
         output_storage[0][0] = np.asarray(inputs[0].diagonal())
 
     def grad(self, inputs, output_grads):
-        # VJP: scatter gz back onto the diagonal (reference Diag.grad
-        # returns square_diagonal(gz), sparse/basic.py:3640)
+        # VJP: scatter gz back onto the diagonal.  The reference returns
+        # square_diagonal(gz) (sparse/basic.py:3640) and so only supports
+        # square inputs; since this Diag handles rectangular matrices the
+        # scatter is built at the INPUT's shape via CSM (review finding:
+        # square_diagonal(gz) was (k,k) for an (m,n) input).
+        from aesara_tpu.tensor.basic import arange
+        from aesara_tpu.tensor.math import minimum
+
+        (x,) = inputs
         (gz,) = output_grads
-        return [square_diagonal(gz)]
+        shp = csm_shape_var(x)
+        k = gz.shape[0]
+        # csc with one entry (row j) in each column j < k
+        indices = arange(k)
+        indptr = minimum(arange(shp[1] + 1), k)
+        return [CSM("csc")(gz, indices, indptr, shp)]
 
     def infer_shape(self, fgraph, node, shapes):
         from aesara_tpu.tensor.math import minimum

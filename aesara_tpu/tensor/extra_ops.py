@@ -39,8 +39,11 @@ class CumOp(Op):
 
     def make_node(self, x):
         x = as_tensor_variable(x)
+        # strict bounds: a 0-d input admits NO explicit axis (reference
+        # raises for axis >= ndim; numpy's (1,) result would contradict
+        # the 0-d output type — review finding)
         if self.axis is not None and not (
-            -x.type.ndim <= self.axis < max(x.type.ndim, 1)
+            -x.type.ndim <= self.axis < x.type.ndim
         ):
             raise ValueError(
                 f"cum{self.mode}: axis {self.axis} out of range for "

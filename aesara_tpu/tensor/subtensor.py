@@ -749,6 +749,11 @@ def take_slice(x, args):
                 None if isinstance(p.type, NoneTypeT) else p
                 for p in a.owner.inputs
             ]
+            # MakeSlice.perform pads TRAILING Nones: make_slice(2) is
+            # slice(start=2), not slice(stop=2) as bare slice(*parts)
+            # would give (review finding)
+            while len(parts) < 3:
+                parts.append(None)
             return slice(*parts)
         raise NotImplementedError(
             "free symbolic slice variables are not indexable; build "
