@@ -87,7 +87,12 @@ def separable_conv2d(input, depthwise_filters, pointwise_filters,
     from aesara_tpu.tensor.nnet.abstract_conv import conv2d
 
     num_channels = int(num_channels)
-    mult_expr = depthwise_filters.shape[0] // num_channels
+    # constant slice bounds whenever the filter count is static — a
+    # symbolic ``shape[0] // num_channels`` makes every group slice
+    # dynamic-shaped and kicks the whole graph off XLA
+    static_n = depthwise_filters.type.shape[0]
+    mult_expr = (static_n // num_channels if static_n is not None
+                 else depthwise_filters.shape[0] // num_channels)
     chans = []
     for c in range(num_channels):
         img_c = input[:, c:c + 1]
