@@ -19,13 +19,48 @@ from aesara_tpu.link.jax.dispatch import jax_funcify
 from aesara_tpu.scan.op import Scan
 
 
+def _n_steps_is_trace_static(var) -> bool:
+    """True when ``var``'s value is concrete at jit-trace time: it
+    depends on runtime inputs only THROUGH shape extraction (static
+    under jit) or constants.  A data-dependent n_steps (e.g. a plain
+    iscalar input) would be a tracer, and ``lax.scan`` needs a static
+    trip count — such graphs degrade to the py path like any other
+    dynamic-shape form (reference runs scan's loop on the host
+    unconditionally, so this matches its behavior there)."""
+    from aesara_tpu.graph.ir import Constant
+    from aesara_tpu.tensor.shape import Shape, Shape_i
+
+    seen = set()
+    stack = [var]
+    while stack:
+        v = stack.pop()
+        if id(v) in seen:
+            continue
+        seen.add(id(v))
+        if isinstance(v, Constant):
+            continue
+        if v.owner is None:
+            return False              # runtime DATA feeds the count
+        if isinstance(v.owner.op, (Shape, Shape_i)):
+            continue                  # concrete under jit
+        stack.extend(v.owner.inputs)
+    return True
+
+
 @jax_funcify.register(Scan)
 def _jax_scan(op, node=None, **kwargs):
+    from aesara_tpu.link.jax.dispatch import NoLoweringError
     from aesara_tpu.link.jax.linker import fgraph_to_jax
 
     info = op.info
     if info.as_while:
         return _jax_while_scan(op)
+    if node is not None and not _n_steps_is_trace_static(node.inputs[0]):
+        raise NoLoweringError(
+            "Scan with a data-dependent n_steps has a dynamic trip count "
+            "and cannot lower to lax.scan; py path (pass a python int, "
+            "derive n_steps from input shapes, or use a while-scan)"
+        )
     body = fgraph_to_jax(op.fgraph)
     tap_depths = [-min(taps) for taps in info.mit_sot_taps]
 
