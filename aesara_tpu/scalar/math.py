@@ -370,7 +370,18 @@ class Softplus(UnaryScalarOp):
     output_types_preference = staticmethod(upgrade_to_float_no_complex)
 
     def impl(self, x):
-        xf = np.float64(x)
+        # np.asarray + ndim check instead of np.float64(x): constant
+        # folding hands impl size-1 ARRAYS, and converting those is a
+        # numpy-2.x error that would silently disable the fold
+        xf = np.asarray(x, dtype=np.float64)
+        if xf.ndim:
+            with np.errstate(over="ignore"):
+                return np.where(
+                    xf < -37.0, np.exp(xf),
+                    np.where(xf < 18.0,
+                             np.log1p(np.exp(np.minimum(xf, 18.0))),
+                             np.where(xf < 33.3, xf + np.exp(-xf), xf)))
+        xf = float(xf)
         if xf < -37.0:
             return np.exp(xf)
         if xf < 18.0:
