@@ -1046,6 +1046,15 @@ def expand_dims(x, axis):
     if isinstance(axis, int):
         axis = (axis,)
     out_ndim = x.type.ndim + len(axis)
+    # numpy contract: out-of-range axes raise, they don't wrap (the
+    # bare ``a % out_ndim`` silently mapped axis 5 of a 2-d input to 2 —
+    # review-wave finding; the reference's shape_padaxis raises too,
+    # /root/reference/aesara/tensor/shape.py:858)
+    for a in axis:
+        if not -out_ndim <= a < out_ndim:
+            raise IndexError(
+                f"expand_dims: axis {a} is out of bounds "
+                f"[-{out_ndim}, {out_ndim})")
     axis = tuple(a % out_ndim for a in axis)
     pattern = []
     it = iter(range(x.type.ndim))
