@@ -60,6 +60,7 @@ def _densify_safe_op_types():
         sb.MulSV,
         sb.AddSD,
         sb.SamplingDot,
+        sb.Diag,
     )
 
 
@@ -324,11 +325,15 @@ def _jx_csm(op, node=None, **kw):
         shape_t = tuple(int(s) for s in np.asarray(shape))
         indptr = jnp.asarray(indptr, jnp.int32)
         counts = jnp.diff(indptr)
+        # a TRACED data array still has a static leading dim under jit —
+        # that is exactly the total_repeat_length jnp.repeat needs
+        # (gating on Tracer-ness crashed every traced-data CSM whose
+        # counts weren't concrete, e.g. the sparse Diag gradient)
+        n_data = np.shape(data)[0]
         major = jnp.repeat(
             jnp.arange(len(counts), dtype=jnp.int32), counts,
-            total_repeat_length=int(np.asarray(data).shape[0]) if not isinstance(
-                data, jax.core.Tracer
-            ) else None,
+            total_repeat_length=int(n_data) if isinstance(n_data, int)
+            else None,
         )
         minor = jnp.asarray(indices, jnp.int32)
         if op.format == "csr":
@@ -355,6 +360,87 @@ def _jx_sparse_transpose(op, node=None, **kw):
 @jax_funcify.register(sb.Neg)
 def _jx_sparse_neg(op, node=None, **kw):
     return lambda x: -_to_bcoo(x)
+
+
+@jax_funcify.register(sb.CSMProperties)
+def _jx_csm_properties(op, node=None, **kw):
+    fmt = node.inputs[0].type.format if node is not None else "csr"
+
+    def csm_properties(x):
+        from jax.experimental import sparse as jsparse
+
+        x = _to_bcoo(x)
+        if not isinstance(x, jsparse.BCOO):  # densified bridge value
+            # CSR/CSC with EXPLICIT zeros: every cell stored, so nse is
+            # the static m*n and CSM(data, indices, indptr, shape)
+            # rebuilds the same matrix
+            x = jnp.asarray(x)
+            m, n = x.shape
+            if fmt == "csr":
+                data = x.reshape(-1)
+                indices = jnp.tile(jnp.arange(n, dtype=jnp.int32), m)
+                indptr = (jnp.arange(m + 1, dtype=jnp.int32)
+                          * jnp.int32(n))
+            else:
+                data = x.T.reshape(-1)
+                indices = jnp.tile(jnp.arange(m, dtype=jnp.int32), n)
+                indptr = (jnp.arange(n + 1, dtype=jnp.int32)
+                          * jnp.int32(m))
+            # HOST np value, like the Shape lowering: under jit a
+            # jnp.asarray of a static tuple is STAGED (a tracer), which
+            # would defeat the linker's trace-time shape folding and
+            # crash any downstream ARange
+            shape = np.asarray(x.shape, np.int32)
+            return data, indices, indptr, shape
+        # BCOO → compressed parts on device: lexsort by (major, minor)
+        # then indptr via searchsorted; nse is static under jit
+        rows, cols = x.indices[:, 0], x.indices[:, 1]
+        major, minor = (rows, cols) if fmt == "csr" else (cols, rows)
+        dim = x.shape[0] if fmt == "csr" else x.shape[1]
+        order = jnp.lexsort((minor, major))
+        data = x.data[order]
+        indices = minor[order].astype(jnp.int32)
+        indptr = jnp.searchsorted(
+            major[order], jnp.arange(dim + 1)).astype(jnp.int32)
+        shape = np.asarray(x.shape, np.int32)  # host: see dense branch
+        return data, indices, indptr, shape
+
+    return csm_properties
+
+
+@jax_funcify.register(sb.Diag)
+def _jx_sp_diag(op, node=None, **kw):
+    def sp_diag(x):
+        from jax.experimental import sparse as jsparse
+
+        x = _to_bcoo(x)
+        if not isinstance(x, jsparse.BCOO):  # densified bridge value
+            return jnp.diagonal(jnp.asarray(x))
+        # gather the stored diagonal entries without densifying the
+        # matrix: scatter-add stored (i,i) values into a k-vector
+        # (duplicate coords sum, matching BCOO semantics)
+        k = min(x.shape)
+        rows, cols = x.indices[:, 0], x.indices[:, 1]
+        on_diag = (rows == cols) & (rows < k)
+        dest = jnp.where(on_diag, rows, k)  # k = out-of-range → dropped
+        vals = jnp.where(on_diag, x.data, jnp.zeros((), x.data.dtype))
+        return jnp.zeros((k,), x.data.dtype).at[dest].add(vals, mode="drop")
+
+    return sp_diag
+
+
+@jax_funcify.register(sb.SquareDiagonal)
+def _jx_square_diagonal(op, node=None, **kw):
+    def square_diagonal(d):
+        from jax.experimental import sparse as jsparse
+
+        d = jnp.asarray(d)
+        n = d.shape[0]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        return jsparse.BCOO((d, jnp.stack([idx, idx], axis=1)),
+                            shape=(n, n))
+
+    return square_diagonal
 
 
 @jax_funcify.register(sb.SpSum)

@@ -131,3 +131,79 @@ def test_sparse_function_input_jits_through_bridge():
     assert f.fn.sparse_plan == ("dense",)
     sv = sp.random(4, 5, density=0.4, format="csr", random_state=1)
     np.testing.assert_allclose(np.asarray(f(sv)), sv.toarray() * 2)
+
+
+# ---------------------------------------------------------------------------
+# round-5b lowerings: Diag / SquareDiagonal / CSMProperties on XLA
+# ---------------------------------------------------------------------------
+
+def test_diag_lowers_no_fallback():
+    import warnings
+
+    import scipy.sparse as sp
+    from aesara_tpu.sparse.basic import SparseTensorType
+
+    s = SparseTensorType("csr", "float64")("s")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        f = function([s], sb.diag(s), mode="FAST_RUN")
+    sv = sp.random(4, 6, density=0.5, format="csr", random_state=3)
+    np.testing.assert_allclose(np.asarray(f(sv)),
+                               sv.toarray().diagonal())
+
+
+def test_square_diagonal_lowers_roundtrip():
+    import warnings
+
+    import aesara_tpu.tensor as at
+
+    d = at.vector("d", dtype="float64")
+    # keep the output DENSE so the whole graph jits (sparse outputs
+    # convert at the thunk boundary)
+    out = sb.dense_from_sparse(sb.square_diagonal(d))
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        f = function([d], out, mode="FAST_RUN")
+    dv = np.array([1.5, -2.0, 0.5])
+    np.testing.assert_allclose(np.asarray(f(dv)), np.diag(dv))
+
+
+def test_csm_properties_roundtrip_both_formats():
+    import warnings
+
+    import scipy.sparse as sp
+    from aesara_tpu.sparse.basic import CSM, SparseTensorType, csm_properties
+
+    for fmt in ("csr", "csc"):
+        s = SparseTensorType(fmt, "float64")("s")
+        d_, i_, p_, s_ = csm_properties(s)
+        out = sb.dense_from_sparse(CSM(fmt)(d_, i_, p_, s_))
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            f = function([s], out, mode="FAST_RUN")
+        sv = sp.random(5, 3, density=0.5, format=fmt, random_state=7)
+        np.testing.assert_allclose(np.asarray(f(sv)), sv.toarray())
+
+
+def test_diag_grad_rectangular_on_xla():
+    """The full Diag-gradient chain (CSMProperties shape → arange/
+    minimum indptr → CSM scatter) compiles as one XLA program."""
+    import warnings
+
+    import scipy.sparse as sp
+    import aesara_tpu.tensor as at
+    from aesara_tpu.gradient import grad as _grad
+    from aesara_tpu.sparse.basic import SparseTensorType
+
+    s = SparseTensorType("csr", "float64")("s")
+    (g,) = _grad(at.sum(sb.diag(s) ** 2), [s])
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        f = function([s], g, mode="FAST_RUN")
+    sv = sp.random(4, 6, density=0.6, format="csr", random_state=2)
+    gv = f(sv)
+    assert gv.shape == (4, 6)
+    want = np.zeros((4, 6))
+    dg = sv.toarray().diagonal()
+    want[np.arange(4), np.arange(4)] = 2 * dg
+    np.testing.assert_allclose(gv.toarray(), want)
