@@ -35,7 +35,7 @@ def _scope_name(node_idx: int, node) -> str:
     return f"n{node_idx}.{_SCOPE_BAD.sub('_', label)[:48]}"
 
 
-def fgraph_to_jax(fgraph, guard=None) -> Callable:
+def fgraph_to_jax(fgraph, guard=None, for_jit=True) -> Callable:
     """Compose per-node ``jax_funcify`` callables into one function over
     the fgraph inputs (the reference's ``fgraph_to_python``
     ``link/utils.py:673``, without source-string generation).
@@ -54,7 +54,11 @@ def fgraph_to_jax(fgraph, guard=None) -> Callable:
     from aesara_tpu.utils import MethodNotDefined
 
     order = fgraph.toposort()
-    node_fns = [jax_funcify(node.op, node=node) for node in order]
+    # for_jit=False (the eager JAXLinker path) relaxes trace-time-only
+    # constraints: a data-dependent Scan n_steps is CONCRETE when the
+    # program is not jitted, so the funcify must not reject it there
+    node_fns = [jax_funcify(node.op, node=node, for_jit=for_jit)
+                for node in order]
 
     def _violation(val):
         """int32 code for one node output (0 ok / 1 nan / 2 inf / 3 big)."""
@@ -341,7 +345,7 @@ class JAXLinker(Linker):
                     self._compiled_cache[cache_key] = compiled
         else:
             try:
-                fn = fgraph_to_jax(fgraph, guard=guard)
+                fn = fgraph_to_jax(fgraph, guard=guard, for_jit=False)
             except NoLoweringError as e:
                 return self._py_fallback(
                     input_storage, output_storage, storage_map, str(e)

@@ -48,14 +48,18 @@ def _n_steps_is_trace_static(var) -> bool:
 
 
 @jax_funcify.register(Scan)
-def _jax_scan(op, node=None, **kwargs):
+def _jax_scan(op, node=None, for_jit=True, **kwargs):
     from aesara_tpu.link.jax.dispatch import NoLoweringError
     from aesara_tpu.link.jax.linker import fgraph_to_jax
 
     info = op.info
     if info.as_while:
         return _jax_while_scan(op)
-    if node is not None and not _n_steps_is_trace_static(node.inputs[0]):
+    # data-dependent n_steps only matters under jit (it is a tracer
+    # there); the eager path sees a concrete value, so rejecting at
+    # funcify time would demote the WHOLE graph to py for nothing
+    if for_jit and node is not None \
+            and not _n_steps_is_trace_static(node.inputs[0]):
         raise NoLoweringError(
             "Scan with a data-dependent n_steps has a dynamic trip count "
             "and cannot lower to lax.scan; py path (pass a python int, "

@@ -392,12 +392,18 @@ def _jx_csm_properties(op, node=None, **kw):
             # crash any downstream ARange
             shape = np.asarray(x.shape, np.int32)
             return data, indices, indptr, shape
-        # BCOO → compressed parts on device: lexsort by (major, minor)
-        # then indptr via searchsorted; nse is static under jit
+        # BCOO → compressed parts on device: STABLE sort by the major
+        # axis only, then indptr via searchsorted; nse is static under
+        # jit.  Major-only (not lexsort by (major, minor)): the bridge's
+        # BCOO preserves scipy's entry order (tocoo keeps data order),
+        # and the py-oracle (like the reference's CSMProperties.perform)
+        # passes csm.data/indices through UNSORTED — a CSR input with
+        # has_sorted_indices=False must come back in its own within-row
+        # order, not canonicalized (review finding, round 5 session 3)
         rows, cols = x.indices[:, 0], x.indices[:, 1]
         major, minor = (rows, cols) if fmt == "csr" else (cols, rows)
         dim = x.shape[0] if fmt == "csr" else x.shape[1]
-        order = jnp.lexsort((minor, major))
+        order = jnp.argsort(major, stable=True)
         data = x.data[order]
         indices = minor[order].astype(jnp.int32)
         indptr = jnp.searchsorted(

@@ -1056,6 +1056,10 @@ def expand_dims(x, axis):
                 f"expand_dims: axis {a} is out of bounds "
                 f"[-{out_ndim}, {out_ndim})")
     axis = tuple(a % out_ndim for a in axis)
+    if len(set(axis)) != len(axis):
+        # numpy contract (np.expand_dims): repeated axes — including a
+        # positive/negative alias pair — raise, they don't collapse
+        raise ValueError("repeated axis in expand_dims")
     pattern = []
     it = iter(range(x.type.ndim))
     for d in range(out_ndim):

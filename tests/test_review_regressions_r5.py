@@ -153,3 +153,111 @@ class TestDuplicateUpdatesBothPaths:
         with pytest.raises(ValueError, match="duplicate update targets"):
             function([], [], updates=[(s, s + 1), (s, s + 2)],
                      steps_per_call=4)
+
+
+class TestCSMPropertiesUnsortedIndices:
+    """Session-3 review: the XLA CSMProperties lowering lexsorted by
+    (major, minor), silently canonicalizing inputs whose within-row
+    indices are unsorted — py-oracle passes them through verbatim
+    (reference CSMProperties.perform returns csm.data/indices as-is)."""
+
+    def _unsorted_csr(self):
+        # legal scipy state with has_sorted_indices=False
+        m = sp.csr_matrix(
+            (np.array([1.0, 2.0, 3.0]),
+             np.array([3, 0, 2]),
+             np.array([0, 2, 3])),
+            shape=(2, 4))
+        assert not m.has_sorted_indices
+        return m
+
+    def test_fast_run_matches_py(self):
+        from aesara_tpu.sparse.basic import SparseTensorType, csm_properties
+
+        m = self._unsorted_csr()
+        s = SparseTensorType("csr", "float64")("s")
+        outs = list(csm_properties(s))
+        f_py = function([s], outs, mode="PY")
+        f_x = function([s], outs, mode="FAST_RUN")
+        got_py, got_x = f_py(m), f_x(m)
+        for a, b in zip(got_py, got_x):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(got_x[0]), m.data)
+        np.testing.assert_array_equal(np.asarray(got_x[1]), m.indices)
+
+    def test_unsorted_csc_matches_py(self):
+        from aesara_tpu.sparse.basic import SparseTensorType, csm_properties
+
+        m = sp.csc_matrix(
+            (np.array([5.0, 4.0, 6.0]),
+             np.array([2, 0, 1]),
+             np.array([0, 2, 2, 3])),
+            shape=(3, 3))
+        assert not m.has_sorted_indices
+        s = SparseTensorType("csc", "float64")("s")
+        outs = list(csm_properties(s))
+        f_py = function([s], outs, mode="PY")
+        f_x = function([s], outs, mode="FAST_RUN")
+        for a, b in zip(f_py(m), f_x(m)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestExpandDimsRepeatedAxis:
+    """Session-3 review: duplicate axes crashed with a bare
+    StopIteration; numpy raises ValueError('repeated axis ...')."""
+
+    def test_plain_duplicate(self):
+        x = at.matrix("x")
+        with pytest.raises(ValueError, match="repeated axis"):
+            at.expand_dims(x, (0, 0))
+
+    def test_pos_neg_alias(self):
+        v = at.vector("v")
+        # out_ndim=3: axis -3 aliases axis 0
+        with pytest.raises(ValueError, match="repeated axis"):
+            at.expand_dims(v, (0, -3))
+
+    def test_distinct_axes_still_work(self):
+        v = at.vector("v")
+        y = at.expand_dims(v, (0, 2))
+        assert y.type.ndim == 3
+
+
+class TestEagerLinkerDynamicNSteps:
+    """Session-3 review: the funcify-time data-dependent-n_steps check
+    fired even for use_jit=False, demoting the WHOLE graph to the py
+    path in a configuration where n_steps is concrete at call time."""
+
+    def test_eager_jax_runs_without_py_fallback(self):
+        import warnings
+
+        from aesara_tpu.compile.mode import OPT_FAST_RUN, Mode
+        from aesara_tpu.link.jax.linker import JAXNoJitLinker
+        from aesara_tpu.scan.basic import scan
+
+        n = at.iscalar("n")
+        ys, _ = scan(lambda h: h * 2.0,
+                     outputs_info=[at.constant(np.float64(1.0))],
+                     n_steps=n)
+        mode = Mode(JAXNoJitLinker(), OPT_FAST_RUN)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            f = function([n], ys[-1], mode=mode)
+            assert float(np.asarray(f(5))) == 32.0
+            assert float(np.asarray(f(3))) == 8.0
+        assert not [w for w in rec if "py path" in str(w.message)]
+
+    def test_jit_path_still_falls_back(self):
+        import warnings
+
+        from aesara_tpu.scan.basic import scan
+
+        n = at.iscalar("n")
+        ys, _ = scan(lambda h: h * 2.0,
+                     outputs_info=[at.constant(np.float64(1.0))],
+                     n_steps=n)
+        with warnings.catch_warnings(record=True) as rec:
+            warnings.simplefilter("always")
+            f = function([n], ys[-1], mode="FAST_RUN")
+            assert float(np.asarray(f(4))) == 16.0
+        assert [w for w in rec if "py path" in str(w.message)]
