@@ -291,8 +291,18 @@ def grad(
                 from aesara_tpu.scalar.ops import discrete_dtypes
 
                 if dt in discrete_dtypes:
-                    # grads wrt discrete vars are structurally zero; even a
-                    # NullType marker here must not poison the walk
+                    if _is_null(ig):
+                        # an undefined-grad marker must not poison the
+                        # walk through a discrete var
+                        continue
+                    # a DEFINED gradient into a discrete var is
+                    # structurally zero, but the var stays CONNECTED:
+                    # keep a zero flowing upstream so e.g. the imatrix
+                    # behind a tensor_copy resolves to zeros(floatX)
+                    # rather than a disconnected error, while an
+                    # undefined grad further up (argmax) still raises
+                    if inp not in grad_dict:
+                        grad_dict[inp] = _zeros_like_var(inp)
                     continue
             grad_dict[inp] = _add_grads(grad_dict.get(inp), ig)
 

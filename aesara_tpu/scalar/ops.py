@@ -450,19 +450,19 @@ class LogicalComparison(BinaryScalarOp):
     output_types_preference = staticmethod(bool_out)
 
     def grad(self, inputs, output_grads):
-        from aesara_tpu.gradient import grad_undefined
-
-        return [grad_undefined(self, i, inp, "comparison has no gradient")
-                for i, inp in enumerate(inputs)]
+        # a comparison's gradient is DEFINED and zero (floatX for
+        # discrete inputs) — grad(x > y, y) == 0.0, not an
+        # undefined-grad error (reference LogicalComparison.L_op,
+        # scalar/basic.py:1304)
+        return [_zeros_like(inp) for inp in inputs]
 
 
 class FixedLogicalComparison(UnaryScalarOp):
     output_types_preference = staticmethod(bool_out)
 
     def grad(self, inputs, output_grads):
-        from aesara_tpu.gradient import grad_undefined
-
-        return [grad_undefined(self, 0, inputs[0])]
+        # same zero-grad contract as LogicalComparison (isnan/isinf)
+        return [_zeros_like(inputs[0])]
 
 
 # ---------------------------------------------------------------------------
@@ -1339,6 +1339,12 @@ class InRange(ScalarOp):
         lo_ok = x > low if self.openlow else x >= low
         hi_ok = x < high if self.openhigh else x <= high
         return np.bool_(lo_ok and hi_ok)
+
+    def grad(self, inputs, output_grads):
+        # zero everywhere, including AT the bounds (mathematically the
+        # boundary gradient is infinite; the reference defines it zero
+        # for stability — scalar/basic.py:1554 InRange.get_grad)
+        return [_zeros_like(inp) for inp in inputs]
 
 
 class Mean(ScalarOp):
